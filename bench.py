@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the registered query surface at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is materialized through the noop sink (full execution, no
+driver collect, no disk write) — the same way a cluster job would be
+measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from postgres_cdc_plugin_spark import registry
+from postgres_cdc_plugin_spark.session import get_spark
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    spark = get_spark(app_name="cdc-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.queries()
+    names = sys.argv[1:] or sorted(queries)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(
+            f"error: unknown queries {unknown}; known: {sorted(queries)}",
+            file=sys.stderr,
+        )
+        return 2
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query_surface_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,292 @@
+"""Analytic query surface over the captured-change / bookkeeping tables.
+
+The reference delegates every relational query on its tables to Postgres
+(SURVEY.md §2.3-2.7 "absent" notes); an engine that replaces it must supply
+them natively. These exercise Spark's joins (broadcast + shuffle,
+semi/anti), multi-aggregate groupBy, rollup/grouping sets, window
+functions, tumbling windows and sessionization over the driver testdata.
+
+Scale posture: dimension joins broadcast; fact-fact joins shuffle on the
+join key and rely on AQE for skew; aggregations are partial (map-side
+combine) by construction; no collect() anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import load
+
+
+def orders_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrichment join (J1 generalized).
+
+    orders ⨝ customer ⨝ nation ⨝ region with revenue rollup per region /
+    nation. customer is the large-ish dim (still broadcastable at any sane
+    credential-store size); nation/region are tiny. Catalyst plans this as
+    a chain of broadcast hash joins — zero shuffles before the final
+    aggregation.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def lineitem_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (§2.4).
+
+    Multi-aggregate groupBy over the fact table with arithmetic inside the
+    aggregate — all whole-stage-codegen built-ins, partial aggregation
+    before the 6-group shuffle. The date filter pushes to the parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def orders_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (§2.3 absent-category).
+
+    Orders that do / don't contain a big-quantity lineitem. Semi/anti joins
+    shuffle only the distinct key set of the filtered right side — at scale
+    the l_quantity filter prunes before the shuffle.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    big_items = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    cond = orders.o_orderkey == big_items.l_orderkey
+    with_big = orders.join(big_items, cond, "left_semi").select(
+        F.lit("with_big_item").alias("tag"), "o_orderkey", "o_totalprice"
+    )
+    without_big = orders.join(big_items, cond, "left_anti").select(
+        F.lit("without_big_item").alias("tag"), "o_orderkey", "o_totalprice"
+    )
+    return with_big.unionByName(without_big)
+
+
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id (§2.4 absent-category).
+
+    Hierarchical subtotals nation -> priority -> grand total in one pass
+    (Spark expands grouping sets before the single shuffle).
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return joined.rollup("n_name", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch (§2.4; rows-only check).
+
+    approx_count_distinct is the scale path for cardinality over 100 TB —
+    constant memory per group vs. a full distinct shuffle. Approximate, so
+    no SQL oracle; the driver records a rows-only check and
+    tests/test_analytics.py bounds the relative error against the exact
+    count.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (ST9).
+
+    F.window is the same operator Structured Streaming uses with a
+    watermark; in batch it groups into aligned hourly buckets. The oracle
+    expresses the identical bucketing as date_trunc.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (ST9).
+
+    Batch analog of F.session_window: flag session starts with lag, number
+    sessions with a running sum, aggregate bounds per session. One shuffle
+    on user_id shared by both window functions and the final groupBy
+    (Catalyst reuses the partitioning).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.col("ts").cast("double") - prev_ts) > 1800.0), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def user_activity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + running aggregates (§2.5 absent-category).
+
+    row_number / rank / running sum over per-user event history — the
+    retry-sequence-numbering analog (src/cdc_webhook.c:169,178-217 loop
+    counter as a window function).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("value").over(run), 2).alias("running_value"),
+    )
+
+
+QUERIES = {
+    "orders_enrich_join": orders_enrich_join,
+    "lineitem_pricing_agg": lineitem_pricing_agg,
+    "orders_semi_anti": orders_semi_anti,
+    "grouping_rollup": grouping_rollup,
+    "approx_distinct_users": approx_distinct_users,
+    "events_tumbling": events_tumbling,
+    "events_sessionize": events_sessionize,
+    "user_activity_window": user_activity_window,
+}
+
+ORACLE_SQL = {
+    "orders_enrich_join": """
+        SELECT r_name, n_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "lineitem_pricing_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "orders_semi_anti": """
+        SELECT 'with_big_item' AS tag, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        UNION ALL
+        SELECT 'without_big_item' AS tag, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    """,
+    "grouping_rollup": """
+        SELECT n_name, o_orderpriority,
+               CAST(grouping(n_name, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+    "events_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+            ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS session_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    "user_activity_window": """
+        SELECT event_id, user_id, ts,
+               row_number() OVER w AS seq,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+               ), 2) AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+}

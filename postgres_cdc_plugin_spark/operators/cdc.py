@@ -1,0 +1,395 @@
+"""CDC dataflow operators, re-expressed as declarative DataFrame plans.
+
+Each function maps a reference behavior (cited file:line into
+/root/reference) onto the driver's `events` table, which plays the role of
+the captured change stream (FIXTURES.md §B): `event_type` is the op-like
+tag, `user_id` the row key, `ts` the change time, `props` the JSONB-ish
+map column.
+
+Every query here is a pure (spark, sf_dir) -> DataFrame function with a
+matching ANSI-SQL oracle in ORACLE_SQL. Column aliases agree between the
+two on purpose — the driver hashes values under sorted column names.
+
+Scale notes: all ops are narrow (filter/project) or single-shuffle
+(window/groupBy on a key); the one join broadcasts its dimension side.
+Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import load
+
+# event_type -> CDC op mapping used throughout: signup is the row's birth,
+# error its deletion, everything else an update. (Function, not a module
+# constant: Column construction requires an active SparkSession.)
+def _op_expr():
+    return (
+        F.when(F.col("event_type") == "signup", F.lit("INSERT"))
+        .when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+
+_OP_SQL = (
+    "CASE WHEN event_type = 'signup' THEN 'INSERT' "
+    "WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
+)
+
+
+def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-event envelope projection (P3).
+
+    Mirrors the jsonb_build_object envelope of
+    cdc_webhook--1.0.sql:252-280: per-event id, created_at, table identity,
+    trigger identity, op, and old/new row images (old NULL on INSERT, new
+    NULL on DELETE — :266-277). The event id is *deterministic*
+    (md5 of the event key) rather than gen_random_uuid() (:254) so replay
+    under at-least-once delivery dedups at the receiver (SURVEY.md §7).
+
+    Flattened to scalar columns (rather than a nested struct) so the DuckDB
+    oracle can hash-compare it; envelope.py builds the nested/JSON form for
+    the streaming sink.
+    """
+    ev = load(spark, sf_dir, "events")
+    op = _op_expr()
+    return ev.select(
+        F.md5(F.concat_ws(":", F.lit("evt"), F.col("event_id").cast("string"))).alias("id"),
+        F.col("ts").alias("created_at"),
+        F.lit("public").alias("table_schema"),
+        F.lit("events").alias("table_name"),
+        F.lit("cdc_events_trigger").alias("trigger_name"),
+        F.lit("AFTER").alias("trigger_timing"),
+        op.alias("op"),
+        F.when(op != "INSERT", F.col("user_id")).alias("old_user_id"),
+        F.when(op != "INSERT", F.col("value")).alias("old_value"),
+        F.when(op != "DELETE", F.col("user_id")).alias("new_user_id"),
+        F.when(op != "DELETE", F.col("value")).alias("new_value"),
+    )
+
+
+def cdc_op_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operation-subscription filter (P1).
+
+    The reference restricts capture to the subscribed op set in the trigger
+    DDL (cdc_webhook--1.0.sql:201,355-366) so non-subscribed ops never fire.
+    Spark form: an isin filter that Catalyst pushes into the parquet scan
+    (visible as PushedFilters: In(event_type, ...)).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("signup", "purchase", "error")).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("event_type").alias("op"),
+        "value",
+    )
+
+
+def cdc_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe column-change predicate (P2).
+
+    The reference fires an UPDATE event only when a tracked column changed:
+    `NEW.col IS DISTINCT FROM OLD.col`, OR-folded
+    (cdc_webhook--1.0.sql:204-212, evaluated :229-235). Here the old image
+    is the previous event per key (lag over user_id ordered by change
+    time), and eqNullSafe is the exact IS NOT DISTINCT FROM analog.
+    Single shuffle on user_id; at 100 TB the change log is partitioned by
+    key so this window is partition-local.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return (
+        ev.select("event_id", "user_id", "ts", "value", prev.alias("old_value"))
+        .filter(~F.col("value").eqNullSafe(F.col("old_value")))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "old_value",
+            F.col("value").alias("new_value"),
+        )
+    )
+
+
+def creds_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential-lookup equi-join (J1).
+
+    Under security='PRIVATE' each event resolves (webhook_url, headers)
+    from the credentials table by key equality
+    (cdc_webhook--1.0.sql:242-248; UNIQUE index :21). The dimension is tiny
+    -> broadcast hash join, shuffle-free on the stream side. `customer`
+    stands in for the credentials dim (FIXTURES.md §B).
+    """
+    ev = load(spark, sf_dir, "events")
+    creds = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("webhook_url"),
+        F.col("c_mktsegment").alias("header_class"),
+    )
+    return (
+        ev.join(F.broadcast(creds), ev.user_id == creds.c_custkey, "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("event_type").alias("op"),
+            "webhook_url",
+            "header_class",
+        )
+    )
+
+
+def creds_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credentials upsert as last-write-wins dedup (S5).
+
+    The reference upserts ON CONFLICT (schema,table,name) DO UPDATE
+    (cdc_webhook--1.0.sql:188-197); the batch equivalent is a row_number
+    window keeping the newest row per natural key. c_nationkey plays the
+    trigger key, c_acctbal the recency column (deterministic tie-break on
+    c_custkey).
+    """
+    creds = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        creds.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("c_nationkey").alias("trigger_key"),
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+        )
+    )
+
+
+def queue_ready_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue readiness scan + top-k (P5, §2.6).
+
+    The background worker polls `status='PENDING' AND next_attempt <=
+    now()` ordered by next_attempt (src/cdc_webhook_worker.c:55-61; indexes
+    cdc_webhook--1.0.sql:50-52). Spark: pushed-down filter + global top-k
+    (TakeOrderedAndProject — no full sort at scale). event_id tie-break
+    keeps the k-set deterministic.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == "error")
+            & (F.col("ts") <= F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+        )
+        .select("event_id", F.col("ts").alias("next_attempt"), "value")
+        .orderBy("next_attempt", "event_id")
+        .limit(100)
+    )
+
+
+def retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry backoff schedule (ST5).
+
+    LINEAR: constant retry_interval; EXPONENTIAL: interval * 2^attempt via
+    a left shift — exactly src/cdc_webhook.c:103-109. next_attempt =
+    attempt time + delay (the data-not-sleep translation of the blocking
+    sleep at src/cdc_webhook.c:190). Pure narrow projection.
+    """
+    ev = load(spark, sf_dir, "events")
+    interval = F.lit(2)
+    attempt = (F.col("event_id") % 5).cast("int")
+    backoff = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("LINEAR")
+    ).otherwise(F.lit("EXPONENTIAL"))
+    delay = F.when(backoff == "LINEAR", interval).otherwise(
+        interval * F.expr("shiftleft(1, CAST(event_id % 5 AS INT))")
+    )
+    return ev.select(
+        "event_id",
+        attempt.alias("attempt"),
+        backoff.alias("retry_backoff"),
+        delay.cast("bigint").alias("delay_seconds"),
+        (F.floor(F.col("ts").cast("double")).cast("bigint") + delay.cast("bigint")).alias(
+            "next_attempt_epoch"
+        ),
+    )
+
+
+def attempt_history_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key attempt-history accumulation (A2).
+
+    event_log keeps attempt_count + attempts_time/status/response arrays
+    per event (cdc_webhook--1.0.sql:36-39). Batch analog: collect_list per
+    key (sorted for determinism, joined to a string so the oracle hash is
+    representation-stable). Map-side partial aggregation applies to the
+    count/sum; the list agg shuffles only the error subset.
+    """
+    ev = load(spark, sf_dir, "events")
+    ids_sorted = F.array_sort(F.collect_list("event_id"))
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attempts"),
+            F.array_join(
+                F.transform(ids_sorted, lambda x: x.cast("string")), ","
+            ).alias("attempt_ids"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status/op distribution (A3).
+
+    The queue state machine (cdc_webhook--1.0.sql:35) and the reference
+    tests' COUNT(*) assertions (tests/test_cancel_on_failure.py:46-48).
+    Classic partial-agg groupBy: map-side combine makes the shuffle carry
+    one row per (partition, status).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def fanout_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-subscriber fan-out (ST11).
+
+    N triggers on one table, each with its own op set, each event routed to
+    every matching trigger (tests/test_multiple_triggers.py:9-61). Spark
+    form: per-subscription filters unioned — one scan per subscription arm
+    that Catalyst collapses into a shared-scan union.
+    """
+    ev = load(spark, sf_dir, "events")
+    all_ops = ev.select(
+        F.lit("audit_all").alias("trigger_name"), "event_id", F.col("event_type").alias("op")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchase_only").alias("trigger_name"),
+        "event_id",
+        F.col("event_type").alias("op"),
+    )
+    return all_ops.unionByName(purchases)
+
+
+def headers_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONB headers iteration (§2.8).
+
+    The C sink walks the headers JSONB key/value pairs to build HTTP
+    headers (src/cdc_webhook.c:73-91). Data-op analog: parse the JSON map
+    and explode entries. from_json -> MapType keeps it JVM-side (no Python
+    UDF).
+    """
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return ev.select("event_id", F.explode(m).alias("header_key", "header_value"))
+
+
+QUERIES = {
+    "cdc_envelope": cdc_envelope,
+    "cdc_op_filter": cdc_op_filter,
+    "cdc_column_diff": cdc_column_diff,
+    "creds_lookup_join": creds_lookup_join,
+    "creds_last_wins": creds_last_wins,
+    "queue_ready_topk": queue_ready_topk,
+    "retry_schedule": retry_schedule,
+    "attempt_history_agg": attempt_history_agg,
+    "status_counts": status_counts,
+    "fanout_union": fanout_union,
+    "headers_explode": headers_explode,
+}
+
+ORACLE_SQL = {
+    "cdc_envelope": f"""
+        SELECT md5('evt:' || CAST(event_id AS VARCHAR)) AS id,
+               ts AS created_at,
+               'public' AS table_schema,
+               'events' AS table_name,
+               'cdc_events_trigger' AS trigger_name,
+               'AFTER' AS trigger_timing,
+               {_OP_SQL} AS op,
+               CASE WHEN event_type <> 'signup' THEN user_id END AS old_user_id,
+               CASE WHEN event_type <> 'signup' THEN value END AS old_value,
+               CASE WHEN event_type <> 'error' THEN user_id END AS new_user_id,
+               CASE WHEN event_type <> 'error' THEN value END AS new_value
+        FROM events
+    """,
+    "cdc_op_filter": """
+        SELECT event_id, ts, user_id, event_type AS op, value
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'error')
+    """,
+    "cdc_column_diff": """
+        SELECT event_id, user_id, ts, old_value, value AS new_value
+        FROM (
+            SELECT event_id, user_id, ts, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS old_value
+            FROM events
+        )
+        WHERE value IS DISTINCT FROM old_value
+    """,
+    "creds_lookup_join": """
+        SELECT e.event_id, e.user_id, e.event_type AS op,
+               c.c_name AS webhook_url, c.c_mktsegment AS header_class
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "creds_last_wins": """
+        SELECT c_nationkey AS trigger_key, c_custkey, c_name, c_acctbal
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+            ) AS rn
+            FROM customer
+        )
+        WHERE rn = 1
+    """,
+    "queue_ready_topk": """
+        SELECT event_id, ts AS next_attempt, value
+        FROM events
+        WHERE event_type = 'error' AND ts <= TIMESTAMP '2024-06-01 00:00:00'
+        ORDER BY ts, event_id
+        LIMIT 100
+    """,
+    "retry_schedule": """
+        SELECT event_id,
+               CAST(event_id % 5 AS INT) AS attempt,
+               CASE WHEN event_type IN ('click', 'view') THEN 'LINEAR'
+                    ELSE 'EXPONENTIAL' END AS retry_backoff,
+               CAST(CASE WHEN event_type IN ('click', 'view') THEN 2
+                    ELSE 2 * (1 << CAST(event_id % 5 AS INT)) END AS BIGINT) AS delay_seconds,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 + CAST(CASE WHEN event_type IN ('click', 'view') THEN 2
+                        ELSE 2 * (1 << CAST(event_id % 5 AS INT)) END AS BIGINT)
+                 AS next_attempt_epoch
+        FROM events
+    """,
+    "attempt_history_agg": """
+        SELECT user_id,
+               count(*) AS n_attempts,
+               string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS attempt_ids,
+               round(sum(value), 2) AS total_value
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY user_id
+    """,
+    "status_counts": """
+        SELECT event_type AS status, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    "fanout_union": """
+        SELECT 'audit_all' AS trigger_name, event_id, event_type AS op FROM events
+        UNION ALL
+        SELECT 'purchase_only' AS trigger_name, event_id, event_type AS op
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "headers_explode": """
+        SELECT event_id, k AS header_key,
+               json_extract_string(props, '$.' || k) AS header_value
+        FROM (
+            SELECT event_id, props, unnest(json_keys(props)) AS k
+            FROM events
+        )
+    """,
+}

@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as `binary` columns with typed metadata,
+processed by Arrow-batched pandas functions over mapInPandas. The decode
+step is STUBBED (image/audio libraries are not in this container):
+`decode_payload` raises NotImplementedError and the pipeline substitutes a
+deterministic fake extractor — the Spark-side plumbing (schema, batch
+shape, partitioning) is real and tested.
+
+The driver testdata has no binary column, so payloads are derived from
+`documents.text` (utf-8 encode) — identically in the DuckDB oracle for the
+metadata query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import load
+
+_MODALITIES = ("image", "audio", "video")
+
+
+def decode_payload(payload: bytes, modality: str):  # pragma: no cover - stub
+    """STUB: real decoders (PIL/libav/opencv) are not available in this
+    environment. At deployment this dispatches to the modality's decoder;
+    here it always raises and callers fall back to the deterministic fake
+    feature extractor below."""
+    raise NotImplementedError(
+        f"no {modality} decoder available in this environment; "
+        "install pillow/av/opencv and replace this stub"
+    )
+
+
+def _fake_features(payload: bytes, dim: int = 4) -> list[float]:
+    """Deterministic stand-in for decode->feature-extract: cheap byte
+    statistics, stable across runs/partitions."""
+    n = len(payload)
+    if n == 0:
+        return [0.0] * dim
+    s = sum(payload)
+    return [
+        float(n),
+        float(s % 256),
+        float(payload[0]),
+        float(payload[-1]),
+    ][:dim]
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + modality metadata to each doc."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in _MODALITIES]),
+        (F.col("doc_id") % len(_MODALITIES)).cast("int") + 1,
+    )
+    return docs.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one Arrow batch in, one feature frame out.
+    Tries the real decoder once per batch, falls back to fake features."""
+    for pdf in batches:
+        feats = []
+        for payload, modality in zip(pdf["payload"], pdf["modality"]):
+            data = bytes(payload)
+            try:
+                decoded = decode_payload(data, modality)
+                feats.append([float(x) for x in decoded])
+            except NotImplementedError:
+                feats.append(_fake_features(data))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "checksum": [sum(bytes(p)) % 256 for p in pdf["payload"]],
+                "features": feats,
+            }
+        )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads (oracle-checked).
+
+    Byte length + modality routing — pure JVM column ops on the binary
+    column, no Python in the plan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return with_payload(docs).select(
+        "doc_id",
+        "modality",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pipeline over mapInPandas (rows-only check).
+
+    Arrow-batched binary transfer into pandas, per-batch feature
+    extraction, typed struct back out. At scale this is the shape of any
+    image-resize / audio-frame-sample pass: narrow, no shuffle,
+    parallelism = input partitions.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(_extract_batches, _FEATURE_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE_SQL = {
+    "multimodal_meta": """
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+}

@@ -1,0 +1,205 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Training-data surface (BASELINE.json): brute-force cosine top-k as the
+exact baseline, per-label centroids (the IVF coarse quantizer), pairwise
+near-dup scoring, and a random-hyperplane LSH bucketed ANN as the scale
+path.
+
+Vector math stays JVM-side: zip_with/aggregate higher-order functions on
+array<double>, no Python UDF. Embeddings are cast float->double so Spark
+and the DuckDB oracle do identical IEEE arithmetic.
+
+At 100 TB the brute-force variants are per-partition linear scans against
+a broadcast query set; the LSH variant turns all-pairs similarity into an
+equi-join on bucket signature — the same shuffle shape as the MinHash
+dedup band join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load
+
+_DIM = 64
+_N_PLANES = 8
+_QUERY_VEC_ID = 0
+_TOP_K = 10
+_NEARDUP_THRESHOLD = 0.30
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors of one query vector.
+
+    Broadcast the 1-row query side, narrow per-row cosine, global top-k
+    (TakeOrderedAndProject — per-partition k then merge, no full sort).
+    Deterministic tie-break on vec_id after rounding.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    cand = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids — the IVF coarse-quantizer training step.
+
+    posexplode to (label, dim, component), average per cell. One shuffle
+    on (label, dim); partial means computed map-side.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "component"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("component"), 6).alias("centroid_val"))
+    )
+
+
+def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    All-pairs with a broadcast side — exact but quadratic; the honest
+    baseline that embed_ann_lsh approximates at scale. Count per pair is
+    deterministic; cosine rounded for oracle stability.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _NEARDUP_THRESHOLD)
+    )
+
+
+def _plane_coeffs() -> list[list[float]]:
+    """Deterministic pseudo-random +/-1 hyperplanes from md5 — no RNG state,
+    so replay/resume and the driver's re-runs see identical planes."""
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for d in range(_DIM):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    """Random-hyperplane signature: bit p = sign(v . plane_p)."""
+    planes = _plane_coeffs()
+    bits = [
+        F.when(
+            _dot(F.col("v"), F.array(*[F.lit(c) for c in planes[p]])) >= 0, "1"
+        ).otherwise("0")
+        for p in range(_N_PLANES)
+    ]
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing (rows-only).
+
+    Candidates = vectors sharing the query's bucket signature; exact
+    cosine re-ranking only within the bucket. The bucket equi-join is the
+    100 TB path: signature computation is narrow, the join shuffles
+    (bucket, vec_id) only. Approximate -> no SQL oracle;
+    tests/test_similarity.py checks recall against embed_knn.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = _with_bucket(emb)
+    q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
+QUERIES = {
+    "embed_knn": embed_knn,
+    "embed_centroids": embed_centroids,
+    "embed_neardup_pairs": embed_neardup_pairs,
+    "embed_ann_lsh": embed_ann_lsh,
+}
+
+_COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+
+ORACLE_SQL = {
+    "embed_knn": f"""
+        SELECT a.vec_id, a.label,
+               round(list_cosine_similarity(
+                   a.embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+               ), 6) AS cosine_sim
+        FROM embeddings a
+        WHERE a.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY cosine_sim DESC, a.vec_id ASC
+        LIMIT {_TOP_K}
+    """,
+    "embed_centroids": """
+        SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(component), 6) AS centroid_val
+        FROM (
+            SELECT label,
+                   unnest(embedding::DOUBLE[]) AS component,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings
+        )
+        GROUP BY label, i
+    """,
+    "embed_neardup_pairs": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_COS_SQL}, 6) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+    """,
+}

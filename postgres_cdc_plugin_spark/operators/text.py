@@ -1,0 +1,172 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline surface (BASELINE.json): token counting, text
+stats, stopword-based language scoring, quality scoring, content
+fingerprinting. Everything is built-in pyspark.sql.functions — string ops
+stay inside whole-stage codegen; there is no Python UDF on any hot path.
+Each op is a narrow projection (or one explode + re-group on doc_id), so
+at 100 TB these scale linearly with zero shuffles (stats) or one
+doc-local shuffle (token explode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "is", "in")
+
+
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics.
+
+    Token count via space arithmetic (identical semantics in both engines,
+    no regex divergence); distinct tokens via split + array_distinct;
+    average token length as derived arithmetic. All codegen'd built-ins.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    chars_no_space = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_tokens = n_chars - chars_no_space + 1
+    n_distinct = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        # unrounded: int/int IEEE division is bit-identical across engines,
+        # while round() diverges exactly at the .xxxx5 midpoints these
+        # rational values land on
+        (chars_no_space / n_tokens.cast("double")).alias("avg_token_len"),
+        (n_distinct / n_tokens.cast("double")).alias("type_token_ratio"),
+    )
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via stopword ratio (explode + re-group).
+
+    The n-gram/stopword heuristic shape of a real lang-ID pass: explode
+    tokens, score membership in an English stopword list, re-aggregate per
+    doc. One shuffle on doc_id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    is_stop = F.when(F.col("w").isin(*_STOPWORDS), 1).otherwise(0)
+    agg = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(is_stop).alias("n_stopwords"),
+    )
+    ratio = F.col("n_stopwords") / F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        "n_tokens",
+        "n_stopwords",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
+    )
+
+
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity.
+
+    The length/punct/stopword-ratio quality-scoring shape used in corpus
+    filtering, as pure column arithmetic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    chars_no_space = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_tokens = n_chars - chars_no_space + 1
+    n_distinct = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    len_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    uniq_ratio = n_distinct / n_tokens.cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        len_score.alias("len_score"),
+        uniq_ratio.alias("uniq_ratio"),
+        (len_score * 0.5 + uniq_ratio * 0.5).alias("quality_score"),
+    )
+
+
+def docs_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint + 256-way routing prefix.
+
+    md5 of normalized text is the document fingerprint; its first hex byte
+    is a stable partition/routing key — the pattern used to shard a
+    dedup-by-fingerprint shuffle at 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 2).alias("fp_bucket"),
+        "n_chars",
+    )
+
+
+QUERIES = {
+    "docs_text_stats": docs_text_stats,
+    "docs_lang_id": docs_lang_id,
+    "docs_quality_score": docs_quality_score,
+    "docs_content_fingerprint": docs_content_fingerprint,
+}
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+ORACLE_SQL = {
+    "docs_text_stats": """
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+               length(replace(text, ' ', ''))
+                     / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+                   AS avg_token_len,
+               len(list_distinct(string_split(text, ' ')))
+                     / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+                   AS type_token_ratio
+        FROM documents
+    """,
+    "docs_lang_id": f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id, lang, count(*) AS n_tokens,
+                   sum(CASE WHEN w IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS n_stopwords
+            FROM tok
+            GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang AS declared_lang, n_tokens, n_stopwords,
+               n_stopwords / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+               CASE WHEN n_stopwords / CAST(n_tokens AS DOUBLE) >= 0.05
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM agg
+    """,
+    "docs_quality_score": """
+        SELECT doc_id, lang,
+               least(1.0, length(text) / 500.0) AS len_score,
+               len(list_distinct(string_split(text, ' ')))
+                     / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+                   AS uniq_ratio,
+               least(1.0, length(text) / 500.0) * 0.5
+                     + len(list_distinct(string_split(text, ' ')))
+                       / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) * 0.5
+                   AS quality_score
+        FROM documents
+    """,
+    "docs_content_fingerprint": """
+        SELECT doc_id,
+               md5(lower(trim(text))) AS fingerprint,
+               substr(md5(lower(trim(text))), 1, 2) AS fp_bucket,
+               n_chars
+        FROM documents
+    """,
+}

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture (100 TB): AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), broadcast threshold generous so dimension tables
+(region/nation/customer-as-credentials) never shuffle, UTC session timezone
+so timestamp semantics are engine-independent, Arrow for any
+pandas-boundary transfer. Shuffle partitions default to the local core
+count; on a real cluster this is expected to be overridden to ~2-3x total
+cores (or left to AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "postgres-cdc-plugin-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle = str(shuffle_partitions or cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver testdata table (TESTDATA.md). Column pruning and
+    predicate pushdown reach the parquet scan because callers compose
+    select/filter declaratively on the returned DataFrame.
+
+    The `events` table carries a parquet TIMESTAMP(NANOS) column, which
+    Spark's vectorized reader rejects; read it as raw nanos and convert to
+    a microsecond TimestampType column JVM-side (`div`, not `/` — the
+    nano epoch exceeds double's 2^53 integer range). The testdata's values
+    are exact microseconds, so this is lossless.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
