@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from postgres_cdc_plugin_spark import registry
 from postgres_cdc_plugin_spark.session import get_spark
 
@@ -44,6 +46,12 @@ def main() -> int:
             file=sys.stderr,
         )
         return 2
+
+    # warm up the JVM / codegen paths so per-query timings measure the
+    # queries, not session startup
+    spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

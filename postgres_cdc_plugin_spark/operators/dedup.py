@@ -1,19 +1,27 @@
 """Deduplication operators over the `documents` table.
 
 The LLM-training-data extension surface (BASELINE.json north star): exact
-hash dedup, MinHash signatures over character shingles, LSH banding for
-candidate pairs, and true n-gram Jaccard verification of candidates.
+hash dedup, MinHash signatures over character shingles, banded LSH for
+candidate pairs, true n-gram Jaccard verification, and near-dup removal.
+
+LSH design: _N_HASHES salted min-hashes grouped into _N_BANDS bands of
+_ROWS_PER_BAND rows; the band key hashes all rows of the band together,
+so two documents collide on a band only if all of its min-hashes agree —
+collision probability J^r per band, which keeps the candidate set sparse
+even on a corpus with a tiny shingle vocabulary. Candidates are verified
+with exact shingle-set Jaccard before any document is dropped.
 
 All hashes are md5-based so the DuckDB oracle computes bit-identical
-values. Spark-side the LSH pair generation is the scalable formulation:
-explode (band, minhash) keys and equi-join on them — a plain shuffle
-hash join on the band key — rather than the O(n^2) OR-condition self-join
-the SQL oracle uses. Same result set, cluster-shaped plan.
+values. Spark-side the pair generation is the scalable formulation:
+explode (band, key) and equi-join on them — a plain shuffle hash join on
+the band key — rather than the O(n^2) OR-condition self-join the SQL
+oracle uses. Same result set, cluster-shaped plan.
 
 At 100 TB: shingling is a narrow explode (no shuffle); signatures are one
-groupBy(doc_id); the band join shuffles only (band, hash, doc_id) tuples,
-and skewed buckets (a shingle shared by half the corpus) are handled by
-AQE skew-join splitting plus the DISTINCT pair projection.
+groupBy(doc_id) with map-side partial min() (no distinct shuffle — min is
+duplicate-insensitive); the band join shuffles only (band, key, doc_id)
+tuples; the expensive exact-Jaccard intersection runs only on the sparse
+candidate set. Skewed band buckets are split by AQE skew-join handling.
 """
 
 from __future__ import annotations
@@ -24,9 +32,11 @@ from pyspark.sql.window import Window
 
 from ..session import load
 
-_N_BANDS = 4
+_N_BANDS = 3
+_ROWS_PER_BAND = 3
+_N_HASHES = _N_BANDS * _ROWS_PER_BAND
 _SHINGLE = 8  # character shingle width
-_MATCH_THRESHOLD = 2  # bands that must agree to call a pair near-dup
+_JACCARD_THRESHOLD = 0.8  # verified similarity above which doc_b is dropped
 
 
 def _fingerprint():
@@ -65,38 +75,65 @@ def docs_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct character shingles per doc: narrow explode, no shuffle."""
+def _shingles(docs: DataFrame, distinct: bool) -> DataFrame:
+    """Character shingles per doc: narrow explode, no shuffle.
+    distinct=True (set semantics, for Jaccard) costs one dedup shuffle;
+    min-hash signatures skip it — min() is duplicate-insensitive."""
     idx = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("text") - (_SHINGLE - 2), F.lit(1)))
     ).alias("i")
-    return (
+    # the source is a single small parquet file (one input split); without
+    # an explicit repartition the ~100x explode amplification and per-
+    # shingle hashing all run in ONE task — shuffle the cheap pre-explode
+    # rows to unlock full parallelism
+    sh = (
         docs.select("doc_id", "text")
+        .repartition("doc_id")
         .select("doc_id", "text", idx)
         .select(
             "doc_id",
             F.expr(f"substring(text, CAST(i AS INT), {_SHINGLE})").alias("g"),
         )
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def _minhash_sigs(docs: DataFrame) -> DataFrame:
-    """One min-hash per salted band: groupBy(doc_id) with min() partials."""
-    sh = _shingles(docs)
+    """_N_HASHES min-hashes per doc: one groupBy(doc_id) with map-side
+    partial min().
+
+    One md5 per shingle; the _N_HASHES hash functions are overlapping
+    8-hex-char windows of that digest (one-permutation-hashing style:
+    each window induces a different ranking of shingles, so the argmin
+    differs per window). Saves _N_HASHES-1 md5 evaluations per shingle
+    occurrence — the dominant cost of signature building.
+    """
+    sh = _shingles(docs, distinct=False).select(
+        "doc_id", F.md5("g").alias("hg")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(b)), F.col("g")))).alias(f"mh{b}")
-        for b in range(1, _N_BANDS + 1)
+        F.min(F.substring("hg", 1 + (h - 1) * 3, 8)).alias(f"mh{h}")
+        for h in range(1, _N_HASHES + 1)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH banding: pairs agreeing on >=1 band, with bands_matched count.
+def _band_key(prefix: str, band: int):
+    """Band key = md5 over the band's _ROWS_PER_BAND min-hashes: collides
+    only when every row agrees (P = J^r)."""
+    rows = [
+        F.col(f"{prefix}mh{(band - 1) * _ROWS_PER_BAND + r}")
+        for r in range(1, _ROWS_PER_BAND + 1)
+    ]
+    return F.md5(F.concat(*rows))
 
-    Explode signatures to (band, hash) keys, equi-join on them (shuffle
-    hash join on the band key — the scale path), dedup pairs, then rejoin
-    signatures to count agreements.
+
+def _candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH: pairs agreeing on >=1 full band, with bands_matched.
+
+    Explode signatures to (band, key), equi-join on them (shuffle hash
+    join on the band key — the scale path), dedup pairs, then rejoin
+    signatures to count band agreements.
     """
     bands = sigs.select(
         "doc_id",
@@ -104,13 +141,13 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"), F.col(f"mh{b}").alias("h")
+                        F.lit(b).alias("band"), _band_key("", b).alias("k")
                     )
                     for b in range(1, _N_BANDS + 1)
                 ]
             )
-        ).alias("bh"),
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.k").alias("k"))
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -118,7 +155,7 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.k") == F.col("b.k"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -130,8 +167,8 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     matched = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(1, _N_BANDS + 1)
+        F.when(_band_key("sa.", b) == _band_key("sb.", b), 1).otherwise(0)
+        for b in range(1, _N_BANDS + 1)
     )
     return (
         pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
@@ -140,39 +177,11 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs with band-agreement counts."""
-    docs = load(spark, sf_dir, "documents")
-    return _candidate_pairs(_minhash_sigs(docs))
-
-
-def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup removal: drop any doc agreeing with a lower-id doc on
-    >= _MATCH_THRESHOLD bands; survivors pass through (anti join)."""
-    docs = load(spark, sf_dir, "documents")
-    pairs = _candidate_pairs(_minhash_sigs(docs))
-    losers = (
-        pairs.filter(F.col("bands_matched") >= _MATCH_THRESHOLD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    return docs.join(losers, "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-
-
-def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True shingle-set Jaccard, computed only for LSH candidates that
-    agree on >= _MATCH_THRESHOLD bands — the verify step of
-    candidate-generation + verification dedup. The expensive set
-    intersection runs on the (small) surviving pair set, not all O(n^2)
-    pairs."""
-    docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+def _verified_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate pairs + exact shingle-set Jaccard (the verify step)."""
+    sh = _shingles(docs, distinct=True).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = _candidate_pairs(_minhash_sigs(docs)).filter(
-        F.col("bands_matched") >= _MATCH_THRESHOLD
-    )
+    pairs = _candidate_pairs(_minhash_sigs(docs).persist()).persist()
 
     sa = sh.alias("sa")
     sb = sh.alias("sb")
@@ -195,14 +204,44 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "n_inter",
-            # No rounding: int/int IEEE division is bit-identical across
-            # engines, while round() semantics differ exactly at the
-            # .xxxx5 boundaries these rational values land on.
+            # unrounded: int/int IEEE division is bit-identical across
+            # engines, while round() diverges exactly at the .xxxx5
+            # midpoints these rational values land on
             (
                 F.col("n_inter")
                 / (F.col("za.sz") + F.col("zb.sz") - F.col("n_inter")).cast("double")
             ).alias("jaccard"),
         )
+    )
+
+
+def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded-LSH candidate pairs with band-agreement counts."""
+    docs = load(spark, sf_dir, "documents")
+    # persist: the signature relation feeds three branches of the DAG
+    # (band explode + both sides of the count-agreements rejoin)
+    return _candidate_pairs(_minhash_sigs(docs).persist())
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard for every LSH candidate pair."""
+    docs = load(spark, sf_dir, "documents")
+    return _verified_pairs(docs)
+
+
+def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal: candidate generation (banded LSH) -> exact
+    Jaccard verification -> drop doc_b of any pair above the similarity
+    threshold; survivors pass through (anti join)."""
+    docs = load(spark, sf_dir, "documents")
+    losers = (
+        _verified_pairs(docs)
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -219,22 +258,54 @@ _SHINGLE_SQL = f"""
     FROM documents, unnest(range(1, greatest(length(text) - {_SHINGLE - 2}, 1) + 1)) AS t(i)
 """
 
+# signatures: DISTINCT is harmless for min(); same md5-window scheme
 _SIG_SQL = f"""
     SELECT doc_id,
-           {', '.join(f"min(md5('{b}' || g)) AS mh{b}" for b in range(1, _N_BANDS + 1))}
+           {', '.join(f"min(substr(md5(g), {1 + (h - 1) * 3}, 8)) AS mh{h}" for h in range(1, _N_HASHES + 1))}
     FROM ({_SHINGLE_SQL})
     GROUP BY doc_id
 """
 
+
+def _band_key_sql(prefix: str, band: int) -> str:
+    rows = " || ".join(
+        f"{prefix}mh{(band - 1) * _ROWS_PER_BAND + r}"
+        for r in range(1, _ROWS_PER_BAND + 1)
+    )
+    return f"md5({rows})"
+
+
 _MATCHED_SQL = " + ".join(
-    f"(CASE WHEN a.mh{b} = b.mh{b} THEN 1 ELSE 0 END)" for b in range(1, _N_BANDS + 1)
+    f"(CASE WHEN {_band_key_sql('a.', b)} = {_band_key_sql('b.', b)} THEN 1 ELSE 0 END)"
+    for b in range(1, _N_BANDS + 1)
 )
-_ANY_BAND_SQL = " OR ".join(f"a.mh{b} = b.mh{b}" for b in range(1, _N_BANDS + 1))
+_ANY_BAND_SQL = " OR ".join(
+    f"{_band_key_sql('a.', b)} = {_band_key_sql('b.', b)}"
+    for b in range(1, _N_BANDS + 1)
+)
 
 _PAIRS_SQL = f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_MATCHED_SQL} AS bands_matched
     FROM ({_SIG_SQL}) a JOIN ({_SIG_SQL}) b
       ON a.doc_id < b.doc_id AND ({_ANY_BAND_SQL})
+"""
+
+_VERIFIED_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    cand AS ({_PAIRS_SQL}),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sa.g = sb.g
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           i.n_inter / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
 """
 
 ORACLE_SQL = {
@@ -256,29 +327,13 @@ ORACLE_SQL = {
         GROUP BY md5(lower(trim(text)))
     """,
     "docs_minhash_pairs": _PAIRS_SQL,
+    "docs_ngram_jaccard": _VERIFIED_SQL,
     "docs_minhash_dedup": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents d
         WHERE NOT EXISTS (
-            SELECT 1 FROM ({_PAIRS_SQL}) p
-            WHERE p.doc_b = d.doc_id AND p.bands_matched >= {_MATCH_THRESHOLD}
+            SELECT 1 FROM ({_VERIFIED_SQL}) p
+            WHERE p.doc_b = d.doc_id AND p.jaccard >= {_JACCARD_THRESHOLD}
         )
-    """,
-    "docs_ngram_jaccard": f"""
-        WITH sh AS ({_SHINGLE_SQL}),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        cand AS (SELECT * FROM ({_PAIRS_SQL}) WHERE bands_matched >= {_MATCH_THRESHOLD}),
-        inter AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-            FROM cand c
-            JOIN sh sa ON sa.doc_id = c.doc_a
-            JOIN sh sb ON sb.doc_id = c.doc_b AND sa.g = sb.g
-            GROUP BY c.doc_a, c.doc_b
-        )
-        SELECT i.doc_a, i.doc_b, i.n_inter,
-               i.n_inter / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
-        FROM inter i
-        JOIN sizes za ON za.doc_id = i.doc_a
-        JOIN sizes zb ON zb.doc_id = i.doc_b
     """,
 }

@@ -130,7 +130,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism = input partitions.
     """
     docs = load(spark, sf_dir, "documents")
-    return with_payload(docs).mapInPandas(_extract_batches, _FEATURE_SCHEMA)
+    # single-file source -> one input split; repartition so the Python
+    # feature extraction parallelizes across cores
+    return with_payload(docs).repartition("doc_id").mapInPandas(
+        _extract_batches, _FEATURE_SCHEMA
+    )
 
 
 QUERIES = {

@@ -90,25 +90,51 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
-    All-pairs with a broadcast side — exact but quadratic; the honest
-    baseline that embed_ann_lsh approximates at scale. Count per pair is
-    deterministic; cosine rounded for oracle stability.
+    Block-matrix similarity join: the right side is collected and
+    broadcast (it is the dimension-sized side here — same posture as a
+    broadcast hash join; at larger scale, tile it and union per-tile
+    joins), the left side streams through mapInPandas, and each Arrow
+    batch computes an A @ B^T BLAS matmul instead of per-pair array
+    folds — ~100x the element throughput of a pairwise expression join.
+    Exact but quadratic; embed_ann_lsh is the approximate scale path.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    import numpy as np
+    import pandas as pd
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # single-file source -> one input split; spread the quadratic
+        # matmul work across cores
+        .repartition("vec_id")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = _cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= _NEARDUP_THRESHOLD)
-    )
+    pdf = emb.toPandas()
+    b_ids = pdf["vec_id"].to_numpy()
+    b_mat = np.stack(pdf["v"].to_numpy())
+    b_norm = np.linalg.norm(b_mat, axis=1)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    def block(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for batch in batches:
+            a_ids = batch["vec_id"].to_numpy()
+            a_mat = np.stack(batch["v"].to_numpy())
+            sims = (a_mat @ mat_b.T) / np.outer(
+                np.linalg.norm(a_mat, axis=1), norm_b
+            )
+            sims = np.round(sims, 6)
+            ai, bi = np.nonzero(
+                (sims >= _NEARDUP_THRESHOLD) & (a_ids[:, None] < ids_b[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": ids_b[bi],
+                    "cosine_sim": sims[ai, bi],
+                }
+            )
+
+    return emb.mapInPandas(block, "vec_a bigint, vec_b bigint, cosine_sim double")
 
 
 def _plane_coeffs() -> list[list[float]]:
