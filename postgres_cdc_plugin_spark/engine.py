@@ -1,0 +1,95 @@
+"""Engine facade: subscription registration and pipeline wiring (U2/U3).
+
+`create_event_trigger` in the reference validates config, stores
+credentials, generates a trigger function, and creates the trigger DDL
+(cdc_webhook--1.0.sql:116-368). Here:
+
+  register(cfg)                validate + store creds (PRIVATE mode)
+  start(cfg, changes)          attach a subscription to a streaming
+                               change feed -> running StreamingQuery
+                               (SYNC -> webhook sink; ASYNC -> queue sink)
+  start_worker(cfg)            the ASYNC delivery poller
+
+Multiple subscriptions over one feed = multiple independent streaming
+queries sharing the source (ST11 fan-out); each applies its own op
+filter, so non-subscribed ops never reach its sink — same effect as the
+reference baking the op list into trigger DDL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from .config import SubscriptionConfig
+from .streaming.capture import capture_pipeline
+from .streaming.credstore import CredentialStore
+from .streaming.deliver import WebhookSink
+from .streaming.queue import EventQueue
+
+
+class CdcEngine:
+    def __init__(self, spark: SparkSession, workdir: str) -> None:
+        self.spark = spark
+        self.workdir = workdir
+        self.creds = CredentialStore(spark, os.path.join(workdir, "credentials"))
+        self.queue = EventQueue(spark, os.path.join(workdir, "queue"))
+        self._subscriptions: dict[str, SubscriptionConfig] = {}
+        self._sinks: dict[str, WebhookSink] = {}
+
+    def register(self, cfg: SubscriptionConfig) -> SubscriptionConfig:
+        """Validation happened in the dataclass; PRIVATE mode stores the
+        secret material in the credential store and the inline config is
+        the only place it ever appears (the reference nulls the literals,
+        cdc_webhook--1.0.sql:185-198)."""
+        key = f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}"
+        if cfg.security == "PRIVATE":
+            self.creds.upsert(cfg)
+        self._subscriptions[key] = cfg
+        return cfg
+
+    def _resolve(self, cfg: SubscriptionConfig) -> tuple[str, dict[str, str]]:
+        if cfg.security == "PRIVATE":
+            return self.creds.resolve(cfg)
+        return cfg.webhook_url, dict(cfg.headers)
+
+    def pipeline(self, cfg: SubscriptionConfig, changes: DataFrame) -> DataFrame:
+        return capture_pipeline(changes, cfg)
+
+    def start(
+        self,
+        cfg: SubscriptionConfig,
+        changes: DataFrame,
+        checkpoint: str | None = None,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Attach the subscription to a streaming change feed."""
+        url, headers = self._resolve(cfg)
+        key = f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}"
+        if cfg.mode == "ASYNC":
+            sink = self.queue.enqueue_sink(cfg)
+        else:
+            ws = WebhookSink(cfg, url, headers)
+            self._sinks[key] = ws
+            sink = ws
+        writer = (
+            capture_pipeline(changes, cfg)
+            .writeStream.queryName(key)
+            .foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.workdir, "checkpoints", key),
+            )
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def start_worker(self, cfg: SubscriptionConfig, cadence_seconds: int = 1) -> StreamingQuery:
+        url, headers = self._resolve(cfg)
+        return self.queue.start_poller(cfg, url, headers, cadence_seconds)
+
+    def sink_of(self, cfg: SubscriptionConfig) -> WebhookSink:
+        return self._sinks[f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}"]

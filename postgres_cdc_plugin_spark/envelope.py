@@ -1,0 +1,93 @@
+"""Change-event envelope: schema + projection builders.
+
+The reference builds a JSONB envelope per row change with
+jsonb_build_object (cdc_webhook--1.0.sql:252-280):
+  {id, created_at, table {schema, name}, trigger {name, timing},
+   event {op, data {old, new}}}
+with old/new full row images (row_to_json) — old NULL on INSERT, new NULL
+on DELETE (:266-277).
+
+Here the envelope is a nested StructType column built with F.struct; the
+row images are JSON strings (F.to_json(struct(*)) is the row_to_json
+analog, and keeps the envelope schema stable under monitored-table schema
+drift, matching the reference's schema-on-read payloads §1.3).
+
+Event ids are deterministic (md5 over table identity + change sequence)
+instead of gen_random_uuid() (cdc_webhook--1.0.sql:254): under
+at-least-once replay the receiver can dedup by id — a deliberate,
+documented divergence (SURVEY.md §7 hard-point 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .config import SubscriptionConfig
+
+# Expected input: a change feed with columns
+#   seq BIGINT          per-key capture order (FIXTURES.md §A2)
+#   key STRING          monitored row's PK — the per-key ordering unit
+#   op STRING           INSERT | UPDATE | DELETE
+#   table_schema STRING, table_name STRING
+#   old STRUCT/any      NULL when op = INSERT
+#   new STRUCT/any      NULL when op = DELETE
+#   ts TIMESTAMP        change time
+
+
+def event_id(cfg: SubscriptionConfig) -> Column:
+    return F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(cfg.schema_name),
+            F.lit(cfg.table_name),
+            F.lit(cfg.name),
+            F.col("seq").cast("string"),
+        )
+    )
+
+
+def envelope_column(cfg: SubscriptionConfig) -> Column:
+    """The nested envelope struct (cdc_webhook--1.0.sql:252-280)."""
+    return F.struct(
+        event_id(cfg).alias("id"),
+        F.col("ts").alias("created_at"),
+        F.struct(
+            F.lit(cfg.schema_name).alias("schema"),
+            F.lit(cfg.table_name).alias("name"),
+        ).alias("table"),
+        F.struct(
+            F.lit(cfg.name).alias("name"),
+            F.lit(cfg.trigger_timing).alias("timing"),
+        ).alias("trigger"),
+        F.struct(
+            F.col("op").alias("op"),
+            F.struct(
+                # row_to_json(OLD/NEW): NULL image stays NULL (:266-277);
+                # keep explicit nulls — row_to_json serializes NULL columns
+                F.when(
+                    F.col("op") != "INSERT",
+                    F.to_json("old", {"ignoreNullFields": "false"}),
+                ).alias("old"),
+                F.when(
+                    F.col("op") != "DELETE",
+                    F.to_json("new", {"ignoreNullFields": "false"}),
+                ).alias("new"),
+            ).alias("data"),
+        ).alias("event"),
+    )
+
+
+def project_envelope(changes: DataFrame, cfg: SubscriptionConfig) -> DataFrame:
+    """P3 envelope projection: narrow column ops, no shuffle. Keeps the
+    key/seq columns alongside for sink-side per-key ordering."""
+    key = F.col("key") if "key" in changes.columns else F.lit(None).cast("string")
+    return changes.select(
+        F.col("seq"),
+        key.alias("key"),
+        F.col("op"),
+        envelope_column(cfg).alias("envelope"),
+        F.to_json(envelope_column(cfg), {"ignoreNullFields": "false"}).alias(
+            "payload"
+        ),
+    )

@@ -1,0 +1,287 @@
+"""Async delivery queue + poller (S3/S4/ST5/ST6/A2).
+
+The reference appends events to cdc_webhook.event_log with
+status='PENDING' (cdc_webhook--1.0.sql:295-324) and registers a
+background worker that was meant to poll and deliver them — its body is
+an unimplemented comment (src/cdc_webhook_worker.c:55-61). The schema
+(status machine :35, attempt arrays :37-39, next_attempt :40) fully
+specifies the intent; this module implements it for real.
+
+Design: two append-only parquet logs instead of in-place row updates —
+  event_log/   one row per enqueued event (the S3 sink)
+  attempts/    one row per delivery attempt (A2 history)
+The queue state machine (ST6: PENDING -> DELIVERED | FAILED, with
+IN_PROGRESS existing only inside a poll cycle) is a *derived view*:
+status and next_attempt are computed by joining the two logs — attempts
+aggregate per event, backoff delay from the retry config snapshot
+(ST5: LINEAR const / EXPONENTIAL ivl*2^n, src/cdc_webhook.c:103-109).
+Append-only logs + derived state = no read-modify-write races, safe
+checkpoint replay, and parquet-friendly at any scale (partition by
+status date in production).
+
+Retries never sleep anywhere (the reference sleeps its backend,
+src/cdc_webhook.c:190): a failed attempt simply moves next_attempt into
+the future; the 1 s-cadence poller (matching src/cdc_webhook_worker.c:64)
+picks the event up when it is ready.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import SubscriptionConfig
+from .deliver import deliver_rows
+
+_EVENT_LOG_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType()),
+        StructField("trigger_schema", StringType()),
+        StructField("trigger_table", StringType()),
+        StructField("trigger_name", StringType()),
+        StructField("webhook_url", StringType()),
+        StructField("payload", StringType()),
+        StructField("timeout", IntegerType()),
+        StructField("retry_number", IntegerType()),
+        StructField("retry_interval", IntegerType()),
+        StructField("retry_backoff", StringType()),
+        StructField("enqueued_at", TimestampType()),
+    ]
+)
+
+_ATTEMPTS_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType()),
+        StructField("attempt", IntegerType()),
+        StructField("http_status", IntegerType()),
+        StructField("ok", BooleanType()),
+        StructField("error", StringType()),
+        StructField("attempted_at", DoubleType()),  # epoch seconds
+    ]
+)
+
+
+def _utcnow() -> datetime.datetime:
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+
+class EventQueue:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.event_log_path = os.path.join(path, "event_log")
+        self.attempts_path = os.path.join(path, "attempts")
+
+    # ---- S3: the enqueue sink --------------------------------------
+
+    def enqueue_batch(self, batch: DataFrame, cfg: SubscriptionConfig) -> None:
+        """foreachBatch append of capture_pipeline rows as PENDING events
+        (the ASYNC trigger branch, cdc_webhook--1.0.sql:295-324)."""
+        now = _utcnow()
+        rows = batch.select(
+            F.col("envelope.id").alias("event_id"),
+            F.lit(cfg.schema_name).alias("trigger_schema"),
+            F.lit(cfg.table_name).alias("trigger_table"),
+            F.lit(cfg.name).alias("trigger_name"),
+            F.lit(cfg.webhook_url).alias("webhook_url"),
+            F.col("payload"),
+            F.lit(cfg.timeout).alias("timeout"),
+            F.lit(cfg.retry_number).alias("retry_number"),
+            F.lit(cfg.retry_interval).alias("retry_interval"),
+            F.lit(cfg.retry_backoff).alias("retry_backoff"),
+            F.lit(now).alias("enqueued_at"),
+        )
+        rows.write.mode("append").parquet(self.event_log_path)
+
+    def enqueue_sink(self, cfg: SubscriptionConfig):
+        def _sink(batch: DataFrame, batch_id: int) -> None:
+            self.enqueue_batch(batch, cfg)
+
+        return _sink
+
+    # ---- derived state (ST6 status machine as a view) ---------------
+
+    def _read_log(self, path: str, schema) -> DataFrame:
+        # with an explicit schema the parquet read is fully lazy, so a
+        # missing/empty log dir would fail mid-action (inside a poller
+        # tick) — guard on actual data files instead of catching late
+        if not glob.glob(os.path.join(path, "*.parquet")):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def _events(self) -> DataFrame:
+        return self._read_log(self.event_log_path, _EVENT_LOG_SCHEMA)
+
+    def _attempts(self) -> DataFrame:
+        return self._read_log(self.attempts_path, _ATTEMPTS_SCHEMA)
+
+    def state(self) -> DataFrame:
+        """Current queue state: one row per event with status, attempt
+        history arrays (A2: attempts_time/status arrays,
+        cdc_webhook--1.0.sql:36-39) and the computed next_attempt.
+
+        Backoff: delay after n completed attempts = interval (LINEAR) or
+        interval * 2^(n-1) (EXPONENTIAL, 0-based shift of the last
+        attempt index) — src/cdc_webhook.c:103-109.
+        """
+        att = (
+            self._attempts()
+            .groupBy("event_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("attempt_count"),
+                F.max(F.when(F.col("ok"), 1).otherwise(0)).alias("any_ok"),
+                F.max("attempted_at").alias("last_attempt_at"),
+                F.sort_array(
+                    F.collect_list(F.struct("attempt", "attempted_at", "http_status"))
+                ).alias("history"),
+            )
+        )
+        ev = self._events().join(att, "event_id", "left").fillna(
+            {"attempt_count": 0, "any_ok": 0}
+        )
+        budget = F.col("retry_number") + 1
+        delay = F.when(
+            F.col("retry_backoff") == "LINEAR", F.col("retry_interval")
+        ).otherwise(
+            F.col("retry_interval")
+            * F.expr("shiftleft(1, greatest(attempt_count - 1, 0))")
+        )
+        status = (
+            F.when(F.col("any_ok") == 1, "DELIVERED")
+            .when(F.col("attempt_count") >= budget, "FAILED")
+            .otherwise("PENDING")
+        )
+        next_attempt = F.when(
+            F.col("attempt_count") == 0, F.col("enqueued_at")
+        ).otherwise(
+            F.timestamp_seconds(F.col("last_attempt_at") + delay)
+        )
+        return ev.select(
+            "event_id",
+            "trigger_schema",
+            "trigger_table",
+            "trigger_name",
+            "webhook_url",
+            "payload",
+            "timeout",
+            "retry_number",
+            "retry_interval",
+            "retry_backoff",
+            "enqueued_at",
+            "attempt_count",
+            F.col("history").alias("attempts"),
+            status.alias("status"),
+            next_attempt.alias("next_attempt"),
+        )
+
+    # ---- S4: the poller --------------------------------------------
+
+    def ready(self, now: datetime.datetime | None = None, limit: int = 1000) -> DataFrame:
+        """P5 readiness predicate + ordered polling batch (the indexes
+        cdc_webhook--1.0.sql:50-52 as filter + top-k)."""
+        now = now or _utcnow()
+        return (
+            self.state()
+            .filter((F.col("status") == "PENDING") & (F.col("next_attempt") <= F.lit(now)))
+            .orderBy("next_attempt", "event_id")
+            .limit(limit)
+        )
+
+    def poll_once(
+        self,
+        cfg: SubscriptionConfig,
+        url: str | None = None,
+        headers: dict[str, str] | None = None,
+        now: datetime.datetime | None = None,
+    ) -> int:
+        """One worker cycle: scan ready events, attempt delivery once
+        each (scheduled retries happen on later cycles via next_attempt —
+        never by sleeping), append attempt rows. Returns #events tried.
+
+        This is the loop body the reference left as a comment
+        (src/cdc_webhook_worker.c:55-61).
+        """
+        url = url if url is not None else cfg.webhook_url
+        headers = dict(headers) if headers is not None else dict(cfg.headers)
+        ready = self.ready(now).select(
+            "event_id", "payload", "attempt_count", "timeout"
+        )
+        single = SubscriptionConfig(
+            name=cfg.name,
+            table_name=cfg.table_name,
+            webhook_url=url,
+            schema_name=cfg.schema_name,
+            timeout=cfg.timeout,
+            retry_number=0,  # one attempt per poll cycle per event
+            retry_interval=cfg.retry_interval,
+            retry_backoff=cfg.retry_backoff,
+        )
+
+        def _attempt_partition(it):
+            rows = list(it)
+            results = deliver_rows(
+                [(r.event_id, r.payload) for r in rows], url, headers, single
+            )
+            counts = {r.event_id: r.attempt_count for r in rows}
+            for a in results:
+                yield (
+                    a.event_id,
+                    counts[a.event_id],  # global attempt index
+                    a.status,
+                    a.ok,
+                    a.error,
+                    a.at,
+                )
+
+        # collect() materializes exactly once — re-running the RDD (e.g.
+        # count() then createDataFrame) would re-deliver every webhook
+        results = ready.rdd.mapPartitions(_attempt_partition).collect()
+        if results:
+            self.spark.createDataFrame(results, _ATTEMPTS_SCHEMA).write.mode(
+                "append"
+            ).parquet(self.attempts_path)
+        return len(results)
+
+    def start_poller(
+        self,
+        cfg: SubscriptionConfig,
+        url: str | None = None,
+        headers: dict[str, str] | None = None,
+        cadence_seconds: int = 1,
+    ) -> StreamingQuery:
+        """Continuous worker: a rate-source stream is the 1 s heartbeat
+        (src/cdc_webhook_worker.c:64); each tick runs one poll cycle.
+        Spark's query supervision replaces postmaster bgworker restart
+        (src/cdc_webhook_worker.c:91)."""
+
+        def _tick(_batch: DataFrame, _batch_id: int) -> None:
+            # a crashing cycle must not kill the worker — the reference's
+            # bgworker is auto-restarted by the postmaster 1 s after a
+            # crash (src/cdc_webhook_worker.c:91); here the tick survives
+            # and the next heartbeat retries
+            try:
+                self.poll_once(cfg, url, headers)
+            except Exception as exc:  # pragma: no cover - defensive
+                print(f"cdc poller cycle failed (will retry): {exc}")
+
+        return (
+            self.spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .writeStream.trigger(processingTime=f"{cadence_seconds} seconds")
+            .foreachBatch(_tick)
+            .start()
+        )
