@@ -197,6 +197,153 @@ def user_activity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent purchase
+    at-or-before the click (§2.3 absent-category; the canonical
+    time-series enrichment the reference's event_log queries would need).
+
+    Spark has no ASOF JOIN operator; the scalable formulation is the
+    union + forward-fill pattern: tag both sides, sort per user by
+    (ts, right-before-left), and carry the last purchase forward with
+    last(..., ignorenulls) over an unbounded-preceding window. ONE
+    shuffle on user_id total — an equi-join + per-key filter + max would
+    shuffle both sides AND explode matching pairs before pruning; this
+    never materializes pairs. The DuckDB oracle uses its native ASOF
+    LEFT JOIN, so parity also validates our operator against a real
+    engine's as-of semantics.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # one purchase per (user, ts): highest event_id wins, so the as-of
+    # target is unique and both engines agree on ties
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        purchases.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    left = clicks.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(0).alias("is_right"),
+    )
+    right = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.lit(1).alias("is_right"),
+    )
+    # at equal ts the purchase sorts first => "at-or-before" is inclusive
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = left.unionByName(right).select(
+        "click_id",
+        "user_id",
+        "ts",
+        F.last("p_id", ignorenulls=True).over(wfill).alias("prior_purchase_id"),
+        F.last("p_ts", ignorenulls=True).over(wfill).alias("prior_purchase_ts"),
+        F.last("p_value", ignorenulls=True).over(wfill).alias("prior_purchase_value"),
+    )
+    return filled.filter(F.col("click_id").isNotNull()).select(
+        F.col("click_id").alias("event_id"),
+        "user_id",
+        "ts",
+        "prior_purchase_id",
+        "prior_purchase_ts",
+        "prior_purchase_value",
+    )
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer key sets (§2.7 absent-category).
+
+    Customers ordering in both 1995 and 1996 vs. only one of them. Spark
+    plans intersect/subtract as left-semi/left-anti over the distinct
+    sets — the same shuffle shape as orders_semi_anti, but expressed as
+    set algebra.
+    """
+    orders = load(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return (
+        y95.intersect(y96)
+        .select(F.lit("both").alias("tag"), "o_custkey")
+        .unionByName(y95.subtract(y96).select(F.lit("only_1995").alias("tag"), "o_custkey"))
+        .unionByName(y96.subtract(y95).select(F.lit("only_1996").alias("tag"), "o_custkey"))
+    )
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (§2.6 absent-category): top-3 customers by revenue
+    within each nation.
+
+    Aggregate first (shrinks the window input to one row per customer),
+    then rank inside the nation partition. The rank's total order
+    (revenue desc, custkey asc) makes the cut deterministic.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", F.col("o_custkey").alias("custkey"), "revenue", "rk")
+    )
+
+
+def orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join (§2.3 absent-category): orders classified into
+    price tiers via a non-equi join against a tiny bounds relation.
+
+    Catalyst plans this as BroadcastNestedLoopJoin — with a broadcast
+    side of 3 rows that is the optimal plan at any fact-table scale (each
+    order row tests 3 predicates, no shuffle).
+    """
+    orders = load(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            ("small", 0.0, 100_000.0),
+            ("medium", 100_000.0, 300_000.0),
+            ("large", 300_000.0, 1e18),
+        ],
+        "tier string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "orders_enrich_join": orders_enrich_join,
     "lineitem_pricing_agg": lineitem_pricing_agg,
@@ -206,6 +353,10 @@ QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
     "user_activity_window": user_activity_window,
+    "events_asof_join": events_asof_join,
+    "customer_set_ops": customer_set_ops,
+    "top_customers_per_nation": top_customers_per_nation,
+    "orders_price_band_join": orders_price_band_join,
 }
 
 ORACLE_SQL = {
@@ -288,5 +439,72 @@ ORACLE_SQL = {
                ), 2) AS running_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "events_asof_join": """
+        WITH purch AS (
+            SELECT user_id, ts, event_id, value
+            FROM (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, ts ORDER BY event_id DESC
+                       ) AS rn
+                FROM events WHERE event_type = 'purchase'
+            )
+            WHERE rn = 1
+        ),
+        clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               p.event_id AS prior_purchase_id,
+               p.ts AS prior_purchase_ts,
+               p.value AS prior_purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    "customer_set_ops": """
+        SELECT 'both' AS tag, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        )
+        UNION ALL
+        SELECT 'only_1995' AS tag, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        )
+        UNION ALL
+        SELECT 'only_1996' AS tag, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        )
+    """,
+    "top_customers_per_nation": """
+        SELECT n_name, custkey, revenue, rk
+        FROM (
+            SELECT n_name, o_custkey AS custkey, revenue,
+                   row_number() OVER (
+                       PARTITION BY n_name ORDER BY revenue DESC, o_custkey ASC
+                   ) AS rk
+            FROM (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY o_custkey
+            )
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        WHERE rk <= 3
+    """,
+    "orders_price_band_join": """
+        SELECT tier, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN (VALUES ('small', 0.0, 100000.0),
+                     ('medium', 100000.0, 300000.0),
+                     ('large', 300000.0, 1e18)) AS t(tier, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY tier
     """,
 }

@@ -245,12 +245,154 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SimHash -----------------------------------------------------------
+#
+# 64-bit SimHash from whitespace tokens: every token occurrence votes
+# +1/-1 on each signature bit; bit b of the token hash is derived from
+# md5 hex digit parity (digits 1..32 give the low bit, the same digits'
+# second bit gives positions 33..64), so Spark and DuckDB compute
+# bit-identical signatures with only instr/substr/% — no engine-specific
+# hash. The signature is materialized as four 16-bit integer blocks:
+# near-dup candidates must agree on >=1 whole block (guarantees recall
+# for hamming distance <= 3 by pigeonhole), then exact hamming distance
+# over bit_count(xor) verifies. Same LSH shuffle shape as MinHash above:
+# explode (band, key), equi-join on the band key.
+#
+# At 100 TB: the vote aggregation is one groupBy(doc_id) with map-side
+# partials (64 int sums); the candidate join shuffles (band, key,
+# doc_id) only; 16-bit blocks keep buckets sparse (65k buckets/band).
+
+_SIMHASH_BITS = 64
+_SIMHASH_BLOCKS = 4
+_BITS_PER_BLOCK = _SIMHASH_BITS // _SIMHASH_BLOCKS
+_HAMMING_THRESHOLD = 3
+_HEX = "0123456789abcdef"
+
+
+def _simhash_vote_expr(b: int) -> str:
+    """SQL text for the +-1 vote of signature bit b (1-based), given a
+    column `h` holding md5(token). Valid in both Spark SQL and DuckDB
+    modulo integer division spelling (handled by caller)."""
+    digit = f"(instr('{_HEX}', substring(h, {((b - 1) % 32) + 1}, 1)) - 1)"
+    if b <= 32:
+        bit = f"({digit} % 2)"
+    else:
+        bit = f"(({digit} {{div}} 2) % 2)"
+    return f"2 * {bit} - 1"
+
+
+def _simhash_blocks_df(docs: DataFrame) -> DataFrame:
+    """Per-doc SimHash as _SIMHASH_BLOCKS 16-bit integer block columns."""
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .withColumn("h", F.md5("w"))
+    )
+    votes = [
+        F.sum(F.expr(_simhash_vote_expr(b).format(div="div"))).alias(f"v{b}")
+        for b in range(1, _SIMHASH_BITS + 1)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+
+    def bit(b: int):
+        return F.when(F.col(f"v{b}") >= 0, 1).otherwise(0)
+
+    blocks = [
+        sum(
+            bit((k - 1) * _BITS_PER_BLOCK + r + 1) * F.lit(1 << (_BITS_PER_BLOCK - 1 - r))
+            for r in range(_BITS_PER_BLOCK)
+        ).alias(f"blk{k}")
+        for k in range(1, _SIMHASH_BLOCKS + 1)
+    ]
+    return agg.select("doc_id", *blocks)
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document, as four 16-bit blocks plus
+    the combined hex form (a string: blk1*2^48 would overflow signed
+    int64 for high-bit-set signatures). Block columns double as the LSH
+    band keys."""
+    blocks = _simhash_blocks_df(load(spark, sf_dir, "documents"))
+    combined = F.concat(
+        *[
+            F.format_string("%04x", F.col(f"blk{k}"))
+            for k in range(1, _SIMHASH_BLOCKS + 1)
+        ]
+    )
+    return blocks.select(
+        "doc_id",
+        *[F.col(f"blk{k}") for k in range(1, _SIMHASH_BLOCKS + 1)],
+        combined.alias("simhash"),
+    )
+
+
+def _simhash_pairs_df(docs: DataFrame) -> DataFrame:
+    blocks = _simhash_blocks_df(docs).persist()
+    bands = blocks.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"blk{k}").alias("k"))
+                    for k in range(1, _SIMHASH_BLOCKS + 1)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.k").alias("k"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = blocks.alias("sa"), blocks.alias("sb")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"sa.blk{k}").bitwiseXOR(F.col(f"sb.blk{k}")).cast("bigint")
+        )
+        for k in range(1, _SIMHASH_BLOCKS + 1)
+    )
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_THRESHOLD)
+    )
+
+
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block-LSH candidates verified by exact
+    hamming distance <= threshold."""
+    return _simhash_pairs_df(load(spark, sf_dir, "documents"))
+
+
+def docs_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal by SimHash: drop doc_b of every verified pair
+    (keep-lowest-doc_id policy, same as the MinHash variant)."""
+    docs = load(spark, sf_dir, "documents")
+    losers = (
+        _simhash_pairs_df(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_fingerprint_groups": docs_fingerprint_groups,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_simhash": docs_simhash,
+    "docs_simhash_pairs": docs_simhash_pairs,
+    "docs_simhash_dedup": docs_simhash_dedup,
 }
 
 _SHINGLE_SQL = f"""
@@ -308,7 +450,64 @@ _VERIFIED_SQL = f"""
     JOIN sizes zb ON zb.doc_id = i.doc_b
 """
 
+# SimHash oracle: same vote/bit/block formulas, DuckDB `//` integer
+# division in place of Spark's `div`.
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"sum({_simhash_vote_expr(b).format(div='//')}) AS v{b}"
+    for b in range(1, _SIMHASH_BITS + 1)
+)
+_SIMHASH_BLOCKS_SQL = ", ".join(
+    "("
+    + " + ".join(
+        f"(CASE WHEN v{(k - 1) * _BITS_PER_BLOCK + r + 1} >= 0 THEN 1 ELSE 0 END) * {1 << (_BITS_PER_BLOCK - 1 - r)}"
+        for r in range(_BITS_PER_BLOCK)
+    )
+    + f") AS blk{k}"
+    for k in range(1, _SIMHASH_BLOCKS + 1)
+)
+_SIMHASH_BASE_SQL = f"""
+    SELECT doc_id, {_SIMHASH_BLOCKS_SQL}
+    FROM (
+        SELECT doc_id, {_SIMHASH_VOTES_SQL}
+        FROM (
+            SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+            FROM documents
+        )
+        GROUP BY doc_id
+    )
+"""
+_SIMHASH_COMBINED_SQL = " || ".join(
+    f"printf('%04x', blk{k})" for k in range(1, _SIMHASH_BLOCKS + 1)
+)
+_SIMHASH_HAMMING_SQL = " + ".join(
+    f"bit_count(CAST(xor(a.blk{k}, b.blk{k}) AS BIGINT))"
+    for k in range(1, _SIMHASH_BLOCKS + 1)
+)
+_SIMHASH_ANY_BLOCK_SQL = " OR ".join(
+    f"a.blk{k} = b.blk{k}" for k in range(1, _SIMHASH_BLOCKS + 1)
+)
+_SIMHASH_PAIRS_SQL = f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_SIMHASH_HAMMING_SQL} AS INT) AS hamming
+    FROM ({_SIMHASH_BASE_SQL}) a JOIN ({_SIMHASH_BASE_SQL}) b
+      ON a.doc_id < b.doc_id AND ({_SIMHASH_ANY_BLOCK_SQL})
+    WHERE {_SIMHASH_HAMMING_SQL} <= {_HAMMING_THRESHOLD}
+"""
+
 ORACLE_SQL = {
+    "docs_simhash": f"""
+        SELECT doc_id, blk1, blk2, blk3, blk4,
+               {_SIMHASH_COMBINED_SQL} AS simhash
+        FROM ({_SIMHASH_BASE_SQL})
+    """,
+    "docs_simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "docs_simhash_dedup": f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ({_SIMHASH_PAIRS_SQL}) p WHERE p.doc_b = d.doc_id
+        )
+    """,
     "docs_exact_dedup": """
         SELECT doc_id, fingerprint, lang, source, n_chars
         FROM (

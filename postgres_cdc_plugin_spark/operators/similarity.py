@@ -191,11 +191,59 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantize with per-label centroids, probe the
+    single nearest cell, exact re-rank inside it.
+
+    The inverted-file pattern at scale: centroid training is one
+    (label, dim) aggregation; cell probing is a broadcast join of the
+    1-row best-cell relation; the exact top-k scan touches only that
+    cell's partition of the corpus (at 100 TB: the corpus is stored
+    partitioned by cell id, so the probe is partition pruning, not a
+    filter). nprobe=1 here; more probes = broadcast top-n cells instead
+    of top-1.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # centroid array per label, ordered by dimension
+    cvec = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s")
+        )
+        .select("label", F.transform("s", lambda t: t.cx).alias("cv"))
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    best_cell = (
+        cvec.crossJoin(F.broadcast(q))
+        .select("label", "qv", _cosine(F.col("cv"), F.col("qv")).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("label"))
+        .limit(1)
+        .select("label", "qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(best_cell), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
 QUERIES = {
     "embed_knn": embed_knn,
     "embed_centroids": embed_centroids,
     "embed_neardup_pairs": embed_neardup_pairs,
     "embed_ann_lsh": embed_ann_lsh,
+    "embed_ann_ivf": embed_ann_ivf,
 }
 
 _COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
@@ -221,6 +269,37 @@ ORACLE_SQL = {
             FROM embeddings
         )
         GROUP BY label, i
+    """,
+    "embed_ann_ivf": f"""
+        WITH cent AS (
+            SELECT label, list(cx ORDER BY dim) AS cv
+            FROM (
+                SELECT label, dim, avg(x) AS cx
+                FROM (
+                    SELECT label,
+                           unnest(embedding::DOUBLE[]) AS x,
+                           unnest(range(1, len(embedding) + 1)) AS dim
+                    FROM embeddings
+                )
+                GROUP BY label, dim
+            )
+            GROUP BY label
+        ),
+        q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings
+            WHERE vec_id = {_QUERY_VEC_ID}
+        ),
+        best AS (
+            SELECT label FROM cent, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, label ASC
+            LIMIT 1
+        )
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine_sim
+        FROM embeddings e, q, best b
+        WHERE e.label = b.label AND e.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY cosine_sim DESC, e.vec_id ASC
+        LIMIT {_TOP_K}
     """,
     "embed_neardup_pairs": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

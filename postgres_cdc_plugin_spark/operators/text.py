@@ -110,11 +110,83 @@ def docs_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the GPT-2-style regex split shape, restricted to constructs whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB). The
+# three branches match disjoint character classes, so alternation-order
+# differences between the engines cannot change the result.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_ROLL_BASE = 31
+_ROLL_MOD = 1_000_000_007  # keeps acc*31+255 far below int64 overflow
+
+
+def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace vs BPE-ish regex (the two counts any
+    training-data pipeline tracks). Both tokenizations are single narrow
+    projections — regexp_extract_all stays JVM-side in codegen."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("bigint").alias("n_distinct_bpe"),
+    )
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency table: top-100 BPE-ish tokens.
+
+    Explode + groupBy(token) + global top-k. The groupBy is map-side
+    partial (token counts combine before the shuffle) and the top-k is
+    TakeOrderedAndProject — per-partition k then a driver merge of k
+    rows, never a full sort. Total order (count desc, token asc) makes
+    the LIMIT deterministic across engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+    )
+
+
+def docs_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash of the full document.
+
+    fold over chars: acc = (acc*31 + code) mod 1e9+7 — the incremental
+    hash a streaming fingerprinter maintains, expressed as a higher-order
+    aggregate over the char sequence (JVM-side, no UDF). The modulus
+    keeps every intermediate below 2^35, so Spark's ANSI int64 arithmetic
+    and DuckDB agree exactly. The low byte is the shard-routing bucket.
+    """
+    docs = load(spark, sf_dir, "documents")
+    roll = F.expr(
+        "CASE WHEN length(text) = 0 THEN 0L ELSE "
+        "aggregate(sequence(1, length(text)), 0L, "
+        f"(acc, i) -> (acc * {_ROLL_BASE} + ascii(substring(text, i, 1))) % {_ROLL_MOD}) END"
+    )
+    return docs.select(
+        "doc_id",
+        roll.alias("roll_hash"),
+        (roll % 256).cast("int").alias("roll_bucket"),
+        "n_chars",
+    )
+
+
 QUERIES = {
     "docs_text_stats": docs_text_stats,
     "docs_lang_id": docs_lang_id,
     "docs_quality_score": docs_quality_score,
     "docs_content_fingerprint": docs_content_fingerprint,
+    "docs_token_counts": docs_token_counts,
+    "token_frequencies": token_frequencies,
+    "docs_rolling_fingerprint": docs_rolling_fingerprint,
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -168,5 +240,37 @@ ORACLE_SQL = {
                substr(md5(lower(trim(text))), 1, 2) AS fp_bucket,
                n_chars
         FROM documents
+    """,
+    "docs_token_counts": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_distinct(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS BIGINT)
+                   AS n_distinct_bpe
+        FROM documents
+    """,
+    "token_frequencies": f"""
+        SELECT token, count(*) AS n_occurrences
+        FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '{_BPE_RE}')) AS token
+            FROM documents
+        )
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT 100
+    """,
+    "docs_rolling_fingerprint": f"""
+        SELECT doc_id, roll_hash, CAST(roll_hash % 256 AS INT) AS roll_bucket, n_chars
+        FROM (
+            SELECT doc_id, n_chars,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                list_transform(range(1, length(text) + 1),
+                                               i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                            (acc, c) -> (acc * {_ROLL_BASE} + c) % {_ROLL_MOD})
+                   END AS roll_hash
+            FROM documents
+        )
     """,
 }

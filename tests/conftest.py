@@ -59,6 +59,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime64"):
+            # unify resolution: pandas' assert_frame_equal mishandles
+            # mixed us/ns resolution when NaT is present
+            df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
