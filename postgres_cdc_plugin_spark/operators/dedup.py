@@ -282,28 +282,59 @@ def _simhash_vote_expr(b: int) -> str:
 
 
 def _simhash_blocks_df(docs: DataFrame) -> DataFrame:
-    """Per-doc SimHash as _SIMHASH_BLOCKS 16-bit integer block columns."""
-    tok = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .withColumn("h", F.md5("w"))
-    )
-    votes = [
-        F.sum(F.expr(_simhash_vote_expr(b).format(div="div"))).alias(f"v{b}")
+    """Per-doc SimHash as _SIMHASH_BLOCKS 16-bit integer block columns.
+
+    Two-level formulation: the 64 hash bits are computed once per
+    DISTINCT token (the vocabulary relation — Zipf makes it orders of
+    magnitude smaller than the occurrence stream), then joined back to
+    per-(doc, token) counts so the per-doc vote is sum(cnt * ±1) — cheap
+    integer arithmetic on the big relation, expensive string hashing
+    only on the tiny one. Classic dedup-before-expensive-map: at 100 TB
+    the occurrence stream never touches md5. The vocab side broadcasts
+    while it fits; Catalyst falls back to a shuffle join on `w` for
+    open-vocabulary corpora.
+    """
+    # one spark.sql() call instead of a chain of wide Dataset ops: each
+    # DataFrame transformation is eagerly analyzed, and re-analyzing
+    # 64-column trees per step costs ~2s of driver time — a single SQL
+    # parse+analysis pass is ~10x cheaper for this expression count
+    docs.createOrReplaceTempView("_simhash_docs")
+    vote_cols = ", ".join(
+        f"{_simhash_vote_expr(b).format(div='div')} AS t{b}"
         for b in range(1, _SIMHASH_BITS + 1)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
-
-    def bit(b: int):
-        return F.when(F.col(f"v{b}") >= 0, 1).otherwise(0)
-
-    blocks = [
-        sum(
-            bit((k - 1) * _BITS_PER_BLOCK + r + 1) * F.lit(1 << (_BITS_PER_BLOCK - 1 - r))
+    )
+    vote_sums = ", ".join(
+        f"sum(t{b} * cnt) AS v{b}" for b in range(1, _SIMHASH_BITS + 1)
+    )
+    block_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{(k - 1) * _BITS_PER_BLOCK + r + 1} >= 0 THEN 1 ELSE 0 END) * {1 << (_BITS_PER_BLOCK - 1 - r)}"
             for r in range(_BITS_PER_BLOCK)
-        ).alias(f"blk{k}")
+        )
+        + f") AS blk{k}"
         for k in range(1, _SIMHASH_BLOCKS + 1)
-    ]
-    return agg.select("doc_id", *blocks)
+    )
+    return docs.sparkSession.sql(f"""
+        WITH tok AS (
+            SELECT /*+ REPARTITION(doc_id) */ doc_id,
+                   explode(split(text, ' ')) AS w
+            FROM _simhash_docs
+        ),
+        vocab_votes AS (
+            SELECT w, {vote_cols}
+            FROM (SELECT w, md5(w) AS h FROM (SELECT DISTINCT w FROM tok))
+        ),
+        counts AS (
+            SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w
+        ),
+        votes AS (
+            SELECT /*+ BROADCAST(vocab_votes) */ doc_id, {vote_sums}
+            FROM counts JOIN vocab_votes USING (w)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, {block_cols} FROM votes
+    """)
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

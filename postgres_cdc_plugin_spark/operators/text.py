@@ -145,7 +145,9 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LIMIT deterministic across engines.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
+    # single small parquet file -> one input split; spread rows so the
+    # regex tokenization + explode run on all cores
+    tok = docs.repartition("doc_id").select(
         F.explode(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias("token")
     )
     return (
@@ -165,7 +167,9 @@ def docs_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps every intermediate below 2^35, so Spark's ANSI int64 arithmetic
     and DuckDB agree exactly. The low byte is the shard-routing bucket.
     """
-    docs = load(spark, sf_dir, "documents")
+    # single small parquet file -> one input split; the per-char fold is
+    # the expensive part, so spread rows across cores first
+    docs = load(spark, sf_dir, "documents").repartition("doc_id")
     roll = F.expr(
         "CASE WHEN length(text) = 0 THEN 0L ELSE "
         "aggregate(sequence(1, length(text)), 0L, "
