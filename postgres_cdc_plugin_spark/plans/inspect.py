@@ -1,0 +1,90 @@
+"""Physical-plan inspection helpers.
+
+The 100 TB posture is only real if the plans say so: dimension joins
+must be broadcast, narrow ops must not shuffle, filters must reach the
+parquet scan. These helpers expose the executed plan as data so tests
+can assert plan *shape*, not just result values (tests/test_plans.py).
+
+The reference has no optimizer to inspect (SURVEY.md §4 — plans are
+fixed at codegen time); this module is the Spark-native replacement for
+"read the generated plpgsql to see what it does".
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_EXCHANGE = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)",
+    re.IGNORECASE,
+)
+_JOIN = re.compile(
+    r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)\b"
+)
+
+
+def physical_plan(df: DataFrame, mode: str = "simple") -> str:
+    """The physical plan string (pre-execution). With AQE enabled this is
+    the initial plan; join-strategy and exchange assertions still hold —
+    AQE only refines them in directions the tests allow (a broadcast
+    join never becomes a shuffle join at runtime). mode is any Spark
+    explain mode: simple | extended | formatted | cost | codegen."""
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle/redistribution) operators."""
+    return len(_EXCHANGE.findall(physical_plan(df)))
+
+
+def join_kinds(df: DataFrame) -> list[str]:
+    """Physical join operators, in plan order."""
+    return _JOIN.findall(physical_plan(df))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Non-empty PushedFilters entries of every file scan (formatted
+    mode prints them untruncated)."""
+    out = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", physical_plan(df, "formatted")):
+        body = m.group(1).strip()
+        if body:
+            out.append(body)
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings of every file scan — the column-pruning
+    witness (a scan reading all columns for a 2-column projection is a
+    bug)."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*>)", physical_plan(df, "formatted"))
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen subtrees (fewer/wider is better — the
+    relational core should stay inside generated JVM code).
+
+    AQE leaves the initial plan uncompiled, so the plan is re-derived
+    once with AQE off purely for inspection; the conf is restored
+    afterwards.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(  # type: ignore[union-attr]
+            spark._jsparkSession, df._jdf.logicalPlan()
+        )
+        text = spark._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set(key, prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 )
 
 from ..config import SubscriptionConfig
+from ..functions.scalar import backoff_delay
 from .deliver import deliver_rows
 
 _EVENT_LOG_SCHEMA = StructType(
@@ -153,11 +154,10 @@ class EventQueue:
             {"attempt_count": 0, "any_ok": 0}
         )
         budget = F.col("retry_number") + 1
-        delay = F.when(
-            F.col("retry_backoff") == "LINEAR", F.col("retry_interval")
-        ).otherwise(
-            F.col("retry_interval")
-            * F.expr("shiftleft(1, greatest(attempt_count - 1, 0))")
+        delay = backoff_delay(
+            "retry_backoff",
+            "retry_interval",
+            F.greatest(F.col("attempt_count") - 1, F.lit(0)),
         )
         status = (
             F.when(F.col("any_ok") == 1, "DELIVERED")
