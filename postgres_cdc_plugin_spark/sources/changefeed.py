@@ -52,9 +52,14 @@ def parse_images(df: DataFrame, row_schema: str) -> DataFrame:
     )
 
 
-def read_stream(spark: SparkSession, feed_dir: str) -> DataFrame:
-    """Streaming change feed: one JSON-lines file per capture chunk."""
-    return spark.readStream.schema(CHANGE_SCHEMA).json(feed_dir)
+def read_stream(spark: SparkSession, feed_dir: str, **options: str) -> DataFrame:
+    """Streaming change feed: one JSON-lines file per capture chunk.
+    options pass through to the file source (e.g. maxFilesPerTrigger=1
+    to cap micro-batch size / replay a feed chunk-by-chunk)."""
+    reader = spark.readStream.schema(CHANGE_SCHEMA)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(feed_dir)
 
 
 def read_batch(spark: SparkSession, feed_dir: str) -> DataFrame:

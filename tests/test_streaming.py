@@ -422,3 +422,137 @@ def test_continuous_poller_cadence(spark, tmp_path):
         finally:
             worker.stop()
         assert status == "DELIVERED"
+
+
+def test_webhook_timeout_lenient(spark, tmp_path):
+    """ST7: a webhook slower than the configured timeout fails the
+    attempt with a read timeout (reference asserts ~timeout blocking,
+    tests/test_webhook_timeout.py:40-43); lenient mode dead-letters the
+    event and the stream completes."""
+    with CaptureServer(response_delay=3.0) as srv:
+        engine = CdcEngine(spark, str(tmp_path / "wd"))
+        cfg = engine.register(
+            SubscriptionConfig(
+                name="slow_t",
+                table_name="employees",
+                webhook_url=srv.url,
+                timeout=1,
+                retry_number=0,
+                cancel_on_failure=False,
+            )
+        )
+        changes = _feed(
+            spark, tmp_path / "feed", [_change(1, "INSERT", new=_row(1, "A", 1))]
+        )
+        _run(engine, cfg, changes, tmp_path, "to1")
+        sink = engine.sink_of(cfg)
+        # the server DID receive the payload before stalling (it records
+        # after its delay) — the at-least-once phantom-ish receipt the
+        # reference also exhibits
+        srv.wait_for(1, timeout=10)
+
+    # attempt budget = retry_number + 1 = 1; the attempt timed out
+    assert len(sink.attempts) == 1
+    assert sink.attempts[0].ok is False
+    assert sink.attempts[0].status == -1
+    assert "timed out" in (sink.attempts[0].error or "")
+    assert len(sink.dead_letters) == 1
+
+
+def test_custom_schema_envelope(spark, tmp_path):
+    """Same flows for a non-public schema (hr.employees,
+    tests/test_different_schema.py:9-70): the schema name threads through
+    config -> envelope.table.schema."""
+    with CaptureServer() as srv:
+        engine = CdcEngine(spark, str(tmp_path / "wd"))
+        cfg = engine.register(
+            SubscriptionConfig(
+                name="hr_trigger",
+                table_name="employees",
+                schema_name="hr",
+                webhook_url=srv.url,
+            )
+        )
+        changes = _feed(
+            spark,
+            tmp_path / "feed",
+            [_change(1, "INSERT", new=_row(7, "Eve", 90000), schema="hr")],
+        )
+        _run(engine, cfg, changes, tmp_path, "hr1")
+        (payload,) = srv.wait_for(1)
+
+    assert payload["table"] == {"schema": "hr", "name": "employees"}
+    assert json.loads(payload["event"]["data"]["new"])["id"] == 7
+
+
+def test_streaming_tumbling_watermark_drops_late_data(spark, tmp_path):
+    """ST9: event-time tumbling window with watermark over the change
+    stream. A row arriving behind the watermark is dropped; the closed
+    window emits exactly once (append mode). Absent in the reference
+    (SURVEY.md §2.9 ST9) — native Structured Streaming semantics."""
+    from pyspark.sql import functions as F
+
+    feed = tmp_path / "wm_feed"
+    out: list = []
+
+    def at(hhmm: str) -> dict:
+        c = _change(1, "INSERT", new=_row(1, "A", 1))
+        c["ts"] = f"2024-01-01T{hhmm}:00.000000"
+        return c
+
+    # three chunks, one micro-batch each (each is written only after the
+    # previous batch completed, so the watermark advances between them).
+    # Spark drops a late row only when its WINDOW is already closed
+    # (window.end <= watermark), so the watermark must pass 11:00 before
+    # the late 10:10 row arrives:
+    #   batch 1: 10:05, 11:20 -> watermark after: 11:10 (> 11:00)
+    #   batch 2: 10:10 (window [10:00,11:00) closed -> dropped), 12:30;
+    #            evaluates with watermark 11:10 -> emits [10:00,11:00)
+    #            with count 1
+    #   batch 3: 13:30 keeps the stream moving for the emission poll
+    import os as _os
+    import time as _time
+
+    _os.makedirs(str(feed), exist_ok=True)
+    src = changefeed.read_stream(spark, str(feed), maxFilesPerTrigger="1")
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_data_batches(n: int, timeout: float = 60.0) -> None:
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            done = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+            if done >= n:
+                return
+            _time.sleep(0.2)
+        raise TimeoutError(f"never saw {n} data batches")
+
+    try:
+        changefeed.write_chunk(str(feed), [at("10:05"), at("11:20")])
+        wait_data_batches(1)
+        changefeed.write_chunk(str(feed), [at("10:10"), at("12:30")])
+        wait_data_batches(2)
+        changefeed.write_chunk(str(feed), [at("13:30")])
+        wait_data_batches(3)
+        # the closed-window emission rides the batch evaluated with the
+        # advanced watermark; poll briefly for it
+        deadline = _time.time() + 20
+        while _time.time() < deadline and not any(r.w.start.hour == 10 for r in out):
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+
+    emitted = {(r.w.start.hour, r["count"]) for r in out}
+    assert (10, 1) in emitted, f"window [10:00,11:00) missing or late row counted: {out}"
+    # the late 10:10 row must NOT have been counted
+    assert (10, 2) not in emitted
