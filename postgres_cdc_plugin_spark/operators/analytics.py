@@ -219,14 +219,12 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
-    # one purchase per (user, ts): highest event_id wins, so the as-of
-    # target is unique and both engines agree on ties
-    wdup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    purchases = (
-        purchases.withColumn("rn", F.row_number().over(wdup))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    # tie policy: among several purchases at the same (user, ts) the
+    # highest event_id wins. No pre-dedup pass needed — the fill window
+    # below orders purchases by event_id asc within a ts, so last()
+    # naturally keeps the max-event_id one. (A row_number dedup would key
+    # a second shuffle on (user_id, ts); this way the whole as-of is ONE
+    # shuffle on user_id.)
 
     left = clicks.select(
         "user_id",
@@ -246,10 +244,12 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("p_value"),
         F.lit(1).alias("is_right"),
     )
-    # at equal ts the purchase sorts first => "at-or-before" is inclusive
+    # at equal ts purchases sort before clicks => "at-or-before" is
+    # inclusive; among equal-ts purchases, ascending p_id makes last()
+    # keep the highest event_id (the tie policy above)
     wfill = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.desc("is_right"))
+        .orderBy(F.asc("ts"), F.desc("is_right"), F.asc_nulls_first("p_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = left.unionByName(right).select(
