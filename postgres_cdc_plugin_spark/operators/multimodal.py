@@ -137,9 +137,77 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+_FRAME_SIZE = 64  # bytes per fake frame
+_FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for frame sampling: one row per sampled frame.
+
+    The decode step is stubbed (decode_payload raises) — the sampler
+    falls back to fixed-size byte windows as deterministic fake frames.
+    The Spark-side shape is the real thing: a 1->N Arrow-batched
+    expansion whose output rows carry (doc, frame_idx) so a downstream
+    per-frame featurizer can run partition-parallel.
+    """
+    for pdf in batches:
+        doc_ids, modalities, idxs, sizes, sums = [], [], [], [], []
+        for doc_id, payload, modality in zip(
+            pdf["doc_id"], pdf["payload"], pdf["modality"]
+        ):
+            data = bytes(payload)
+            try:  # real decoder unavailable in this environment
+                decode_payload(data, modality)
+            except NotImplementedError:
+                pass
+            n_frames = max(1, (len(data) + _FRAME_SIZE - 1) // _FRAME_SIZE)
+            for fi in range(0, n_frames, _FRAME_STRIDE):
+                chunk = data[fi * _FRAME_SIZE : (fi + 1) * _FRAME_SIZE]
+                doc_ids.append(doc_id)
+                modalities.append(modality)
+                idxs.append(fi)
+                sizes.append(len(chunk))
+                sums.append(sum(chunk) % 256)
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "modality": modalities,
+                "frame_idx": idxs,
+                "frame_bytes": sizes,
+                "frame_checksum": sums,
+            }
+        )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling / resize plumbing over opaque media payloads
+    (rows-only check: the fake decoder's output is not SQL-expressible).
+
+    The video-frame-sample / image-resize shape of a training-data
+    pipeline: every-Nth-frame extraction as an Arrow-batched 1->N row
+    expansion. Narrow (no shuffle); parallelism = input partitions; at
+    100 TB the binary column never leaves the executor and only the
+    small per-frame feature rows flow on."""
+    docs = load(spark, sf_dir, "documents")
+    return with_payload(docs).repartition("doc_id").mapInPandas(
+        _sample_frames, _FRAME_SCHEMA
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,53 @@
+"""Salted join: manual skew mitigation for shuffle joins.
+
+AQE's skew-join splitting (on in session.py) handles most skew by
+splitting oversized partitions at runtime, but it only works for
+sort-merge joins of materialized shuffle blocks. When one join key is so
+hot that a single key exceeds an executor (the power-law user, the NULL
+bucket, the default tenant), pre-salting is the standard fix:
+
+  * the LEFT (big, skewed) side gets a deterministic salt in [0, n)
+    derived from non-key columns, splitting each hot key into n
+    sub-keys;
+  * the RIGHT side is replicated n times, once per salt value;
+  * the join runs on (key, salt), spreading each hot key over n tasks.
+
+Cost model: right side shuffles n copies — use for big-big joins where
+the right side is much smaller than the left but too big to broadcast
+(a broadcast join needs no salting: it never shuffles the left side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `left` with `right` on `on`, salted `n_salts` ways.
+
+    Supported how: inner, left (the replicated-right construction keeps
+    exactly one match group per (key, salt), so left-outer semantics
+    survive). Result columns = the plain join's.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # deterministic spread: hash the whole left row, not random() — the
+    # same input always salts the same way (replayable, testable)
+    salted_left = left.withColumn(
+        _SALT, F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(_SALT)
+    replicated_right = right.select("*", salts)
+    return (
+        salted_left.join(replicated_right, on=[*on, _SALT], how=how)
+        .drop(_SALT)
+    )

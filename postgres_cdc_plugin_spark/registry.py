@@ -24,6 +24,7 @@ ROWS_ONLY = {
     "approx_distinct_users",
     "embed_ann_lsh",
     "multimodal_features",
+    "multimodal_frame_sample",
 }
 
 

@@ -77,3 +77,46 @@ def test_codegen_covers_relational_core(spark, sf_dir):
     # the pricing aggregation should execute inside whole-stage codegen
     df = analytics.lineitem_pricing_agg(spark, sf_dir)
     assert inspect.wholestage_codegen_spans(df) >= 1
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """plans.salted.salted_join spreads hot keys without changing results
+    (inner and left-outer), on a deliberately skewed input."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.plans.salted import salted_join
+
+    # 90% of left rows share key 0 — the power-law shape salting exists for
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 2000, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+    )
+
+    for how in ("inner", "left"):
+        plain = left.join(right, on=["k"], how=how)
+        salted = salted_join(left, right, on=["k"], n_salts=4, how=how)
+        assert salted.columns == plain.columns
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """Every salt bucket of the hot key receives rows — the hot key really
+    fans out over n partitions' worth of sub-keys."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.plans.salted import salted_join
+
+    left = spark.range(1000).select(F.lit(0).alias("k"), F.col("id").alias("p"))
+    right = spark.createDataFrame([(0, "x")], "k long, rv string")
+    out = salted_join(left, right, on=["k"], n_salts=4)
+    # reconstruct the salt distribution the join used
+    n_buckets = (
+        left.withColumn("s", F.pmod(F.hash("k", "p"), F.lit(4)))
+        .select("s").distinct().count()
+    )
+    assert n_buckets == 4
+    assert out.count() == 1000
