@@ -120,3 +120,51 @@ def test_salted_join_spreads_hot_key(spark):
     )
     assert n_buckets == 4
     assert out.count() == 1000
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both sides bucketed+sorted on the join key => the orders x
+    lineitem fact-fact join runs with ZERO exchanges (the shuffle was
+    paid once at write time). The per-key aggregation on the same key is
+    exchange-free too."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.analytics import load
+    from postgres_cdc_plugin_spark.plans import bucketing
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bucketing.write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    bucketing.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    try:
+        bo = bucketing.read_table(spark, "b_orders")
+        bl = bucketing.read_table(spark, "b_lineitem")
+        joined = bo.join(bl, "o_orderkey").groupBy("o_orderkey").agg(
+            F.sum("l_quantity").alias("qty"), F.max("o_totalprice").alias("price")
+        )
+        from postgres_cdc_plugin_spark.plans import inspect
+
+        assert inspect.exchange_count(joined) == 0, inspect.physical_plan(joined)
+        # sanity: results match the plain (shuffling) join
+        plain = (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .join(
+                load(spark, sf_dir, "lineitem").select(
+                    F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+                ),
+                "o_orderkey",
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"), F.max("o_totalprice").alias("price"))
+        )
+        assert joined.exceptAll(plain).count() == 0
+        assert plain.exceptAll(joined).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
