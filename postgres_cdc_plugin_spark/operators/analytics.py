@@ -109,6 +109,38 @@ def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (§2.4 absent-category): all grouping-set
+    combinations of (event_type, day) in one pass — Spark expands the
+    sets before a single shuffle, same as ROLLUP."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return ev.cube(F.col("event_type"), day).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def orders_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface (§2.8): quarterly revenue rollup via
+    date_trunc/year/quarter — the calendar bucketing any change-log
+    time-series report needs. Narrow projection + one aggregation
+    shuffle; the scan reads two columns."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.date_trunc("quarter", F.col("o_orderdate")).alias("quarter_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch (§2.4; rows-only check).
 
@@ -349,6 +381,8 @@ QUERIES = {
     "lineitem_pricing_agg": lineitem_pricing_agg,
     "orders_semi_anti": orders_semi_anti,
     "grouping_rollup": grouping_rollup,
+    "events_cube": events_cube,
+    "orders_quarterly": orders_quarterly,
     "approx_distinct_users": approx_distinct_users,
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
@@ -403,6 +437,20 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+    "events_cube": """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(grouping(event_type, date_trunc('day', ts)) AS BIGINT) AS gid,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY CUBE (event_type, date_trunc('day', ts))
+    """,
+    "orders_quarterly": """
+        SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+               date_trunc('quarter', o_orderdate) AS quarter_start,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY year(o_orderdate), quarter(o_orderdate), date_trunc('quarter', o_orderdate)
     """,
     "events_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
