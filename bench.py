@@ -47,11 +47,14 @@ def main() -> int:
         )
         return 2
 
-    # warm up the JVM / codegen paths so per-query timings measure the
-    # queries, not session startup
+    # warm up the JVM / codegen / parquet-reader paths so per-query
+    # timings measure the queries, not session startup
     spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).groupBy(
+        "r_name"
+    ).count().write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

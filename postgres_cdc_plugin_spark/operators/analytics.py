@@ -364,7 +364,11 @@ def orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier string, lo double, hi double",
     )
     return (
-        orders.join(
+        # single-file source -> one input split; spread rows so the
+        # nested-loop probe runs on all cores (on real storage the scan
+        # has many splits and this repartition is unnecessary)
+        orders.repartition("o_orderkey")
+        .join(
             F.broadcast(tiers),
             (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
         )
