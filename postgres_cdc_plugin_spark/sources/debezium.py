@@ -1,0 +1,69 @@
+"""Debezium envelope adapter: external CDC feeds -> canonical change rows.
+
+The reference captures changes itself (row triggers); a Spark engine
+more often consumes an existing CDC stream. Debezium is the de-facto
+wire format for Postgres CDC over Kafka, and its envelope carries the
+same information as the reference's event (SURVEY.md §1.1: Debezium-
+style before/after images). This module converts Debezium JSON values
+into the engine's canonical CHANGE_SCHEMA so every downstream piece
+(capture_pipeline, sinks, queue) works unchanged on a Kafka/Debezium
+feed:
+
+    raw = spark.readStream.format("kafka")...load()
+    changes = debezium.parse(raw.selectExpr("CAST(value AS STRING)"))
+
+The parser itself is pure column logic, so it is testable (and oracle-
+checkable) without Kafka; only the transport line above needs a broker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the subset of the Debezium envelope the engine consumes; before/after
+# stay as raw JSON strings (schema-on-read, like the reference's
+# row_to_json payloads — survives monitored-table drift)
+DEBEZIUM_SCHEMA = (
+    "struct<"
+    "  before: string,"
+    "  after: string,"
+    "  source: struct<schema: string, table: string, ts_ms: bigint, lsn: bigint>,"
+    "  op: string,"
+    "  ts_ms: bigint"
+    ">"
+)
+
+_OP_MAP = {"c": "INSERT", "r": "INSERT", "u": "UPDATE", "d": "DELETE"}
+
+
+def parse(values: DataFrame, value_col: str = "value") -> DataFrame:
+    """Debezium JSON values -> canonical change rows (CHANGE_SCHEMA
+    shape: seq, key, op, table_schema, table_name, old, new, ts).
+
+    op mapping: c(reate)/r(ead, snapshot) -> INSERT, u -> UPDATE,
+    d -> DELETE. seq = source.lsn (the Postgres WAL position — the
+    total-order the reference gets implicitly from firing in commit
+    order). Narrow projection; at scale this chains straight onto the
+    Kafka source with no shuffle.
+    """
+    env = F.from_json(F.col(value_col), DEBEZIUM_SCHEMA).alias("e")
+    op = F.col("e.op")
+    expr = None
+    for k, v in _OP_MAP.items():
+        expr = F.when(op == k, v) if expr is None else expr.when(op == k, v)
+    mapped_op = expr.otherwise(F.lit(None))
+    return values.select(env).select(
+        F.col("e.source.lsn").alias("seq"),
+        # key: the row identity travels in after (or before, on DELETE)
+        F.coalesce(
+            F.get_json_object("e.after", "$.id"),
+            F.get_json_object("e.before", "$.id"),
+        ).alias("key"),
+        mapped_op.alias("op"),
+        F.col("e.source.schema").alias("table_schema"),
+        F.col("e.source.table").alias("table_name"),
+        F.col("e.before").alias("old"),
+        F.col("e.after").alias("new"),
+        F.timestamp_millis(F.col("e.ts_ms")).alias("ts"),
+    )

@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The queue's status machine (queue.py) is an append-log + last-state
+view; this module shows the OTHER canonical implementation strategy for
+per-key streaming state (SURVEY.md §2.9 ST6 lists both): arbitrary
+state kept by the engine's state store, updated with Arrow-batched
+pandas logic.
+
+The operator here is change-burst sessionization: group the change
+stream by row key and emit a session row whenever a key's burst of
+changes ends (no change for `gap_seconds`). The CDC use: compacting a
+hot row's change storm into one audit record, detecting runaway
+writers, rate-limiting per-row webhook fan-out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_changes", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start", DoubleType()),
+        StructField("last", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sessionize_changes(changes: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Per-key change-burst sessions over a streaming change feed.
+
+    Emits a row per CLOSED session (a newer change arrived more than
+    gap_seconds after the session's last change). The open session per
+    key lives in the state store and survives restarts via the
+    checkpoint. One stateful shuffle on key — the same partitioning the
+    delivery sink uses, so Catalyst reuses it when chained.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ts: list[float] = []
+        for pdf in pdfs:
+            ts.extend(t.timestamp() for t in pdf["ts"])
+        ts.sort()
+
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+
+        closed: list[tuple] = []
+        for t in ts:
+            if last is not None and (t - last) > gap_seconds:
+                closed.append((key[0], start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="s") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="s") for c in closed],
+                    "n_changes": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        changes.select("key", "ts")
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            SESSION_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

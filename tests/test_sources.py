@@ -1,0 +1,136 @@
+"""Source-adapter tests: Debezium envelope parsing and the stateful
+change-burst sessionizer."""
+
+from __future__ import annotations
+
+import json
+
+from postgres_cdc_plugin_spark.sources import debezium
+
+
+def _dbz(op, before=None, after=None, lsn=1, ts_ms=1_700_000_000_000):
+    return json.dumps(
+        {
+            "before": json.dumps(before) if before else None,
+            "after": json.dumps(after) if after else None,
+            "source": {
+                "schema": "public",
+                "table": "employees",
+                "ts_ms": ts_ms,
+                "lsn": lsn,
+            },
+            "op": op,
+            "ts_ms": ts_ms,
+        }
+    )
+
+
+def test_debezium_parse_ops_and_images(spark):
+    rows = [
+        (_dbz("c", after={"id": 1, "name": "Alice"}, lsn=10),),
+        (_dbz("u", before={"id": 1, "name": "Alice"}, after={"id": 1, "name": "Bob"}, lsn=11),),
+        (_dbz("d", before={"id": 1, "name": "Bob"}, lsn=12),),
+        (_dbz("r", after={"id": 2, "name": "Snap"}, lsn=13),),  # snapshot read
+    ]
+    out = debezium.parse(spark.createDataFrame(rows, "value string")).orderBy("seq").collect()
+
+    assert [r.op for r in out] == ["INSERT", "UPDATE", "DELETE", "INSERT"]
+    assert [r.seq for r in out] == [10, 11, 12, 13]
+    assert out[0].old is None and json.loads(out[0].new)["name"] == "Alice"
+    assert json.loads(out[1].old)["name"] == "Alice"
+    assert json.loads(out[1].new)["name"] == "Bob"
+    assert out[2].new is None and json.loads(out[2].old)["name"] == "Bob"
+    # key follows the row identity through all ops, incl. DELETE
+    assert [r.key for r in out] == ["1", "1", "1", "2"]
+    assert all(r.table_schema == "public" and r.table_name == "employees" for r in out)
+    assert out[0].ts.year >= 2023
+
+
+def test_debezium_feeds_capture_pipeline(spark):
+    """A parsed Debezium feed drops straight into the engine's capture
+    pipeline — adapter output is the canonical change shape."""
+    from postgres_cdc_plugin_spark.config import SubscriptionConfig
+    from postgres_cdc_plugin_spark.sources.changefeed import parse_images
+    from postgres_cdc_plugin_spark.streaming.capture import capture_pipeline
+
+    rows = [
+        (_dbz("c", after={"id": 1, "name": "A"}, lsn=1),),
+        (_dbz("d", before={"id": 1, "name": "A"}, lsn=2),),
+    ]
+    changes = parse_images(
+        debezium.parse(spark.createDataFrame(rows, "value string")),
+        "struct<id: bigint, name: string>",
+    )
+    cfg = SubscriptionConfig(
+        name="dbz", table_name="employees", webhook_url="http://x/",
+        operations=["INSERT"],
+    )
+    out = capture_pipeline(changes, cfg).collect()
+    assert len(out) == 1  # DELETE filtered by the op subscription
+    assert out[0].envelope.event.op == "INSERT"
+
+
+def test_stateful_sessionizer_emits_closed_bursts(spark, tmp_path):
+    """applyInPandasWithState burst sessionizer: a key's session closes
+    (and emits) when a later change arrives past the gap; open sessions
+    stay in the state store across micro-batches."""
+    import os
+    import time
+
+    from postgres_cdc_plugin_spark.sources import changefeed
+    from postgres_cdc_plugin_spark.streaming.stateful import sessionize_changes
+
+    feed = tmp_path / "feed"
+    os.makedirs(str(feed))
+    out: list = []
+
+    def chg(seq, key, hhmm):
+        return {
+            "seq": seq,
+            "key": key,
+            "op": "UPDATE",
+            "table_schema": "public",
+            "table_name": "t",
+            "old": None,
+            "new": None,
+            "ts": f"2024-01-01T{hhmm}:00.000000",
+        }
+
+    src = changefeed.read_stream(spark, str(feed), maxFilesPerTrigger="1")
+    q = (
+        sessionize_changes(src, gap_seconds=1800.0)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_batches(n, timeout=60.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if sum(1 for p in q.recentProgress if p["numInputRows"] > 0) >= n:
+                return
+            time.sleep(0.2)
+        raise TimeoutError(f"never saw {n} data batches")
+
+    try:
+        # burst 1 for key A (2 changes 5 min apart); key B single change
+        changefeed.write_chunk(str(feed), [chg(1, "A", "10:00"), chg(2, "A", "10:05"), chg(3, "B", "10:00")])
+        wait_batches(1)
+        assert out == []  # nothing closed yet
+        # key A: change 2h later -> closes burst 1; key B stays open
+        changefeed.write_chunk(str(feed), [chg(4, "A", "12:05")])
+        wait_batches(2)
+        deadline = time.time() + 20
+        while time.time() < deadline and not out:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+
+    assert len(out) == 1, out
+    s = out[0]
+    assert s.key == "A"
+    assert s.n_changes == 2
+    assert (s.session_start.hour, s.session_start.minute) == (10, 0)
+    assert (s.session_end.hour, s.session_end.minute) == (10, 5)
