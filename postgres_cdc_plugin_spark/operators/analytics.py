@@ -210,6 +210,31 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessionization (ST9).
+
+    The same operator works under readStream with a watermark — this is
+    the engine's streaming-session primitive, exercised here in batch so
+    the oracle can check it. Differs from events_sessionize (the manual
+    lag/sum formulation) in end semantics: session_window.end = last
+    event + gap. One shuffle on (user_id, session)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def user_activity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking + running aggregates (§2.5 absent-category).
 
@@ -390,6 +415,7 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
     "user_activity_window": user_activity_window,
     "events_asof_join": events_asof_join,
     "customer_set_ops": customer_set_ops,
@@ -480,6 +506,29 @@ ORACLE_SQL = {
         SELECT user_id, session_id,
                min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events, round(sum(value), 2) AS session_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    "events_session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+            ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
         FROM sess
         GROUP BY user_id, session_id
     """,

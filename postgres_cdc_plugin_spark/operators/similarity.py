@@ -238,10 +238,25 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup REMOVAL: drop vec_b of every pair at or
+    above the similarity threshold (keep-lowest-vec_id policy — the same
+    anti-join shape as the MinHash/SimHash dedups, completing the dedup
+    family over the embedding modality)."""
+    emb = load(spark, sf_dir, "embeddings")
+    losers = (
+        embed_neardup_pairs(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
 QUERIES = {
     "embed_knn": embed_knn,
     "embed_centroids": embed_centroids,
     "embed_neardup_pairs": embed_neardup_pairs,
+    "embed_neardup_dedup": embed_neardup_dedup,
     "embed_ann_lsh": embed_ann_lsh,
     "embed_ann_ivf": embed_ann_ivf,
 }
@@ -306,5 +321,14 @@ ORACLE_SQL = {
                round({_COS_SQL}, 6) AS cosine_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+    """,
+    "embed_neardup_dedup": f"""
+        SELECT e.vec_id, e.label
+        FROM embeddings e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+              AND b.vec_id = e.vec_id
+        )
     """,
 }
