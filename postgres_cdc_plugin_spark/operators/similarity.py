@@ -25,9 +25,11 @@ from pyspark.sql import functions as F
 from ..session import load
 
 _DIM = 64
-_N_PLANES = 8
+_N_TABLES = 8  # LSH hash tables (probes); recall grows with L
+_N_PLANES = 6  # hyperplanes per table; bucket count 2^B grows with corpus
 _QUERY_VEC_ID = 0
 _TOP_K = 10
+_N_PROBE = 3  # IVF cells probed
 _NEARDUP_THRESHOLD = 0.30
 
 
@@ -137,50 +139,70 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(block, "vec_a bigint, vec_b bigint, cosine_sim double")
 
 
-def _plane_coeffs() -> list[list[float]]:
+def _plane_coeffs(table: int) -> list[list[float]]:
     """Deterministic pseudo-random +/-1 hyperplanes from md5 — no RNG state,
     so replay/resume and the driver's re-runs see identical planes."""
     planes = []
     for p in range(_N_PLANES):
         row = []
         for d in range(_DIM):
-            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()[0]
+            h = hashlib.md5(f"plane:{table}:{p}:{d}".encode()).digest()[0]
             row.append(1.0 if h % 2 == 0 else -1.0)
         planes.append(row)
     return planes
 
 
-def _with_bucket(df: DataFrame) -> DataFrame:
-    """Random-hyperplane signature: bit p = sign(v . plane_p)."""
-    planes = _plane_coeffs()
+def _bucket_col(table: int):
+    """Random-hyperplane signature for one table: bit p = sign(v.plane_p),
+    prefixed with the table id so tables never collide."""
+    planes = _plane_coeffs(table)
     bits = [
         F.when(
             _dot(F.col("v"), F.array(*[F.lit(c) for c in planes[p]])) >= 0, "1"
         ).otherwise("0")
         for p in range(_N_PLANES)
     ]
-    return df.withColumn("bucket", F.concat(*bits))
+    return F.concat(F.lit(f"{table}:"), *bits)
 
 
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH bucketing (rows-only).
+    """Approximate top-k via multi-table random-hyperplane LSH (rows-only).
 
-    Candidates = vectors sharing the query's bucket signature; exact
-    cosine re-ranking only within the bucket. The bucket equi-join is the
-    100 TB path: signature computation is narrow, the join shuffles
-    (bucket, vec_id) only. Approximate -> no SQL oracle;
-    tests/test_similarity.py checks recall against embed_knn.
+    _N_TABLES independent hash tables of _N_PLANES bits each; candidates
+    = union over tables of vectors sharing the query's bucket, deduped,
+    then exact cosine re-rank. Multi-table probing is what makes
+    hyperplane LSH usable — a single table's recall collapses when
+    true-neighbor cosines sit near the noise floor (this corpus: top-10
+    cosine ~0.37 vs sigma 0.12). L and B trade recall vs candidates:
+    recall ~ 1-(1-(1-theta/pi)^B)^L, candidates ~ L*n/2^B; B grows with
+    log(n) at scale. The bucket equi-join is the 100 TB path: signature
+    computation is narrow, the join shuffles (bucket, vec_id) only.
+    Approximate -> no SQL oracle; tests/test_similarity.py measures
+    recall against embed_knn and bounds candidates examined.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = _with_bucket(emb)
+    bucketed = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        F.explode(
+            F.array(*[_bucket_col(t) for t in range(_N_TABLES)])
+        ).alias("bucket"),
+    )
     q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
     )
-    return (
+    cand = (
         bucketed.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(q.select("qbucket")), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "label", "v")
+        .distinct()
+    )
+    qv = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return (
+        cand.crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
             "label",
@@ -193,15 +215,16 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantize with per-label centroids, probe the
-    single nearest cell, exact re-rank inside it.
+    _N_PROBE nearest cells, exact re-rank inside them.
 
     The inverted-file pattern at scale: centroid training is one
     (label, dim) aggregation; cell probing is a broadcast join of the
-    1-row best-cell relation; the exact top-k scan touches only that
-    cell's partition of the corpus (at 100 TB: the corpus is stored
-    partitioned by cell id, so the probe is partition pruning, not a
-    filter). nprobe=1 here; more probes = broadcast top-n cells instead
-    of top-1.
+    nprobe-row best-cells relation; the exact top-k scan touches only
+    those cells' partitions of the corpus (at 100 TB: the corpus is
+    stored partitioned by cell id, so the probe is partition pruning,
+    not a filter). nprobe trades recall vs scan fraction — nprobe=3 of
+    10 cells measures 0.4-0.5 recall@10 on this corpus vs 0.1 at
+    nprobe=1 (weak cluster structure; neighbors spread across cells).
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -218,16 +241,16 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.transform("s", lambda t: t.cx).alias("cv"))
     )
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qv"))
-    best_cell = (
+    best_cells = (
         cvec.crossJoin(F.broadcast(q))
         .select("label", "qv", _cosine(F.col("cv"), F.col("qv")).alias("csim"))
         .orderBy(F.desc("csim"), F.asc("label"))
-        .limit(1)
+        .limit(_N_PROBE)
         .select("label", "qv")
     )
     return (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .join(F.broadcast(best_cell), "label")
+        .join(F.broadcast(best_cells), "label")
         .select(
             "vec_id",
             "label",
@@ -307,7 +330,7 @@ ORACLE_SQL = {
         best AS (
             SELECT label FROM cent, q
             ORDER BY list_cosine_similarity(cv, qv) DESC, label ASC
-            LIMIT 1
+            LIMIT {_N_PROBE}
         )
         SELECT e.vec_id, e.label,
                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine_sim

@@ -1,7 +1,7 @@
 """Central query registry consumed by __spark_entry__.py.
 
 Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
-(enforced by tests/test_registry.py):
+(enforced by tests/test_oracle_parity.py::test_registry_consistency):
   * every oracle key has a query;
   * queries without an oracle entry are intentionally rows-only
     (non-SQL-expressible ops, e.g. approximate sketches / LSH ANN) and
