@@ -154,7 +154,9 @@ def _plane_coeffs(table: int) -> list[list[float]]:
 
 def _bucket_col(table: int):
     """Random-hyperplane signature for one table: bit p = sign(v.plane_p),
-    prefixed with the table id so tables never collide."""
+    prefixed with the table id so tables never collide. Expression form —
+    used by tests to reconstruct candidate sets; the operator itself uses
+    the BLAS batch form below (identical signatures)."""
     planes = _plane_coeffs(table)
     bits = [
         F.when(
@@ -163,6 +165,53 @@ def _bucket_col(table: int):
         for p in range(_N_PLANES)
     ]
     return F.concat(F.lit(f"{table}:"), *bits)
+
+
+def _with_buckets_pandas(df: DataFrame) -> DataFrame:
+    """(vec_id, label, v) -> one row per (vector, table) with its bucket.
+
+    All _N_TABLES * _N_PLANES hyperplane projections happen as ONE BLAS
+    matmul per Arrow batch — the per-row expression form pays 48
+    interpreted 64-dim folds per vector (plus a 3072-literal plan), ~5x
+    the wall-clock. Signatures are bit-identical to _bucket_col.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_plane_coeffs(t)[p] for t in range(_N_TABLES) for p in range(_N_PLANES)]
+    )  # (L*B, dim)
+
+    def buckets(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy())  # (n, dim)
+            bits = (mat @ planes.T) >= 0  # (n, L*B)
+            out_ids, out_labels, out_vs, out_buckets = [], [], [], []
+            for i in range(len(pdf)):
+                row = bits[i]
+                for t in range(_N_TABLES):
+                    sig = "".join(
+                        "1" if row[t * _N_PLANES + p] else "0"
+                        for p in range(_N_PLANES)
+                    )
+                    out_ids.append(pdf["vec_id"].iloc[i])
+                    out_labels.append(pdf["label"].iloc[i])
+                    out_vs.append(pdf["v"].iloc[i])
+                    out_buckets.append(f"{t}:{sig}")
+            yield pd.DataFrame(
+                {
+                    "vec_id": out_ids,
+                    "label": out_labels,
+                    "v": out_vs,
+                    "bucket": out_buckets,
+                }
+            )
+
+    return df.mapInPandas(
+        buckets, "vec_id bigint, label int, v array<double>, bucket string"
+    )
 
 
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,26 +232,21 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = emb.select(
-        "vec_id",
-        "label",
-        "v",
-        F.explode(
-            F.array(*[_bucket_col(t) for t in range(_N_TABLES)])
-        ).alias("bucket"),
+    # bucket the 1-row query side separately — deriving both sides from
+    # one bucketed relation would run the corpus-wide bucketing twice
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+    qbuckets = _with_buckets_pandas(qrow).select(F.col("bucket").alias("qbucket"))
+    cand_ids = (
+        _with_buckets_pandas(
+            emb.filter(F.col("vec_id") != _QUERY_VEC_ID).repartition("vec_id")
+        )
+        .join(F.broadcast(qbuckets), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id")
+        .distinct()  # dedup on the id only, never on the vector array
     )
-    q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
-    )
-    cand = (
-        bucketed.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .join(F.broadcast(q.select("qbucket")), F.col("bucket") == F.col("qbucket"))
-        .select("vec_id", "label", "v")
-        .distinct()
-    )
-    qv = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qv"))
     return (
-        cand.crossJoin(F.broadcast(qv))
+        emb.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qrow.select(F.col("v").alias("qv"))))
         .select(
             "vec_id",
             "label",
