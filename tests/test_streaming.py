@@ -556,3 +556,33 @@ def test_streaming_tumbling_watermark_drops_late_data(spark, tmp_path):
     assert (10, 1) in emitted, f"window [10:00,11:00) missing or late row counted: {out}"
     # the late 10:10 row must NOT have been counted
     assert (10, 2) not in emitted
+
+
+def test_checkpoint_recovery_no_redelivery(spark, tmp_path):
+    """Restarting a subscription from its checkpoint continues where the
+    feed left off: chunk 1's events are NOT redelivered, chunk 2's are
+    (the file source's processed-file log lives in the checkpoint, the
+    reference analog being bgworker restart, src/cdc_webhook_worker.c:91)."""
+    with CaptureServer() as srv:
+        engine = CdcEngine(spark, str(tmp_path / "wd"))
+        cfg = engine.register(
+            SubscriptionConfig(
+                name="ckpt_t", table_name="employees", webhook_url=srv.url
+            )
+        )
+        feed = tmp_path / "feed"
+        changes = _feed(
+            spark, feed, [_change(1, "INSERT", new=_row(1, "A", 1))]
+        )
+        _run(engine, cfg, changes, tmp_path, "ck")  # run 1: delivers id 1
+        srv.wait_for(1)
+
+        changefeed.write_chunk(str(feed), [_change(2, "INSERT", new=_row(2, "B", 2))])
+        changes2 = changefeed.parse_images(
+            changefeed.read_stream(spark, str(feed)), ROW_SCHEMA
+        )
+        _run(engine, cfg, changes2, tmp_path, "ck")  # run 2: same checkpoint
+        payloads = srv.wait_for(2)
+
+    ids = [json.loads(p["event"]["data"]["new"])["id"] for p in payloads]
+    assert ids == [1, 2], ids  # id 1 exactly once, id 2 delivered on restart
