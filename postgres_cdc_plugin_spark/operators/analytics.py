@@ -141,6 +141,54 @@ def orders_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2.4): exactly the requested subtotal
+    combinations — (status, priority), (status), () — skipping the
+    (priority)-only set a CUBE would also compute. One shuffle; Spark
+    expands the sets map-side like ROLLUP/CUBE."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+def lineitem_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (§2.4): stddev / variance / correlation /
+    covariance per return flag — the data-profiling pass a pipeline runs
+    before trusting a captured table. All partial-aggregable built-ins
+    (one shuffle); rounded to 4 decimals because the parallel sum order
+    perturbs low-order bits."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_variance"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("disc_tax_covar"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (§2.4): median and p95 price per return flag.
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    continuous-interpolation definition, so values match bit-for-bit.
+    Exact percentile is a full-sort-per-group aggregate; at 100 TB the
+    scale path is `approx_percentile` (t-digest sketch, same shape as
+    the HLL sketch in approx_distinct_users)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("price_p95"),
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_p50"),
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch (§2.4; rows-only check).
 
@@ -411,6 +459,9 @@ QUERIES = {
     "orders_semi_anti": orders_semi_anti,
     "grouping_rollup": grouping_rollup,
     "events_cube": events_cube,
+    "orders_grouping_sets": orders_grouping_sets,
+    "lineitem_stats_agg": lineitem_stats_agg,
+    "lineitem_percentiles": lineitem_percentiles,
     "orders_quarterly": orders_quarterly,
     "approx_distinct_users": approx_distinct_users,
     "events_tumbling": events_tumbling,
@@ -474,6 +525,32 @@ ORACLE_SQL = {
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events
         GROUP BY CUBE (event_type, date_trunc('day', ts))
+    """,
+    "orders_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    "lineitem_stats_agg": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+               round(var_samp(l_quantity), 4) AS qty_variance,
+               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               round(covar_samp(l_discount, l_tax), 4) AS disc_tax_covar,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "lineitem_percentiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS price_p50,
+               quantile_cont(l_extendedprice, 0.95) AS price_p95,
+               quantile_cont(l_quantity, 0.5) AS qty_p50
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
     "orders_quarterly": """
         SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
