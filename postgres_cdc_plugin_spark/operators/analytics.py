@@ -228,6 +228,28 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (ST9): 1-hour windows every 30 minutes
+    — each event lands in exactly two windows. Same F.window operator
+    Structured Streaming uses with a watermark; the oracle reproduces
+    the assignment as a 2-way unrolled union (window starts
+    trunc30(ts) and trunc30(ts) - 30min)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap (ST9).
 
@@ -465,6 +487,7 @@ QUERIES = {
     "orders_quarterly": orders_quarterly,
     "approx_distinct_users": approx_distinct_users,
     "events_tumbling": events_tumbling,
+    "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "user_activity_window": user_activity_window,
@@ -564,6 +587,24 @@ ORACLE_SQL = {
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "events_sliding": """
+        WITH base AS (
+            SELECT date_trunc('hour', ts)
+                       + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                              ELSE INTERVAL 0 MINUTE END AS s0,
+                   event_type, value
+            FROM events
+        ),
+        assigned AS (
+            SELECT s0 AS window_start, event_type, value FROM base
+            UNION ALL
+            SELECT s0 - INTERVAL 30 MINUTE AS window_start, event_type, value FROM base
+        )
+        SELECT window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM assigned
+        GROUP BY window_start, event_type
     """,
     "events_sessionize": """
         WITH flagged AS (

@@ -226,6 +226,13 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def docs_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature table: the persisted artifact of a corpus-dedup
+    pipeline (signatures computed once, reused by every later LSH pass).
+    One groupBy(doc_id) with map-side partial min()."""
+    return _minhash_sigs(load(spark, sf_dir, "documents"))
+
+
 def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH candidate pairs with band-agreement counts."""
     docs = load(spark, sf_dir, "documents")
@@ -429,6 +436,7 @@ def docs_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_fingerprint_groups": docs_fingerprint_groups,
+    "docs_minhash_sigs": docs_minhash_sigs,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
@@ -567,6 +575,7 @@ ORACLE_SQL = {
         FROM documents
         GROUP BY md5(lower(trim(text)))
     """,
+    "docs_minhash_sigs": _SIG_SQL,
     "docs_minhash_pairs": _PAIRS_SQL,
     "docs_ngram_jaccard": _VERIFIED_SQL,
     "docs_minhash_dedup": f"""
