@@ -1,0 +1,44 @@
+"""The driver consumes bench.py's single JSON line — pin that contract
+(parseable, required keys, per-query timings, exit codes)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, sf="/root/testdata/sf0.001"):
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf, "SPARK_GRAFT_CPUS": "4"}
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=300,
+    )
+
+
+def test_bench_json_contract():
+    proc = _run(["cdc_op_filter", "status_counts"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # exactly one JSON line on stdout
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1, proc.stdout[-2000:]
+    out = json.loads(lines[0])
+    assert out["metric"] == "query_surface_wall_clock"
+    assert out["unit"] == "sec"
+    assert out["sf"] == 0.001
+    assert set(out["queries"]) == {"cdc_op_filter", "status_counts"}
+    assert all(v >= 0 for v in out["queries"].values())
+    assert abs(out["value"] - sum(out["queries"].values())) < 0.01
+
+
+def test_bench_unknown_query_exits_2():
+    proc = _run(["definitely_not_a_query"])
+    assert proc.returncode == 2
+    assert "unknown queries" in proc.stderr
