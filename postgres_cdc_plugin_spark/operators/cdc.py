@@ -286,7 +286,53 @@ def headers_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.explode(m).alias("header_key", "header_value"))
 
 
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: the latest surviving row per key — the
+    materialized view every CDC consumer builds from the webhook stream
+    (the batch form of applying the reference's events in order,
+    cdc_webhook--1.0.sql:252-280 consumers). Last change per key wins;
+    keys whose last change is a DELETE vanish. One shuffle on the key;
+    at 100 TB the change log is partitioned by key range so compaction
+    is partition-local merge, the same shape as an upsert-table rewrite.
+    """
+    ev = load(spark, sf_dir, "events")
+    op = _op_expr()
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "ts", "event_id", "value", op.alias("op"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select(
+            "user_id",
+            F.col("ts").alias("as_of"),
+            F.col("op").alias("last_op"),
+            F.col("value").alias("current_value"),
+        )
+    )
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: each change becomes a versioned row with
+    [valid_from, valid_to) — valid_to = next change's ts per key (NULL
+    while current). The warehouse-side product of a CDC feed. Single
+    window shuffle on the key, shared by lead() and the version number.
+    """
+    ev = load(spark, sf_dir, "events")
+    op = _op_expr()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("user_id", "ts", "event_id", "value", op.alias("op")).select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("op"),
+        F.col("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
 QUERIES = {
+    "cdc_latest_state": cdc_latest_state,
+    "cdc_scd2_history": cdc_scd2_history,
     "cdc_envelope": cdc_envelope,
     "cdc_op_filter": cdc_op_filter,
     "cdc_column_diff": cdc_column_diff,
@@ -301,6 +347,27 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cdc_latest_state": f"""
+        SELECT user_id, ts AS as_of, op AS last_op, value AS current_value
+        FROM (
+            SELECT user_id, ts, value, {_OP_SQL} AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1 AND op <> 'DELETE'
+    """,
+    "cdc_scd2_history": f"""
+        SELECT user_id,
+               row_number() OVER w AS version,
+               {_OP_SQL} AS op,
+               value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "cdc_envelope": f"""
         SELECT md5('evt:' || CAST(event_id AS VARCHAR)) AS id,
                ts AS created_at,
