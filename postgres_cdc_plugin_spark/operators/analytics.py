@@ -109,6 +109,56 @@ def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped composite: selective dimension filter + two-way
+    fact join + aggregation + global top-k. The plan Catalyst should
+    produce — and test_plans asserts the shape of — is: pushed-down
+    filters on both scans, broadcast of the filtered customer dim,
+    shuffle join orders x lineitem on orderkey, partial-agg before the
+    group shuffle, TakeOrderedAndProject for the LIMIT."""
+    cutoff = F.to_timestamp(F.lit("1997-06-30 00:00:00"))
+    customer = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier x part shipping volume rollup: the remaining two dims
+    joined against the fact table. Both dims broadcast; one aggregation
+    shuffle on (nation, brand). Covers the supplier/part tables and the
+    multi-dim star beyond the customer axis."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (§2.4 absent-category): all grouping-set
     combinations of (event_type, day) in one pass — Spark expands the
@@ -477,6 +527,8 @@ def orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "orders_enrich_join": orders_enrich_join,
+    "orders_shipping_priority": orders_shipping_priority,
+    "supplier_part_volume": supplier_part_volume,
     "lineitem_pricing_agg": lineitem_pricing_agg,
     "orders_semi_anti": orders_semi_anti,
     "grouping_rollup": grouping_rollup,
@@ -506,6 +558,30 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
+    """,
+    "orders_shipping_priority": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "supplier_part_volume": """
+        SELECT n_name, p_brand,
+               count(*) AS n_shipments,
+               round(sum(l_quantity), 2) AS total_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, p_brand
     """,
     "lineitem_pricing_agg": """
         SELECT l_returnflag, l_linestatus,

@@ -168,3 +168,15 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_shipping_priority_plan_shape(spark, sf_dir):
+    """The Q3-shaped composite gets the plan its docstring promises:
+    filtered customer dim broadcast, date filters pushed to both fact
+    scans, LIMIT as TakeOrderedAndProject (never a full sort)."""
+    df = analytics.orders_shipping_priority(spark, sf_dir)
+    kinds = inspect.join_kinds(df)
+    assert "BroadcastHashJoin" in kinds, kinds
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed, pushed
+    assert "TakeOrderedAndProject" in inspect.physical_plan(df)
