@@ -330,7 +330,40 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the props payload (§2.8 JSONB surface):
+    get_json_object is the schema-on-read point lookup a consumer uses
+    on envelope payloads without parsing the full document. Narrow
+    projection; the JSON parse stays JVM-side."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        (k % 10).alias("k_bucket"),
+        F.length("props").cast("bigint").alias("props_len"),
+    )
+
+
+def creds_display_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (§2.8): upper/substring/concat_ws/lpad —
+    the display normalization a bookkeeping UI applies to credential
+    rows (with secrets already masked, ST10). Pure narrow projection."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("segment_uc"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(
+            "/", F.lit("public"), F.col("c_mktsegment"), F.col("c_custkey").cast("string")
+        ).alias("display_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_id"),
+    )
+
+
 QUERIES = {
+    "props_json_extract": props_json_extract,
+    "creds_display_format": creds_display_format,
     "cdc_latest_state": cdc_latest_state,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_envelope": cdc_envelope,
@@ -347,6 +380,21 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "props_json_extract": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               CAST(length(props) AS BIGINT) AS props_len
+        FROM events
+    """,
+    "creds_display_format": """
+        SELECT c_custkey,
+               upper(c_mktsegment) AS segment_uc,
+               substring(c_name, 1, 8) AS name_prefix,
+               concat_ws('/', 'public', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS display_key,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id
+        FROM customer
+    """,
     "cdc_latest_state": f"""
         SELECT user_id, ts AS as_of, op AS last_op, value AS current_value
         FROM (
