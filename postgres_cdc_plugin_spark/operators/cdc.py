@@ -361,7 +361,34 @@ def creds_display_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def receiver_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receiver-side replay dedup — the other half of the deterministic
+    event id story (SURVEY.md §7 #5): under at-least-once delivery a
+    checkpoint replay re-sends envelopes, and the receiver collapses
+    them by id. Simulated by unioning the stream with itself (a full
+    replay); dedup keeps exactly one row per deterministic id, restoring
+    the original cardinality. row_number over the id — one shuffle; at
+    scale the receiver table is partitioned by id prefix so the dedup is
+    partition-local.
+    """
+    ev = load(spark, sf_dir, "events")
+    env = ev.select(
+        F.md5(F.concat_ws(":", F.lit("evt"), F.col("event_id").cast("string"))).alias("id"),
+        "user_id",
+        "value",
+        F.col("ts").alias("created_at"),
+    )
+    replayed = env.unionByName(env)  # at-least-once: everything arrives twice
+    w = Window.partitionBy("id").orderBy("created_at")
+    return (
+        replayed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "user_id", "value", "created_at")
+    )
+
+
 QUERIES = {
+    "receiver_replay_dedup": receiver_replay_dedup,
     "props_json_extract": props_json_extract,
     "creds_display_format": creds_display_format,
     "cdc_latest_state": cdc_latest_state,
@@ -380,6 +407,23 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "receiver_replay_dedup": """
+        SELECT id, user_id, value, created_at
+        FROM (
+            SELECT id, user_id, value, created_at,
+                   row_number() OVER (PARTITION BY id ORDER BY created_at) AS rn
+            FROM (
+                SELECT md5('evt:' || CAST(event_id AS VARCHAR)) AS id,
+                       user_id, value, ts AS created_at
+                FROM events
+                UNION ALL
+                SELECT md5('evt:' || CAST(event_id AS VARCHAR)) AS id,
+                       user_id, value, ts AS created_at
+                FROM events
+            )
+        )
+        WHERE rn = 1
+    """,
     "props_json_extract": """
         SELECT event_id,
                CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
