@@ -525,6 +525,138 @@ def orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (§2.5 absent-category): lag/lead over each
+    customer's order history plus ntile/percent_rank/cume_dist ranking
+    within the order's priority class.
+
+    Both windows use fully-deterministic orderings (ties broken by
+    o_orderkey) so the result is hash-stable. Scale: two shuffles — one
+    per distinct partitioning (o_custkey, o_orderpriority); each window
+    sorts within its partition only. o_orderpriority has 5 distinct
+    values → at 100 TB that window is skew-prone; the scale path is
+    pre-bucketing by priority or an approx-quantile banding instead of
+    exact ntile.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(wp), 6).alias("price_cume_dist"),
+    )
+
+
+def lineitem_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based running aggregates (§2.5): 5-row moving average and
+    running sum of quantity per supplier in ship order.
+
+    Aggregates run over l_quantity (integral-valued) so frame sums are
+    exact in floating point regardless of the engine's frame-evaluation
+    association order — the moving-average analog over decimal prices
+    would need DECIMAL types for bit-exact cross-engine parity. One
+    shuffle on l_suppkey shared by both frames (same window spec).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    mov = w.rowsBetween(-4, Window.currentRow)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.round(F.avg("l_quantity").over(mov), 4).alias("qty_ma5"),
+        F.round(F.sum("l_quantity").over(run), 2).alias("qty_running"),
+    )
+
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth banding via ntile (§2.5/§2.6): decile customers by
+    account balance, report per-decile population and balance range.
+
+    A global (unpartitioned) window is a single-reducer sort — acceptable
+    for dimension-sized inputs like a credential store; the fact-table
+    scale path is approxQuantile to compute decile boundaries, then a
+    broadcast range join (same shape as orders_price_band_join).
+    """
+    cust = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+_PRIORITIES = [
+    ("1-URGENT", "p1_urgent"),
+    ("2-HIGH", "p2_high"),
+    ("3-MEDIUM", "p3_medium"),
+    ("4-NOT SPECIFIED", "p4_not_specified"),
+    ("5-LOW", "p5_low"),
+]
+
+
+def nation_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / cross-tab (§2.4 absent-category): order counts per nation ×
+    priority, priorities spread into columns.
+
+    Explicit pivot values skip Spark's extra distinct-values job — at
+    100 TB that pre-pass is a full scan you avoid by declaring the
+    domain. Broadcast dim joins + one shuffle for the groupBy; pivot
+    itself is a map-side projection once values are declared.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pivoted = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderpriority", [v for v, _ in _PRIORITIES])
+        .count()
+    )
+    return pivoted.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(alias)
+            for v, alias in _PRIORITIES
+        ],
+    )
+
+
+def lineitem_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (§2.4): count_if / filtered sum / CASE-gated
+    avg per return flag — the SQL FILTER-clause surface.
+
+    All-in-one groupBy pass: map-side partial aggregation handles every
+    branch, so this costs the same single shuffle as a plain count.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count_if(l_discount > 0.05)").alias("n_high_disc"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(F.lit(0.0))),
+            2,
+        ).alias("taxed_price"),
+        F.round(F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2).alias(
+            "avg_bulk_price"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES = {
     "orders_enrich_join": orders_enrich_join,
     "orders_shipping_priority": orders_shipping_priority,
@@ -547,6 +679,11 @@ QUERIES = {
     "customer_set_ops": customer_set_ops,
     "top_customers_per_nation": top_customers_per_nation,
     "orders_price_band_join": orders_price_band_join,
+    "orders_window_funcs": orders_window_funcs,
+    "lineitem_moving_avg": lineitem_moving_avg,
+    "customer_value_deciles": customer_value_deciles,
+    "nation_priority_pivot": nation_priority_pivot,
+    "lineitem_conditional_agg": lineitem_conditional_agg,
 }
 
 ORACLE_SQL = {
@@ -801,5 +938,60 @@ ORACLE_SQL = {
                      ('large', 300000.0, 1e18)) AS t(tier, lo, hi)
           ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY tier
+    """,
+    "orders_window_funcs": """
+        SELECT o_orderkey, o_custkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               ntile(4) OVER wp AS price_quartile,
+               round(percent_rank() OVER wp, 6) AS price_pct_rank,
+               round(cume_dist() OVER wp, 6) AS price_cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    "lineitem_moving_avg": """
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+               round(avg(l_quantity) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS qty_ma5,
+               round(sum(l_quantity) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS qty_running
+        FROM lineitem
+    """,
+    "customer_value_deciles": """
+        SELECT decile, count(*) AS n_customers,
+               round(min(c_acctbal), 2) AS min_bal,
+               round(max(c_acctbal), 2) AS max_bal
+        FROM (
+            SELECT c_acctbal,
+                   ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+            FROM customer
+        )
+        GROUP BY decile
+    """,
+    "nation_priority_pivot": """
+        SELECT n_name,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "lineitem_conditional_agg": """
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+               round(sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END), 2) AS taxed_price,
+               round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 2) AS avg_bulk_price,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
 }

@@ -319,6 +319,35 @@ def embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding column — the sanity
+    check a pipeline runs before cosine math (zero vectors, scale drift
+    between labels).
+
+    Norm is a left-fold over the array after a float→double cast, so
+    Spark and DuckDB fold the same doubles in the same order; min/max are
+    order-free and avg differences wash out at round-4. Narrow projection
+    + one tiny groupBy — linear scan at any scale.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sq)
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
 QUERIES = {
     "embed_knn": embed_knn,
     "embed_centroids": embed_centroids,
@@ -326,11 +355,25 @@ QUERIES = {
     "embed_neardup_dedup": embed_neardup_dedup,
     "embed_ann_lsh": embed_ann_lsh,
     "embed_ann_ivf": embed_ann_ivf,
+    "embed_norm_stats": embed_norm_stats,
 }
 
 _COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 
 ORACLE_SQL = {
+    "embed_norm_stats": """
+        SELECT label, count(*) AS n_vecs,
+               round(avg(norm), 4) AS avg_norm,
+               round(min(norm), 6) AS min_norm,
+               round(max(norm), 6) AS max_norm
+        FROM (
+            SELECT label,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+            FROM embeddings
+        )
+        GROUP BY label
+    """,
     "embed_knn": f"""
         SELECT a.vec_id, a.label,
                round(list_cosine_similarity(

@@ -187,6 +187,54 @@ def docs_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_bucket() -> F.Column:
+    """Deterministic 256-way bucket from the md5 of the doc id.
+
+    Hash-based (not random) so the split is reproducible across engines,
+    runs, and repartitions — the property a training pipeline needs so
+    that re-running the job never moves a document between train and
+    eval. String-compared hex prefix, identical in Spark and DuckDB.
+    """
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) + per-(lang, split)
+    profile — the first operator of every training-data pipeline.
+
+    Pure narrow projection + one groupBy shuffle; at 100 TB the split
+    column can also be used directly as a partitionBy() output key so
+    each split lands in its own directory without a second pass.
+    """
+    docs = load(spark, sf_dir, "documents")
+    b = _split_bucket()
+    split = (
+        F.when(b < "cc", F.lit("train")).when(b < "e6", F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample, stratified implicitly by the uniform
+    hash (every source/lang stratum is hit at the same rate).
+
+    Unlike df.sample() this is reproducible row-for-row and
+    partition-independent — the sampling predicate is pushed into the
+    scan, so at 100 TB it reads-and-drops with zero shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(_split_bucket() < "33").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 QUERIES = {
     "docs_text_stats": docs_text_stats,
     "docs_lang_id": docs_lang_id,
@@ -195,11 +243,32 @@ QUERIES = {
     "docs_token_counts": docs_token_counts,
     "token_frequencies": token_frequencies,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
+    "docs_train_split": docs_train_split,
+    "docs_stratified_sample": docs_stratified_sample,
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
+_SPLIT_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
 ORACLE_SQL = {
+    "docs_train_split": f"""
+        SELECT lang, split, count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM (
+            SELECT lang, n_chars,
+                   CASE WHEN {_SPLIT_BUCKET_SQL} < 'cc' THEN 'train'
+                        WHEN {_SPLIT_BUCKET_SQL} < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        GROUP BY lang, split
+    """,
+    "docs_stratified_sample": f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_SPLIT_BUCKET_SQL} < '33'
+    """,
     "docs_text_stats": """
         SELECT doc_id, lang, source,
                CAST(length(text) AS BIGINT) AS n_chars_calc,
