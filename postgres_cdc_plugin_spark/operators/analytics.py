@@ -657,6 +657,105 @@ def lineitem_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (§2.4 absent-category): per-returnflag aggregate
+    metrics rotated from columns into (metric, value) rows — the shape
+    metric stores and long-format ML feature tables want.
+
+    Aggregation first, unpivot after: the melt runs on the tiny
+    aggregated relation, never on the fact table, so the wide→long
+    rotation is free at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill (§2.8/time-series absent-category): daily order
+    counts with zero rows for days that had no orders — sequence() +
+    explode generates the calendar spine, a left join fills it.
+
+    The spine is bounded by the data's own min/max date and is tiny
+    (one row per day), so the join broadcasts; the only fact-table cost
+    is the initial groupBy. This is the batch analog of a streaming
+    tumbling window emitting empty panes.
+    """
+    orders = load(spark, sf_dir, "orders")
+    # day stays TIMESTAMP (midnight) end-to-end: DATE columns round-trip
+    # as python objects through Arrow and break the hash compare
+    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (§2.4): event values bucketed into
+    width-10 bins with per-bin population and bounds.
+
+    floor(value/width) is a pure narrow projection — the whole histogram
+    is one map-side-combinable groupBy over ~#bins distinct keys, the
+    cheapest possible full-scan profile at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    bin_lo = (F.floor(F.col("value") / 10.0) * 10).cast("long")
+    return (
+        ev.select(bin_lo.alias("bin_lo"), "value")
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+def lineitem_ship_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic (§2.8): order→ship latency in days per ship
+    month — datediff / date_trunc / count_if over a fact-fact join.
+
+    Delays are integer day counts so sums and averages are exact in
+    floating point. The lineitem⨝orders join shuffles both sides on
+    orderkey (AQE may broadcast orders at small SF); at 100 TB the two
+    tables would be bucketed on orderkey (plans/bucketing.py) making
+    this join shuffle-free.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    month = F.date_trunc("month", F.col("l_shipdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(month.alias("ship_month"), delay.alias("delay"))
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("count_if(delay > 30)").alias("n_slow"),
+            F.round(F.avg("delay"), 4).alias("avg_delay"),
+            F.max("delay").alias("max_delay"),
+        )
+    )
+
+
 QUERIES = {
     "orders_enrich_join": orders_enrich_join,
     "orders_shipping_priority": orders_shipping_priority,
@@ -684,6 +783,10 @@ QUERIES = {
     "customer_value_deciles": customer_value_deciles,
     "nation_priority_pivot": nation_priority_pivot,
     "lineitem_conditional_agg": lineitem_conditional_agg,
+    "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
+    "orders_daily_gapfill": orders_daily_gapfill,
+    "events_value_histogram": events_value_histogram,
+    "lineitem_ship_delays": lineitem_ship_delays,
 }
 
 ORACLE_SQL = {
@@ -993,5 +1096,57 @@ ORACLE_SQL = {
                count(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "lineitem_metrics_unpivot": """
+        WITH agg AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(sum(l_discount), 2) AS sum_disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    """,
+    "orders_daily_gapfill": """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        spine AS (
+            SELECT unnest(generate_series(
+                       (SELECT min(day) FROM daily),
+                       (SELECT max(day) FROM daily),
+                       INTERVAL 1 DAY)) AS day
+        )
+        SELECT s.day,
+               coalesce(d.n_orders, 0) AS n_orders,
+               coalesce(d.revenue, 0.0) AS revenue
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    "events_value_histogram": """
+        SELECT CAST(floor(value / 10.0) * 10 AS BIGINT) AS bin_lo,
+               count(*) AS n_events,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value
+        FROM events
+        GROUP BY 1
+    """,
+    "lineitem_ship_delays": """
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               count(*) AS n_items,
+               count(*) FILTER (WHERE date_diff('day',
+                   CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30) AS n_slow,
+               round(avg(date_diff('day',
+                   CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_delay,
+               max(date_diff('day',
+                   CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_delay
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
     """,
 }
