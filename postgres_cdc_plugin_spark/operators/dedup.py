@@ -109,7 +109,7 @@ def _shingles(docs: DataFrame, distinct: bool) -> DataFrame:
     return sh.distinct() if distinct else sh
 
 
-def _minhash_sigs(docs: DataFrame) -> DataFrame:
+def _minhash_sigs(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """_N_HASHES min-hashes per doc: one groupBy(doc_id) with map-side
     partial min().
 
@@ -118,8 +118,15 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     each window induces a different ranking of shingles, so the argmin
     differs per window). Saves _N_HASHES-1 md5 evaluations per shingle
     occurrence — the dominant cost of signature building.
+
+    `shingles` lets a caller that already materialized the shingle
+    relation (the Jaccard verify path) share it: min() is duplicate-
+    insensitive, so signatures over the DISTINCT shingle set are
+    identical to signatures over the occurrence stream — and the corpus
+    is shingled once, not twice. Standalone callers skip the distinct
+    (one shuffle cheaper).
     """
-    sh = _shingles(docs, distinct=False).select(
+    sh = (shingles if shingles is not None else _shingles(docs, distinct=False)).select(
         "doc_id", F.md5("g").alias("hg")
     )
     aggs = [
@@ -192,7 +199,7 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
     """Candidate pairs + exact shingle-set Jaccard (the verify step)."""
     sh = _shingles(docs, distinct=True).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = _candidate_pairs(_minhash_sigs(docs).persist()).persist()
+    pairs = _candidate_pairs(_minhash_sigs(docs, shingles=sh).persist()).persist()
 
     sa = sh.alias("sa")
     sb = sh.alias("sb")
