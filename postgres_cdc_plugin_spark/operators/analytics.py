@@ -756,7 +756,39 @@ def lineitem_ship_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_pii_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII anonymization + k-anonymity audit over `customer`.
+
+    The privacy pass a training pipeline runs before exporting user
+    tables: the direct identifier (the numeric id inside c_name) is
+    replaced by a token and a sha256 surrogate key (stable for joins,
+    irreversible for display), and the quasi-identifier pair
+    (nation, account-balance band) is generalized to $1000 bands and
+    audited for group size — rows in groups under k=5 are flagged as
+    re-identifiable.
+
+    All narrow projections plus one window shuffle on the quasi-id pair;
+    at 100 TB the same pair is the natural output partitioning so the
+    audit shuffle doubles as the write layout.
+    """
+    c = load(spark, sf_dir, "customer")
+    band = (F.floor(F.col("c_acctbal") / 1000.0) * 1000).cast("long")
+    w = Window.partitionBy("c_nationkey", "acctbal_band")
+    return (
+        c.select(
+            F.sha2(F.col("c_name"), 256).alias("surrogate_key"),
+            F.regexp_replace("c_name", "[0-9]+", "<ID>").alias("redacted_name"),
+            "c_nationkey",
+            band.alias("acctbal_band"),
+            "c_mktsegment",
+        )
+        .withColumn("k_group_size", F.count(F.lit(1)).over(w))
+        .withColumn("k_anonymous", F.col("k_group_size") >= 5)
+    )
+
+
 QUERIES = {
+    "customer_pii_anonymize": customer_pii_anonymize,
     "orders_enrich_join": orders_enrich_join,
     "orders_shipping_priority": orders_shipping_priority,
     "supplier_part_volume": supplier_part_volume,
@@ -790,6 +822,22 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "customer_pii_anonymize": """
+        SELECT surrogate_key, redacted_name, c_nationkey, acctbal_band,
+               c_mktsegment,
+               count(*) OVER (PARTITION BY c_nationkey, acctbal_band)
+                   AS k_group_size,
+               count(*) OVER (PARTITION BY c_nationkey, acctbal_band) >= 5
+                   AS k_anonymous
+        FROM (
+            SELECT sha256(c_name) AS surrogate_key,
+                   regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted_name,
+                   c_nationkey,
+                   CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_band,
+                   c_mktsegment
+            FROM customer
+        )
+    """,
     "orders_enrich_join": """
         SELECT r_name, n_name, count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS revenue

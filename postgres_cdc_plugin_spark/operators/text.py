@@ -235,6 +235,167 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_TOP_FRAC = 0.1  # most-frequent-token share above which a doc is repetitive
+_REP_DUP_BIGRAM = 0.05  # duplicate-bigram share threshold (Gopher-style)
+_CONTAM_GRAM = 5  # token n-gram width for benchmark-contamination checks
+_BENCH_SOURCE = "src0"  # the source treated as the held-out benchmark corpus
+
+
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: most-frequent-token share
+    and duplicate-bigram share per document, plus the keep/drop verdict.
+
+    Two doc-local measures joined on doc_id: the top-token share needs an
+    explode + two groupBys (token counts, then per-doc max/sum — both
+    map-side combinable on doc_id-clustered data); the bigram-dup share
+    is a pure narrow array projection (transform over the token array —
+    no shuffle at all). At 100 TB both sides partition by doc_id and the
+    join co-locates; nothing global is computed.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.repartition("doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    top = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c") / F.sum("c").cast("double")).alias("top_token_frac")
+        )
+    )
+    # zip_with over two shifted slices, NOT transform+element_at: Catalyst
+    # re-evaluates split() for every element_at inside a lambda, turning
+    # the bigram build O(n^2) per doc (measured 10s -> sub-second at
+    # sf0.1); slices evaluate the split a constant number of times
+    bi = F.expr(
+        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
+        " (x, y) -> concat(x, ' ', y))"
+    )
+    dup = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bi)) / F.size(bi).cast("double")
+        ).alias("dup_bigram_frac"),
+    )
+    return dup.join(top, "doc_id").select(
+        "doc_id",
+        "source",
+        "top_token_frac",
+        "dup_bigram_frac",
+        (
+            (F.col("top_token_frac") <= _REP_TOP_FRAC)
+            & (F.col("dup_bigram_frac") <= _REP_DUP_BIGRAM)
+        ).alias("keep"),
+    )
+
+
+def _token_grams(docs: DataFrame) -> DataFrame:
+    """Distinct token _CONTAM_GRAM-grams per doc (narrow array build +
+    explode; docs shorter than the gram width contribute none).
+
+    The n-gram array is a fold of zip_with over _CONTAM_GRAM shifted
+    slices of the token array — O(n) per doc. transform+element_at or
+    per-i slice() would re-evaluate split() inside the lambda for every
+    position, an O(n^2) trap (see docs_repetition_filter).
+    """
+    tk = "split(text, ' ')"
+    m = f"size({tk}) - {_CONTAM_GRAM - 1}"
+    gram_arr = f"slice({tk}, 1, {m})"
+    for s in range(2, _CONTAM_GRAM + 1):
+        gram_arr = (
+            f"zip_with({gram_arr}, slice({tk}, {s}, {m}),"
+            " (x, y) -> concat(x, ' ', y))"
+        )
+    grams = F.expr(
+        f"CASE WHEN size({tk}) >= {_CONTAM_GRAM} "
+        f"THEN array_distinct({gram_arr}) ELSE array() END"
+    )
+    return docs.repartition("doc_id").select(
+        "doc_id", "source", F.explode_outer(grams).alias("gram")
+    )
+
+
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: per evaluation document, how many
+    of its distinct token 5-grams appear anywhere in the benchmark corpus
+    (here: the `src0` source split).
+
+    The canonical pre-training hygiene pass (filter training docs that
+    leak eval data). The benchmark gram set is orders of magnitude
+    smaller than the corpus, so the membership probe is a broadcast
+    left-semi-shaped join; per-doc re-aggregation is one doc_id shuffle.
+    Docs below the gram width surface with zero grams (trivially clean).
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = _token_grams(docs)
+    bench = (
+        grams.filter(F.col("source") == _BENCH_SOURCE)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.filter(F.col("source") != _BENCH_SOURCE)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.col("gram")).alias("n_grams"),
+            F.count(F.col("hit")).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def token_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF with a linear
+    inverse-document-frequency (score = (tf/len) * (N/df)).
+
+    Linear rather than log idf keeps every arithmetic step a single IEEE
+    division/multiplication, which is bit-identical across engines —
+    log() differs in the last ulp between libm implementations and would
+    break the value-hash oracle. The ranking (and therefore the top-3
+    selection) is identical to log-idf for any monotone idf.
+
+    Three small relations derived from one token explode — per-(doc,term)
+    counts, per-doc lengths, per-term document frequencies — joined back;
+    the corpus size N is a broadcast 1-row aggregate, never a driver-side
+    collect. Final per-doc top-3 is a row_number window partitioned by
+    doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.repartition("doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    doclen = cnt.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
+    df = cnt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    score = (F.col("cnt") / F.col("len").cast("double")) * (
+        F.col("n_docs") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        cnt.join(doclen, "doc_id")
+        .join(df, "w")
+        .crossJoin(F.broadcast(ndocs))
+        .select("doc_id", "w", "cnt", "df", score.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 QUERIES = {
     "docs_text_stats": docs_text_stats,
     "docs_lang_id": docs_lang_id,
@@ -245,6 +406,9 @@ QUERIES = {
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "docs_train_split": docs_train_split,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_repetition_filter": docs_repetition_filter,
+    "docs_contamination": docs_contamination,
+    "token_tfidf": token_tfidf,
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -335,6 +499,82 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token ASC
         LIMIT 100
+    """,
+    "docs_repetition_filter": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        top AS (
+            SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_token_frac
+            FROM cnt GROUP BY doc_id
+        ),
+        dup AS (
+            SELECT doc_id, source,
+                   1.0 - len(list_distinct(bi)) / CAST(len(bi) AS DOUBLE)
+                       AS dup_bigram_frac
+            FROM (
+                SELECT doc_id, source,
+                       list_transform(range(1, len(string_split(text, ' '))),
+                           i -> string_split(text, ' ')[i] || ' '
+                                || string_split(text, ' ')[i + 1]) AS bi
+                FROM documents
+            )
+        )
+        SELECT d.doc_id, d.source, t.top_token_frac, d.dup_bigram_frac,
+               (t.top_token_frac <= {_REP_TOP_FRAC}
+                AND d.dup_bigram_frac <= {_REP_DUP_BIGRAM}) AS keep
+        FROM dup d JOIN top t ON d.doc_id = t.doc_id
+    """,
+    "docs_contamination": f"""
+        WITH g AS (
+            SELECT doc_id, source, unnest(
+                CASE WHEN len(string_split(text, ' ')) >= {_CONTAM_GRAM} THEN
+                    list_distinct(list_transform(
+                        range(1, len(string_split(text, ' ')) - {_CONTAM_GRAM - 2}),
+                        i -> list_aggregate(
+                            string_split(text, ' ')[i:i + {_CONTAM_GRAM - 1}],
+                            'string_agg', ' ')))
+                ELSE [NULL] END) AS gram
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE source = '{_BENCH_SOURCE}'),
+        ev AS (
+            SELECT doc_id, source,
+                   count(gram) AS n_grams,
+                   count(*) FILTER (gram IN (SELECT gram FROM bench))
+                       AS n_contaminated
+            FROM g WHERE source <> '{_BENCH_SOURCE}'
+            GROUP BY doc_id, source
+        )
+        SELECT doc_id, source, n_grams, n_contaminated,
+               n_contaminated > 0 AS is_contaminated
+        FROM ev
+    """,
+    "token_tfidf": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        cnt AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+        doclen AS (SELECT doc_id, sum(cnt) AS len FROM cnt GROUP BY doc_id),
+        df AS (SELECT w, count(*) AS df FROM cnt GROUP BY w),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT c.doc_id, c.w, c.cnt, df.df,
+                   (c.cnt / CAST(l.len AS DOUBLE))
+                       * (n.n_docs / CAST(df.df AS DOUBLE)) AS tfidf
+            FROM cnt c
+            JOIN doclen l ON c.doc_id = l.doc_id
+            JOIN df ON c.w = df.w
+            CROSS JOIN n
+        )
+        SELECT doc_id, w, cnt, df, tfidf, rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= 3
     """,
     "docs_rolling_fingerprint": f"""
         SELECT doc_id, roll_hash, CAST(roll_hash % 256 AS INT) AS roll_bucket, n_chars
