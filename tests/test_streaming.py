@@ -586,3 +586,87 @@ def test_checkpoint_recovery_no_redelivery(spark, tmp_path):
 
     ids = [json.loads(p["event"]["data"]["new"])["id"] for p in payloads]
     assert ids == [1, 2], ids  # id 1 exactly once, id 2 delivered on restart
+
+
+def test_streaming_replay_dedup(spark, tmp_path):
+    """SURVEY §7 #5, streaming half: a redelivered change (same
+    deterministic id, here `seq`) arriving in a LATER micro-batch is
+    collapsed by dropDuplicatesWithinWatermark — exactly-once effect at
+    the receiver with state bounded by the replay horizon."""
+    from postgres_cdc_plugin_spark.streaming import receiver
+
+    feed = tmp_path / "replay_feed"
+    out: list = []
+
+    def ch(seq, key, hhmm):
+        c = _change(seq, "INSERT", new=_row(key, "A", 1))
+        c["key"] = str(key)
+        c["ts"] = f"2024-01-01T{hhmm}:00.000000"
+        return c
+
+    changefeed.write_chunk(str(feed), [ch(1, 1, "10:00"), ch(2, 2, "10:01")])
+    changefeed.write_chunk(str(feed), [ch(1, 1, "10:00"), ch(3, 3, "10:02")])
+
+    src = changefeed.read_stream(spark, str(feed), maxFilesPerTrigger="1")
+    deduped = receiver.dedup_replays(src, id_col="seq", ts_col="ts")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "replay_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    seqs = sorted(r.seq for r in out)
+    assert seqs == [1, 2, 3], f"replay not collapsed exactly-once: {seqs}"
+
+
+def test_stream_stream_ack_join(spark, tmp_path):
+    """Watermarked stream-stream join: change events correlate with
+    receiver acks inside the delay horizon; an ack beyond max_delay
+    never matches. The time-range condition is what bounds join state."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.streaming import receiver
+
+    ev_feed = tmp_path / "ev_feed"
+    ack_feed = tmp_path / "ack_feed"
+    out: list = []
+
+    def ch(seq, hhmmss):
+        c = _change(seq, "INSERT", new=_row(seq, "A", 1))
+        c["ts"] = f"2024-01-01T{hhmmss}.000000"
+        return c
+
+    changefeed.write_chunk(str(ev_feed), [ch(1, "10:00:00"), ch(2, "10:01:00")])
+    import json as _json
+    import os as _os
+
+    _os.makedirs(str(ack_feed), exist_ok=True)
+    acks = [
+        {"ack_event_id": "1", "ack_ts": "2024-01-01T10:00:30.000000", "ack_status": "OK"},
+        # 25 min after event 2 — outside the 10 min horizon, must not join
+        {"ack_event_id": "2", "ack_ts": "2024-01-01T10:26:00.000000", "ack_status": "OK"},
+    ]
+    with open(ack_feed / "acks.json", "w") as f:
+        for a in acks:
+            f.write(_json.dumps(a) + "\n")
+
+    ev = changefeed.read_stream(spark, str(ev_feed)).select(
+        F.col("seq").cast("string").alias("event_id"), "ts"
+    )
+    ak = spark.readStream.schema(receiver.ACK_SCHEMA).json(str(ack_feed))
+    joined = receiver.ack_latency_join(ev, ak)
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ack_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    assert [(r.event_id, r.latency_seconds, r.ack_status) for r in out] == [
+        ("1", 30.0, "OK")
+    ], out
