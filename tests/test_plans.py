@@ -11,7 +11,7 @@ values stay correct.
 
 from __future__ import annotations
 
-from postgres_cdc_plugin_spark.operators import analytics, cdc, dedup
+from postgres_cdc_plugin_spark.operators import analytics, cdc, dedup, text
 from postgres_cdc_plugin_spark.plans import inspect
 
 
@@ -180,3 +180,27 @@ def test_shipping_priority_plan_shape(spark, sf_dir):
     pushed = " ".join(inspect.pushed_filters(df))
     assert "o_orderdate" in pushed and "l_shipdate" in pushed, pushed
     assert "TakeOrderedAndProject" in inspect.physical_plan(df)
+
+
+def test_contamination_bench_side_broadcasts(spark, sf_dir):
+    # the benchmark gram set is tiny relative to the corpus: the
+    # membership probe must be a broadcast join, never sort-merge
+    df = text.docs_contamination(spark, sf_dir)
+    kinds = inspect.join_kinds(df)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds, kinds
+
+
+def test_repetition_filter_gram_build_is_narrow(spark, sf_dir):
+    # the bigram-dup side is a pure projection; only the token-count
+    # aggregation and the doc_id join may shuffle
+    df = text.docs_repetition_filter(spark, sf_dir)
+    assert inspect.exchange_count(df) <= 4, inspect.physical_plan(df)
+
+
+def test_tfidf_corpus_size_is_broadcast_not_collected(spark, sf_dir):
+    # N (corpus size) must enter the plan as a broadcast 1-row relation,
+    # not a driver-side collect baked into a literal
+    df = text.token_tfidf(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
