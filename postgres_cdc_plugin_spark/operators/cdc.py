@@ -387,7 +387,49 @@ def receiver_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance from the change log.
+
+    The third canonical CDC consumer materialization (after latest-state
+    compaction and SCD2 history): maintain `SELECT key, count(*),
+    sum(value)` WITHOUT rescanning the base table by folding each
+    change's delta — INSERT contributes (+1, +new), DELETE (-1, -old),
+    UPDATE (0, new-old). Old images reconstruct as the previous event
+    per key (lag window — same convention as cdc_column_diff). A
+    consumer adds these deltas to its materialized aggregates per
+    micro-batch; net_rows also tells whether the key currently exists.
+
+    One shuffle total at any scale: the lag window partitions by
+    user_id and the groupBy reuses that exact partitioning.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    op = _op_expr()
+    d = ev.select(
+        "user_id",
+        op.alias("op"),
+        "value",
+        F.lag("value").over(w).alias("old_value"),
+    )
+    d_rows = (
+        F.when(F.col("op") == "INSERT", 1)
+        .when(F.col("op") == "DELETE", -1)
+        .otherwise(0)
+    )
+    d_sum = (
+        F.when(F.col("op") == "INSERT", F.col("value"))
+        .when(F.col("op") == "DELETE", -F.coalesce("old_value", F.lit(0.0)))
+        .otherwise(F.col("value") - F.coalesce("old_value", F.lit(0.0)))
+    )
+    return d.groupBy("user_id").agg(
+        F.sum(d_rows).cast("long").alias("net_rows"),
+        # rounded: double sum order varies with partitioning
+        F.round(F.sum(d_sum), 2).alias("net_value"),
+    )
+
+
 QUERIES = {
+    "cdc_delta_agg": cdc_delta_agg,
     "receiver_replay_dedup": receiver_replay_dedup,
     "props_json_extract": props_json_extract,
     "creds_display_format": creds_display_format,
@@ -407,6 +449,24 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cdc_delta_agg": f"""
+        WITH d AS (
+            SELECT user_id, {_OP_SQL} AS op, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS old_value
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN op = 'INSERT' THEN 1
+                             WHEN op = 'DELETE' THEN -1 ELSE 0 END) AS BIGINT)
+                   AS net_rows,
+               round(sum(CASE WHEN op = 'INSERT' THEN value
+                              WHEN op = 'DELETE' THEN -coalesce(old_value, 0.0)
+                              ELSE value - coalesce(old_value, 0.0) END), 2)
+                   AS net_value
+        FROM d
+        GROUP BY user_id
+    """,
     "receiver_replay_dedup": """
         SELECT id, user_id, value, created_at
         FROM (

@@ -440,7 +440,72 @@ def docs_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    verified SimHash near-dup pairs, labeling every involved document
+    with the smallest doc_id reachable from it (the cluster canonical).
+
+    Pairwise dedup (docs_simhash_dedup) drops doc_b of each pair, which
+    over-deletes on chains (a~b, b~c but a!~c). Cluster-based dedup
+    keeps exactly one doc per component — the standard corpus-dedup
+    refinement. Components are computed by Pregel-style min-label
+    propagation: each round every vertex takes the min of its own and
+    its neighbors' labels; rounds = graph diameter (log-ish for
+    near-dup graphs, whose components are tiny and dense). Each round
+    is one shuffle join on the vertex id; the only driver-side values
+    are the per-round convergence counts (a scalar), never the data.
+    The DuckDB oracle computes the same closure with WITH RECURSIVE —
+    an iterative Spark algorithm still fully value-checked.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = _simhash_pairs_df(docs).select("doc_a", "doc_b")
+    # localCheckpoint (not persist): each round's plan would otherwise
+    # nest the full SimHash candidate plan plus every prior round —
+    # lineage must be CUT, not just cached, or plan construction itself
+    # blows up after a few iterations
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; near-dup components are tiny
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
 QUERIES = {
+    "docs_dup_clusters": docs_dup_clusters,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_fingerprint_groups": docs_fingerprint_groups,
     "docs_minhash_sigs": docs_minhash_sigs,
@@ -552,6 +617,24 @@ _SIMHASH_PAIRS_SQL = f"""
 """
 
 ORACLE_SQL = {
+    "docs_dup_clusters": f"""
+        WITH RECURSIVE p AS ({_SIMHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM p
+            UNION ALL
+            SELECT doc_b, doc_a FROM p
+        ),
+        verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT e.t, reach.r FROM edges e JOIN reach ON e.s = reach.doc_id
+        ),
+        lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM lab
+    """,
     "docs_simhash": f"""
         SELECT doc_id, blk1, blk2, blk3, blk4,
                {_SIMHASH_COMBINED_SQL} AS simhash
