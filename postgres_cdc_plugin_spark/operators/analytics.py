@@ -756,6 +756,66 @@ def lineitem_ship_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window rate limiting: per user, the count of events in
+    the 60 seconds up to each event (RANGE frame over event time) and a
+    throttled flag above the allowance — the batch analog of the
+    delivery pacing the reference's queue poller imposes
+    (src/cdc_webhook_worker.c:64 one-second cadence; retry scheduling
+    src/cdc_webhook.c:103-109).
+
+    A RANGE-framed window over unix event time: one shuffle on user_id,
+    frame evaluation is a per-partition sliding pointer (no self-join,
+    no explode). At 100 TB the change log is already partitioned by
+    key, making the window partition-local.
+    """
+    ev = load(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-60, Window.currentRow)
+    )
+    n_60s = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        n_60s.alias("n_last_60s"),
+        (n_60s > 3).alias("throttled"),
+    )
+
+
+def customer_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier screen over account balances — the data-quality
+    anomaly gate a pipeline runs before trusting a batch (§2.4
+    absent-category: global statistical aggregates driving a row-level
+    verdict).
+
+    The corpus mean/stddev reduce to a broadcast 1-row relation; each
+    row's z-score is then a narrow projection against it — no second
+    shuffle, no driver collect. The stats are rounded to 6 places
+    before the z computation so the per-row arithmetic is bit-identical
+    across engines (raw double aggregates are summation-order
+    dependent).
+    """
+    c = load(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.round(F.avg("c_acctbal"), 6).alias("mu"),
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sigma"),
+    )
+    z = (F.col("c_acctbal") - F.col("mu")) / F.col("sigma")
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            z.alias("z_score"),
+            (F.abs(z) > 2.0).alias("is_outlier"),
+        )
+    )
+
+
 def customer_pii_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII anonymization + k-anonymity audit over `customer`.
 
@@ -788,6 +848,8 @@ def customer_pii_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_rate_limit": events_rate_limit,
+    "customer_balance_outliers": customer_balance_outliers,
     "customer_pii_anonymize": customer_pii_anonymize,
     "orders_enrich_join": orders_enrich_join,
     "orders_shipping_priority": orders_shipping_priority,
@@ -822,6 +884,31 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_rate_limit": """
+        SELECT event_id, user_id, ts,
+               count(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(epoch(ts) AS BIGINT)
+                   RANGE BETWEEN 60 PRECEDING AND CURRENT ROW
+               ) AS n_last_60s,
+               count(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(epoch(ts) AS BIGINT)
+                   RANGE BETWEEN 60 PRECEDING AND CURRENT ROW
+               ) > 3 AS throttled
+        FROM events
+    """,
+    "customer_balance_outliers": """
+        WITH stats AS (
+            SELECT round(avg(c_acctbal), 6) AS mu,
+                   round(stddev_samp(c_acctbal), 6) AS sigma
+            FROM customer
+        )
+        SELECT c_custkey, c_acctbal,
+               (c_acctbal - mu) / sigma AS z_score,
+               abs((c_acctbal - mu) / sigma) > 2.0 AS is_outlier
+        FROM customer CROSS JOIN stats
+    """,
     "customer_pii_anonymize": """
         SELECT surrogate_key, redacted_name, c_nationkey, acctbal_band,
                c_mktsegment,
