@@ -13,7 +13,7 @@ combine) by construction; no collect() anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -213,13 +213,22 @@ def lineitem_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance per return flag — the data-profiling pass a pipeline runs
     before trusting a captured table. All partial-aggregable built-ins
     (one shuffle); rounded to 4 decimals because the parallel sum order
-    perturbs low-order bits."""
+    perturbs low-order bits. The rounded double round-trips through
+    DECIMAL(38,4) so the emitted representation is canonical: covar of
+    independent uniforms rounds to -0.0 in DuckDB but 0.0 in Spark,
+    which fails an exact value-hash (round-1 driver FAIL); the decimal
+    hop collapses both to +0.0 and pins the nearest-double of the
+    4-decimal value on both engines."""
     li = load(spark, sf_dir, "lineitem")
+
+    def r4(c: Column) -> Column:
+        return F.round(c, 4).cast("decimal(38,4)").cast("double")
+
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("l_quantity"), 4).alias("qty_variance"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("disc_tax_covar"),
+        r4(F.stddev_samp("l_extendedprice")).alias("price_stddev"),
+        r4(F.var_samp("l_quantity")).alias("qty_variance"),
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        r4(F.covar_samp("l_discount", "l_tax")).alias("disc_tax_covar"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -236,6 +245,22 @@ def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("price_p95"),
         F.expr("percentile(l_quantity, 0.5)").alias("qty_p50"),
+    )
+
+
+def lineitem_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile companion to lineitem_percentiles (§2.4) — the
+    100 TB scale path. Exact `percentile` is a full sort per group;
+    `approx_percentile` keeps a bounded quantile sketch per group
+    (mergeable, map-side partial), so memory is O(1/accuracy) per group
+    regardless of input size. Approximate, so no SQL oracle; registered
+    rows-only, with tests/test_analytics.py bounding its error against
+    the exact query (default accuracy 10000 => rank error <= 0.01%)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("price_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("price_p95"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("qty_p50"),
     )
 
 
@@ -861,6 +886,7 @@ QUERIES = {
     "orders_grouping_sets": orders_grouping_sets,
     "lineitem_stats_agg": lineitem_stats_agg,
     "lineitem_percentiles": lineitem_percentiles,
+    "lineitem_approx_percentiles": lineitem_approx_percentiles,
     "orders_quarterly": orders_quarterly,
     "approx_distinct_users": approx_distinct_users,
     "events_tumbling": events_tumbling,
@@ -1010,10 +1036,10 @@ ORACLE_SQL = {
     """,
     "lineitem_stats_agg": """
         SELECT l_returnflag,
-               round(stddev_samp(l_extendedprice), 4) AS price_stddev,
-               round(var_samp(l_quantity), 4) AS qty_variance,
-               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-               round(covar_samp(l_discount, l_tax), 4) AS disc_tax_covar,
+               CAST(CAST(round(stddev_samp(l_extendedprice), 4) AS DECIMAL(38,4)) AS DOUBLE) AS price_stddev,
+               CAST(CAST(round(var_samp(l_quantity), 4) AS DECIMAL(38,4)) AS DOUBLE) AS qty_variance,
+               CAST(CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(38,4)) AS DOUBLE) AS qty_price_corr,
+               CAST(CAST(round(covar_samp(l_discount, l_tax), 4) AS DECIMAL(38,4)) AS DOUBLE) AS disc_tax_covar,
                count(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
@@ -1072,7 +1098,7 @@ ORACLE_SQL = {
             ) AS session_id
             FROM flagged
         )
-        SELECT user_id, session_id,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events, round(sum(value), 2) AS session_value
         FROM sess

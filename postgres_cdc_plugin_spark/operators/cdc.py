@@ -70,6 +70,41 @@ def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read change-event envelope (P3, drift-tolerant variant).
+
+    The reference serializes row images with `row_to_json(OLD/NEW)`
+    (cdc_webhook--1.0.sql:266-277), which keeps working across ALTER
+    TABLE because the payload carries its own field names. This is the
+    Spark analog promised in SURVEY.md §1.4: the row image is a
+    string->string map rendered to JSON text, so a consumer reads fields
+    by name (schema-on-read) and added/dropped columns never break the
+    envelope's own schema. Old image NULL on INSERT, new NULL on DELETE.
+
+    Pure narrow projection — to_json/create_map are JVM built-ins inside
+    whole-stage codegen; no shuffle, no UDF. The streaming counterpart
+    (map_envelope in envelope.py) emits the same shape under readStream.
+    """
+    ev = load(spark, sf_dir, "events")
+    op = _op_expr()
+    row_json = F.to_json(
+        F.create_map(
+            F.lit("user_id"), F.col("user_id").cast("string"),
+            F.lit("value"), F.col("value").cast("string"),
+            F.lit("props"), F.col("props"),
+        )
+    )
+    return ev.select(
+        F.md5(F.concat_ws(":", F.lit("evt"), F.col("event_id").cast("string"))).alias("id"),
+        F.col("ts").alias("created_at"),
+        F.lit("public").alias("table_schema"),
+        F.lit("events").alias("table_name"),
+        op.alias("op"),
+        F.when(op != "INSERT", row_json).alias("old_row_json"),
+        F.when(op != "DELETE", row_json).alias("new_row_json"),
+    )
+
+
 def cdc_op_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operation-subscription filter (P1).
 
@@ -436,6 +471,7 @@ QUERIES = {
     "cdc_latest_state": cdc_latest_state,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_envelope": cdc_envelope,
+    "cdc_envelope_json": cdc_envelope_json,
     "cdc_op_filter": cdc_op_filter,
     "cdc_column_diff": cdc_column_diff,
     "creds_lookup_join": creds_lookup_join,
@@ -532,6 +568,24 @@ ORACLE_SQL = {
                CASE WHEN event_type <> 'signup' THEN value END AS old_value,
                CASE WHEN event_type <> 'error' THEN user_id END AS new_user_id,
                CASE WHEN event_type <> 'error' THEN value END AS new_value
+        FROM events
+    """,
+    "cdc_envelope_json": f"""
+        SELECT md5('evt:' || CAST(event_id AS VARCHAR)) AS id,
+               ts AS created_at,
+               'public' AS table_schema,
+               'events' AS table_name,
+               {_OP_SQL} AS op,
+               CASE WHEN event_type <> 'signup' THEN
+                   CAST(to_json(MAP {{'user_id': CAST(user_id AS VARCHAR),
+                                      'value': CAST(value AS VARCHAR),
+                                      'props': props}}) AS VARCHAR)
+               END AS old_row_json,
+               CASE WHEN event_type <> 'error' THEN
+                   CAST(to_json(MAP {{'user_id': CAST(user_id AS VARCHAR),
+                                      'value': CAST(value AS VARCHAR),
+                                      'props': props}}) AS VARCHAR)
+               END AS new_row_json
         FROM events
     """,
     "cdc_op_filter": """

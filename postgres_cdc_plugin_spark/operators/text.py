@@ -453,7 +453,10 @@ ORACLE_SQL = {
         ),
         agg AS (
             SELECT doc_id, lang, count(*) AS n_tokens,
-                   sum(CASE WHEN w IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS n_stopwords
+                   -- BIGINT cast: DuckDB sum(int) is HUGEINT, which pandas
+                   -- renders as float64 and the driver's value-hash then
+                   -- sees 10.0 vs Spark's 10
+                   CAST(sum(CASE WHEN w IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
             FROM tok
             GROUP BY doc_id, lang
         )

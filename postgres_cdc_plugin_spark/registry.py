@@ -5,7 +5,15 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * every oracle key has a query;
   * queries without an oracle entry are intentionally rows-only
     (non-SQL-expressible ops, e.g. approximate sketches / LSH ANN) and
-    must be listed in ROWS_ONLY.
+    must be listed in ROWS_ONLY;
+  * registration order follows PRIORITY_ORDER (below) — the driver's
+    round-1 CORRECTNESS run covered only the first 50 registered
+    queries, so queries with no driver evidence yet (the whole
+    docs_/embed_/token_/multimodal_ family) plus round-1 hash-fail
+    fixes are registered FIRST; round-1-green queries fill the tail.
+    docs_dup_clusters sits at the end of the 50-query window: its
+    recursive-CTE oracle is the most expensive, so if the driver run
+    dies there, everything before it still gets a CORRECTNESS row.
 """
 
 from __future__ import annotations
@@ -25,21 +33,96 @@ ROWS_ONLY = {
     "embed_ann_lsh",
     "multimodal_features",
     "multimodal_frame_sample",
+    "lineitem_approx_percentiles",
 }
+
+# Explicit registration order. Names listed here come first, in this
+# order; anything registered by a module but not listed appends after,
+# in module order (so new queries are never silently dropped —
+# test_registry_consistency asserts the full set matches).
+PRIORITY_ORDER = [
+    # -- never driver-checked in round 1: dedup family (minus the
+    #    expensive dup_clusters, hedged to position 50)
+    "docs_exact_dedup",
+    "docs_fingerprint_groups",
+    "docs_minhash_sigs",
+    "docs_minhash_pairs",
+    "docs_minhash_dedup",
+    "docs_ngram_jaccard",
+    "docs_simhash",
+    "docs_simhash_pairs",
+    "docs_simhash_dedup",
+    # -- never driver-checked: text / token family
+    "docs_text_stats",
+    "docs_lang_id",
+    "docs_quality_score",
+    "docs_content_fingerprint",
+    "docs_token_counts",
+    "token_frequencies",
+    "docs_rolling_fingerprint",
+    "docs_train_split",
+    "docs_stratified_sample",
+    "docs_repetition_filter",
+    "docs_contamination",
+    "token_tfidf",
+    # -- never driver-checked: embedding similarity family
+    "embed_quantize",
+    "embed_knn",
+    "embed_centroids",
+    "embed_neardup_pairs",
+    "embed_neardup_dedup",
+    "embed_ann_lsh",
+    "embed_ann_ivf",
+    "embed_norm_stats",
+    # -- never driver-checked: multimodal family
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # -- round-1 driver hash FAILs, fixed round 2 — need fresh evidence
+    "lineitem_stats_agg",
+    "events_sessionize",
+    # -- new round-2 queries
+    "lineitem_approx_percentiles",
+    "cdc_envelope_json",
+    # -- round-1-green fillers up to position 49 (diverse families)
+    "cdc_envelope",
+    "cdc_delta_agg",
+    "creds_last_wins",
+    "queue_ready_topk",
+    "status_counts",
+    "lineitem_pricing_agg",
+    "orders_enrich_join",
+    "grouping_rollup",
+    "events_tumbling",
+    "events_session_window",
+    "events_asof_join",
+    "top_customers_per_nation",
+    "customer_pii_anonymize",
+    # -- position 50: the expensive recursive-CTE oracle, last in window
+    "docs_dup_clusters",
+    # -- everything after this appends in module order (round-1 green)
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         for name, fn in mod.QUERIES.items():
-            if name in out:
+            if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
-            out[name] = fn
+            merged[name] = fn
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in PRIORITY_ORDER:
+        if name in merged:
+            out[name] = merged.pop(name)
+    out.update(merged)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
+    merged: dict[str, str] = {}
     for mod in _MODULES:
-        out.update(getattr(mod, "ORACLE_SQL", {}))
-    return out
+        merged.update(getattr(mod, "ORACLE_SQL", {}))
+    ordered = {n: merged.pop(n) for n in PRIORITY_ORDER if n in merged}
+    ordered.update(merged)
+    return ordered

@@ -53,17 +53,28 @@ def duck(sf_dir):
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name and rows by all values — the driver's
-    order-insensitive compare."""
+    """Canonical exact form: sort columns by name, stringify every cell,
+    sort rows. Matches the driver's order-insensitive value-hash bar —
+    floats go through repr, so a 1-ulp difference, -0.0 vs 0.0, or an
+    int64-vs-float64 dtype drift (DuckDB HUGEINT sums land in pandas as
+    float64) all FAIL here, exactly as they fail the driver's hash.
+    (Round 1 shipped two driver hash fails that the old rtol=1e-9
+    compare waved through.)"""
     df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame(index=df.index)
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("datetime64"):
-            # unify resolution: pandas' assert_frame_equal mishandles
-            # mixed us/ns resolution when NaT is present
-            df[c] = df[c].astype("datetime64[ns]")
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+        s = df[c]
+        if str(s.dtype).startswith("datetime64"):
+            # unify resolution: pandas mishandles mixed us/ns with NaT
+            s = s.astype("datetime64[ns]")
+        mask = s.isna()
+        if str(s.dtype).startswith("float"):
+            vals = s.map(repr)
+        else:
+            vals = s.astype(str)
+        vals = vals.mask(mask, "<NULL>")
+        out[c] = vals
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
 def assert_parity(spark_df, duck_rel, name: str):
@@ -73,4 +84,10 @@ def assert_parity(spark_df, duck_rel, name: str):
     assert list(sp.columns) == list(dk.columns), (
         f"{name}: columns {list(sp.columns)} != oracle {list(dk.columns)}"
     )
-    pd.testing.assert_frame_equal(sp, dk, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+    if not sp.equals(dk):
+        diff = (sp != dk).any(axis=1)
+        raise AssertionError(
+            f"{name}: exact value mismatch on {int(diff.sum())}/{len(sp)} rows\n"
+            f"spark:\n{sp[diff].head(5).to_string()}\n"
+            f"oracle:\n{dk[diff].head(5).to_string()}"
+        )

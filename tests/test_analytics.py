@@ -10,6 +10,19 @@ from postgres_cdc_plugin_spark.operators import analytics as A
 from postgres_cdc_plugin_spark.session import load
 
 
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """approx_percentile (accuracy=10000) vs the exact full-sort
+    percentile: at these scales the sketch's rank error (<=0.01%) means
+    the returned value must be within a tight relative band of exact."""
+    approx = {r.l_returnflag: r for r in A.lineitem_approx_percentiles(spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r for r in A.lineitem_percentiles(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        for col in ("price_p50", "price_p95", "qty_p50"):
+            a, e = approx[k][col], exact[k][col]
+            assert abs(a - e) / abs(e) <= 0.01, f"{k}.{col}: {a} vs exact {e}"
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     approx = {
         r.event_type: r.approx_users
