@@ -1,8 +1,13 @@
 """Benchmark harness: runs the registered query surface at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+   "n_queries": N, "queries": {<5 slowest>: sec}, "detail": path}
+
+The full per-query timing map goes to BENCH_DETAIL.json next to this
+file — round 1's single long stdout line was tail-truncated by the
+driver's capture (BENCH_r01 parsed: null), so the parseable line must
+stay short.
 
 Each query is materialized through the noop sink (full execution, no
 driver collect, no disk write) — the same way a cluster job would be
@@ -69,7 +74,8 @@ def main() -> int:
             print(f"bench error in {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail = {
         "metric": "query_surface_wall_clock",
         "value": total,
         "unit": "sec",
@@ -77,7 +83,20 @@ def main() -> int:
         "sf": _sf_of(sf_dir),
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    out = {
+        "metric": "query_surface_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_of(sf_dir),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
     print(json.dumps(out))
     spark.stop()
     return 1 if errors else 0

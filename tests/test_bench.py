@@ -26,16 +26,25 @@ def _run(args, sf="/root/testdata/sf0.001"):
 def test_bench_json_contract():
     proc = _run(["cdc_op_filter", "status_counts"])
     assert proc.returncode == 0, proc.stderr[-2000:]
-    # exactly one JSON line on stdout
+    # exactly one JSON line on stdout, and it must stay SHORT — the
+    # driver tail-captures stdout and a long line gets truncated into
+    # unparseable JSON (round-1 BENCH parsed: null)
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     assert len(lines) == 1, proc.stdout[-2000:]
+    assert len(lines[0]) < 1000
     out = json.loads(lines[0])
     assert out["metric"] == "query_surface_wall_clock"
     assert out["unit"] == "sec"
     assert out["sf"] == 0.001
+    assert out["n_queries"] == 2
+    assert out["n_errors"] == 0
     assert set(out["queries"]) == {"cdc_op_filter", "status_counts"}
-    assert all(v >= 0 for v in out["queries"].values())
     assert abs(out["value"] - sum(out["queries"].values())) < 0.01
+    # full per-query map lands in BENCH_DETAIL.json
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    assert set(detail["queries"]) == {"cdc_op_filter", "status_counts"}
+    assert all(v >= 0 for v in detail["queries"].values())
 
 
 def test_bench_unknown_query_exits_2():
