@@ -31,6 +31,7 @@ _QUERY_VEC_ID = 0
 _TOP_K = 10
 _N_PROBE = 3  # IVF cells probed
 _NEARDUP_THRESHOLD = 0.30
+_NEARDUP_TILES = 8  # block-matrix tiling factor for the exact pair join
 
 
 def _dot(a, b):
@@ -92,51 +93,77 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
-    Block-matrix similarity join: the right side is collected and
-    broadcast (it is the dimension-sized side here — same posture as a
-    broadcast hash join; at larger scale, tile it and union per-tile
-    joins), the left side streams through mapInPandas, and each Arrow
-    batch computes an A @ B^T BLAS matmul instead of per-pair array
-    folds — ~100x the element throughput of a pairwise expression join.
-    Exact but quadratic; embed_ann_lsh is the approximate scale path.
+    Tiled block-matrix similarity join, fully executor-side (round 1
+    collected the whole table to the driver and broadcast it — an OOM
+    at 100x scale). Vectors hash into _NEARDUP_TILES tiles on vec_id;
+    every unordered tile pair (i <= j) becomes one shuffle group, and
+    applyInPandas computes that block's A @ B^T as one BLAS matmul —
+    ~100x the element throughput of a per-pair expression join. Each
+    vector is replicated T+1 times (its row-of-blocks plus its
+    column-of-blocks), so shuffle volume is (T+1) * corpus while peak
+    task memory is 2/T of the corpus: T tunes replication against tile
+    size, and at 100 TB T grows ~ sqrt(corpus / executor memory).
+    Exact but quadratic in compute; embed_ann_lsh is the approximate
+    scale path.
     """
     import numpy as np
     import pandas as pd
 
+    t_count = _NEARDUP_TILES
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        # single-file source -> one input split; spread the quadratic
-        # matmul work across cores
-        .repartition("vec_id")
+        .withColumn("tile", F.pmod("vec_id", F.lit(t_count)).cast("int"))
     )
-    pdf = emb.toPandas()
-    b_ids = pdf["vec_id"].to_numpy()
-    b_mat = np.stack(pdf["v"].to_numpy())
-    b_norm = np.linalg.norm(b_mat, axis=1)
-    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+    keys = spark.createDataFrame(
+        [(i, j) for i in range(t_count) for j in range(i, t_count)], "i int, j int"
+    )
+    a_side = emb.join(F.broadcast(keys), emb.tile == keys.i).select(
+        "i", "j", F.lit("a").alias("side"), "vec_id", "v"
+    )
+    b_side = emb.join(F.broadcast(keys), emb.tile == keys.j).select(
+        "i", "j", F.lit("b").alias("side"), "vec_id", "v"
+    )
 
-    def block(batches):
-        ids_b, mat_b, norm_b = bc.value
-        for batch in batches:
-            a_ids = batch["vec_id"].to_numpy()
-            a_mat = np.stack(batch["v"].to_numpy())
-            sims = (a_mat @ mat_b.T) / np.outer(
-                np.linalg.norm(a_mat, axis=1), norm_b
-            )
-            sims = np.round(sims, 6)
-            ai, bi = np.nonzero(
-                (sims >= _NEARDUP_THRESHOLD) & (a_ids[:, None] < ids_b[None, :])
-            )
-            yield pd.DataFrame(
+    def tile_block(key, pdf):
+        i, j = key
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if not len(a) or not len(b):
+            return pd.DataFrame(
                 {
-                    "vec_a": a_ids[ai],
-                    "vec_b": ids_b[bi],
-                    "cosine_sim": sims[ai, bi],
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cosine_sim": pd.Series(dtype="float64"),
                 }
             )
+        a_ids = a["vec_id"].to_numpy()
+        b_ids = b["vec_id"].to_numpy()
+        a_mat = np.stack(a["v"].to_numpy())
+        b_mat = np.stack(b["v"].to_numpy())
+        sims = (a_mat @ b_mat.T) / np.outer(
+            np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
+        )
+        sims = np.round(sims, 6)
+        mask = sims >= _NEARDUP_THRESHOLD
+        if i == j:
+            # diagonal block carries both orientations + the diagonal
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        va, vb = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cosine_sim": sims[ai, bi],
+            }
+        )
 
-    return emb.mapInPandas(block, "vec_a bigint, vec_b bigint, cosine_sim double")
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("i", "j")
+        .applyInPandas(tile_block, "vec_a bigint, vec_b bigint, cosine_sim double")
+    )
 
 
 def _plane_coeffs(table: int) -> list[list[float]]:
