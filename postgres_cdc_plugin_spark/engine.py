@@ -71,7 +71,10 @@ class CdcEngine:
         if cfg.mode == "ASYNC":
             sink = self.queue.enqueue_sink(cfg)
         else:
-            ws = WebhookSink(cfg, url, headers)
+            ws = WebhookSink(
+                cfg, url, headers,
+                attempts_path=os.path.join(self.workdir, "attempts", key),
+            )
             self._sinks[key] = ws
             sink = ws
         writer = (
@@ -88,8 +91,22 @@ class CdcEngine:
         return writer.start()
 
     def start_worker(self, cfg: SubscriptionConfig, cadence_seconds: int = 1) -> StreamingQuery:
-        url, headers = self._resolve(cfg)
-        return self.queue.start_poller(cfg, url, headers, cadence_seconds)
+        """ASYNC delivery worker. Credentials re-resolve EVERY tick (the
+        reference worker's SIGHUP config reload,
+        src/cdc_webhook_worker.c:69-74): rotating a PRIVATE
+        subscription's URL or headers in the credential store takes
+        effect on the next poll cycle with no worker restart. PUBLIC
+        subscriptions deliver to each event's stored webhook_url (url
+        override None)."""
+
+        def _resolve_tick():
+            if cfg.security == "PRIVATE":
+                return self.creds.resolve(cfg)
+            return None, dict(cfg.headers)
+
+        return self.queue.start_poller(
+            cfg, cadence_seconds=cadence_seconds, resolver=_resolve_tick
+        )
 
     def sink_of(self, cfg: SubscriptionConfig) -> WebhookSink:
         return self._sinks[f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}"]

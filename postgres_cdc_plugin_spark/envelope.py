@@ -12,8 +12,8 @@ row images are JSON strings (F.to_json(struct(*)) is the row_to_json
 analog, and keeps the envelope schema stable under monitored-table schema
 drift, matching the reference's schema-on-read payloads §1.3).
 
-Event ids are deterministic (md5 over table identity + change sequence)
-instead of gen_random_uuid() (cdc_webhook--1.0.sql:254): under
+Event ids are deterministic (md5 over table identity + row key + per-key
+change sequence) instead of gen_random_uuid() (cdc_webhook--1.0.sql:254): under
 at-least-once replay the receiver can dedup by id — a deliberate,
 documented divergence (SURVEY.md §7 hard-point 5).
 """
@@ -36,12 +36,23 @@ from .config import SubscriptionConfig
 
 
 def event_id(cfg: SubscriptionConfig) -> Column:
+    """Deterministic event id: md5(schema:table:trigger:key:seq).
+
+    `seq` is PER-KEY capture order (see module header), so the row key
+    MUST participate in the hash — without it, changes to different
+    rows that share a seq collide on id and the receiver's replay dedup
+    (receiver.py, keyed on id) silently drops distinct events. Keyless
+    feeds contribute an empty key segment, which degrades to requiring
+    globally-unique seq (the capture source guarantees that for
+    keyless feeds). Callers without a `key` column must add one first
+    (project_envelope does)."""
     return F.md5(
         F.concat_ws(
             ":",
             F.lit(cfg.schema_name),
             F.lit(cfg.table_name),
             F.lit(cfg.name),
+            F.coalesce(F.col("key").cast("string"), F.lit("")),
             F.col("seq").cast("string"),
         )
     )
@@ -81,10 +92,11 @@ def envelope_column(cfg: SubscriptionConfig) -> Column:
 def project_envelope(changes: DataFrame, cfg: SubscriptionConfig) -> DataFrame:
     """P3 envelope projection: narrow column ops, no shuffle. Keeps the
     key/seq columns alongside for sink-side per-key ordering."""
-    key = F.col("key") if "key" in changes.columns else F.lit(None).cast("string")
+    if "key" not in changes.columns:
+        changes = changes.withColumn("key", F.lit(None).cast("string"))
     return changes.select(
         F.col("seq"),
-        key.alias("key"),
+        F.col("key"),
         F.col("op"),
         envelope_column(cfg).alias("envelope"),
         F.to_json(envelope_column(cfg), {"ignoreNullFields": "false"}).alias(

@@ -478,6 +478,10 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # convergence detection rides INSIDE the label join (`improved`
+        # = some neighbor offered a smaller label) instead of a separate
+        # new-vs-old join — one fewer shuffle join per round, and the
+        # existence check runs over the already-checkpointed partitions
         new_labels = (
             labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
             .select(
@@ -486,16 +490,14 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"),
                     F.coalesce("nbr_min", F.col("cluster_id")),
                 ).alias("cluster_id"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("cluster_id"), F.lit(False)
+                ).alias("improved"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("improved").limit(1).count()
+        labels = new_labels.drop("improved")
         if changed == 0:
             break
     w = Window.partitionBy("cluster_id")

@@ -235,6 +235,56 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_TOKENS = 64  # tokens per training chunk
+_CHUNK_STRIDE = 48  # chunk start spacing (16-token overlap)
+
+
+def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking — the context-window
+    packing step of a training-data pipeline: every document becomes
+    ceil(n_tokens/stride) chunks of up to _CHUNK_TOKENS tokens starting
+    every _CHUNK_STRIDE (16-token overlap carries context across
+    boundaries; the short tail chunk is kept).
+
+    All built-ins (split/sequence/explode/slice/array_join), so chunk
+    ids and hashes are bit-identical across engines. Narrow explode —
+    no shuffle at any scale; output rows ~ corpus_tokens/stride."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            toks.alias("toks"),
+            F.explode(
+                F.sequence(F.lit(0), F.floor((n - 1) / _CHUNK_STRIDE).cast("int"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_id",
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.col("chunk_id") * _CHUNK_STRIDE + 1,
+                    _CHUNK_TOKENS,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_id",
+            F.size(F.split(F.col("chunk_text"), " ")).alias("chunk_tokens"),
+            F.length("chunk_text").alias("chunk_chars"),
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+    )
+
+
 _REP_TOP_FRAC = 0.1  # most-frequent-token share above which a doc is repetitive
 _REP_DUP_BIGRAM = 0.05  # duplicate-bigram share threshold (Gopher-style)
 _CONTAM_GRAM = 5  # token n-gram width for benchmark-contamination checks
@@ -409,6 +459,7 @@ QUERIES = {
     "docs_repetition_filter": docs_repetition_filter,
     "docs_contamination": docs_contamination,
     "token_tfidf": token_tfidf,
+    "docs_chunks": docs_chunks,
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -416,6 +467,30 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _SPLIT_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 ORACLE_SQL = {
+    "docs_chunks": f"""
+        WITH base AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        numbered AS (
+            SELECT doc_id, lang, toks,
+                   unnest(range(0, (len(toks) - 1) // {_CHUNK_STRIDE} + 1)) AS chunk_id
+            FROM base
+        ),
+        chunked AS (
+            SELECT doc_id, lang, CAST(chunk_id AS INT) AS chunk_id,
+                   array_to_string(
+                       list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                                  chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}),
+                       ' ') AS chunk_text
+            FROM numbered
+        )
+        SELECT doc_id, lang, chunk_id,
+               CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_tokens,
+               CAST(length(chunk_text) AS BIGINT) AS chunk_chars,
+               md5(chunk_text) AS chunk_hash
+        FROM chunked
+    """,
     "docs_train_split": f"""
         SELECT lang, split, count(*) AS n_docs,
                round(avg(n_chars), 2) AS avg_chars

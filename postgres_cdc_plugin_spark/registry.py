@@ -65,6 +65,7 @@ PRIORITY_ORDER = [
     "docs_repetition_filter",
     "docs_contamination",
     "token_tfidf",
+    "docs_chunks",
     # -- never driver-checked: embedding similarity family
     "embed_quantize",
     "embed_knn",
@@ -97,7 +98,6 @@ PRIORITY_ORDER = [
     "events_session_window",
     "events_asof_join",
     "top_customers_per_nation",
-    "customer_pii_anonymize",
     # -- position 50: the expensive recursive-CTE oracle, last in window
     "docs_dup_clusters",
     # -- everything after this appends in module order (round-1 green)

@@ -46,10 +46,26 @@ CHANGE_SCHEMA = StructType(
 
 def parse_images(df: DataFrame, row_schema: str) -> DataFrame:
     """Parse the JSON row images into typed structs for column-diff
-    evaluation (P2 needs old.col/new.col access)."""
+    evaluation (P2 needs old.col/new.col access). Typed mode: fields
+    compare with their real types, but the schema is PINNED — an ALTER
+    TABLE on the monitored table drops/nulls new columns until the
+    subscription restarts with an updated row_schema."""
     return df.withColumn("old", F.from_json("old", row_schema)).withColumn(
         "new", F.from_json("new", row_schema)
     )
+
+
+def parse_images_map(df: DataFrame) -> DataFrame:
+    """Schema-on-read image parse: old/new become map<string,string>, so
+    the feed survives monitored-table schema drift (ALTER TABLE adds or
+    drops columns) with no subscription restart — the Spark analog of
+    the reference's row_to_json payloads staying valid across ALTER
+    (cdc_webhook--1.0.sql:266-277). Column-diff comparisons happen on
+    the string renditions (a typed 1 vs 1.0 distinction needs
+    parse_images instead)."""
+    return df.withColumn(
+        "old", F.from_json("old", "map<string,string>")
+    ).withColumn("new", F.from_json("new", "map<string,string>"))
 
 
 def read_stream(spark: SparkSession, feed_dir: str, **options: str) -> DataFrame:

@@ -11,8 +11,9 @@ from __future__ import annotations
 import operator
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType, StructType
 
 from ..config import SubscriptionConfig
 from ..envelope import project_envelope
@@ -25,21 +26,33 @@ def op_filter(changes: DataFrame, cfg: SubscriptionConfig) -> DataFrame:
     return changes.filter(F.col("op").isin(*cfg.operations))
 
 
+def _image_field(side: str, col: str, dtype) -> Column:
+    """Tracked-column accessor for either image representation: struct
+    field in typed mode, element_at in schema-on-read (map) mode — a
+    missing map key yields NULL, so a column added mid-stream diffs as
+    NULL-vs-value (fires) and a dropped one as NULL-vs-NULL (quiet)."""
+    if isinstance(dtype, StructType):
+        return F.col(f"{side}.{col}")
+    return F.element_at(F.col(side), col)
+
+
 def column_diff_gate(changes: DataFrame, cfg: SubscriptionConfig) -> DataFrame:
     """P2: on UPDATE, pass only if a tracked column changed — per-column
     `NEW.c IS DISTINCT FROM OLD.c`, OR-folded (cdc_webhook--1.0.sql:
     204-212, evaluated :229-235). eqNullSafe is the exact
     IS NOT DISTINCT FROM analog. Empty tracked set suppresses ALL update
-    events (README.md:119-122)."""
+    events (README.md:119-122). Works over typed-struct AND
+    map<string,string> (schema-on-read) images."""
     if "UPDATE" not in cfg.operations:
         return changes
     not_update = F.col("op") != "UPDATE"
     if not cfg.update_columns:
         return changes.filter(not_update)
+    dtype = changes.schema["new"].dataType
     any_changed = reduce(
         operator.or_,
         [
-            ~F.col(f"new.{c}").eqNullSafe(F.col(f"old.{c}"))
+            ~_image_field("new", c, dtype).eqNullSafe(_image_field("old", c, dtype))
             for c in cfg.update_columns
         ],
     )
@@ -49,5 +62,21 @@ def column_diff_gate(changes: DataFrame, cfg: SubscriptionConfig) -> DataFrame:
 def capture_pipeline(changes: DataFrame, cfg: SubscriptionConfig) -> DataFrame:
     """Full capture-side plan: returns (seq, op, envelope, payload) rows
     ready for a sink. Works identically on batch and streaming inputs —
-    the same declarative plan in both modes."""
+    the same declarative plan in both modes.
+
+    Image representation is schema-on-read by default: raw JSON-string
+    old/new images (the feed's wire format, CHANGE_SCHEMA) are parsed to
+    map<string,string>, which survives monitored-table ALTERs with no
+    subscription restart — the reference's row_to_json drift tolerance
+    (cdc_webhook--1.0.sql:266-277, SURVEY.md §1.4). Callers that ran
+    parse_images (typed structs) keep typed column-diff semantics."""
+    dtype = changes.schema["new"].dataType
+    if isinstance(dtype, StringType):
+        from ..sources.changefeed import parse_images_map
+
+        changes = parse_images_map(changes)
+    elif not isinstance(dtype, (StructType, MapType)):
+        raise TypeError(
+            f"old/new images must be json string, struct, or map — got {dtype}"
+        )
     return project_envelope(column_diff_gate(op_filter(changes, cfg), cfg), cfg)

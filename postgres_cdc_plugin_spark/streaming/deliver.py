@@ -57,18 +57,33 @@ def post_once(
     url: str, payload: str, headers: dict[str, str], timeout: int,
     conn: http.client.HTTPConnection | None = None,
 ) -> tuple[int, str | None, http.client.HTTPConnection | None]:
-    """One HTTP attempt (attempt_webhook_call, src/cdc_webhook.c:121-145).
+    """One HTTP(S) attempt (attempt_webhook_call, src/cdc_webhook.c:121-145).
     Returns (status, error, live_connection) — the connection is reused
-    by the caller when the server kept it alive."""
+    by the caller when the server kept it alive.
+
+    The reference hands the full URL to libcurl (src/cdc_webhook.c:129),
+    which negotiates TLS and preserves the query string; stdlib
+    http.client makes both OUR job: https selects HTTPSConnection
+    (default port 443) — never silently downgraded to cleartext port 80,
+    which would leak auth headers — the query string rides along in the
+    request target, and any other scheme is rejected outright."""
     parsed = urllib.parse.urlparse(url)
+    if parsed.scheme not in ("http", "https"):
+        return -1, f"unsupported url scheme: {parsed.scheme!r}", None
     try:
         if conn is None:
-            conn = http.client.HTTPConnection(
-                parsed.hostname, parsed.port or 80, timeout=timeout
-            )
+            if parsed.scheme == "https":
+                conn = http.client.HTTPSConnection(
+                    parsed.hostname, parsed.port or 443, timeout=timeout
+                )
+            else:
+                conn = http.client.HTTPConnection(
+                    parsed.hostname, parsed.port or 80, timeout=timeout
+                )
         body = payload.encode("utf-8")
         hdrs = {"Content-Type": "application/json", **headers}
-        conn.request("POST", parsed.path or "/", body=body, headers=hdrs)
+        target = (parsed.path or "/") + (f"?{parsed.query}" if parsed.query else "")
+        conn.request("POST", target, body=body, headers=hdrs)
         resp = conn.getresponse()
         resp.read()  # drain so the connection is reusable
         return resp.status, None, conn
@@ -81,21 +96,28 @@ def post_once(
         return -1, str(exc), None
 
 
-def deliver_rows(
+def deliver_rows_per_event(
     rows,
-    url: str,
     headers: dict[str, str],
-    cfg: SubscriptionConfig,
+    attempt_budget: int,
 ) -> list[Attempt]:
-    """Deliver an iterator of (event_id, payload) rows serially over one
-    pooled connection; per-row attempt budget = retry_number + 1."""
+    """Deliver an iterator of (event_id, payload, url, timeout) rows
+    serially, pooling one connection per (scheme, host, port) so a
+    multi-subscription queue reuses sockets per destination. Each event
+    is delivered with ITS OWN url and timeout (the reference stores both
+    per event in event_log, cdc_webhook--1.0.sql:30-34 — a queue holding
+    events from several subscriptions must not deliver them all with one
+    snapshot config)."""
     attempts: list[Attempt] = []
-    conn: http.client.HTTPConnection | None = None
-    for event_id, payload in rows:
-        for attempt in range(cfg.attempt_budget):
+    conns: dict[tuple, http.client.HTTPConnection | None] = {}
+    for event_id, payload, url, timeout in rows:
+        parsed = urllib.parse.urlparse(url)
+        pool_key = (parsed.scheme, parsed.hostname, parsed.port, timeout)
+        for attempt in range(attempt_budget):
             status, error, conn = post_once(
-                url, payload, headers, cfg.timeout, conn
+                url, payload, headers, timeout, conns.get(pool_key)
             )
+            conns[pool_key] = conn
             ok = _is_success(status)
             attempts.append(
                 Attempt(event_id, attempt, status, ok, error, time.time())
@@ -105,17 +127,41 @@ def deliver_rows(
     return attempts
 
 
+def deliver_rows(
+    rows,
+    url: str,
+    headers: dict[str, str],
+    cfg: SubscriptionConfig,
+) -> list[Attempt]:
+    """Deliver an iterator of (event_id, payload) rows serially over one
+    pooled connection; per-row attempt budget = retry_number + 1."""
+    return deliver_rows_per_event(
+        ((event_id, payload, url, cfg.timeout) for event_id, payload in rows),
+        headers,
+        cfg.attempt_budget,
+    )
+
+
+_ATTEMPT_LOG_SCHEMA = (
+    "event_id string, attempt int, status int, ok boolean, error string, at double"
+)
+
+
 class WebhookSink:
     """foreachBatch sink for a capture_pipeline stream.
 
     Usage:
-        sink = WebhookSink(cfg, url, headers)
+        sink = WebhookSink(cfg, url, headers, attempts_path=...)
         stream.writeStream.foreachBatch(sink).start()
 
-    Collects per-batch attempt history in `self.attempts` (driver side —
-    for tests/observability; the data path never collects payloads unless
-    delivery fails in lenient mode, where failures land in
-    `self.dead_letters`).
+    Attempt history is written executor-side to an append-only parquet
+    log under `attempts_path` (one row per delivery attempt) — the
+    driver keeps only aggregate counters plus the bounded failed-event
+    subset needed for the failure policy (`self.dead_letters`). Round 1
+    collected every attempt row into an unbounded driver list; at one
+    status row per event per batch that is a driver OOM at scale.
+    `self.attempts` re-reads the parquet log (tests/observability
+    accessor — NOT part of the data path).
     """
 
     def __init__(
@@ -123,14 +169,47 @@ class WebhookSink:
         cfg: SubscriptionConfig,
         url: str | None = None,
         headers: dict[str, str] | None = None,
+        attempts_path: str | None = None,
     ) -> None:
         self.cfg = cfg
         self.url = url if url is not None else cfg.webhook_url
         self.headers = dict(headers) if headers is not None else dict(cfg.headers)
-        self.attempts: list[Attempt] = []
+        if attempts_path is None:
+            import tempfile
+
+            attempts_path = tempfile.mkdtemp(prefix="cdc-webhook-attempts-")
+        self.attempts_path = attempts_path
+        self.n_attempts = 0
+        self.n_delivered = 0
         self.dead_letters: list[tuple[str, str]] = []
 
+    @property
+    def attempts(self) -> list[Attempt]:
+        """All attempt rows from the parquet log, in delivery order.
+        Reads with pyarrow (no Spark session needed) — observability
+        only; the delivery path never materializes this."""
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(_os.path.join(self.attempts_path, "*.parquet")))
+        rows: list[Attempt] = []
+        for f in files:
+            t = _pq.read_table(f)
+            rows.extend(
+                Attempt(
+                    r["event_id"], r["attempt"], r["status"],
+                    r["ok"], r["error"], r["at"],
+                )
+                for r in t.to_pylist()
+            )
+        rows.sort(key=lambda a: (a.at, a.event_id, a.attempt))
+        return rows
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
         cfg, url, headers = self.cfg, self.url, self.headers
         # per-key ordering (SURVEY.md §7 hard-point 3): ordering unit = the monitored row's key (falling back to the
         # event id for keyless feeds): hash-partition so all changes of a
@@ -148,27 +227,42 @@ class WebhookSink:
 
         def _deliver_partition(it):
             rows = [(r.event_id, r.payload) for r in it]
-            yield deliver_rows(rows, url, headers, cfg)
+            for a in deliver_rows(rows, url, headers, cfg):
+                yield (a.event_id, a.attempt, a.status, a.ok, a.error, a.at)
 
-        partition_results = ordered.rdd.mapPartitions(_deliver_partition).collect()
-        batch_attempts = [a for part in partition_results for a in part]
-        self.attempts.extend(batch_attempts)
+        # one materialization of the delivery RDD (persisted so the
+        # aggregate/failed-subset jobs below never re-send webhooks),
+        # written to parquet FROM THE EXECUTORS — the driver sees only
+        # aggregates and the failure subset
+        spark = batch.sparkSession
+        rdd = ordered.rdd.mapPartitions(_deliver_partition)
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            adf = spark.createDataFrame(rdd, _ATTEMPT_LOG_SCHEMA)
+            adf.write.mode("append").parquet(self.attempts_path)
+            agg = adf.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("ok")).alias("n_ok"),
+            ).collect()[0]
+            self.n_attempts += agg.n
+            self.n_delivered += agg.n_ok
+            # bounded by the number of FAILED events, not batch size
+            failed_last = adf.filter(
+                (F.col("attempt") == cfg.attempt_budget - 1) & ~F.col("ok")
+            ).collect()
+        finally:
+            rdd.unpersist()
 
-        failed = {
-            a.event_id
-            for a in batch_attempts
-            if a.attempt == cfg.attempt_budget - 1 and not a.ok
-        }
-        if failed:
+        if failed_last:
             if cfg.cancel_on_failure:
                 # ST3 strict: fail the micro-batch -> stream halts,
                 # checkpoint replays (transaction-abort analog)
+                failed_ids = sorted(r.event_id for r in failed_last)
                 raise RuntimeError(
-                    f"webhook delivery failed for {len(failed)} event(s) "
-                    f"after {cfg.attempt_budget} attempts: {sorted(failed)[:3]}..."
+                    f"webhook delivery failed for {len(failed_ids)} event(s) "
+                    f"after {cfg.attempt_budget} attempts: {failed_ids[:3]}..."
                 )
             self.dead_letters.extend(
-                (a.event_id, f"status={a.status} err={a.error}")
-                for a in batch_attempts
-                if a.event_id in failed and a.attempt == cfg.attempt_budget - 1
+                (r.event_id, f"status={r.status} err={r.error}")
+                for r in failed_last
             )

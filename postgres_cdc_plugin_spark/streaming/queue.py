@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 
 from ..config import SubscriptionConfig
 from ..functions.scalar import backoff_delay
-from .deliver import deliver_rows
+from .deliver import deliver_rows_per_event
 
 _EVENT_LOG_SCHEMA = StructType(
     [
@@ -213,27 +213,38 @@ class EventQueue:
 
         This is the loop body the reference left as a comment
         (src/cdc_webhook_worker.c:55-61).
+
+        Each event is delivered with ITS OWN stored webhook_url and
+        timeout (event_log columns, cdc_webhook--1.0.sql:30-34) — a
+        queue holding events from several subscriptions or config
+        versions must not deliver them all with one snapshot config.
+        The `url` argument, when given, overrides every destination
+        (tests point it at a live capture server). Headers come from
+        the poller config (they are credential material and live in the
+        credential store, not the event log).
         """
-        url = url if url is not None else cfg.webhook_url
+        url_override = url
         headers = dict(headers) if headers is not None else dict(cfg.headers)
+        fallback_url = cfg.webhook_url
+        fallback_timeout = cfg.timeout
         ready = self.ready(now).select(
-            "event_id", "payload", "attempt_count", "timeout"
-        )
-        single = SubscriptionConfig(
-            name=cfg.name,
-            table_name=cfg.table_name,
-            webhook_url=url,
-            schema_name=cfg.schema_name,
-            timeout=cfg.timeout,
-            retry_number=0,  # one attempt per poll cycle per event
-            retry_interval=cfg.retry_interval,
-            retry_backoff=cfg.retry_backoff,
+            "event_id", "payload", "attempt_count", "timeout", "webhook_url"
         )
 
         def _attempt_partition(it):
             rows = list(it)
-            results = deliver_rows(
-                [(r.event_id, r.payload) for r in rows], url, headers, single
+            results = deliver_rows_per_event(
+                [
+                    (
+                        r.event_id,
+                        r.payload,
+                        url_override or r.webhook_url or fallback_url,
+                        r.timeout if r.timeout is not None else fallback_timeout,
+                    )
+                    for r in rows
+                ],
+                headers,
+                attempt_budget=1,  # one attempt per poll cycle per event
             )
             counts = {r.event_id: r.attempt_count for r in rows}
             for a in results:
@@ -246,14 +257,22 @@ class EventQueue:
                     a.at,
                 )
 
-        # collect() materializes exactly once — re-running the RDD (e.g.
-        # count() then createDataFrame) would re-deliver every webhook
-        results = ready.rdd.mapPartitions(_attempt_partition).collect()
-        if results:
-            self.spark.createDataFrame(results, _ATTEMPTS_SCHEMA).write.mode(
-                "append"
-            ).parquet(self.attempts_path)
-        return len(results)
+        # one materialization (persisted — a second pass over an
+        # unpersisted RDD would re-deliver every webhook), parquet
+        # written FROM THE EXECUTORS; the driver keeps only the count
+        from pyspark import StorageLevel
+
+        rdd = ready.rdd.mapPartitions(_attempt_partition)
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = int(rdd.count())
+            if n:
+                self.spark.createDataFrame(rdd, _ATTEMPTS_SCHEMA).write.mode(
+                    "append"
+                ).parquet(self.attempts_path)
+        finally:
+            rdd.unpersist()
+        return n
 
     def start_poller(
         self,
@@ -261,11 +280,19 @@ class EventQueue:
         url: str | None = None,
         headers: dict[str, str] | None = None,
         cadence_seconds: int = 1,
+        resolver=None,
     ) -> StreamingQuery:
         """Continuous worker: a rate-source stream is the 1 s heartbeat
         (src/cdc_webhook_worker.c:64); each tick runs one poll cycle.
         Spark's query supervision replaces postmaster bgworker restart
-        (src/cdc_webhook_worker.c:91)."""
+        (src/cdc_webhook_worker.c:91).
+
+        `resolver` (optional: () -> (url, headers)) is re-invoked EVERY
+        tick — the analog of the reference worker reloading config on
+        SIGHUP (src/cdc_webhook_worker.c:69-74): a credential rotation
+        or URL change takes effect on the next cycle without restarting
+        the worker. Fixed `url`/`headers` keep round-1 snapshot
+        behavior."""
 
         def _tick(_batch: DataFrame, _batch_id: int) -> None:
             # a crashing cycle must not kill the worker — the reference's
@@ -273,7 +300,10 @@ class EventQueue:
             # crash (src/cdc_webhook_worker.c:91); here the tick survives
             # and the next heartbeat retries
             try:
-                self.poll_once(cfg, url, headers)
+                tick_url, tick_headers = url, headers
+                if resolver is not None:
+                    tick_url, tick_headers = resolver()
+                self.poll_once(cfg, tick_url, tick_headers)
             except Exception as exc:  # pragma: no cover - defensive
                 print(f"cdc poller cycle failed (will retry): {exc}")
 

@@ -52,8 +52,8 @@ def dedup_replays(
 ) -> DataFrame:
     """Collapse at-least-once redeliveries to exactly-once effect.
 
-    Requires the deterministic envelope id (envelope.py event_id — a
-    hash of key+ts, NOT gen_random_uuid() as the reference uses at
+    Requires the deterministic envelope id (envelope.py event_id —
+    md5 of schema:table:trigger:key:seq, NOT gen_random_uuid() as the reference uses at
     cdc_webhook--1.0.sql:254: a replayed delivery must carry the SAME
     id or no receiver can ever dedup it). `horizon` must cover the
     maximum replay window (checkpoint recovery + retry budget); state

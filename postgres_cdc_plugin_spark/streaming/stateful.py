@@ -47,19 +47,50 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def sessionize_changes(changes: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+def sessionize_changes(
+    changes: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark_delay: str | None = None,
+) -> DataFrame:
     """Per-key change-burst sessions over a streaming change feed.
 
-    Emits a row per CLOSED session (a newer change arrived more than
-    gap_seconds after the session's last change). The open session per
-    key lives in the state store and survives restarts via the
-    checkpoint. One stateful shuffle on key — the same partitioning the
-    delivery sink uses, so Catalyst reuses it when chained.
+    Emits a row per CLOSED session. With `watermark_delay` set (e.g.
+    "1 hour"), a session also closes when the EVENT-TIME watermark
+    passes its last change + gap — so a key that simply goes quiet
+    still emits its final session (EventTimeTimeout flush). With
+    watermark_delay=None a session only closes when a LATER change for
+    the same key arrives past the gap; a quiescent key's open session
+    stays in the state store forever — only use that mode for finite
+    replays/tests where every key's stream is known to terminate with
+    more data.
+
+    The open session per key lives in the state store and survives
+    restarts via the checkpoint. One stateful shuffle on key — the same
+    partitioning the delivery sink uses, so Catalyst reuses it when
+    chained.
     """
+
+    def _closed_frame(closed: list[tuple]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1], unit="s") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="s") for c in closed],
+                "n_changes": [c[3] for c in closed],
+            }
+        )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if watermark_delay is not None and state.hasTimedOut:
+            # watermark passed last+gap with no new changes: flush the
+            # open session and drop the key's state
+            start, last, n = state.get
+            state.remove()
+            yield _closed_frame([(key[0], start, last, n)])
+            return
+
         ts: list[float] = []
         for pdf in pdfs:
             ts.extend(t.timestamp() for t in pdf["ts"])
@@ -80,25 +111,26 @@ def sessionize_changes(changes: DataFrame, gap_seconds: float = 1800.0) -> DataF
             last = t
             n += 1
         state.update((start, last, n))
-
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "key": [c[0] for c in closed],
-                    "session_start": [pd.Timestamp(c[1], unit="s") for c in closed],
-                    "session_end": [pd.Timestamp(c[2], unit="s") for c in closed],
-                    "n_changes": [c[3] for c in closed],
-                }
+        if watermark_delay is not None:
+            # flush once the watermark passes the gap; must be strictly
+            # ahead of the current watermark or Spark rejects it
+            flush_at = int((last + gap_seconds) * 1000)
+            state.setTimeoutTimestamp(
+                max(flush_at, state.getCurrentWatermarkMs() + 1)
             )
 
-    return (
-        changes.select("key", "ts")
-        .groupBy("key")
-        .applyInPandasWithState(
-            update,
-            SESSION_SCHEMA,
-            _STATE_SCHEMA,
-            "append",
-            GroupStateTimeout.NoTimeout,
-        )
+        if closed:
+            yield _closed_frame(closed)
+
+    src = changes.select("key", "ts")
+    timeout = GroupStateTimeout.NoTimeout
+    if watermark_delay is not None:
+        src = src.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("key").applyInPandasWithState(
+        update,
+        SESSION_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        timeout,
     )

@@ -670,3 +670,246 @@ def test_stream_stream_ack_join(spark, tmp_path):
     assert [(r.event_id, r.latency_seconds, r.ack_status) for r in out] == [
         ("1", 30.0, "OK")
     ], out
+
+
+def test_event_id_includes_row_key(spark):
+    """Distinct rows sharing a seq must get DISTINCT envelope ids —
+    seq is per-key capture order (envelope.py module header), so the
+    id hashes schema:table:trigger:KEY:seq. Without the key, replay
+    dedup (keyed on id) silently drops one of the two changes."""
+    from postgres_cdc_plugin_spark.envelope import project_envelope
+
+    cfg = SubscriptionConfig(
+        name="idkey", table_name="employees", webhook_url="http://x/"
+    )
+    df = spark.createDataFrame(
+        [(1, "A", "INSERT"), (1, "B", "INSERT")],
+        "seq bigint, key string, op string",
+    ).selectExpr(
+        "seq", "key", "op",
+        "'public' AS table_schema", "'employees' AS table_name",
+        "CAST(null AS struct<id:bigint>) AS old",
+        "named_struct('id', CAST(seq AS bigint)) AS new",
+        "CAST('2024-01-01' AS timestamp) AS ts",
+    )
+    env = project_envelope(df, cfg).select("envelope.id").collect()
+    assert len({r.id for r in env}) == 2, "same-seq different-key ids collided"
+
+
+def test_https_scheme_selection_and_rejection():
+    """https URLs must negotiate TLS (HTTPSConnection, default port
+    443) — never silently posted in cleartext to port 80 — and unknown
+    schemes are rejected, matching libcurl handling the full URL in the
+    reference (src/cdc_webhook.c:129)."""
+    import http.client
+
+    from postgres_cdc_plugin_spark.streaming.deliver import post_once
+
+    # unknown scheme: rejected outright
+    status, err, conn = post_once("ftp://h/p", "{}", {}, 1)
+    assert status == -1 and "unsupported url scheme" in err and conn is None
+
+    made = {}
+
+    class FakeHTTPS:
+        def __init__(self, host, port, timeout):
+            made.update(host=host, port=port, timeout=timeout)
+            raise OSError("marker: https path taken")
+
+    orig = http.client.HTTPSConnection
+    http.client.HTTPSConnection = FakeHTTPS
+    try:
+        status, err, _ = post_once("https://secure.example/hook", "{}", {}, 7)
+    finally:
+        http.client.HTTPSConnection = orig
+    assert status == -1 and "marker: https path taken" in err
+    assert made == {"host": "secure.example", "port": 443, "timeout": 7}
+
+
+def test_post_preserves_query_string():
+    """URL query strings (?token=...) ride along in the request target
+    instead of being dropped."""
+    from postgres_cdc_plugin_spark.streaming.deliver import post_once
+
+    with CaptureServer() as srv:
+        status, err, _ = post_once(srv.url + "?token=abc", "{}", {}, 5)
+        assert status == 200, err
+        assert srv.paths_seen == ["/webhook/?token=abc"]
+
+
+def test_async_queue_per_event_url_and_timeout(spark, tmp_path):
+    """A queue holding events from two subscriptions delivers each event
+    to ITS OWN stored webhook_url with its own stored timeout
+    (event_log columns, cdc_webhook--1.0.sql:30-34) — not the polling
+    config's snapshot."""
+    engine = CdcEngine(spark, str(tmp_path / "wd"))
+    with CaptureServer() as srv_a, CaptureServer() as srv_b:
+        cfg_a = engine.register(
+            SubscriptionConfig(
+                name="qa", table_name="employees", webhook_url=srv_a.url,
+                mode="ASYNC", timeout=11,
+            )
+        )
+        cfg_b = engine.register(
+            SubscriptionConfig(
+                name="qb", table_name="employees", webhook_url=srv_b.url,
+                mode="ASYNC", timeout=22,
+            )
+        )
+        changes = _feed(
+            spark, tmp_path / "feed", [_change(1, "INSERT", new=_row(1, "A", 1))]
+        )
+        _run(engine, cfg_a, changes, tmp_path, "qa")
+        _run(engine, cfg_b, changes, tmp_path, "qb")
+        # poll with cfg_a's snapshot: each event must still go to its own url
+        assert engine.queue.poll_once(cfg_a) == 2
+        srv_a.wait_for(1)
+        srv_b.wait_for(1)
+        assert len(srv_a.received) == 1
+        assert len(srv_b.received) == 1
+        st = {r.trigger_name: r for r in engine.queue.state().collect()}
+        assert st["qa"].timeout == 11 and st["qb"].timeout == 22
+        assert st["qa"].status == "DELIVERED" and st["qb"].status == "DELIVERED"
+
+
+def test_sessionizer_watermark_flushes_quiescent_key(spark, tmp_path):
+    """EventTimeTimeout flush: a key that goes quiet still emits its
+    final session once the watermark passes last change + gap — round
+    1's NoTimeout version held it open forever."""
+    import os
+    import time
+
+    from postgres_cdc_plugin_spark.streaming.stateful import sessionize_changes
+
+    feed = tmp_path / "wm_feed"
+    os.makedirs(str(feed))
+    out: list = []
+
+    def chg(seq, key, hhmm):
+        return {
+            "seq": seq, "key": key, "op": "UPDATE",
+            "table_schema": "public", "table_name": "t",
+            "old": None, "new": None,
+            "ts": f"2024-01-01T{hhmm}:00.000000",
+        }
+
+    src = changefeed.read_stream(spark, str(feed), maxFilesPerTrigger="1")
+    q = (
+        sessionize_changes(src, gap_seconds=1800.0, watermark_delay="0 seconds")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # B's burst, then nothing ever again for B
+        changefeed.write_chunk(str(feed), [chg(1, "B", "10:00"), chg(2, "B", "10:05")])
+        # later chunks for A advance the watermark far past B.last + gap;
+        # keep nudging it (one chunk per poll) so the timeout check never
+        # depends on no-data micro-batch scheduling under suite load
+        deadline = time.time() + 90
+        minute = 0
+        while time.time() < deadline and not out:
+            changefeed.write_chunk(
+                str(feed),
+                [chg(3 + minute, "A", f"{13 + minute // 60}:{minute % 60:02d}")],
+            )
+            minute += 1
+            time.sleep(1.0)
+    finally:
+        q.stop()
+
+    flushed = [r for r in out if r.key == "B"]
+    assert len(flushed) == 1, out
+    assert flushed[0].n_changes == 2
+    assert (flushed[0].session_end.hour, flushed[0].session_end.minute) == (10, 5)
+
+
+def test_schema_on_read_envelope_survives_alter(spark, tmp_path):
+    """Schema-on-read envelope (SURVEY §1.4): with raw JSON images (no
+    typed parse), a column added to the monitored table MID-STREAM
+    (ALTER TABLE analog) flows straight into delivered payloads and the
+    column-diff gate sees it — no subscription restart, matching
+    row_to_json surviving ALTER in the reference
+    (cdc_webhook--1.0.sql:266-277)."""
+    with CaptureServer() as srv:
+        engine = CdcEngine(spark, str(tmp_path / "wd"))
+        cfg = engine.register(
+            SubscriptionConfig(
+                name="drift", table_name="employees", webhook_url=srv.url,
+                operations=("INSERT", "UPDATE"),
+                update_columns=("badge",),  # tracked col that appears later
+            )
+        )
+        feed = tmp_path / "feed"
+        pre = dict(_change(1, "INSERT"), new=json.dumps({"id": 1, "name": "A"}), key="1")
+        changefeed.write_chunk(str(feed), [pre])
+        # ALTER TABLE ADD COLUMN badge: later rows carry the new field
+        post_ins = dict(
+            _change(2, "INSERT"),
+            new=json.dumps({"id": 2, "name": "B", "badge": "blue"}), key="2",
+        )
+        # tracked-col change on the NEW column must pass the diff gate
+        post_upd = dict(
+            _change(3, "UPDATE"),
+            old=json.dumps({"id": 1, "name": "A", "badge": None}),
+            new=json.dumps({"id": 1, "name": "A", "badge": "red"}), key="1",
+        )
+        # non-change on tracked col must be suppressed
+        post_noop = dict(
+            _change(4, "UPDATE"),
+            old=json.dumps({"id": 2, "name": "B2", "badge": "blue"}),
+            new=json.dumps({"id": 2, "name": "B3", "badge": "blue"}), key="2",
+        )
+        changefeed.write_chunk(str(feed), [post_ins, post_upd, post_noop])
+
+        changes = changefeed.read_stream(spark, str(feed))  # RAW images
+        _run(engine, cfg, changes, tmp_path, "drift")
+        payloads = srv.wait_for(3)
+
+    by_op_key = {(p["event"]["op"], json.loads(p["event"]["data"]["new"])["id"]): p for p in payloads}
+    assert len(payloads) == 3  # the badge-unchanged UPDATE was suppressed
+    drifted = by_op_key[("INSERT", "2")]
+    assert json.loads(drifted["event"]["data"]["new"])["badge"] == "blue"
+    upd = by_op_key[("UPDATE", "1")]
+    assert json.loads(upd["event"]["data"]["new"])["badge"] == "red"
+
+
+def test_worker_reloads_rotated_credentials(spark, tmp_path):
+    """SIGHUP config-reload analog (src/cdc_webhook_worker.c:69-74): the
+    ASYNC worker re-resolves PRIVATE credentials every tick, so rotating
+    the subscription's URL in the credential store redirects delivery on
+    the next cycle — no worker restart."""
+    import time as _time
+
+    engine = CdcEngine(spark, str(tmp_path / "wd"))
+    with CaptureServer() as srv_old, CaptureServer() as srv_new:
+        base = dict(
+            name="rot", table_name="employees", mode="ASYNC",
+            security="PRIVATE", retry_number=0,
+        )
+        cfg = engine.register(
+            SubscriptionConfig(webhook_url=srv_old.url, **base)
+        )
+        changes = _feed(
+            spark, tmp_path / "feed", [_change(1, "INSERT", new=_row(1, "A", 1))]
+        )
+        _run(engine, cfg, changes, tmp_path, "rot1")
+        worker = engine.start_worker(cfg)
+        try:
+            srv_old.wait_for(1, timeout=30)
+            # rotate: last-wins upsert points the subscription at srv_new
+            engine.register(SubscriptionConfig(webhook_url=srv_new.url, **base))
+            changefeed.write_chunk(
+                str(tmp_path / "feed"), [_change(2, "INSERT", new=_row(2, "B", 2))]
+            )
+            changes2 = changefeed.parse_images(
+                changefeed.read_stream(spark, str(tmp_path / "feed")), ROW_SCHEMA
+            )
+            _run(engine, cfg, changes2, tmp_path, "rot1")  # same checkpoint
+            srv_new.wait_for(1, timeout=30)
+        finally:
+            worker.stop()
+        assert len(srv_old.received) == 1  # event 1 went to the old URL
+        assert len(srv_new.received) == 1  # event 2 followed the rotation

@@ -15,6 +15,7 @@ class CaptureServer:
     def __init__(self, response_delay: float = 0.0, fail_status: int | None = None):
         self.received: list[dict] = []
         self.headers_seen: list[dict] = []
+        self.paths_seen: list[str] = []
         self.response_delay = response_delay
         self.fail_status = fail_status
         self._lock = threading.Lock()
@@ -29,6 +30,7 @@ class CaptureServer:
                 with outer._lock:
                     outer.received.append(json.loads(body))
                     outer.headers_seen.append(dict(self.headers))
+                    outer.paths_seen.append(self.path)
                 status = outer.fail_status or 200
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
