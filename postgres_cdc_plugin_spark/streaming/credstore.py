@@ -106,6 +106,14 @@ class CredentialStore:
         that carry multiple subscriptions in one stream."""
         return events.join(F.broadcast(self.current()), on=_KEY, how="left")
 
+    def view_for(self, principal: str, policy) -> DataFrame:
+        """P4 row-level security analog (cdc_webhook--1.0.sql:55-64):
+        role members read the full credential rows; everyone else gets
+        the masked display form — never secret material."""
+        if policy.has_role(principal):
+            return self.current()
+        return self.masked()
+
     def masked(self) -> DataFrame:
         """ST10: the only display form — url host kept, secrets masked."""
         return self.current().select(

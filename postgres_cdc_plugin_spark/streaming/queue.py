@@ -187,6 +187,27 @@ class EventQueue:
             next_attempt.alias("next_attempt"),
         )
 
+    def state_for(self, principal: str, policy) -> DataFrame:
+        """P4 row-level security analog for the event log
+        (cdc_webhook--1.0.sql:57-69): role members see full queue state;
+        non-members get a redacted view — delivery status without
+        payload bodies or destination URLs (which may embed tokens)."""
+        st = self.state()
+        if policy.has_role(principal):
+            return st
+        return st.select(
+            "event_id",
+            "trigger_schema",
+            "trigger_table",
+            "trigger_name",
+            F.lit("***").alias("webhook_url"),
+            F.lit("***").alias("payload"),
+            "enqueued_at",
+            "attempt_count",
+            "status",
+            "next_attempt",
+        )
+
     # ---- S4: the poller --------------------------------------------
 
     def ready(self, now: datetime.datetime | None = None, limit: int = 1000) -> DataFrame:
