@@ -204,3 +204,27 @@ def test_tfidf_corpus_size_is_broadcast_not_collected(spark, sf_dir):
     df = text.token_tfidf(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_docs_chunks_is_shuffle_free(spark, sf_dir):
+    # chunking is explode + slice: pure narrow map-side plan at any scale
+    from postgres_cdc_plugin_spark.operators.text import docs_chunks
+
+    assert inspect.exchange_count(docs_chunks(spark, sf_dir)) == 0
+
+
+def test_envelope_json_is_shuffle_free(spark, sf_dir):
+    # schema-on-read envelope: to_json/create_map are narrow projections
+    assert inspect.exchange_count(cdc.cdc_envelope_json(spark, sf_dir)) == 0
+
+
+def test_neardup_tiles_never_collect_or_broadcast_corpus(spark, sf_dir):
+    # the tiled block-matrix join replicates tiles through a hash
+    # shuffle; the only broadcast is the 36-row tile-pair key relation,
+    # and nothing plans a CollectLimit/Cartesian over the corpus
+    from postgres_cdc_plugin_spark.operators.similarity import embed_neardup_pairs
+
+    df = embed_neardup_pairs(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
