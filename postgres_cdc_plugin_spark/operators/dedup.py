@@ -458,11 +458,14 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     an iterative Spark algorithm still fully value-checked.
     """
     docs = load(spark, sf_dir, "documents")
-    pairs = _simhash_pairs_df(docs).select("doc_a", "doc_b")
     # localCheckpoint (not persist): each round's plan would otherwise
     # nest the full SimHash candidate plan plus every prior round —
     # lineage must be CUT, not just cached, or plan construction itself
-    # blows up after a few iterations
+    # blows up after a few iterations. Checkpoint BEFORE the
+    # symmetrizing union: both union branches read the materialized
+    # pairs instead of each re-running the whole SimHash candidate plan
+    # (measured 2x on the dominant phase)
+    pairs = _simhash_pairs_df(docs).select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
