@@ -203,10 +203,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload dedup across the multimodal corpus: md5 over the
+    BINARY column keys duplicate media blobs regardless of filename or
+    metadata — the first dedup pass of any image/audio crawl (identical
+    bytes, keep lowest doc_id). Hash + window on the fingerprint: one
+    shuffle, linear at any scale; near-dup (perceptual-hash) variants
+    would slot in exactly like MinHash/SimHash do for text.
+
+    Oracle hashes the text the payload derives from (same utf-8 bytes;
+    DuckDB md5 is VARCHAR-only)."""
+    from pyspark.sql.window import Window
+
+    pay = with_payload(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("payload_md5").orderBy("doc_id")
+    return (
+        pay.select(
+            "doc_id",
+            "modality",
+            F.md5("payload").alias("payload_md5"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_dedup": multimodal_dedup,
 }
 
 ORACLE_SQL = {
@@ -216,5 +244,18 @@ ORACLE_SQL = {
                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "multimodal_dedup": """
+        SELECT doc_id, modality, payload_md5, n_bytes
+        FROM (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                   md5(text) AS payload_md5,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
     """,
 }

@@ -79,6 +79,7 @@ PRIORITY_ORDER = [
     "multimodal_meta",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_dedup",
     # -- round-1 driver hash FAILs, fixed round 2 — need fresh evidence
     "lineitem_stats_agg",
     "events_sessionize",
@@ -97,7 +98,6 @@ PRIORITY_ORDER = [
     "events_tumbling",
     "events_session_window",
     "events_asof_join",
-    "top_customers_per_nation",
     # -- position 50: the expensive recursive-CTE oracle, last in window
     "docs_dup_clusters",
     # -- everything after this appends in module order (round-1 green)

@@ -913,3 +913,71 @@ def test_worker_reloads_rotated_credentials(spark, tmp_path):
             worker.stop()
         assert len(srv_old.received) == 1  # event 1 went to the old URL
         assert len(srv_new.received) == 1  # event 2 followed the rotation
+
+
+def test_streaming_corpus_ingest(spark, tmp_path):
+    """Online corpus hygiene (streaming/corpus.py): exact dedup by
+    normalized fingerprint across micro-batches + quality gating, with
+    state bounded by the watermark horizon — the batch docs_exact_dedup /
+    docs_quality_score semantics under readStream."""
+    import json as _json
+    import os as _os
+
+    from postgres_cdc_plugin_spark.streaming import corpus
+
+    feed = tmp_path / "corpus_feed"
+    _os.makedirs(str(feed), exist_ok=True)
+    out: list = []
+
+    def doc(doc_id, text, mm):
+        return {
+            "doc_id": doc_id, "text": text, "lang": "en",
+            "ts": f"2024-01-01T10:{mm}:00.000000",
+        }
+
+    def chunk(name, rows):
+        with open(feed / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank"
+    # batch 1: a good doc + a junk doc (low diversity) + a short doc
+    chunk("c1.json", [
+        doc(1, good, "00"),
+        doc(2, "spam spam spam spam spam spam spam spam spam spam", "01"),
+        doc(3, "tiny", "02"),
+    ])
+    src = (
+        spark.readStream.schema(corpus.DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    q = (
+        corpus.ingest_stream(src, horizon="1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "corpus_ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        import time as _time
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(out) < 1:
+            _time.sleep(0.2)
+        # batch 2: re-crawl of doc 1 (different id, WHITESPACE-padded
+        # text -> same normalized fingerprint) + a genuinely new doc
+        chunk("c2.json", [
+            doc(10, "  " + good + " ", "30"),
+            doc(11, "training data pipelines need dedup quality and careful sharding", "31"),
+        ])
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(out) < 2:
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 11], out  # junk+short gated; re-crawl deduped
+    assert all(len(r.fingerprint) == 32 for r in out)
