@@ -209,32 +209,32 @@ def _with_buckets_pandas(df: DataFrame) -> DataFrame:
         [_plane_coeffs(t)[p] for t in range(_N_TABLES) for p in range(_N_PLANES)]
     )  # (L*B, dim)
 
+    # MSB = plane 0, matching the "1"/"0" join order of _bucket_col
+    weights = 1 << np.arange(_N_PLANES - 1, -1, -1)
+
     def buckets(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.stack(pdf["v"].to_numpy())  # (n, dim)
             bits = (mat @ planes.T) >= 0  # (n, L*B)
-            out_ids, out_labels, out_vs, out_buckets = [], [], [], []
-            for i in range(len(pdf)):
-                row = bits[i]
-                for t in range(_N_TABLES):
-                    sig = "".join(
-                        "1" if row[t * _N_PLANES + p] else "0"
-                        for p in range(_N_PLANES)
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            frames = []
+            for t in range(_N_TABLES):
+                vals = bits[:, t * _N_PLANES : (t + 1) * _N_PLANES] @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "label": labels,
+                            "v": vs,
+                            "bucket": [f"{t}:{v:0{_N_PLANES}b}" for v in vals],
+                        }
                     )
-                    out_ids.append(pdf["vec_id"].iloc[i])
-                    out_labels.append(pdf["label"].iloc[i])
-                    out_vs.append(pdf["v"].iloc[i])
-                    out_buckets.append(f"{t}:{sig}")
-            yield pd.DataFrame(
-                {
-                    "vec_id": out_ids,
-                    "label": out_labels,
-                    "v": out_vs,
-                    "bucket": out_buckets,
-                }
-            )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     return df.mapInPandas(
         buckets, "vec_id bigint, label int, v array<double>, bucket string"
