@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..session import load
 
@@ -285,6 +286,74 @@ def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BIN_TOKENS = 512  # context-window budget per packed bin
+_PACK_SHARDS = 32  # packing shards (independent bins per shard)
+
+
+def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign documents to fixed-budget
+    training bins — the step between chunking and batch assembly.
+    Documents shard by doc_id hash, then pack greedily in doc_id order
+    within their shard: a doc's bin is floor(tokens_before_it / budget),
+    so bins fill to ~_PACK_BIN_TOKENS tokens and packing is fully
+    deterministic (no RNG, replayable).
+
+    At scale packing is per-shard by construction — one shuffle that
+    partitions by shard and sorts by doc_id inside, each shard's
+    running sum independent; shard count scales with the corpus while
+    bins stay context-window sized."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+            toks.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "cum_tokens",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / _PACK_BIN_TOKENS
+            ).cast("int").alias("bin_id"),
+        )
+    )
+
+
+def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting: per-source token mass and the
+    resampling factor that would flatten the mix to uniform — the
+    bookkeeping behind data-mixing weights (how much to up/down-sample
+    each domain when assembling a training mix).
+
+    One groupBy(source); corpus totals enter through an unpartitioned
+    window over the tiny per-source aggregate (rows = #sources), never
+    a second scan. Shares are int/int IEEE divisions — bit-identical
+    across engines unrounded."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    per_src = docs.select("source", toks.alias("t")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    uniform = F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        (uniform / share).alias("uniform_mix_factor"),
+    )
+
+
 _REP_TOP_FRAC = 0.1  # most-frequent-token share above which a doc is repetitive
 _REP_DUP_BIGRAM = 0.05  # duplicate-bigram share threshold (Gopher-style)
 _CONTAM_GRAM = 5  # token n-gram width for benchmark-contamination checks
@@ -460,6 +529,8 @@ QUERIES = {
     "docs_contamination": docs_contamination,
     "token_tfidf": token_tfidf,
     "docs_chunks": docs_chunks,
+    "docs_pack_bins": docs_pack_bins,
+    "docs_source_mix": docs_source_mix,
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -467,6 +538,33 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _SPLIT_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 ORACLE_SQL = {
+    "docs_pack_bins": f"""
+        SELECT doc_id, shard, n_tokens, cum_tokens,
+               CAST((cum_tokens - n_tokens) // {_PACK_BIN_TOKENS} AS INT) AS bin_id
+        FROM (
+            SELECT doc_id,
+                   CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(sum(len(string_split(text, ' '))) OVER (
+                       PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM documents
+        )
+    """,
+    "docs_source_mix": """
+        SELECT source, n_docs, n_tokens,
+               n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share,
+               (1.0 / CAST(count(*) OVER () AS DOUBLE))
+                   / (n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE))
+                   AS uniform_mix_factor
+        FROM (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY source
+        )
+    """,
     "docs_chunks": f"""
         WITH base AS (
             SELECT doc_id, lang, string_split(text, ' ') AS toks

@@ -66,6 +66,8 @@ PRIORITY_ORDER = [
     "docs_contamination",
     "token_tfidf",
     "docs_chunks",
+    "docs_pack_bins",
+    "docs_source_mix",
     # -- never driver-checked: embedding similarity family
     "embed_quantize",
     "embed_knn",
@@ -96,8 +98,6 @@ PRIORITY_ORDER = [
     "orders_enrich_join",
     "grouping_rollup",
     "events_tumbling",
-    "events_session_window",
-    "events_asof_join",
     # -- position 50: the expensive recursive-CTE oracle, last in window
     "docs_dup_clusters",
     # -- everything after this appends in module order (round-1 green)
