@@ -52,14 +52,31 @@ def main() -> int:
         )
         return 2
 
-    # warm up the JVM / codegen / parquet-reader paths so per-query
-    # timings measure the queries, not session startup
+    # warm up the JVM / codegen / parquet-reader / python-worker paths so
+    # per-query timings measure the queries, not session startup: a
+    # shuffle agg, a parquet scan, a window function, higher-order array
+    # functions, and a mapInPandas roundtrip (pre-forks the python
+    # worker pool Arrow queries reuse)
     spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).groupBy(
         "r_name"
     ).count().write.format("noop").mode("overwrite").save()
+    from pyspark.sql.window import Window
+
+    warm = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.array_repeat(F.col("id").cast("double"), 8).alias("v"),
+    )
+    warm.select(
+        F.sum("id").over(Window.partitionBy("k").orderBy("id")).alias("w"),
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x),
+    ).write.format("noop").mode("overwrite").save()
+    warm.repartition(4).mapInPandas(
+        lambda it: it, "id long, k long, v array<double>"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
