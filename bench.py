@@ -91,7 +91,13 @@ def main() -> int:
             print(f"bench error in {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # SPARK_GRAFT_BENCH_DETAIL redirects the detail file (tests use a
+    # tmp path so a sf0.001 subset run never clobbers the committed
+    # sf0.1 record)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
     detail = {
         "metric": "query_surface_wall_clock",
         "value": total,

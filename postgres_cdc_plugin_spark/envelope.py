@@ -41,18 +41,23 @@ def event_id(cfg: SubscriptionConfig) -> Column:
     `seq` is PER-KEY capture order (see module header), so the row key
     MUST participate in the hash — without it, changes to different
     rows that share a seq collide on id and the receiver's replay dedup
-    (receiver.py, keyed on id) silently drops distinct events. Keyless
-    feeds contribute an empty key segment, which degrades to requiring
-    globally-unique seq (the capture source guarantees that for
-    keyless feeds). Callers without a `key` column must add one first
-    (project_envelope does)."""
+    (receiver.py, keyed on id) silently drops distinct events. NULL
+    keys get the sentinel segment 'n' while real keys are prefixed
+    'k', so a NULL key can never collide with any string key
+    (including the literal "n"); rows with NULL keys degrade to
+    requiring globally-unique seq (the capture source guarantees that
+    for keyless feeds). Callers without a `key` column must add one
+    first (project_envelope does)."""
+    key_seg = F.when(
+        F.col("key").isNull(), F.lit("n")
+    ).otherwise(F.concat(F.lit("k"), F.col("key").cast("string")))
     return F.md5(
         F.concat_ws(
             ":",
             F.lit(cfg.schema_name),
             F.lit(cfg.table_name),
             F.lit(cfg.name),
-            F.coalesce(F.col("key").cast("string"), F.lit("")),
+            key_seg,
             F.col("seq").cast("string"),
         )
     )

@@ -83,7 +83,9 @@ def cdc_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure narrow projection — to_json/create_map are JVM built-ins inside
     whole-stage codegen; no shuffle, no UDF. The streaming counterpart
-    (map_envelope in envelope.py) emits the same shape under readStream.
+    is capture_pipeline's schema-on-read default (raw JSON images parsed
+    via sources/changefeed.parse_images_map, serialized back by the
+    envelope's to_json), which emits the same shape under readStream.
     """
     ev = load(spark, sf_dir, "events")
     op = _op_expr()

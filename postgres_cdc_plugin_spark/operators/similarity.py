@@ -115,14 +115,33 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("tile", F.pmod("vec_id", F.lit(t_count)).cast("int"))
     )
-    keys = spark.createDataFrame(
-        [(i, j) for i in range(t_count) for j in range(i, t_count)], "i int, j int"
+    # ONE scan: each vector emits its own block memberships — a-side of
+    # every block in its row (j >= tile) and b-side of every block in
+    # its column (i <= tile) — as an exploded JVM-built array. The
+    # replication is paid in the shuffle either way; a second source
+    # scan (the join-against-keys formulation) would be pure extra I/O
+    # at 100 TB.
+    t = F.col("tile")
+    a_memb = F.transform(
+        F.sequence(t, F.lit(t_count - 1)),
+        lambda j: F.struct(
+            t.alias("i"), j.cast("int").alias("j"), F.lit("a").alias("side")
+        ),
     )
-    a_side = emb.join(F.broadcast(keys), emb.tile == keys.i).select(
-        "i", "j", F.lit("a").alias("side"), "vec_id", "v"
+    b_memb = F.transform(
+        F.sequence(F.lit(0), t),
+        lambda i: F.struct(
+            i.cast("int").alias("i"), t.alias("j"), F.lit("b").alias("side")
+        ),
     )
-    b_side = emb.join(F.broadcast(keys), emb.tile == keys.j).select(
-        "i", "j", F.lit("b").alias("side"), "vec_id", "v"
+    exploded = emb.select(
+        "vec_id", "v", F.explode(F.concat(a_memb, b_memb)).alias("m")
+    ).select(
+        F.col("m.i").alias("i"),
+        F.col("m.j").alias("j"),
+        F.col("m.side").alias("side"),
+        "vec_id",
+        "v",
     )
 
     def tile_block(key, pdf):
@@ -159,10 +178,8 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        a_side.unionByName(b_side)
-        .groupBy("i", "j")
-        .applyInPandas(tile_block, "vec_a bigint, vec_b bigint, cosine_sim double")
+    return exploded.groupBy("i", "j").applyInPandas(
+        tile_block, "vec_a bigint, vec_b bigint, cosine_sim double"
     )
 
 

@@ -57,14 +57,19 @@ def ingest_stream(
 ) -> DataFrame:
     """Online corpus hygiene over a streaming document feed.
 
-    Returns the accepted stream: fingerprinted, watermark-bounded
-    exact-deduped, quality-gated. Rows carry the fingerprint so a
-    downstream batch compactor can merge shards without re-hashing.
+    Returns the accepted stream: quality-gated, fingerprinted,
+    watermark-bounded exact-deduped. The stateless quality gate runs
+    BEFORE the stateful dedup so rejected documents never hash,
+    shuffle, or occupy a state-store entry for the horizon — on a
+    spam-heavy crawl shard that shrinks dedup state and shuffle volume
+    by the reject rate, with identical output (a junk doc's duplicates
+    are equally junk). Rows carry the fingerprint so a downstream
+    batch compactor can merge shards without re-hashing.
     """
     return (
-        docs.withColumn("fingerprint", fingerprint_col(F.col("text")))
+        docs.filter(quality_ok(F.col("text"), min_chars, min_uniq_ratio))
+        .withColumn("fingerprint", fingerprint_col(F.col("text")))
         .withWatermark("ts", horizon)
         .dropDuplicatesWithinWatermark(["fingerprint"])
-        .filter(quality_ok(F.col("text"), min_chars, min_uniq_ratio))
         .select("doc_id", "text", "lang", "ts", "fingerprint")
     )

@@ -235,21 +235,31 @@ class EventQueue:
         This is the loop body the reference left as a comment
         (src/cdc_webhook_worker.c:55-61).
 
-        Each event is delivered with ITS OWN stored webhook_url and
-        timeout (event_log columns, cdc_webhook--1.0.sql:30-34) — a
-        queue holding events from several subscriptions or config
-        versions must not deliver them all with one snapshot config.
-        The `url` argument, when given, overrides every destination
-        (tests point it at a live capture server). Headers come from
-        the poller config (they are credential material and live in the
-        credential store, not the event log).
+        The poller is SCOPED to its subscription: only events whose
+        (trigger_schema, trigger_table, trigger_name) match cfg are
+        polled, because headers are credential material resolved per
+        subscription (credential store), never stored in the event log
+        — an unscoped poller would POST one subscription's auth headers
+        to another's endpoint. One worker runs per subscription
+        (engine.start_worker). Within the scope, each event is
+        delivered with ITS OWN stored webhook_url and timeout
+        (event_log columns, cdc_webhook--1.0.sql:30-34) so config
+        versions in flight keep their enqueue-time destination; the
+        `url` argument, when given, overrides the destination for this
+        subscription's events (credential rotation, tests).
         """
         url_override = url
         headers = dict(headers) if headers is not None else dict(cfg.headers)
         fallback_url = cfg.webhook_url
         fallback_timeout = cfg.timeout
-        ready = self.ready(now).select(
-            "event_id", "payload", "attempt_count", "timeout", "webhook_url"
+        ready = (
+            self.ready(now)
+            .filter(
+                (F.col("trigger_schema") == cfg.schema_name)
+                & (F.col("trigger_table") == cfg.table_name)
+                & (F.col("trigger_name") == cfg.name)
+            )
+            .select("event_id", "payload", "attempt_count", "timeout", "webhook_url")
         )
 
         def _attempt_partition(it):

@@ -11,8 +11,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, sf="/root/testdata/sf0.001"):
+def _run(args, sf="/root/testdata/sf0.001", detail=None):
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf, "SPARK_GRAFT_CPUS": "4"}
+    if detail:
+        # keep the committed sf0.1 BENCH_DETAIL.json out of reach of
+        # subset test runs
+        env["SPARK_GRAFT_BENCH_DETAIL"] = detail
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), *args],
         capture_output=True,
@@ -23,8 +27,9 @@ def _run(args, sf="/root/testdata/sf0.001"):
     )
 
 
-def test_bench_json_contract():
-    proc = _run(["cdc_op_filter", "status_counts"])
+def test_bench_json_contract(tmp_path):
+    detail_path = str(tmp_path / "detail.json")
+    proc = _run(["cdc_op_filter", "status_counts"], detail=detail_path)
     assert proc.returncode == 0, proc.stderr[-2000:]
     # exactly one JSON line on stdout, and it must stay SHORT — the
     # driver tail-captures stdout and a long line gets truncated into
@@ -40,8 +45,8 @@ def test_bench_json_contract():
     assert out["n_errors"] == 0
     assert set(out["queries"]) == {"cdc_op_filter", "status_counts"}
     assert abs(out["value"] - sum(out["queries"].values())) < 0.01
-    # full per-query map lands in BENCH_DETAIL.json
-    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+    # full per-query map lands in the detail file
+    with open(detail_path) as f:
         detail = json.load(f)
     assert set(detail["queries"]) == {"cdc_op_filter", "status_counts"}
     assert all(v >= 0 for v in detail["queries"].values())

@@ -218,13 +218,14 @@ def test_envelope_json_is_shuffle_free(spark, sf_dir):
     assert inspect.exchange_count(cdc.cdc_envelope_json(spark, sf_dir)) == 0
 
 
-def test_neardup_tiles_never_collect_or_broadcast_corpus(spark, sf_dir):
-    # the tiled block-matrix join replicates tiles through a hash
-    # shuffle; the only broadcast is the 36-row tile-pair key relation,
-    # and nothing plans a CollectLimit/Cartesian over the corpus
+def test_neardup_tiles_single_scan_no_collect(spark, sf_dir):
+    # the tiled block-matrix join replicates tile memberships through
+    # ONE scan + explode + hash shuffle; nothing broadcasts the corpus
+    # or plans a CollectLimit/Cartesian over it
     from postgres_cdc_plugin_spark.operators.similarity import embed_neardup_pairs
 
     df = embed_neardup_pairs(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan

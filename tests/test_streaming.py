@@ -695,6 +695,21 @@ def test_event_id_includes_row_key(spark):
     env = project_envelope(df, cfg).select("envelope.id").collect()
     assert len({r.id for r in env}) == 2, "same-seq different-key ids collided"
 
+    # NULL key must not collide with any string key — including the
+    # literal "n" (the NULL sentinel is prefix-disambiguated)
+    df2 = spark.createDataFrame(
+        [(1, None, "INSERT"), (1, "n", "INSERT"), (1, "", "INSERT")],
+        "seq bigint, key string, op string",
+    ).selectExpr(
+        "seq", "key", "op",
+        "'public' AS table_schema", "'employees' AS table_name",
+        "CAST(null AS struct<id:bigint>) AS old",
+        "named_struct('id', CAST(seq AS bigint)) AS new",
+        "CAST('2024-01-01' AS timestamp) AS ts",
+    )
+    ids = [r.id for r in project_envelope(df2, cfg).select("envelope.id").collect()]
+    assert len(set(ids)) == 3, "NULL/'n'/'' keys collided"
+
 
 def test_https_scheme_selection_and_rejection():
     """https URLs must negotiate TLS (HTTPSConnection, default port
@@ -737,11 +752,14 @@ def test_post_preserves_query_string():
         assert srv.paths_seen == ["/webhook/?token=abc"]
 
 
-def test_async_queue_per_event_url_and_timeout(spark, tmp_path):
-    """A queue holding events from two subscriptions delivers each event
-    to ITS OWN stored webhook_url with its own stored timeout
-    (event_log columns, cdc_webhook--1.0.sql:30-34) — not the polling
-    config's snapshot."""
+def test_async_queue_pollers_are_subscription_scoped(spark, tmp_path):
+    """A queue holding events from two subscriptions: each poller is
+    SCOPED to its own subscription (headers are per-subscription
+    credential material, so an unscoped poller would post one
+    subscription's auth to another's endpoint) and delivers to the
+    event's stored webhook_url with its stored timeout (event_log
+    columns, cdc_webhook--1.0.sql:30-34) — never the other config's
+    snapshot."""
     engine = CdcEngine(spark, str(tmp_path / "wd"))
     with CaptureServer() as srv_a, CaptureServer() as srv_b:
         cfg_a = engine.register(
@@ -761,11 +779,15 @@ def test_async_queue_per_event_url_and_timeout(spark, tmp_path):
         )
         _run(engine, cfg_a, changes, tmp_path, "qa")
         _run(engine, cfg_b, changes, tmp_path, "qb")
-        # poll with cfg_a's snapshot: each event must still go to its own url
-        assert engine.queue.poll_once(cfg_a) == 2
+        # cfg_a's poll touches ONLY qa's event — qb's stays pending
+        assert engine.queue.poll_once(cfg_a) == 1
         srv_a.wait_for(1)
+        assert len(srv_a.received) == 1 and len(srv_b.received) == 0
+        # even with a url override (credential rotation), cfg_a's poll
+        # must not redirect qb's events anywhere
+        assert engine.queue.poll_once(cfg_a, url=srv_a.url) == 0  # qa done
+        assert engine.queue.poll_once(cfg_b) == 1
         srv_b.wait_for(1)
-        assert len(srv_a.received) == 1
         assert len(srv_b.received) == 1
         st = {r.trigger_name: r for r in engine.queue.state().collect()}
         assert st["qa"].timeout == 11 and st["qb"].timeout == 22
