@@ -229,3 +229,22 @@ def test_neardup_tiles_single_scan_no_collect(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_pack_bins_single_shard_shuffle(spark, sf_dir):
+    # sequence packing = ONE exchange (hash partition by shard); the
+    # running sum and bin assignment ride that partitioning
+    from postgres_cdc_plugin_spark.operators.text import docs_pack_bins
+
+    assert inspect.exchange_count(docs_pack_bins(spark, sf_dir)) == 1
+
+
+def test_source_mix_aggregates_before_window(spark, sf_dir):
+    # corpus totals come from a window over the #sources-row aggregate —
+    # the plan has the groupBy exchange plus the single-partition window
+    # exchange over that tiny aggregate, never a second source scan
+    from postgres_cdc_plugin_spark.operators.text import docs_source_mix
+
+    df = docs_source_mix(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
