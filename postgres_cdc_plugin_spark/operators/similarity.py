@@ -423,6 +423,37 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text documents x their embedding rows
+    (doc_id = vec_id), profiled per (lang, label) cell — the alignment
+    check a multimodal pipeline runs before training (does every
+    language get embedding coverage? do clusters straddle languages?).
+
+    The embedding side reduces to (vec_id, label, norm) BEFORE the join
+    — vectors never travel through it — and broadcasts (it is the
+    smaller relation; at 100 TB both sides would be bucketed on the id
+    instead). Aggregates are chosen deterministic: counts, exact int
+    avg, order-free min/max; avg_norm goes through the DECIMAL
+    round-trip so its representation is canonical across engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        _norm(F.transform("embedding", lambda x: x.cast("double"))).alias("norm"),
+    )
+    return (
+        docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars") / F.count(F.lit(1)).cast("double")).alias("avg_chars"),
+            F.round(F.avg("norm"), 4).cast("decimal(38,4)").cast("double").alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
 QUERIES = {
     "embed_quantize": embed_quantize,
     "embed_knn": embed_knn,
@@ -432,11 +463,26 @@ QUERIES = {
     "embed_ann_lsh": embed_ann_lsh,
     "embed_ann_ivf": embed_ann_ivf,
     "embed_norm_stats": embed_norm_stats,
+    "docs_embed_join": docs_embed_join,
 }
 
 _COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 
 ORACLE_SQL = {
+    "docs_embed_join": """
+        SELECT lang, label, count(*) AS n_docs,
+               sum(n_chars) / CAST(count(*) AS DOUBLE) AS avg_chars,
+               CAST(CAST(round(avg(norm), 4) AS DECIMAL(38,4)) AS DOUBLE) AS avg_norm,
+               round(min(norm), 6) AS min_norm,
+               round(max(norm), 6) AS max_norm
+        FROM (
+            SELECT d.lang, e.label, d.n_chars,
+                   sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        )
+        GROUP BY lang, label
+    """,
     "embed_quantize": """
         SELECT vec_id, label,
                CAST(len(embedding) AS INT) AS n_dims,

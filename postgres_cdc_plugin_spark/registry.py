@@ -77,6 +77,7 @@ PRIORITY_ORDER = [
     "embed_ann_lsh",
     "embed_ann_ivf",
     "embed_norm_stats",
+    "docs_embed_join",
     # -- never driver-checked: multimodal family
     "multimodal_meta",
     "multimodal_features",
@@ -97,7 +98,6 @@ PRIORITY_ORDER = [
     "lineitem_pricing_agg",
     "orders_enrich_join",
     "grouping_rollup",
-    "events_tumbling",
     # -- position 50: the expensive recursive-CTE oracle, last in window
     "docs_dup_clusters",
     # -- everything after this appends in module order (round-1 green)
