@@ -187,6 +187,55 @@ class EventQueue:
             next_attempt.alias("next_attempt"),
         )
 
+    def compact(self, drop_failed: bool = False) -> dict[str, int]:
+        """Maintenance: rewrite the append-only logs without terminal
+        events. DELIVERED events (and, with drop_failed, FAILED ones)
+        plus their attempt rows move out of the live logs, so the
+        per-poll state view scans only the working set — the analog of
+        purging rows the reference's event_log would otherwise
+        accumulate forever (its schema has no retention either,
+        cdc_webhook--1.0.sql:25-47). FAILED events are kept by default
+        as the dead-letter record.
+
+        Rewrite is read -> write-to-temp -> atomic directory swap; NOT
+        safe to run concurrently with a live poller (stop the worker
+        first, like any offline compaction). Returns kept/dropped
+        counts."""
+        import shutil
+        import tempfile
+
+        terminal = ["DELIVERED"] + (["FAILED"] if drop_failed else [])
+        st = self.state().select("event_id", "status")
+        drop_ids = st.filter(F.col("status").isin(terminal)).select("event_id")
+        n_drop = drop_ids.count()
+        n_total = st.count()
+        if n_drop == 0:
+            return {"kept": n_total, "dropped": 0}
+        keep_ev = self._events().join(drop_ids, "event_id", "left_anti")
+        keep_at = self._attempts().join(drop_ids, "event_id", "left_anti")
+        # write BOTH survivor logs first (every read runs against the
+        # original files — the drop-set plan spans both logs), then swap
+        # both directories atomically
+        staged = []
+        for df, path in (
+            (keep_ev, self.event_log_path),
+            (keep_at, self.attempts_path),
+        ):
+            tmp = tempfile.mkdtemp(prefix="cdc-compact-")
+            new_dir = os.path.join(tmp, "data")
+            df.write.mode("overwrite").parquet(new_dir)
+            staged.append((path, new_dir, tmp))
+        for path, new_dir, tmp in staged:
+            old = path + ".old"
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(new_dir, path)
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # drop Spark's cached file listing for the swapped directory
+            self.spark.catalog.refreshByPath(path)
+        return {"kept": n_total - n_drop, "dropped": n_drop}
+
     def state_for(self, principal: str, policy) -> DataFrame:
         """P4 row-level security analog for the event log
         (cdc_webhook--1.0.sql:57-69): role members see full queue state;

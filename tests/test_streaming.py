@@ -1003,3 +1003,42 @@ def test_streaming_corpus_ingest(spark, tmp_path):
     ids = sorted(r.doc_id for r in out)
     assert ids == [1, 11], out  # junk+short gated; re-crawl deduped
     assert all(len(r.fingerprint) == 32 for r in out)
+
+
+def test_queue_compact_drops_delivered_keeps_pending(spark, tmp_path):
+    """Offline log compaction: DELIVERED events (and their attempt rows)
+    leave the live logs; pending events survive compaction intact and
+    remain deliverable."""
+    engine = CdcEngine(spark, str(tmp_path / "wd"))
+    with CaptureServer() as srv_a, CaptureServer() as srv_b:
+        cfg_a = engine.register(
+            SubscriptionConfig(
+                name="ca", table_name="employees", webhook_url=srv_a.url,
+                mode="ASYNC",
+            )
+        )
+        cfg_b = engine.register(
+            SubscriptionConfig(
+                name="cb", table_name="employees", webhook_url=srv_b.url,
+                mode="ASYNC",
+            )
+        )
+        changes = _feed(
+            spark, tmp_path / "feed", [_change(1, "INSERT", new=_row(1, "A", 1))]
+        )
+        _run(engine, cfg_a, changes, tmp_path, "ca")
+        _run(engine, cfg_b, changes, tmp_path, "cb")
+        assert engine.queue.poll_once(cfg_a) == 1  # ca DELIVERED, cb PENDING
+        srv_a.wait_for(1)
+
+        res = engine.queue.compact()
+        assert res == {"kept": 1, "dropped": 1}
+        st = engine.queue.state().collect()
+        assert len(st) == 1 and st[0].trigger_name == "cb"
+        assert st[0].status == "PENDING" and st[0].attempt_count == 0
+        # the survivor is still deliverable after the rewrite
+        assert engine.queue.poll_once(cfg_b) == 1
+        srv_b.wait_for(1)
+        assert engine.queue.state().collect()[0].status == "DELIVERED"
+        # idempotent-ish: a second compact drops the new terminal event
+        assert engine.queue.compact() == {"kept": 0, "dropped": 1}
