@@ -341,10 +341,17 @@ def _simhash_blocks_df(docs: DataFrame) -> DataFrame:
         for k in range(1, _SIMHASH_BLOCKS + 1)
     )
     return docs.sparkSession.sql(f"""
-        WITH tok AS (
-            SELECT /*+ REPARTITION(doc_id) */ doc_id,
-                   explode(split(text, ' ')) AS w
+        WITH docs_p AS (
+            -- repartition the RAW rows, BEFORE the explode: the source is
+            -- a single parquet split, and a hint on the explode SELECT
+            -- would place the exchange after it, leaving the whole
+            -- scan+split+explode on one core
+            SELECT /*+ REPARTITION(doc_id) */ doc_id, text
             FROM _simhash_docs
+        ),
+        tok AS (
+            SELECT doc_id, explode(split(text, ' ')) AS w
+            FROM docs_p
         ),
         vocab_votes AS (
             SELECT w, {vote_cols}
