@@ -358,6 +358,9 @@ _REP_TOP_FRAC = 0.1  # most-frequent-token share above which a doc is repetitive
 _REP_DUP_BIGRAM = 0.05  # duplicate-bigram share threshold (Gopher-style)
 _CONTAM_GRAM = 5  # token n-gram width for benchmark-contamination checks
 _BENCH_SOURCE = "src0"  # the source treated as the held-out benchmark corpus
+_BOILER_MIN_DF = 2  # docs sharing a 5-gram before it counts as boilerplate
+_BOILER_MAX_FRAC = 0.2  # shared-gram share above which a doc is dropped
+_COMMON_SPANS_K = 20  # how many top boilerplate spans to surface
 
 
 def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,6 +518,80 @@ def token_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate n-gram filter (Gopher/C4-style
+    boilerplate screen): per document, the fraction of its distinct
+    token 5-grams that also occur in at least `_BOILER_MIN_DF - 1` OTHER
+    documents, plus a keep flag at `_BOILER_MAX_FRAC`.
+
+    The within-doc repetition screen (docs_repetition_filter) cannot see
+    templated boilerplate shared ACROSS documents — headers, footers,
+    license blocks — the thing line-dedup removes in newline-structured
+    corpora. This corpus has no line structure, so the span analog is
+    the 5-gram document-frequency join: corpus-shingle once, count doc
+    frequency per gram (one gram-key shuffle with map-side partials),
+    join the counts back to the per-doc gram stream, re-aggregate per
+    doc. No broadcast needed and nothing collects: at 100 TB both
+    shuffles (gram, doc_id) carry only (gram, id) pairs, and the gram
+    relation can be bucketed and reused by docs_common_spans /
+    docs_contamination. shared_frac is one IEEE int/int division
+    (bit-identical across engines; no round()).
+    """
+    docs = load(spark, sf_dir, "documents")
+    # persist: the gram stream feeds BOTH the doc-frequency aggregate and
+    # the probe side of the join back — unpersisted, the corpus would be
+    # shingled twice (one full explode per DAG branch)
+    grams = _token_grams(docs).persist()
+    df_counts = (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    per_doc = (
+        grams.join(df_counts, "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= _BOILER_MIN_DF, 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+    )
+    frac = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.col("n_shared") / F.col("n_grams").cast("double")
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "n_shared",
+        frac.alias("shared_frac"),
+        (frac <= _BOILER_MAX_FRAC).alias("keep"),
+    )
+
+
+def docs_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top boilerplate spans: the `_COMMON_SPANS_K` token 5-grams shared
+    by the most documents (ties broken lexicographically — the result
+    SET is deterministic), with their document counts.
+
+    The audit artifact behind docs_boilerplate_ngrams: what IS the
+    template text? One gram-key groupBy with map-side partial counts,
+    then a global top-k — Spark plans orderBy+limit as
+    TakeOrderedAndProject (per-partition heaps, no full sort), so the
+    only global data movement is k rows per partition.
+    """
+    grams = _token_grams(load(spark, sf_dir, "documents"))
+    return (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DF)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(_COMMON_SPANS_K)
+    )
+
+
 QUERIES = {
     "docs_text_stats": docs_text_stats,
     "docs_lang_id": docs_lang_id,
@@ -531,6 +608,8 @@ QUERIES = {
     "docs_chunks": docs_chunks,
     "docs_pack_bins": docs_pack_bins,
     "docs_source_mix": docs_source_mix,
+    "docs_boilerplate_ngrams": docs_boilerplate_ngrams,
+    "docs_common_spans": docs_common_spans,
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -701,6 +780,57 @@ ORACLE_SQL = {
                (t.top_token_frac <= {_REP_TOP_FRAC}
                 AND d.dup_bigram_frac <= {_REP_DUP_BIGRAM}) AS keep
         FROM dup d JOIN top t ON d.doc_id = t.doc_id
+    """,
+    "docs_boilerplate_ngrams": f"""
+        WITH g AS (
+            SELECT doc_id, source, unnest(
+                CASE WHEN len(string_split(text, ' ')) >= {_CONTAM_GRAM} THEN
+                    list_distinct(list_transform(
+                        range(1, len(string_split(text, ' ')) - {_CONTAM_GRAM - 2}),
+                        i -> list_aggregate(
+                            string_split(text, ' ')[i:i + {_CONTAM_GRAM - 1}],
+                            'string_agg', ' ')))
+                ELSE [NULL] END) AS gram
+            FROM documents
+        ),
+        dfc AS (
+            SELECT gram, count(*) AS df FROM g
+            WHERE gram IS NOT NULL GROUP BY gram
+        ),
+        per AS (
+            SELECT g.doc_id, g.source,
+                   count(g.gram) AS n_grams,
+                   CAST(sum(CASE WHEN dfc.df >= {_BOILER_MIN_DF}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+            FROM g LEFT JOIN dfc ON g.gram = dfc.gram
+            GROUP BY g.doc_id, g.source
+        )
+        SELECT doc_id, source, n_grams, n_shared,
+               CASE WHEN n_grams = 0 THEN 0.0
+                    ELSE n_shared / CAST(n_grams AS DOUBLE) END AS shared_frac,
+               (CASE WHEN n_grams = 0 THEN 0.0
+                     ELSE n_shared / CAST(n_grams AS DOUBLE) END)
+                   <= {_BOILER_MAX_FRAC} AS keep
+        FROM per
+    """,
+    "docs_common_spans": f"""
+        WITH g AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(string_split(text, ' ')) >= {_CONTAM_GRAM} THEN
+                    list_distinct(list_transform(
+                        range(1, len(string_split(text, ' ')) - {_CONTAM_GRAM - 2}),
+                        i -> list_aggregate(
+                            string_split(text, ' ')[i:i + {_CONTAM_GRAM - 1}],
+                            'string_agg', ' ')))
+                ELSE [NULL] END) AS gram
+            FROM documents
+        )
+        SELECT gram, count(*) AS n_docs
+        FROM g WHERE gram IS NOT NULL
+        GROUP BY gram
+        HAVING count(*) >= {_BOILER_MIN_DF}
+        ORDER BY n_docs DESC, gram ASC
+        LIMIT {_COMMON_SPANS_K}
     """,
     "docs_contamination": f"""
         WITH g AS (
