@@ -1042,3 +1042,82 @@ def test_queue_compact_drops_delivered_keeps_pending(spark, tmp_path):
         assert engine.queue.state().collect()[0].status == "DELIVERED"
         # idempotent-ish: a second compact drops the new terminal event
         assert engine.queue.compact() == {"kept": 0, "dropped": 1}
+
+def test_streaming_neardup_index(spark, tmp_path):
+    """Online SimHash near-dup filter (corpus.SimHashNearDupIndex):
+    near-duplicates are dropped within a batch (keep-lowest-doc_id),
+    across batches (persisted signature index), and across query
+    RESTARTS (checkpoint + batch-partitioned index); a replayed batch
+    overwrites its own partitions instead of duplicating them.
+
+    Near-dup construction is deterministic by vote dominance: in
+    "alpha "*50 + tail, the 50 alpha occurrences fix every SimHash
+    vote's sign (|50 +- 1| never crosses zero), so any two docs with
+    the same dominant token have hamming 0 while remaining textually
+    distinct — a guaranteed near-dup pair with no fragile hand-tuned
+    hamming. Each leg runs an availableNow query to a deterministic
+    completion (no polling race against in-flight writes).
+    """
+    import json as _json
+    import os as _os
+
+    from postgres_cdc_plugin_spark.streaming import corpus
+
+    feed = tmp_path / "nd_feed"
+    _os.makedirs(str(feed), exist_ok=True)
+
+    def doc(doc_id, text, mm):
+        return {
+            "doc_id": doc_id, "text": text, "lang": "en",
+            "ts": f"2024-01-01T10:{mm}:00.000000",
+        }
+
+    def chunk(name, rows):
+        with open(feed / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run_to_completion():
+        src = (
+            spark.readStream.schema(corpus.DOC_STREAM_SCHEMA)
+            .json(str(feed))
+        )
+        q = idx.attach(src, str(tmp_path / "nd_ckpt"), available_now=True)
+        assert q.awaitTermination(120)
+
+    alpha = "alpha " * 50
+    idx = corpus.SimHashNearDupIndex(
+        str(tmp_path / "nd_index"), str(tmp_path / "nd_out")
+    )
+    chunk("c1.json", [
+        doc(1, alpha + "omega", "00"),
+        doc(2, "beta " * 50 + "gamma", "01"),  # novel: other dominant token
+        doc(5, alpha + "zeta", "02"),          # intra-batch near-dup of 1
+    ])
+    run_to_completion()
+    got1 = sorted(r.doc_id for r in idx.accepted(spark).collect())
+    assert got1 == [1, 2], got1
+
+    # restart: a new file, a NEW query on the SAME checkpoint
+    chunk("c2.json", [
+        doc(10, alpha + "kappa", "30"),        # near-dup of indexed doc 1
+        doc(11, "delta " * 50 + "mu", "31"),   # novel
+    ])
+    run_to_completion()
+    got2 = sorted(r.doc_id for r in idx.accepted(spark).collect())
+    assert got2 == [1, 2, 11], got2
+    sigs = idx.index(spark)
+    assert sigs.count() == 3
+    assert sorted(r.batch for r in sigs.select("batch").collect()) == [0, 0, 1]
+
+    # replay batch 1 by hand: same batch_id, partition overwritten, the
+    # index read sees only batches < 1 -> byte-identical outcome, no dupes
+    replay = spark.createDataFrame(
+        [(10, alpha + "kappa", "en", datetime.datetime(2024, 1, 1, 10, 30)),
+         (11, "delta " * 50 + "mu", "en", datetime.datetime(2024, 1, 1, 10, 31))],
+        "doc_id bigint, text string, lang string, ts timestamp",
+    )
+    idx.process_batch(replay, 1)
+    got3 = sorted(r.doc_id for r in idx.accepted(spark).collect())
+    assert got3 == [1, 2, 11], got3
+    assert idx.index(spark).count() == 3
