@@ -93,10 +93,14 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     # SPARK_GRAFT_BENCH_DETAIL redirects the detail file (tests use a
     # tmp path so a sf0.001 subset run never clobbers the committed
-    # sf0.1 record)
+    # sf0.1 record); a CLI subset run (explicit query names) likewise
+    # writes a _PARTIAL file so only full-surface runs touch the record
+    here = os.path.dirname(os.path.abspath(__file__))
+    default_name = (
+        "BENCH_DETAIL.json" if not sys.argv[1:] else "BENCH_DETAIL_PARTIAL.json"
+    )
     detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, default_name)
     )
     detail = {
         "metric": "query_surface_wall_clock",
@@ -118,7 +122,7 @@ def main() -> int:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "queries": slowest,
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(detail_path),
     }
     print(json.dumps(out))
     spark.stop()
