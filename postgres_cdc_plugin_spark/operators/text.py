@@ -592,6 +592,113 @@ def docs_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPE_MIN_QUALITY = 0.5  # composite quality floor for the e2e pipeline
+
+
+def docs_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data prep chain end-to-end, one logical plan:
+    quality gate → exact dedup → cross-doc boilerplate filter →
+    context-window chunking. Emits the chunk table a tokenizer shards.
+
+    Each stage reuses the standalone operator's exact formula
+    (docs_quality_score, docs_exact_dedup, docs_boilerplate_ngrams,
+    docs_chunks), so the composite is fully oracle-checkable — the
+    DuckDB side chains the same CTEs. Stage order is the cheap-first
+    discipline: the narrow quality filter cuts the corpus before the
+    dedup shuffle, dedup shrinks it before the 5-gram explode, and
+    only surviving docs chunk. Shuffles: fingerprint (dedup window),
+    gram + doc_id (boilerplate df join-back) — everything else narrow.
+    The boilerplate keep-set join is a broadcast at test scale and
+    degrades to a shuffle semi-join at 100 TB; chunking explodes
+    ~tokens/stride rows per kept doc with no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    # stage 1: quality gate (docs_quality_score formula)
+    n_chars = F.length("text")
+    n_tokens = (
+        n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    )
+    uniq_ratio = (
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        / n_tokens.cast("double")
+    )
+    quality = F.least(F.lit(1.0), n_chars / F.lit(500.0)) * 0.5 + uniq_ratio * 0.5
+    gated = docs.filter(quality >= _PIPE_MIN_QUALITY)
+    # stage 2: exact dedup, keep-lowest-doc_id (docs_exact_dedup policy)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("fingerprint", F.md5(F.lower(F.trim(F.col("text")))))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fingerprint")
+    )
+    # stage 3: boilerplate filter (docs_boilerplate_ngrams semantics,
+    # document frequencies computed among the survivors)
+    grams = _token_grams(deduped).persist()
+    dfc = (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    keep_ids = (
+        grams.join(dfc, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= _BOILER_MIN_DF, 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+        .filter(
+            (F.col("n_grams") == 0)
+            | (
+                F.col("n_shared") / F.col("n_grams").cast("double")
+                <= _BOILER_MAX_FRAC
+            )
+        )
+        .select("doc_id")
+    )
+    kept = deduped.join(keep_ids, "doc_id")
+    # stage 4: chunking (docs_chunks expressions)
+    toks = F.split(F.col("text"), " ")
+    return (
+        kept.select(
+            "doc_id",
+            "lang",
+            "source",
+            toks.alias("toks"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(toks) - 1) / _CHUNK_STRIDE).cast("int"),
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "chunk_id",
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.col("chunk_id") * _CHUNK_STRIDE + 1,
+                    _CHUNK_TOKENS,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "chunk_id",
+            F.size(F.split(F.col("chunk_text"), " ")).alias("chunk_tokens"),
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+    )
+
+
 QUERIES = {
     "docs_text_stats": docs_text_stats,
     "docs_lang_id": docs_lang_id,
@@ -610,6 +717,7 @@ QUERIES = {
     "docs_source_mix": docs_source_mix,
     "docs_boilerplate_ngrams": docs_boilerplate_ngrams,
     "docs_common_spans": docs_common_spans,
+    "docs_pipeline_e2e": docs_pipeline_e2e,
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -780,6 +888,69 @@ ORACLE_SQL = {
                (t.top_token_frac <= {_REP_TOP_FRAC}
                 AND d.dup_bigram_frac <= {_REP_DUP_BIGRAM}) AS keep
         FROM dup d JOIN top t ON d.doc_id = t.doc_id
+    """,
+    "docs_pipeline_e2e": f"""
+        WITH q AS (
+            SELECT doc_id, text, lang, source FROM documents
+            WHERE least(1.0, length(text) / 500.0) * 0.5
+                  + len(list_distinct(string_split(text, ' ')))
+                    / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                           AS DOUBLE) * 0.5
+                  >= {_PIPE_MIN_QUALITY}
+        ),
+        d AS (
+            SELECT doc_id, text, lang, source FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+                FROM q
+            ) WHERE rn = 1
+        ),
+        g AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(string_split(text, ' ')) >= {_CONTAM_GRAM} THEN
+                    list_distinct(list_transform(
+                        range(1, len(string_split(text, ' ')) - {_CONTAM_GRAM - 2}),
+                        i -> list_aggregate(
+                            string_split(text, ' ')[i:i + {_CONTAM_GRAM - 1}],
+                            'string_agg', ' ')))
+                ELSE [NULL] END) AS gram
+            FROM d
+        ),
+        dfc AS (
+            SELECT gram, count(*) AS df FROM g
+            WHERE gram IS NOT NULL GROUP BY gram
+        ),
+        per AS (
+            SELECT g.doc_id, count(g.gram) AS n_grams,
+                   CAST(sum(CASE WHEN dfc.df >= {_BOILER_MIN_DF}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+            FROM g LEFT JOIN dfc ON g.gram = dfc.gram
+            GROUP BY g.doc_id
+        ),
+        kept AS (
+            SELECT d.* FROM d JOIN per ON d.doc_id = per.doc_id
+            WHERE per.n_grams = 0
+               OR per.n_shared / CAST(per.n_grams AS DOUBLE)
+                  <= {_BOILER_MAX_FRAC}
+        ),
+        numbered AS (
+            SELECT doc_id, lang, source, string_split(text, ' ') AS toks,
+                   unnest(range(0, (len(string_split(text, ' ')) - 1)
+                                   // {_CHUNK_STRIDE} + 1)) AS chunk_id
+            FROM kept
+        ),
+        chunked AS (
+            SELECT doc_id, lang, source, CAST(chunk_id AS INT) AS chunk_id,
+                   array_to_string(
+                       list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                                  chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}),
+                       ' ') AS chunk_text
+            FROM numbered
+        )
+        SELECT doc_id, lang, source, chunk_id,
+               CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_tokens,
+               md5(chunk_text) AS chunk_hash
+        FROM chunked
     """,
     "docs_boilerplate_ngrams": f"""
         WITH g AS (
