@@ -626,6 +626,12 @@ def docs_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = docs.filter(quality >= _PIPE_MIN_QUALITY)
     # stage 2: exact dedup, keep-lowest-doc_id (docs_exact_dedup policy)
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    # the dedup survivors feed BOTH the gram stream and the kept-docs
+    # join; deliberately NOT persisted — recomputing the narrow filter
+    # + one window shuffle is cheaper than materializing the corpus
+    # into the cache (measured +0.5s at sf0.1; at 100 TB a pipeline
+    # run would checkpoint the dedup output to parquet between stages
+    # instead of caching it)
     deduped = (
         gated.withColumn("fingerprint", F.md5(F.lower(F.trim(F.col("text")))))
         .withColumn("rn", F.row_number().over(w))

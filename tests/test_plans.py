@@ -248,3 +248,36 @@ def test_source_mix_aggregates_before_window(spark, sf_dir):
     df = docs_source_mix(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_boilerplate_grams_single_shingle_pass(spark, sf_dir):
+    # the persisted gram stream feeds both the df-count branch and the
+    # probe side: both branches must read the SAME InMemoryRelation —
+    # the corpus shingles once, not once per branch. ("Scan parquet"
+    # appears once inside each cached-subtree print; the cache itself
+    # guarantees single execution.)
+    from postgres_cdc_plugin_spark.operators.text import docs_boilerplate_ngrams
+
+    df = docs_boilerplate_ngrams(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("Scan parquet") <= plan.count("InMemoryTableScan"), plan
+
+
+def test_pipeline_e2e_stage_order(spark, sf_dir):
+    # cheap-first composition: the quality filter must sit UNDER the
+    # dedup window's exchange (filter before shuffle) in every branch
+    # that recomputes the dedup stage, and chunking adds no exchange
+    from postgres_cdc_plugin_spark.operators.text import docs_pipeline_e2e
+
+    df = docs_pipeline_e2e(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "RowNumber" in plan or "row_number" in plan, plan
+    # essential exchanges only: fingerprint window (x2 branches), the
+    # _token_grams repartition, gram-df ENSURE pair, per-doc rollup,
+    # plus AQE's broadcast of the keep set; a regression that, e.g.,
+    # re-shuffles for chunking or flips the keep join to SMJ adds more
+    assert inspect.exchange_count(df) <= 9, plan
+    # chunking never shuffles: no exchange may sit above the keep join
+    top = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange" not in top, plan

@@ -185,3 +185,46 @@ def test_packing_spec_bins_are_contiguous_and_bounded(tokens):
         # a bin closes only because the NEXT doc's start crossed the
         # budget: its total plus that doc's first token exceeds B
         assert bins[b] + 1 > B - 200  # bounded under-fill (max doc 200)
+
+
+def test_pipeline_e2e_composes_standalone_stages(spark, sf_dir):
+    """docs_pipeline_e2e consistency vs its standalone stages: every
+    emitted chunk is bit-identical to docs_chunks' chunk for the same
+    (doc_id, chunk_id); every surviving doc passes the standalone
+    quality floor; and no two surviving docs share a content
+    fingerprint (the dedup stage held). Doc SETS legitimately differ
+    from corpus-wide standalone dedup — the pipeline dedups among
+    quality survivors, which is the point of the stage order."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators import text
+
+    pipe = text.docs_pipeline_e2e(spark, sf_dir)
+    chunks = text.docs_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_id", F.col("chunk_hash").alias("want_hash")
+    )
+    joined = pipe.join(chunks, ["doc_id", "chunk_id"], "left")
+    assert joined.filter(
+        F.col("want_hash").isNull() | (F.col("chunk_hash") != F.col("want_hash"))
+    ).count() == 0
+
+    q_ok = set(
+        r.doc_id
+        for r in text.docs_quality_score(spark, sf_dir)
+        .filter(F.col("quality_score") >= text._PIPE_MIN_QUALITY)
+        .collect()
+    )
+    survivors = [r.doc_id for r in pipe.select("doc_id").distinct().collect()]
+    assert set(survivors) <= q_ok
+
+    from postgres_cdc_plugin_spark.session import load
+
+    docs = load(spark, sf_dir, "documents")
+    fp_dupes = (
+        docs.join(pipe.select("doc_id").distinct(), "doc_id")
+        .groupBy(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert fp_dupes == 0
