@@ -21,6 +21,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..session import load
 
@@ -349,6 +350,53 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD: assign every vector to its nearest centroid —
+    the partition-by-cell artifact embed_ann_ivf's docstring names as
+    the 100 TB layout (cell id = the partition key the corpus is
+    rewritten under, making cell probes partition pruning).
+
+    Centroids are the per-label means rounded to 6 decimals on BOTH
+    engines (the embed_centroids convention — washes out partial-sum
+    order), so the per-(vector, cell) squared distance folds identical
+    doubles in identical dim order and is bit-identical; the argmin
+    orders by the round-6 distance with a cell tiebreak, deterministic
+    across engines. Plan shape: one (label, dim) aggregation for the
+    ~k-row centroid table, broadcast to a narrow per-vector argmin —
+    the only data-sized shuffle is the vec_id window, and at scale
+    that folds into the write that partitions the corpus by cell.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cvec = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("s", lambda t: t.cx).alias("cv"),
+        )
+    )
+    sq_dist = F.aggregate(
+        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("sq_dist", "cell")
+    return (
+        emb.crossJoin(F.broadcast(cvec))
+        .select(
+            "vec_id", "label", "cell", F.round(sq_dist, 6).alias("sq_dist")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cell", "sq_dist")
+    )
+
+
 def embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup REMOVAL: drop vec_b of every pair at or
     above the similarity threshold (keep-lowest-vec_id policy — the same
@@ -474,6 +522,7 @@ QUERIES = {
     "embed_neardup_dedup": embed_neardup_dedup,
     "embed_ann_lsh": embed_ann_lsh,
     "embed_ann_ivf": embed_ann_ivf,
+    "embed_ivf_assign": embed_ivf_assign,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
 }
@@ -580,6 +629,38 @@ ORACLE_SQL = {
         WHERE e.label = b.label AND e.vec_id <> {_QUERY_VEC_ID}
         ORDER BY cosine_sim DESC, e.vec_id ASC
         LIMIT {_TOP_K}
+    """,
+    "embed_ivf_assign": """
+        WITH cent AS (
+            SELECT label AS cell, list(cx ORDER BY dim) AS cv
+            FROM (
+                SELECT label, dim, round(avg(x), 6) AS cx
+                FROM (
+                    SELECT label,
+                           unnest(embedding::DOUBLE[]) AS x,
+                           unnest(range(1, len(embedding) + 1)) AS dim
+                    FROM embeddings
+                )
+                GROUP BY label, dim
+            )
+            GROUP BY label
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label, c.cell,
+                   round(list_sum(list_transform(
+                       range(1, len(e.embedding) + 1),
+                       i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                            * (e.embedding[i]::DOUBLE - c.cv[i]))), 6)
+                       AS sq_dist
+            FROM embeddings e CROSS JOIN cent c
+        )
+        SELECT vec_id, label, cell, sq_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sq_dist, cell) AS rn
+            FROM dist
+        )
+        WHERE rn = 1
     """,
     "embed_neardup_pairs": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
