@@ -258,6 +258,9 @@ def test_boilerplate_grams_single_shingle_pass(spark, sf_dir):
     # guarantees single execution.)
     from postgres_cdc_plugin_spark.operators.text import docs_boilerplate_ngrams
 
+    # plan-shape counts assume a clean cache: earlier tests' persisted
+    # fragments would be substituted into this plan by the CacheManager
+    spark.catalog.clearCache()
     df = docs_boilerplate_ngrams(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert plan.count("InMemoryTableScan") == 2, plan
@@ -270,6 +273,7 @@ def test_pipeline_e2e_stage_order(spark, sf_dir):
     # that recomputes the dedup stage, and chunking adds no exchange
     from postgres_cdc_plugin_spark.operators.text import docs_pipeline_e2e
 
+    spark.catalog.clearCache()  # same cache-independence requirement
     df = docs_pipeline_e2e(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert "RowNumber" in plan or "row_number" in plan, plan
