@@ -86,14 +86,14 @@ PRIORITY_ORDER = [
     # -- round-1 driver hash FAILs, fixed round 2 — need fresh evidence
     "lineitem_stats_agg",
     "events_sessionize",
-    # -- new round-2 queries
+    # -- new round-2 queries (no driver evidence yet)
     "lineitem_approx_percentiles",
     "cdc_envelope_json",
+    "docs_boilerplate_ngrams",
+    "docs_common_spans",
+    "embed_ivf_assign",
+    "docs_pipeline_e2e",
     # -- round-1-green fillers up to position 49 (diverse families)
-    "cdc_envelope",
-    "cdc_delta_agg",
-    "creds_last_wins",
-    "queue_ready_topk",
     "status_counts",
     "lineitem_pricing_agg",
     "orders_enrich_join",
