@@ -514,8 +514,85 @@ def docs_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4  # product-quantization subspaces; _DIM/_PQ_M dims each
+
+
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: encode each vector as _PQ_M small codes,
+    one per disjoint subspace — the 64-dim embedding becomes 4 codebook
+    ids (here 4 bytes vs 256: the compression that makes billion-vector
+    ANN indexes RAM-resident). Codebook m = the per-label means of
+    subspace m (the same deterministic coarse-quantizer convention as
+    embed_ivf_assign, rounded to 6 decimals on both engines); code m =
+    argmin over cells of the subspace squared distance, ties to the
+    smallest cell. sq_err is the total reconstruction error — the sum
+    of the four per-subspace minima in fixed subspace order, exact
+    across engines because each term is already round-6.
+
+    Plan shape: one tiny (label, dim) aggregation builds the codebook,
+    broadcast to the scan; the per-vector 10-candidate expansion is
+    collapsed map-side by the partial min-struct aggregation, so the
+    only data-sized shuffle carries ~one row per vector — a better
+    shape than a row_number window (which would shuffle all candidate
+    rows). At 100 TB the codes join the IVF cell id in the partitioned
+    index write."""
+    sub = _DIM // _PQ_M
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cvec = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("s", lambda t: t.cx).alias("cv"),
+        )
+    )
+
+    def sub_dist(m: int):
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice("v", m * sub + 1, sub),
+                    F.slice("cv", m * sub + 1, sub),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    cand = emb.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        "label",
+        "cell",
+        *[sub_dist(m).alias(f"d{m}") for m in range(_PQ_M)],
+    )
+    agg = cand.groupBy("vec_id", "label").agg(
+        *[
+            F.min(F.struct(f"d{m}", "cell")).alias(f"b{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    err = F.col("b0.d0") + F.col("b1.d1") + F.col("b2.d2") + F.col("b3.d3")
+    return agg.select(
+        "vec_id",
+        "label",
+        *[
+            F.col(f"b{m}.cell").cast("int").alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ],
+        err.alias("sq_err"),
+    )
+
+
 QUERIES = {
     "embed_quantize": embed_quantize,
+    "embed_pq_codes": embed_pq_codes,
     "embed_knn": embed_knn,
     "embed_centroids": embed_centroids,
     "embed_neardup_pairs": embed_neardup_pairs,
@@ -528,6 +605,22 @@ QUERIES = {
 }
 
 _COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+
+_PQ_SUB = _DIM // _PQ_M
+_PQ_DIST_SQL = ",\n".join(
+    f"""round(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+        i -> (e.embedding[i + {m * _PQ_SUB}]::DOUBLE - c.cv[i + {m * _PQ_SUB}])
+           * (e.embedding[i + {m * _PQ_SUB}]::DOUBLE - c.cv[i + {m * _PQ_SUB}]))), 6)
+        AS d{m}"""
+    for m in range(_PQ_M)
+)
+_PQ_CODE_SQL = ",\n".join(
+    f"CAST((min(struct_pack(d{m}:=d{m}, cell:=cell))).cell AS INTEGER) AS code_{m}"
+    for m in range(_PQ_M)
+)
+_PQ_ERR_SQL = " + ".join(
+    f"(min(struct_pack(d{m}:=d{m}, cell:=cell))).d{m}" for m in range(_PQ_M)
+)
 
 ORACLE_SQL = {
     "docs_embed_join": """
@@ -629,6 +722,32 @@ ORACLE_SQL = {
         WHERE e.label = b.label AND e.vec_id <> {_QUERY_VEC_ID}
         ORDER BY cosine_sim DESC, e.vec_id ASC
         LIMIT {_TOP_K}
+    """,
+    "embed_pq_codes": f"""
+        WITH cent AS (
+            SELECT label AS cell, list(cx ORDER BY dim) AS cv
+            FROM (
+                SELECT label, dim, round(avg(x), 6) AS cx
+                FROM (
+                    SELECT label,
+                           unnest(embedding::DOUBLE[]) AS x,
+                           unnest(range(1, len(embedding) + 1)) AS dim
+                    FROM embeddings
+                )
+                GROUP BY label, dim
+            )
+            GROUP BY label
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label, c.cell,
+                   {_PQ_DIST_SQL}
+            FROM embeddings e CROSS JOIN cent c
+        )
+        SELECT vec_id, label,
+               {_PQ_CODE_SQL},
+               {_PQ_ERR_SQL} AS sq_err
+        FROM dist
+        GROUP BY vec_id, label
     """,
     "embed_ivf_assign": """
         WITH cent AS (
