@@ -705,8 +705,76 @@ def docs_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram corpus-frequency profile per document — the LM-lite
+    quality signal (CCNet trains a 5-gram LM; the integer-exact analog
+    over this corpus is "how typical are this doc's bigrams"): docs
+    whose bigrams are mostly corpus-rare are noise/outliers, docs whose
+    bigrams are all corpus-common are templated filler.
+
+    A bigram is "common" when its corpus frequency is at or above the
+    corpus mean — compared by integer cross-multiplication
+    (cf * n_distinct >= total occurrences), so the threshold is
+    scale-invariant and float-free. All outputs are BIGINTs plus two
+    int/int IEEE divisions (bit-identical across engines, no round()).
+
+    Plan shape: one explode into per-(doc, gram) counts (map-side
+    combinable on the doc_id-repartitioned stream), one gram-key
+    shuffle for corpus counts, a 1-row global aggregate broadcast back,
+    and a gram-key join re-aggregated per doc. The per-doc count
+    relation is persisted — it feeds the corpus aggregate AND the
+    probe side. At 100 TB this is the docs_boilerplate_ngrams shuffle
+    shape with bigrams instead of 5-grams.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bi = F.expr(
+        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
+        " (x, y) -> concat(x, ' ', y))"
+    )
+    per_doc = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(bi).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    corpus = per_doc.groupBy("g").agg(F.sum("c").alias("cf")).persist()
+    stats = corpus.agg(
+        F.sum("cf").alias("tot"), F.count(F.lit(1)).alias("nd")
+    )
+    return (
+        per_doc.join(corpus, "g")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.col("cf")).cast("bigint").alias("sum_corpus_freq"),
+            F.sum(
+                F.when(F.col("cf") * F.col("nd") >= F.col("tot"), F.col("c"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_distinct",
+            "sum_corpus_freq",
+            "n_common",
+            (F.col("sum_corpus_freq") / F.col("n_bigrams").cast("double")).alias(
+                "avg_corpus_freq"
+            ),
+            (F.col("n_common") / F.col("n_bigrams").cast("double")).alias(
+                "common_frac"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "docs_text_stats": docs_text_stats,
+    "token_bigram_stats": token_bigram_stats,
     "docs_lang_id": docs_lang_id,
     "docs_quality_score": docs_quality_score,
     "docs_content_fingerprint": docs_content_fingerprint,
@@ -731,6 +799,42 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _SPLIT_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 ORACLE_SQL = {
+    "token_bigram_stats": """
+        WITH grams AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+        ),
+        per_doc AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM grams GROUP BY doc_id, g
+        ),
+        corpus AS (
+            SELECT g, CAST(sum(c) AS BIGINT) AS cf
+            FROM per_doc GROUP BY g
+        ),
+        stats AS (
+            SELECT CAST(sum(cf) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM corpus
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c * cf) AS BIGINT) AS sum_corpus_freq,
+               CAST(sum(CASE WHEN cf * nd >= tot THEN c ELSE 0 END)
+                    AS BIGINT) AS n_common,
+               CAST(sum(c * cf) AS BIGINT)
+                   / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+                   AS avg_corpus_freq,
+               CAST(sum(CASE WHEN cf * nd >= tot THEN c ELSE 0 END)
+                    AS BIGINT)
+                   / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+                   AS common_frac
+        FROM per_doc JOIN corpus USING (g) CROSS JOIN stats
+        GROUP BY doc_id
+    """,
     "docs_pack_bins": f"""
         SELECT doc_id, shard, n_tokens, cum_tokens,
                CAST((cum_tokens - n_tokens) // {_PACK_BIN_TOKENS} AS INT) AS bin_id
