@@ -772,9 +772,60 @@ def token_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_TOP = 50  # head of the rank/frequency curve to emit
+
+
+def token_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank/frequency audit of the corpus vocabulary: the top
+    _ZIPF_TOP whitespace tokens with rank, frequency, and cumulative
+    corpus coverage — the curve a tokenizer build inspects first (how
+    much of the corpus do the head tokens cover; is the tail heavy
+    enough to justify a bigger vocab).
+
+    The ordered window runs over the VOCABULARY relation, not the
+    corpus: token counts are map-side-combined before one token-key
+    shuffle, and the vocab is corpus-size-independent (low millions at
+    100 TB), so the single-partition rank/cumsum window is bounded work
+    no matter the input size. Counts are BIGINTs; coverage fractions
+    are int/int IEEE divisions — no round(), bit-identical across
+    engines; ties order by (freq desc, token asc) so the LIMIT is
+    deterministic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.repartition("doc_id").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    tot = vocab.agg(
+        F.sum("freq").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    cum = Window.orderBy(F.desc("freq"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "token",
+            "freq",
+            F.sum("freq").over(cum).cast("bigint").alias("cum_freq"),
+            (F.col("freq") / F.col("tot").cast("double")).alias("token_share"),
+            (
+                F.sum("freq").over(cum).cast("bigint")
+                / F.col("tot").cast("double")
+            ).alias("cum_share"),
+            "vocab_size",
+        )
+        .filter(F.col("rank") <= _ZIPF_TOP)
+    )
+
+
 QUERIES = {
     "docs_text_stats": docs_text_stats,
     "token_bigram_stats": token_bigram_stats,
+    "token_zipf_audit": token_zipf_audit,
     "docs_lang_id": docs_lang_id,
     "docs_quality_score": docs_quality_score,
     "docs_content_fingerprint": docs_content_fingerprint,
@@ -799,6 +850,34 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _SPLIT_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 ORACLE_SQL = {
+    "token_zipf_audit": f"""
+        WITH vocab AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token
+        ),
+        tot AS (
+            SELECT CAST(sum(freq) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS vocab_size
+            FROM vocab
+        )
+        SELECT rank, token, freq, cum_freq,
+               freq / CAST(tot AS DOUBLE) AS token_share,
+               cum_freq / CAST(tot AS DOUBLE) AS cum_share,
+               vocab_size
+        FROM (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY freq DESC, token) AS INT) AS rank,
+                   token, freq,
+                   CAST(sum(freq) OVER (
+                       ORDER BY freq DESC, token
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+                   tot, vocab_size
+            FROM vocab CROSS JOIN tot
+        )
+        WHERE rank <= {_ZIPF_TOP}
+    """,
     "token_bigram_stats": """
         WITH grams AS (
             SELECT doc_id, unnest(list_transform(range(1, len(t)),
