@@ -350,6 +350,26 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_vecs(emb: DataFrame) -> DataFrame:
+    """Per-label mean vectors as (cell, cv) — the deterministic coarse
+    quantizer shared by embed_ivf_assign / embed_pq_codes /
+    embed_pipeline_e2e. Means are rounded to 6 decimals on BOTH engines
+    (the embed_centroids convention — washes out partial-sum order), so
+    every downstream distance folds identical doubles in identical dim
+    order and is bit-identical."""
+    return (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("s", lambda t: t.cx).alias("cv"),
+        )
+    )
+
+
 def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index BUILD: assign every vector to its nearest centroid —
     the partition-by-cell artifact embed_ann_ivf's docstring names as
@@ -369,17 +389,7 @@ def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    cvec = (
-        emb.select("label", F.posexplode("v").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("s", lambda t: t.cx).alias("cv"),
-        )
-    )
+    cvec = _centroid_vecs(emb)
     sq_dist = F.aggregate(
         F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
@@ -517,6 +527,25 @@ def docs_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 4  # product-quantization subspaces; _DIM/_PQ_M dims each
 
 
+def _sub_dist(m: int):
+    """Round-6 squared distance between subspace m of the vector column
+    `v` and of the centroid column `cv` (zip_with over slices — O(sub)
+    per row, no per-element re-evaluation)."""
+    sub = _DIM // _PQ_M
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.slice("v", m * sub + 1, sub),
+                F.slice("cv", m * sub + 1, sub),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
 def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: encode each vector as _PQ_M small codes,
     one per disjoint subspace — the 64-dim embedding becomes 4 codebook
@@ -536,41 +565,14 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape than a row_number window (which would shuffle all candidate
     rows). At 100 TB the codes join the IVF cell id in the partitioned
     index write."""
-    sub = _DIM // _PQ_M
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    cvec = (
-        emb.select("label", F.posexplode("v").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("s", lambda t: t.cx).alias("cv"),
-        )
-    )
-
-    def sub_dist(m: int):
-        return F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.slice("v", m * sub + 1, sub),
-                    F.slice("cv", m * sub + 1, sub),
-                    lambda x, c: (x - c) * (x - c),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
-    cand = emb.crossJoin(F.broadcast(cvec)).select(
+    cand = emb.crossJoin(F.broadcast(_centroid_vecs(emb))).select(
         "vec_id",
         "label",
         "cell",
-        *[sub_dist(m).alias(f"d{m}") for m in range(_PQ_M)],
+        *[_sub_dist(m).alias(f"d{m}") for m in range(_PQ_M)],
     )
     agg = cand.groupBy("vec_id", "label").agg(
         *[
@@ -590,9 +592,75 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding index build end-to-end, one logical plan: exact
+    cosine near-dup removal → codebook trained on the SURVIVORS →
+    per-vector IVF cell assignment + product-quantization codes. Emits
+    the index shard table (vec_id, cell, codes, errors) a vector store
+    partitions by cell — the embedding-modality counterpart of
+    docs_pipeline_e2e.
+
+    Each stage reuses the standalone operator's exact formula
+    (embed_neardup_pairs keep-lowest policy, _centroid_vecs round-6
+    means, embed_ivf_assign full-distance argmin, embed_pq_codes
+    subspace argmins), so the composite is fully oracle-checkable.
+    Training the codebook AFTER dedup is the methodological point:
+    near-dup clusters would otherwise drag the cell means toward
+    duplicated content. Plan shape: the tiled BLAS pair join (the one
+    quadratic stage, LSH at 100 TB), one anti-join, one tiny (label,
+    dim) aggregation broadcast back, and a single partial-agg shuffle
+    for all nine argmins at once — cell + 4 codes come out of ONE
+    groupBy, not five windows.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    losers = (
+        embed_neardup_pairs(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    kept = emb.join(losers, "vec_id", "left_anti")
+    full_d = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    cand = kept.crossJoin(F.broadcast(_centroid_vecs(kept))).select(
+        "vec_id",
+        "label",
+        "cell",
+        full_d.alias("fd"),
+        *[_sub_dist(m).alias(f"d{m}") for m in range(_PQ_M)],
+    )
+    agg = cand.groupBy("vec_id", "label").agg(
+        F.min(F.struct("fd", "cell")).alias("bf"),
+        *[
+            F.min(F.struct(f"d{m}", "cell")).alias(f"b{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    err = F.col("b0.d0") + F.col("b1.d1") + F.col("b2.d2") + F.col("b3.d3")
+    return agg.select(
+        "vec_id",
+        "label",
+        F.col("bf.cell").cast("int").alias("cell"),
+        F.col("bf.fd").alias("sq_dist"),
+        *[
+            F.col(f"b{m}.cell").cast("int").alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ],
+        err.alias("sq_err"),
+    )
+
+
 QUERIES = {
     "embed_quantize": embed_quantize,
     "embed_pq_codes": embed_pq_codes,
+    "embed_pipeline_e2e": embed_pipeline_e2e,
     "embed_knn": embed_knn,
     "embed_centroids": embed_centroids,
     "embed_neardup_pairs": embed_neardup_pairs,
@@ -744,6 +812,50 @@ ORACLE_SQL = {
             FROM embeddings e CROSS JOIN cent c
         )
         SELECT vec_id, label,
+               {_PQ_CODE_SQL},
+               {_PQ_ERR_SQL} AS sq_err
+        FROM dist
+        GROUP BY vec_id, label
+    """,
+    "embed_pipeline_e2e": f"""
+        WITH kept AS (
+            SELECT e.vec_id, e.label, e.embedding
+            FROM embeddings e
+            WHERE NOT EXISTS (
+                SELECT 1
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+                  AND b.vec_id = e.vec_id
+            )
+        ),
+        cent AS (
+            SELECT label AS cell, list(cx ORDER BY dim) AS cv
+            FROM (
+                SELECT label, dim, round(avg(x), 6) AS cx
+                FROM (
+                    SELECT label,
+                           unnest(embedding::DOUBLE[]) AS x,
+                           unnest(range(1, len(embedding) + 1)) AS dim
+                    FROM kept
+                )
+                GROUP BY label, dim
+            )
+            GROUP BY label
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label, c.cell,
+                   round(list_sum(list_transform(
+                       range(1, len(e.embedding) + 1),
+                       i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                            * (e.embedding[i]::DOUBLE - c.cv[i]))), 6)
+                       AS fd,
+                   {_PQ_DIST_SQL}
+            FROM kept e CROSS JOIN cent c
+        )
+        SELECT vec_id, label,
+               CAST((min(struct_pack(fd:=fd, cell:=cell))).cell AS INTEGER)
+                   AS cell,
+               (min(struct_pack(fd:=fd, cell:=cell))).fd AS sq_dist,
                {_PQ_CODE_SQL},
                {_PQ_ERR_SQL} AS sq_err
         FROM dist
