@@ -285,3 +285,49 @@ def test_pipeline_e2e_stage_order(spark, sf_dir):
     # chunking never shuffles: no exchange may sit above the keep join
     top = plan.split("BroadcastHashJoin")[0]
     assert "Exchange" not in top, plan
+
+
+def test_pq_codes_argmin_is_partial_agg_not_window(spark, sf_dir):
+    # the 10-candidate expansion must collapse map-side via partial
+    # min-struct aggregation — a row_number window would shuffle every
+    # candidate row instead of ~one row per vector
+    from postgres_cdc_plugin_spark.operators.similarity import embed_pq_codes
+
+    spark.catalog.clearCache()
+    df = embed_pq_codes(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "RowNumber" not in plan and "row_number" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "BroadcastNestedLoopJoin" in inspect.join_kinds(df)
+    # codebook build (dim agg + label rollup) + one vec_id rollup
+    assert inspect.exchange_count(df) <= 3, plan
+
+
+def test_zipf_window_runs_over_vocab_not_corpus(spark, sf_dir):
+    # the rank/cumsum window and the 1-row total must both consume the
+    # AGGREGATED vocab relation; the explode stays under the token-count
+    # aggregation so the single-partition stages see vocab-sized input
+    from postgres_cdc_plugin_spark.operators.text import token_zipf_audit
+
+    spark.catalog.clearCache()
+    df = token_zipf_audit(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert plan.count("Exchange SinglePartition") == 2, plan
+    # the explode (Generate) sits strictly below the first
+    # single-partition exchange in the tree print
+    assert plan.rfind("Generate") > plan.find("Exchange SinglePartition"), plan
+
+
+def test_embed_pipeline_e2e_single_rollup(spark, sf_dir):
+    # all nine argmins (cell + 4 PQ codes, each with its distance) come
+    # out of ONE partial-agg groupBy — no window, no sort-merge join
+    from postgres_cdc_plugin_spark.operators.similarity import embed_pipeline_e2e
+
+    spark.catalog.clearCache()
+    df = embed_pipeline_e2e(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    kinds = inspect.join_kinds(df)
+    assert "SortMergeJoin" not in kinds, kinds
+    assert "RowNumber" not in plan and "row_number" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert inspect.exchange_count(df) <= 8, plan
