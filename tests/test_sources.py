@@ -134,3 +134,88 @@ def test_stateful_sessionizer_emits_closed_bursts(spark, tmp_path):
     assert s.n_changes == 2
     assert (s.session_start.hour, s.session_start.minute) == (10, 0)
     assert (s.session_end.hour, s.session_end.minute) == (10, 5)
+
+
+# ---- corpus file-format ingestion (sources/corpus.py) ----------------
+
+
+def _schema_shape(df):
+    return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+
+def test_corpus_jsonl_ingest_quarantines_malformed(spark, tmp_path):
+    from postgres_cdc_plugin_spark.sources import corpus
+
+    p = tmp_path / "shard.jsonl"
+    lines = [
+        json.dumps(
+            {"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1", "n_chars": 11}
+        ),
+        # missing n_chars -> backfilled from text length
+        json.dumps({"doc_id": 2, "text": "no n_chars", "lang": "en", "source": "s1"}),
+        "{this is not json",
+        # doc_id of the wrong type -> whole record quarantined
+        json.dumps(
+            {"doc_id": "abc", "text": "bad id", "lang": "en", "source": "s1", "n_chars": 6}
+        ),
+        # parseable but unusable (no text) -> quarantined, id preserved
+        json.dumps({"doc_id": 5, "text": None, "lang": "en", "source": "s1", "n_chars": 0}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = corpus.ingest(spark, str(p), "jsonl")
+
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].n_chars == len("no n_chars")
+    assert _schema_shape(clean) == [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ]
+    q = quarantine.collect()
+    assert len(q) == 3
+    raws = {r.raw_record for r in q}
+    assert "{this is not json" in raws
+    assert 5 in {r.doc_id for r in q}
+
+
+def test_corpus_csv_ingest(spark, tmp_path):
+    from postgres_cdc_plugin_spark.sources import corpus
+
+    p = tmp_path / "shard.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,alpha beta,en,s0,10\n"
+        "oops,gamma,en,s0,5\n"  # bad doc_id type -> quarantined
+        "3,delta,de,s1,5\n"
+    )
+    clean, quarantine = corpus.ingest(spark, str(p), "csv")
+    assert {r.doc_id for r in clean.collect()} == {1, 3}
+    assert quarantine.count() == 1
+    assert "oops" in quarantine.collect()[0].raw_record
+
+
+def test_corpus_parquet_ingest_matches_direct_read(spark, sf_dir):
+    from postgres_cdc_plugin_spark.sources import corpus
+
+    clean, quarantine = corpus.ingest(
+        spark, f"{sf_dir}/documents.parquet", "parquet"
+    )
+    direct = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert clean.count() == direct.count()
+    assert quarantine.count() == 0
+    assert [f.name for f in clean.schema.fields] == [
+        f.name for f in corpus.DOCUMENTS_SCHEMA.fields
+    ]
+
+
+def test_corpus_unknown_format_rejected(spark):
+    from postgres_cdc_plugin_spark.sources import corpus
+
+    try:
+        corpus.ingest(spark, "/nonexistent", "avro")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "avro" in str(e)
