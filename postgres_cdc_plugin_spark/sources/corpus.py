@@ -112,21 +112,68 @@ def ingest(
         raise ValueError(
             f"unknown corpus format {fmt!r}; expected one of {sorted(_READERS)}"
         ) from None
-    raw = reader(spark, path).cache()
+    return split_quarantine(reader(spark, path).cache())
+
+
+def split_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a raw corpus relation (with `_corrupt_record`) into
+    (clean, quarantine). Batch callers should cache `raw` first (both
+    branches scan it); streaming foreachBatch frames are already
+    materialized per micro-batch."""
     bad = F.col(_CORRUPT_COL).isNotNull() | F.col("text").isNull()
     quarantine = raw.filter(bad).select(
         "doc_id", F.col(_CORRUPT_COL).alias("raw_record")
     )
-    clean = (
-        raw.filter(~bad)
-        .select(
-            "doc_id",
-            "text",
-            "lang",
-            "source",
-            F.coalesce("n_chars", F.length("text").cast("long")).alias(
-                "n_chars"
-            ),
-        )
+    clean = raw.filter(~bad).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.coalesce("n_chars", F.length("text").cast("long")).alias("n_chars"),
     )
     return clean, quarantine
+
+
+def stream_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Structured Streaming source over a directory of JSONL shards —
+    the tail-the-crawler-drop ingest mode. Each newly landed shard file
+    becomes (part of) a micro-batch; schema and quarantine contract are
+    identical to the batch reader."""
+    return (
+        spark.readStream.schema(_READ_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+        .json(path)
+    )
+
+
+def stream_ingest(
+    spark: SparkSession,
+    path: str,
+    clean_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous corpus ingest: tail JSONL shards under `path`,
+    routing every micro-batch into a clean parquet corpus and a
+    quarantine parquet audit log (foreachBatch — one source read feeds
+    both sinks; a two-query split would scan the input twice). Returns
+    the started StreamingQuery; exactly-once per shard via the
+    checkpoint (file-source offsets)."""
+
+    def _route(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.cache()
+        clean, quarantine = split_quarantine(batch)
+        clean.write.mode("append").parquet(clean_dir)
+        quarantine.write.mode("append").parquet(quarantine_dir)
+        batch.unpersist()
+
+    writer = (
+        stream_jsonl(spark, path)
+        .writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -219,3 +219,37 @@ def test_corpus_unknown_format_rejected(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "avro" in str(e)
+
+
+def test_corpus_stream_ingest_routes_clean_and_quarantine(spark, tmp_path):
+    # two shards land; the stream routes every batch into the clean
+    # corpus and the quarantine audit log exactly once (checkpointed)
+    from postgres_cdc_plugin_spark.sources import corpus
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "one", "lang": "en", "source": "s"})
+        + "\n{broken\n"
+    )
+    (feed / "b.jsonl").write_text(
+        json.dumps({"doc_id": 2, "text": "two", "lang": "en", "source": "s"})
+        + "\n"
+    )
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = corpus.stream_ingest(spark, str(feed), clean_dir, quar_dir, ckpt)
+    q.awaitTermination(60)
+
+    clean = spark.read.parquet(clean_dir)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    assert {r.n_chars for r in clean.collect()} == {3}
+    quar = spark.read.parquet(quar_dir)
+    assert quar.count() == 1 and "{broken" in quar.collect()[0].raw_record
+
+    # restart over the same checkpoint: no new shards -> no duplicates
+    q2 = corpus.stream_ingest(spark, str(feed), clean_dir, quar_dir, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(clean_dir).count() == 2
