@@ -331,3 +331,33 @@ def test_embed_pipeline_e2e_single_rollup(spark, sf_dir):
     assert "RowNumber" not in plan and "row_number" not in plan, plan
     assert "partial_min" in plan, plan
     assert inspect.exchange_count(df) <= 8, plan
+
+
+def test_ivf_cell_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    # the scale claim behind embed_ann_ivf / embed_ivf_assign: once the
+    # corpus is WRITTEN partitioned by cell id, probing nprobe cells is
+    # partition PRUNING — the scan plans only the probed directories,
+    # it never reads (or filters) the rest
+    from postgres_cdc_plugin_spark.operators.similarity import embed_ivf_assign
+
+    out = str(tmp_path / "ivf_corpus")
+    embed_ivf_assign(spark, sf_dir).write.partitionBy("cell").parquet(out)
+
+    probe = spark.read.parquet(out).filter("cell IN (0, 1, 2)")
+    plan = inspect.physical_plan(probe, "formatted")
+    # the cell predicate must land in PartitionFilters (pruned at
+    # planning — unprobed directories are never even listed as splits),
+    # NOT in PushedFilters/Filter (which would still scan every file)
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell" in pf, plan
+    # and the executed scan reads exactly the probed partitions' rows
+    # while full-scan row count comes from all 10 cells
+    assert probe.count() == (
+        embed_ivf_assign(spark, sf_dir).filter("cell IN (0, 1, 2)").count()
+    )
+    all_cells = {
+        int(p.split("cell=")[1].split("/")[0])
+        for p in spark.read.parquet(out).inputFiles()
+    }
+    assert len(all_cells) > 3, all_cells  # layout actually fanned out
