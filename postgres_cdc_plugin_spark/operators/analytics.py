@@ -335,9 +335,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag(F.col("ts").cast("double")).over(w)
+    # ts may be TIMESTAMP or TIMESTAMP_NTZ; NTZ cannot cast straight to
+    # numeric, so go through timestamp_ltz (exact under UTC session tz).
+    ts_sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    prev_ts = F.lag(ts_sec).over(w)
     is_new = F.when(
-        prev_ts.isNull() | ((F.col("ts").cast("double") - prev_ts) > 1800.0), F.lit(1)
+        prev_ts.isNull() | ((ts_sec - prev_ts) > 1800.0), F.lit(1)
     ).otherwise(F.lit(0))
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -350,7 +353,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # round-trip through DECIMAL(38,2) so the emitted double is
+            # the canonical nearest-double of the 2-decimal value on
+            # both engines (the lineitem_stats_agg convention — round-1
+            # driver hash FAIL came from last-ulp partial-sum-order
+            # differences surviving round())
+            F.round(F.sum("value"), 2)
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("session_value"),
         )
     )
 
@@ -368,7 +379,12 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # decimal hop: canonical 2-decimal double on both engines
+            # (see events_sessionize)
+            F.round(F.sum("value"), 2)
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("session_value"),
         )
         .select(
             "user_id",
@@ -795,7 +811,10 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, making the window partition-local.
     """
     ev = load(spark, sf_dir, "events")
-    epoch = F.col("ts").cast("long")
+    # ts arrives as TIMESTAMP or TIMESTAMP_NTZ depending on how the
+    # parquet was written; NTZ cannot cast straight to numeric, so go
+    # through timestamp_ltz (exact under the UTC session timezone).
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch)
@@ -1100,7 +1119,9 @@ ORACLE_SQL = {
         )
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                min(ts) AS session_start, max(ts) AS session_end,
-               count(*) AS n_events, round(sum(value), 2) AS session_value
+               count(*) AS n_events,
+               CAST(CAST(round(sum(value), 2) AS DECIMAL(38,2)) AS DOUBLE)
+                   AS session_value
         FROM sess
         GROUP BY user_id, session_id
     """,
@@ -1123,7 +1144,8 @@ ORACLE_SQL = {
                min(ts) AS session_start,
                max(ts) + INTERVAL 30 MINUTE AS session_end,
                count(*) AS n_events,
-               round(sum(value), 2) AS session_value
+               CAST(CAST(round(sum(value), 2) AS DECIMAL(38,2)) AS DOUBLE)
+                   AS session_value
         FROM sess
         GROUP BY user_id, session_id
     """,

@@ -245,7 +245,10 @@ def retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         attempt.alias("attempt"),
         backoff.alias("retry_backoff"),
         delay.cast("bigint").alias("delay_seconds"),
-        (F.floor(F.col("ts").cast("double")).cast("bigint") + delay.cast("bigint")).alias(
+        (
+            F.floor(F.col("ts").cast("timestamp_ltz").cast("double")).cast("bigint")
+            + delay.cast("bigint")
+        ).alias(
             "next_attempt_epoch"
         ),
     )

@@ -421,6 +421,71 @@ def embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed semantic dedup (SemDeDup-style): assign every
+    vector to its nearest IVF centroid, compare pairs ONLY within a
+    cell, drop the higher vec_id of every intra-cell pair at or above
+    the cosine threshold.
+
+    This is the 100 TB embedding-dedup plan: where embed_neardup_pairs
+    is exact-quadratic over the corpus (tiled, but still O(n^2)
+    compute), here the all-pairs work is confined to each cell — the
+    pair join is an EQUI-join on the cell id, so after the corpus is
+    rewritten partitioned-by-cell (embed_ivf_assign's layout) the
+    comparison is partition-local with zero cross-cell traffic, and
+    total compute is sum(|cell|^2) ~ n^2/k. Misses only cross-cell
+    near-dups — the accepted SemDeDup trade.
+
+    Determinism: centroids are round-6 per-label means (the
+    embed_centroids convention), the per-(vector, cell) squared
+    distance is round-6 with a cell tiebreak (the embed_ivf_assign
+    argmin), and pair cosines are round-6 before thresholding — every
+    compared value folds identical doubles in identical order on both
+    engines, so the oracle (same algorithm as chained CTEs) hash-checks
+    the full pipeline, not just counts.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cvec = _centroid_vecs(emb)
+    sq_dist = F.aggregate(
+        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # argmin via partial min-struct aggregation (the embed_pq_codes
+    # shape): map-side combine leaves one ~corpus-sized shuffle keyed
+    # on vec_id, no window sort.
+    assign = (
+        emb.crossJoin(F.broadcast(cvec))
+        .select("vec_id", "label", "cell", F.round(sq_dist, 6).alias("sq_dist"))
+        .groupBy("vec_id", "label")
+        .agg(F.min(F.struct("sq_dist", "cell")).alias("b"))
+        .select("vec_id", "label", F.col("b.cell").cast("int").alias("cell"))
+    )
+    # attach vectors to assignments (one equi-join on vec_id; at scale
+    # this shuffle IS the partition-by-cell rewrite of the corpus)
+    av = assign.join(emb.select("vec_id", "v"), "vec_id")
+    a = av.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = av.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    losers = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(_cosine(F.col("va"), F.col("vb")), 6) >= _NEARDUP_THRESHOLD
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(losers, "vec_id", "left_anti").select(
+        "vec_id", "label", "cell"
+    )
+
+
 def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm profile of the embedding column — the sanity
     check a pipeline runs before cosine math (zero vectors, scale drift
@@ -665,6 +730,7 @@ QUERIES = {
     "embed_centroids": embed_centroids,
     "embed_neardup_pairs": embed_neardup_pairs,
     "embed_neardup_dedup": embed_neardup_dedup,
+    "embed_semdedup": embed_semdedup,
     "embed_ann_lsh": embed_ann_lsh,
     "embed_ann_ivf": embed_ann_ivf,
     "embed_ivf_assign": embed_ivf_assign,
@@ -907,5 +973,47 @@ ORACLE_SQL = {
             WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
               AND b.vec_id = e.vec_id
         )
+    """,
+    "embed_semdedup": f"""
+        WITH cent AS (
+            SELECT label AS cell, list(cx ORDER BY dim) AS cv
+            FROM (
+                SELECT label, dim, round(avg(x), 6) AS cx
+                FROM (
+                    SELECT label,
+                           unnest(embedding::DOUBLE[]) AS x,
+                           unnest(range(1, len(embedding) + 1)) AS dim
+                    FROM embeddings
+                )
+                GROUP BY label, dim
+            )
+            GROUP BY label
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label, c.cell,
+                   round(list_sum(list_transform(
+                       range(1, len(e.embedding) + 1),
+                       i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                            * (e.embedding[i]::DOUBLE - c.cv[i]))), 6)
+                       AS sq_dist
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, label,
+                   CAST((min(struct_pack(sq_dist:=sq_dist, cell:=cell))).cell
+                        AS INTEGER) AS cell
+            FROM dist
+            GROUP BY vec_id, label
+        ),
+        losers AS (
+            SELECT DISTINCT b.vec_id AS vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            JOIN assign sa ON sa.vec_id = a.vec_id
+            JOIN assign sb ON sb.vec_id = b.vec_id AND sb.cell = sa.cell
+            WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+        )
+        SELECT s.vec_id, s.label, s.cell
+        FROM assign s
+        WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = s.vec_id)
     """,
 }

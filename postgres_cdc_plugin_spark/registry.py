@@ -9,8 +9,9 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     round-1 CORRECTNESS run covered only the first 50 registered
     queries, so queries with no driver evidence yet (the whole
-    docs_/embed_/token_/multimodal_ family) plus round-1 hash-fail
-    fixes are registered FIRST; round-1-green queries fill the tail.
+    docs_/embed_/token_/multimodal_ family, plus every query added in
+    round 2) and round-1 hash-fail fixes are registered FIRST;
+    round-1-green queries fill the tail.
     docs_dup_clusters sits at the end of the 50-query window: its
     recursive-CTE oracle is the most expensive, so if the driver run
     dies there, everything before it still gets a CORRECTNESS row.
@@ -93,13 +94,15 @@ PRIORITY_ORDER = [
     "docs_common_spans",
     "embed_ivf_assign",
     "docs_pipeline_e2e",
-    # -- round-1-green fillers up to position 49 (diverse families)
-    "status_counts",
-    "lineitem_pricing_agg",
-    "orders_enrich_join",
-    "grouping_rollup",
+    "token_bigram_stats",
+    "token_zipf_audit",
+    "embed_pq_codes",
+    "embed_pipeline_e2e",
     # -- position 50: the expensive recursive-CTE oracle, last in window
     "docs_dup_clusters",
+    # -- position 51+: new queries that didn't fit the 50-query window
+    #    (local exact parity only until a future round rotates them in)
+    "embed_semdedup",
     # -- everything after this appends in module order (round-1 green)
 ]
 

@@ -361,3 +361,23 @@ def test_ivf_cell_layout_prunes_partitions(spark, sf_dir, tmp_path):
         for p in spark.read.parquet(out).inputFiles()
     }
     assert len(all_cells) > 3, all_cells  # layout actually fanned out
+
+
+def test_semdedup_pair_join_is_equi_on_cell(spark, sf_dir):
+    # the SemDeDup scale claim: intra-cell pairs come from an EQUI-join
+    # on the cell id (partition-local once the corpus is laid out by
+    # cell) — never a cartesian/broadcast-nested-loop over the corpus
+    from postgres_cdc_plugin_spark.operators.similarity import embed_semdedup
+
+    df = embed_semdedup(spark, sf_dir)
+    plan = inspect.physical_plan(df, "formatted")
+    assert "CartesianProduct" not in plan, plan
+    kinds = inspect.join_kinds(df)
+    # centroid attach is broadcast; the only nested-loop allowed is the
+    # k-row centroid cross join (broadcast side is the tiny cvec table)
+    assert any(k in ("SortMergeJoin", "ShuffledHashJoin") for k in kinds) or (
+        "BroadcastHashJoin" in kinds
+    ), kinds
+    # the pair join keys on cell: the equi-join condition appears with
+    # cell on both sides in the physical plan
+    assert "cell" in plan, plan
