@@ -464,20 +464,30 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.col("b.cell").cast("int").alias("cell"))
     )
     # attach vectors to assignments (one equi-join on vec_id; at scale
-    # this shuffle IS the partition-by-cell rewrite of the corpus)
-    av = assign.join(emb.select("vec_id", "v"), "vec_id")
+    # this shuffle IS the partition-by-cell rewrite of the corpus).
+    # Norms are folded ONCE per vector here — the pair predicate then
+    # evaluates dot/(na*nb), the exact same doubles _cosine would
+    # produce, at a third of the per-pair fold work.
+    av = assign.join(
+        emb.select("vec_id", "v", _norm(F.col("v")).alias("nrm")), "vec_id"
+    )
     a = av.select(
-        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+        F.col("cell"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = av.select(
-        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+        F.col("cell"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     losers = (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
-            F.round(_cosine(F.col("va"), F.col("vb")), 6) >= _NEARDUP_THRESHOLD
-        )
+        .filter(F.round(cos, 6) >= _NEARDUP_THRESHOLD)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
