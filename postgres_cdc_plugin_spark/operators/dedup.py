@@ -516,8 +516,38 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical near-dup removal: keep exactly ONE document per
+    connected component of the verified SimHash near-dup graph (the
+    component's min doc_id — its cluster_id), plus every document in no
+    component at all.
+
+    This is the consistent one-per-cluster policy docs_simhash_dedup
+    approximates: pairwise keep-lowest drops doc_b of every pair, which
+    keeps every LOCAL-minimum doc — a component can retain several
+    members (each smaller than all its direct neighbors) even though
+    they are transitively near-dups. Here the anti-join key is "member
+    of a component but not its canonical", so each component keeps
+    exactly one doc (cluster survivors are a strict subset of the
+    pairwise survivors — pinned in tests/test_analytics.py). Cost on
+    top of docs_dup_clusters is one anti-join of the corpus against the
+    (tiny) non-canonical member set — the component labeling dominates
+    and is diameter-bounded (see docs_dup_clusters).
+    """
+    docs = load(spark, sf_dir, "documents")
+    losers = (
+        docs_dup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 QUERIES = {
     "docs_dup_clusters": docs_dup_clusters,
+    "docs_cluster_dedup": docs_cluster_dedup,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_fingerprint_groups": docs_fingerprint_groups,
     "docs_minhash_sigs": docs_minhash_sigs,
@@ -646,6 +676,27 @@ ORACLE_SQL = {
         SELECT doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM lab
+    """,
+    "docs_cluster_dedup": f"""
+        WITH RECURSIVE p AS ({_SIMHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM p
+            UNION ALL
+            SELECT doc_b, doc_a FROM p
+        ),
+        verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT e.t, reach.r FROM edges e JOIN reach ON e.s = reach.doc_id
+        ),
+        lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+        SELECT doc_id, lang, source, n_chars
+        FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lab
+            WHERE lab.doc_id = d.doc_id AND lab.doc_id <> lab.cluster_id
+        )
     """,
     "docs_simhash": f"""
         SELECT doc_id, blk1, blk2, blk3, blk4,

@@ -103,6 +103,7 @@ PRIORITY_ORDER = [
     # -- position 51+: new queries that didn't fit the 50-query window
     #    (local exact parity only until a future round rotates them in)
     "embed_semdedup",
+    "docs_cluster_dedup",
     # -- everything after this appends in module order (round-1 green)
 ]
 
