@@ -1127,9 +1127,12 @@ ORACLE_SQL = {
     """,
     "events_session_window": """
         WITH flagged AS (
+            -- >= (not >): F.session_window extends a session only while
+            -- the next event falls STRICTLY inside [start, last + gap),
+            -- so an exactly-1800 s gap starts a NEW session
             SELECT user_id, ts, value,
                    CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                             OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)

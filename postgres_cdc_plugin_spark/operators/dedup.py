@@ -529,7 +529,7 @@ def docs_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are transitively near-dups. Here the anti-join key is "member
     of a component but not its canonical", so each component keeps
     exactly one doc (cluster survivors are a strict subset of the
-    pairwise survivors — pinned in tests/test_analytics.py). Cost on
+    pairwise survivors — pinned in tests/test_dedup.py). Cost on
     top of docs_dup_clusters is one anti-join of the corpus against the
     (tiny) non-canonical member set — the component labeling dominates
     and is diameter-bounded (see docs_dup_clusters).

@@ -47,6 +47,17 @@ def _cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _sq_dist(v, cv):
+    """Unrounded squared euclidean distance as a left fold — shared
+    verbatim by embed_ivf_assign / embed_semdedup so the round-6
+    determinism convention cannot drift between operators."""
+    return F.aggregate(
+        F.zip_with(v, cv, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors of one query vector.
 
@@ -390,16 +401,14 @@ def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     cvec = _centroid_vecs(emb)
-    sq_dist = F.aggregate(
-        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     w = Window.partitionBy("vec_id").orderBy("sq_dist", "cell")
     return (
         emb.crossJoin(F.broadcast(cvec))
         .select(
-            "vec_id", "label", "cell", F.round(sq_dist, 6).alias("sq_dist")
+            "vec_id",
+            "label",
+            "cell",
+            F.round(_sq_dist("v", "cv"), 6).alias("sq_dist"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -439,38 +448,45 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: centroids are round-6 per-label means (the
     embed_centroids convention), the per-(vector, cell) squared
     distance is round-6 with a cell tiebreak (the embed_ivf_assign
-    argmin), and pair cosines are round-6 before thresholding — every
-    compared value folds identical doubles in identical order on both
-    engines, so the oracle (same algorithm as chained CTEs) hash-checks
-    the full pipeline, not just counts.
+    argmin), and pair cosines are round-6 before thresholding. The
+    oracle mirrors every fold EXPLICITLY (dot and each norm as
+    list_sum left-folds, cosine = dot/(na*nb)) rather than via
+    list_cosine_similarity, so both engines evaluate the same doubles
+    in the same operation order and the driver hash checks the full
+    pipeline, not just counts.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     cvec = _centroid_vecs(emb)
-    sq_dist = F.aggregate(
-        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     # argmin via partial min-struct aggregation (the embed_pq_codes
     # shape): map-side combine leaves one ~corpus-sized shuffle keyed
-    # on vec_id, no window sort.
+    # on vec_id, no window sort. Persisted: the assignment feeds both
+    # sides of the pair join AND the final anti-join — unpersisted,
+    # the broadcast cross-join + argmin (the dominant stage) would run
+    # three times.
     assign = (
         emb.crossJoin(F.broadcast(cvec))
-        .select("vec_id", "label", "cell", F.round(sq_dist, 6).alias("sq_dist"))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(_sq_dist("v", "cv"), 6).alias("sq_dist"),
+        )
         .groupBy("vec_id", "label")
         .agg(F.min(F.struct("sq_dist", "cell")).alias("b"))
         .select("vec_id", "label", F.col("b.cell").cast("int").alias("cell"))
+        .persist()
     )
     # attach vectors to assignments (one equi-join on vec_id; at scale
     # this shuffle IS the partition-by-cell rewrite of the corpus).
     # Norms are folded ONCE per vector here — the pair predicate then
     # evaluates dot/(na*nb), the exact same doubles _cosine would
-    # produce, at a third of the per-pair fold work.
+    # produce, at a third of the per-pair fold work. Persisted so the
+    # a/b branches of the self-join share one materialization.
     av = assign.join(
         emb.select("vec_id", "v", _norm(F.col("v")).alias("nrm")), "vec_id"
-    )
+    ).persist()
     a = av.select(
         F.col("cell"),
         F.col("vec_id").alias("vec_a"),
@@ -696,14 +712,7 @@ def embed_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     kept = emb.join(losers, "vec_id", "left_anti")
-    full_d = F.round(
-        F.aggregate(
-            F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
+    full_d = F.round(_sq_dist("v", "cv"), 6)
     cand = kept.crossJoin(F.broadcast(_centroid_vecs(kept))).select(
         "vec_id",
         "label",
@@ -1016,11 +1025,21 @@ ORACLE_SQL = {
             GROUP BY vec_id, label
         ),
         losers AS (
+            -- cosine as EXPLICIT left folds (dot and norms via
+            -- list_sum, divided) so the doubles match Spark's
+            -- zip_with/aggregate fold bit-for-bit pre-rounding
             SELECT DISTINCT b.vec_id AS vec_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             JOIN assign sa ON sa.vec_id = a.vec_id
             JOIN assign sb ON sb.vec_id = b.vec_id AND sb.cell = sa.cell
-            WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+            WHERE round(
+                list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(a.embedding,
+                       x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(b.embedding,
+                       x -> x::DOUBLE * x::DOUBLE)))), 6)
+                >= {_NEARDUP_THRESHOLD}
         )
         SELECT s.vec_id, s.label, s.cell
         FROM assign s
