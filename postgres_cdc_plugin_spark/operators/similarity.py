@@ -775,6 +775,37 @@ _PQ_ERR_SQL = " + ".join(
     f"(min(struct_pack(d{m}:=d{m}, cell:=cell))).d{m}" for m in range(_PQ_M)
 )
 
+
+def _cent_cte_sql(src: str) -> str:
+    """Round-6 per-label centroid CTE body — the SQL mirror of
+    _centroid_vecs, shared by every oracle that derives cells
+    (embed_pq_codes / embed_pipeline_e2e / embed_ivf_assign /
+    embed_semdedup) so a rounding or dim-indexing fix cannot be applied
+    to one copy and silently break parity for the rest. Parameterized
+    on the source relation: pipeline_e2e trains on the dedup survivors."""
+    return f"""
+            SELECT label AS cell, list(cx ORDER BY dim) AS cv
+            FROM (
+                SELECT label, dim, round(avg(x), 6) AS cx
+                FROM (
+                    SELECT label,
+                           unnest(embedding::DOUBLE[]) AS x,
+                           unnest(range(1, len(embedding) + 1)) AS dim
+                    FROM {src}
+                )
+                GROUP BY label, dim
+            )
+            GROUP BY label
+    """
+
+
+# round-6 full squared distance between e.embedding and c.cv — the SQL
+# mirror of _sq_dist, shared for the same no-drift reason.
+_SQDIST_SQL = """round(list_sum(list_transform(
+                       range(1, len(e.embedding) + 1),
+                       i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                            * (e.embedding[i]::DOUBLE - c.cv[i]))), 6)"""
+
 ORACLE_SQL = {
     "docs_embed_join": """
         SELECT lang, label, count(*) AS n_docs,
@@ -878,18 +909,7 @@ ORACLE_SQL = {
     """,
     "embed_pq_codes": f"""
         WITH cent AS (
-            SELECT label AS cell, list(cx ORDER BY dim) AS cv
-            FROM (
-                SELECT label, dim, round(avg(x), 6) AS cx
-                FROM (
-                    SELECT label,
-                           unnest(embedding::DOUBLE[]) AS x,
-                           unnest(range(1, len(embedding) + 1)) AS dim
-                    FROM embeddings
-                )
-                GROUP BY label, dim
-            )
-            GROUP BY label
+{_cent_cte_sql("embeddings")}
         ),
         dist AS (
             SELECT e.vec_id, e.label, c.cell,
@@ -914,25 +934,11 @@ ORACLE_SQL = {
             )
         ),
         cent AS (
-            SELECT label AS cell, list(cx ORDER BY dim) AS cv
-            FROM (
-                SELECT label, dim, round(avg(x), 6) AS cx
-                FROM (
-                    SELECT label,
-                           unnest(embedding::DOUBLE[]) AS x,
-                           unnest(range(1, len(embedding) + 1)) AS dim
-                    FROM kept
-                )
-                GROUP BY label, dim
-            )
-            GROUP BY label
+{_cent_cte_sql("kept")}
         ),
         dist AS (
             SELECT e.vec_id, e.label, c.cell,
-                   round(list_sum(list_transform(
-                       range(1, len(e.embedding) + 1),
-                       i -> (e.embedding[i]::DOUBLE - c.cv[i])
-                            * (e.embedding[i]::DOUBLE - c.cv[i]))), 6)
+                   {_SQDIST_SQL}
                        AS fd,
                    {_PQ_DIST_SQL}
             FROM kept e CROSS JOIN cent c
@@ -946,27 +952,13 @@ ORACLE_SQL = {
         FROM dist
         GROUP BY vec_id, label
     """,
-    "embed_ivf_assign": """
+    "embed_ivf_assign": f"""
         WITH cent AS (
-            SELECT label AS cell, list(cx ORDER BY dim) AS cv
-            FROM (
-                SELECT label, dim, round(avg(x), 6) AS cx
-                FROM (
-                    SELECT label,
-                           unnest(embedding::DOUBLE[]) AS x,
-                           unnest(range(1, len(embedding) + 1)) AS dim
-                    FROM embeddings
-                )
-                GROUP BY label, dim
-            )
-            GROUP BY label
+{_cent_cte_sql("embeddings")}
         ),
         dist AS (
             SELECT e.vec_id, e.label, c.cell,
-                   round(list_sum(list_transform(
-                       range(1, len(e.embedding) + 1),
-                       i -> (e.embedding[i]::DOUBLE - c.cv[i])
-                            * (e.embedding[i]::DOUBLE - c.cv[i]))), 6)
+                   {_SQDIST_SQL}
                        AS sq_dist
             FROM embeddings e CROSS JOIN cent c
         )
@@ -995,25 +987,11 @@ ORACLE_SQL = {
     """,
     "embed_semdedup": f"""
         WITH cent AS (
-            SELECT label AS cell, list(cx ORDER BY dim) AS cv
-            FROM (
-                SELECT label, dim, round(avg(x), 6) AS cx
-                FROM (
-                    SELECT label,
-                           unnest(embedding::DOUBLE[]) AS x,
-                           unnest(range(1, len(embedding) + 1)) AS dim
-                    FROM embeddings
-                )
-                GROUP BY label, dim
-            )
-            GROUP BY label
+{_cent_cte_sql("embeddings")}
         ),
         dist AS (
             SELECT e.vec_id, e.label, c.cell,
-                   round(list_sum(list_transform(
-                       range(1, len(e.embedding) + 1),
-                       i -> (e.embedding[i]::DOUBLE - c.cv[i])
-                            * (e.embedding[i]::DOUBLE - c.cv[i]))), 6)
+                   {_SQDIST_SQL}
                        AS sq_dist
             FROM embeddings e CROSS JOIN cent c
         ),

@@ -72,6 +72,19 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_parts():
+    """(len_score, uniq_ratio) over a `text` column — the
+    docs_quality_score formula, shared with docs_pipeline_e2e's stage-1
+    gate so the two cannot drift."""
+    n_chars = F.length("text")
+    chars_no_space = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_tokens = n_chars - chars_no_space + 1
+    n_distinct = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    len_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    uniq_ratio = n_distinct / n_tokens.cast("double")
+    return len_score, uniq_ratio
+
+
 def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: length saturation + lexical diversity.
 
@@ -79,12 +92,7 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering, as pure column arithmetic.
     """
     docs = load(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    chars_no_space = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-    n_tokens = n_chars - chars_no_space + 1
-    n_distinct = F.size(F.array_distinct(F.split(F.col("text"), " ")))
-    len_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
-    uniq_ratio = n_distinct / n_tokens.cast("double")
+    len_score, uniq_ratio = _quality_parts()
     return docs.select(
         "doc_id",
         "lang",
@@ -251,20 +259,33 @@ def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids and hashes are bit-identical across engines. Narrow explode —
     no shuffle at any scale; output rows ~ corpus_tokens/stride."""
     docs = load(spark, sf_dir, "documents")
+    return _chunked(docs, ["doc_id", "lang"]).select(
+        "doc_id",
+        "lang",
+        "chunk_id",
+        F.size(F.split(F.col("chunk_text"), " ")).alias("chunk_tokens"),
+        F.length("chunk_text").alias("chunk_chars"),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
+def _chunked(df: DataFrame, carry: list[str]) -> DataFrame:
+    """The docs_chunks explode/slice kernel over any relation with a
+    `text` column: (carry..., chunk_id, chunk_text), one row per
+    _CHUNK_STRIDE window. Shared with docs_pipeline_e2e's stage 4 so
+    the chunk arithmetic cannot drift."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     return (
-        docs.select(
-            "doc_id",
-            "lang",
+        df.select(
+            *carry,
             toks.alias("toks"),
             F.explode(
                 F.sequence(F.lit(0), F.floor((n - 1) / _CHUNK_STRIDE).cast("int"))
             ).alias("chunk_id"),
         )
         .select(
-            "doc_id",
-            "lang",
+            *carry,
             "chunk_id",
             F.array_join(
                 F.slice(
@@ -274,14 +295,6 @@ def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 " ",
             ).alias("chunk_text"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "chunk_id",
-            F.size(F.split(F.col("chunk_text"), " ")).alias("chunk_tokens"),
-            F.length("chunk_text").alias("chunk_chars"),
-            F.md5("chunk_text").alias("chunk_hash"),
         )
     )
 
@@ -357,6 +370,19 @@ def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REP_TOP_FRAC = 0.1  # most-frequent-token share above which a doc is repetitive
 _REP_DUP_BIGRAM = 0.05  # duplicate-bigram share threshold (Gopher-style)
 _CONTAM_GRAM = 5  # token n-gram width for benchmark-contamination checks
+
+# distinct _CONTAM_GRAM-token-gram unnest kernel — the SQL mirror of the
+# Spark shifted-zip gram build, shared by the contamination /
+# boilerplate / common-spans / pipeline oracles so the gram definition
+# cannot drift between them.
+_GRAM_UNNEST_SQL = f"""unnest(
+                CASE WHEN len(string_split(text, ' ')) >= {_CONTAM_GRAM} THEN
+                    list_distinct(list_transform(
+                        range(1, len(string_split(text, ' ')) - {_CONTAM_GRAM - 2}),
+                        i -> list_aggregate(
+                            string_split(text, ' ')[i:i + {_CONTAM_GRAM - 1}],
+                            'string_agg', ' ')))
+                ELSE [NULL] END) AS gram"""
 _BENCH_SOURCE = "src0"  # the source treated as the held-out benchmark corpus
 _BOILER_MIN_DF = 2  # docs sharing a 5-gram before it counts as boilerplate
 _BOILER_MAX_FRAC = 0.2  # shared-gram share above which a doc is dropped
@@ -542,21 +568,7 @@ def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probe side of the join back — unpersisted, the corpus would be
     # shingled twice (one full explode per DAG branch)
     grams = _token_grams(docs).persist()
-    df_counts = (
-        grams.filter(F.col("gram").isNotNull())
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    per_doc = (
-        grams.join(df_counts, "gram", "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("gram").alias("n_grams"),
-            F.sum(
-                F.when(F.col("df") >= _BOILER_MIN_DF, 1).otherwise(0)
-            ).alias("n_shared"),
-        )
-    )
+    per_doc = _gram_share(grams, ["source"])
     frac = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
         F.col("n_shared") / F.col("n_grams").cast("double")
     )
@@ -567,6 +579,29 @@ def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         frac.alias("shared_frac"),
         (frac <= _BOILER_MAX_FRAC).alias("keep"),
+    )
+
+
+def _gram_share(grams: DataFrame, extra_group: list[str]) -> DataFrame:
+    """(doc_id [+extra_group], n_grams, n_shared) from a _token_grams
+    stream: document frequency per gram (one gram-key shuffle,
+    map-side partials) joined back to the per-doc gram stream — the
+    docs_boilerplate_ngrams kernel, shared with docs_pipeline_e2e's
+    stage-3 filter so the sharing rule cannot drift."""
+    df_counts = (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        grams.join(df_counts, "gram", "left")
+        .groupBy("doc_id", *extra_group)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= _BOILER_MIN_DF, 1).otherwise(0)
+            ).alias("n_shared"),
+        )
     )
 
 
@@ -613,16 +648,10 @@ def docs_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~tokens/stride rows per kept doc with no shuffle.
     """
     docs = load(spark, sf_dir, "documents")
-    # stage 1: quality gate (docs_quality_score formula)
-    n_chars = F.length("text")
-    n_tokens = (
-        n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
-    )
-    uniq_ratio = (
-        F.size(F.array_distinct(F.split(F.col("text"), " ")))
-        / n_tokens.cast("double")
-    )
-    quality = F.least(F.lit(1.0), n_chars / F.lit(500.0)) * 0.5 + uniq_ratio * 0.5
+    # stage 1: quality gate (the docs_quality_score formula, shared via
+    # _quality_parts)
+    len_score, uniq_ratio = _quality_parts()
+    quality = len_score * 0.5 + uniq_ratio * 0.5
     gated = docs.filter(quality >= _PIPE_MIN_QUALITY)
     # stage 2: exact dedup, keep-lowest-doc_id (docs_exact_dedup policy)
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
@@ -638,23 +667,12 @@ def docs_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn", "fingerprint")
     )
-    # stage 3: boilerplate filter (docs_boilerplate_ngrams semantics,
-    # document frequencies computed among the survivors)
+    # stage 3: boilerplate filter (the docs_boilerplate_ngrams kernel
+    # via _gram_share, document frequencies computed among the
+    # survivors)
     grams = _token_grams(deduped).persist()
-    dfc = (
-        grams.filter(F.col("gram").isNotNull())
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
     keep_ids = (
-        grams.join(dfc, "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("gram").alias("n_grams"),
-            F.sum(
-                F.when(F.col("df") >= _BOILER_MIN_DF, 1).otherwise(0)
-            ).alias("n_shared"),
-        )
+        _gram_share(grams, [])
         .filter(
             (F.col("n_grams") == 0)
             | (
@@ -665,43 +683,14 @@ def docs_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = deduped.join(keep_ids, "doc_id")
-    # stage 4: chunking (docs_chunks expressions)
-    toks = F.split(F.col("text"), " ")
-    return (
-        kept.select(
-            "doc_id",
-            "lang",
-            "source",
-            toks.alias("toks"),
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.floor((F.size(toks) - 1) / _CHUNK_STRIDE).cast("int"),
-                )
-            ).alias("chunk_id"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "chunk_id",
-            F.array_join(
-                F.slice(
-                    F.col("toks"),
-                    F.col("chunk_id") * _CHUNK_STRIDE + 1,
-                    _CHUNK_TOKENS,
-                ),
-                " ",
-            ).alias("chunk_text"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "chunk_id",
-            F.size(F.split(F.col("chunk_text"), " ")).alias("chunk_tokens"),
-            F.md5("chunk_text").alias("chunk_hash"),
-        )
+    # stage 4: chunking (the docs_chunks kernel via _chunked)
+    return _chunked(kept, ["doc_id", "lang", "source"]).select(
+        "doc_id",
+        "lang",
+        "source",
+        "chunk_id",
+        F.size(F.split(F.col("chunk_text"), " ")).alias("chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_hash"),
     )
 
 
@@ -1095,14 +1084,7 @@ ORACLE_SQL = {
             ) WHERE rn = 1
         ),
         g AS (
-            SELECT doc_id, unnest(
-                CASE WHEN len(string_split(text, ' ')) >= {_CONTAM_GRAM} THEN
-                    list_distinct(list_transform(
-                        range(1, len(string_split(text, ' ')) - {_CONTAM_GRAM - 2}),
-                        i -> list_aggregate(
-                            string_split(text, ' ')[i:i + {_CONTAM_GRAM - 1}],
-                            'string_agg', ' ')))
-                ELSE [NULL] END) AS gram
+            SELECT doc_id, {_GRAM_UNNEST_SQL}
             FROM d
         ),
         dfc AS (
@@ -1143,14 +1125,7 @@ ORACLE_SQL = {
     """,
     "docs_boilerplate_ngrams": f"""
         WITH g AS (
-            SELECT doc_id, source, unnest(
-                CASE WHEN len(string_split(text, ' ')) >= {_CONTAM_GRAM} THEN
-                    list_distinct(list_transform(
-                        range(1, len(string_split(text, ' ')) - {_CONTAM_GRAM - 2}),
-                        i -> list_aggregate(
-                            string_split(text, ' ')[i:i + {_CONTAM_GRAM - 1}],
-                            'string_agg', ' ')))
-                ELSE [NULL] END) AS gram
+            SELECT doc_id, source, {_GRAM_UNNEST_SQL}
             FROM documents
         ),
         dfc AS (
@@ -1175,14 +1150,7 @@ ORACLE_SQL = {
     """,
     "docs_common_spans": f"""
         WITH g AS (
-            SELECT doc_id, unnest(
-                CASE WHEN len(string_split(text, ' ')) >= {_CONTAM_GRAM} THEN
-                    list_distinct(list_transform(
-                        range(1, len(string_split(text, ' ')) - {_CONTAM_GRAM - 2}),
-                        i -> list_aggregate(
-                            string_split(text, ' ')[i:i + {_CONTAM_GRAM - 1}],
-                            'string_agg', ' ')))
-                ELSE [NULL] END) AS gram
+            SELECT doc_id, {_GRAM_UNNEST_SQL}
             FROM documents
         )
         SELECT gram, count(*) AS n_docs
@@ -1194,14 +1162,7 @@ ORACLE_SQL = {
     """,
     "docs_contamination": f"""
         WITH g AS (
-            SELECT doc_id, source, unnest(
-                CASE WHEN len(string_split(text, ' ')) >= {_CONTAM_GRAM} THEN
-                    list_distinct(list_transform(
-                        range(1, len(string_split(text, ' ')) - {_CONTAM_GRAM - 2}),
-                        i -> list_aggregate(
-                            string_split(text, ' ')[i:i + {_CONTAM_GRAM - 1}],
-                            'string_agg', ' ')))
-                ELSE [NULL] END) AS gram
+            SELECT doc_id, source, {_GRAM_UNNEST_SQL}
             FROM documents
         ),
         bench AS (SELECT DISTINCT gram FROM g WHERE source = '{_BENCH_SOURCE}'),

@@ -93,13 +93,18 @@ _READERS = {"jsonl": read_jsonl, "json": read_jsonl, "csv": read_csv, "parquet":
 
 def ingest(
     spark: SparkSession, path: str, fmt: str = "jsonl"
-) -> tuple[DataFrame, DataFrame]:
-    """Read corpus shards and split (clean, quarantine) in one pass.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read corpus shards and split (clean, quarantine, raw) in one
+    pass.
 
     clean: canonical DOCUMENTS_SCHEMA, n_chars backfilled from the text
     when the shard omitted it, rows with no usable text dropped.
     quarantine: the raw offending records (plus any doc_id that did
     parse) for the ingest audit log.
+    raw: the CACHED source relation both branches derive from — the
+    caller owns its lifecycle and should `raw.unpersist()` once the
+    clean/quarantine outputs are consumed (otherwise each ingest call
+    pins a corpus-sized cached relation for the session's lifetime).
 
     The raw relation is cached before the split: Spark disallows (and
     at best recomputes) queries that filter the corrupt column straight
@@ -112,7 +117,9 @@ def ingest(
         raise ValueError(
             f"unknown corpus format {fmt!r}; expected one of {sorted(_READERS)}"
         ) from None
-    return split_quarantine(reader(spark, path).cache())
+    raw = reader(spark, path).cache()
+    clean, quarantine = split_quarantine(raw)
+    return clean, quarantine, raw
 
 
 def split_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -159,14 +166,25 @@ def stream_ingest(
     routing every micro-batch into a clean parquet corpus and a
     quarantine parquet audit log (foreachBatch — one source read feeds
     both sinks; a two-query split would scan the input twice). Returns
-    the started StreamingQuery; exactly-once per shard via the
-    checkpoint (file-source offsets)."""
+    the started StreamingQuery.
 
-    def _route(batch: DataFrame, _batch_id: int) -> None:
+    foreachBatch is at-least-once, so each batch writes mode-overwrite
+    into its OWN `batch=<id>` partition directory (the
+    SimHashNearDupIndex discipline): a replayed micro-batch rewrites
+    its partition instead of appending duplicates, making the sinks
+    effectively exactly-once. Readers see `batch` as an ordinary
+    partition column on top of the canonical schema."""
+    import os
+
+    def _route(batch: DataFrame, batch_id: int) -> None:
         batch = batch.cache()
         clean, quarantine = split_quarantine(batch)
-        clean.write.mode("append").parquet(clean_dir)
-        quarantine.write.mode("append").parquet(quarantine_dir)
+        clean.write.mode("overwrite").parquet(
+            os.path.join(clean_dir, f"batch={batch_id}")
+        )
+        quarantine.write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"batch={batch_id}")
+        )
         batch.unpersist()
 
     writer = (

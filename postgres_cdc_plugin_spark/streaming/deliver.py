@@ -193,7 +193,10 @@ class WebhookSink:
 
         import pyarrow.parquet as _pq
 
-        files = sorted(_glob.glob(_os.path.join(self.attempts_path, "*.parquet")))
+        files = sorted(
+            _glob.glob(_os.path.join(self.attempts_path, "*.parquet"))
+            + _glob.glob(_os.path.join(self.attempts_path, "batch=*", "*.parquet"))
+        )
         rows: list[Attempt] = []
         for f in files:
             t = _pq.read_table(f)
@@ -208,8 +211,6 @@ class WebhookSink:
         return rows
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        from pyspark import StorageLevel
-
         cfg, url, headers = self.cfg, self.url, self.headers
         # per-key ordering (SURVEY.md §7 hard-point 3): ordering unit = the monitored row's key (falling back to the
         # event id for keyless feeds): hash-partition so all changes of a
@@ -230,28 +231,32 @@ class WebhookSink:
             for a in deliver_rows(rows, url, headers, cfg):
                 yield (a.event_id, a.attempt, a.status, a.ok, a.error, a.at)
 
-        # one materialization of the delivery RDD (persisted so the
-        # aggregate/failed-subset jobs below never re-send webhooks),
-        # written to parquet FROM THE EXECUTORS — the driver sees only
-        # aggregates and the failure subset
+        # EXACTLY ONE Spark action runs over the delivery RDD: the
+        # parquet write of this batch's attempt log, executor-side,
+        # into the batch's OWN subdirectory (mode-overwrite, so a
+        # foreachBatch replay rewrites instead of duplicating). The
+        # aggregate and the failure subset are then computed by reading
+        # the written FILES back — a persist + second action would
+        # re-execute _deliver_partition (re-POSTing webhooks) whenever
+        # a cached partition is lost on a real cluster.
+        import os as _os
+
         spark = batch.sparkSession
         rdd = ordered.rdd.mapPartitions(_deliver_partition)
-        rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            adf = spark.createDataFrame(rdd, _ATTEMPT_LOG_SCHEMA)
-            adf.write.mode("append").parquet(self.attempts_path)
-            agg = adf.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_if(F.col("ok")).alias("n_ok"),
-            ).collect()[0]
-            self.n_attempts += agg.n
-            self.n_delivered += agg.n_ok
-            # bounded by the number of FAILED events, not batch size
-            failed_last = adf.filter(
-                (F.col("attempt") == cfg.attempt_budget - 1) & ~F.col("ok")
-            ).collect()
-        finally:
-            rdd.unpersist()
+        adf = spark.createDataFrame(rdd, _ATTEMPT_LOG_SCHEMA)
+        batch_dir = _os.path.join(self.attempts_path, f"batch={batch_id}")
+        adf.write.mode("overwrite").parquet(batch_dir)
+        logged = spark.read.schema(_ATTEMPT_LOG_SCHEMA).parquet(batch_dir)
+        agg = logged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("ok")).alias("n_ok"),
+        ).collect()[0]
+        self.n_attempts += agg.n
+        self.n_delivered += agg.n_ok
+        # bounded by the number of FAILED events, not batch size
+        failed_last = logged.filter(
+            (F.col("attempt") == cfg.attempt_budget - 1) & ~F.col("ok")
+        ).collect()
 
         if failed_last:
             if cfg.cancel_on_failure:

@@ -205,36 +205,55 @@ class EventQueue:
         import tempfile
 
         terminal = ["DELIVERED"] + (["FAILED"] if drop_failed else [])
-        st = self.state().select("event_id", "status")
-        drop_ids = st.filter(F.col("status").isin(terminal)).select("event_id")
-        n_drop = drop_ids.count()
-        n_total = st.count()
-        if n_drop == 0:
-            return {"kept": n_total, "dropped": 0}
-        keep_ev = self._events().join(drop_ids, "event_id", "left_anti")
-        keep_at = self._attempts().join(drop_ids, "event_id", "left_anti")
-        # write BOTH survivor logs first (every read runs against the
-        # original files — the drop-set plan spans both logs), then swap
-        # both directories atomically
-        staged = []
-        for df, path in (
-            (keep_ev, self.event_log_path),
-            (keep_at, self.attempts_path),
-        ):
-            tmp = tempfile.mkdtemp(prefix="cdc-compact-")
-            new_dir = os.path.join(tmp, "data")
-            df.write.mode("overwrite").parquet(new_dir)
-            staged.append((path, new_dir, tmp))
-        for path, new_dir, tmp in staged:
-            old = path + ".old"
-            if os.path.exists(path):
-                os.rename(path, old)
-            os.rename(new_dir, path)
-            shutil.rmtree(old, ignore_errors=True)
-            shutil.rmtree(tmp, ignore_errors=True)
-            # drop Spark's cached file listing for the swapped directory
-            self.spark.catalog.refreshByPath(path)
-        return {"kept": n_total - n_drop, "dropped": n_drop}
+        # persist the tiny (event_id, status) projection: the status
+        # counts AND both survivor anti-joins read it, and unpersisted
+        # each would re-run the full events+attempts state join
+        st = self.state().select("event_id", "status").persist()
+        try:
+            by_status = {
+                r["status"]: r["count"]
+                for r in st.groupBy("status").count().collect()
+            }
+            n_total = sum(by_status.values())
+            n_drop = sum(by_status.get(s, 0) for s in terminal)
+            if n_drop == 0:
+                return {"kept": n_total, "dropped": 0}
+            drop_ids = st.filter(F.col("status").isin(terminal)).select(
+                "event_id"
+            )
+            keep_ev = self._events().join(drop_ids, "event_id", "left_anti")
+            keep_at = self._attempts().join(drop_ids, "event_id", "left_anti")
+            # write BOTH survivor logs first (every read runs against
+            # the original files — the drop-set plan spans both logs),
+            # then swap both directories atomically. Staging lives NEXT
+            # TO the live logs: os.rename across filesystems raises
+            # EXDEV, and a tempdir under TMPDIR would fail the swap
+            # AFTER the live log was already moved aside.
+            staged = []
+            for df, path in (
+                (keep_ev, self.event_log_path),
+                (keep_at, self.attempts_path),
+            ):
+                tmp = tempfile.mkdtemp(
+                    prefix="cdc-compact-", dir=os.path.dirname(path)
+                )
+                new_dir = os.path.join(tmp, "data")
+                df.write.mode("overwrite").parquet(new_dir)
+                staged.append((path, new_dir, tmp))
+            for path, new_dir, tmp in staged:
+                old = path + ".old"
+                # a leftover .old from a crashed run would fail the swap
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.exists(path):
+                    os.rename(path, old)
+                os.rename(new_dir, path)
+                shutil.rmtree(old, ignore_errors=True)
+                shutil.rmtree(tmp, ignore_errors=True)
+                # drop Spark's cached file listing for the swapped dir
+                self.spark.catalog.refreshByPath(path)
+            return {"kept": n_total - n_drop, "dropped": n_drop}
+        finally:
+            st.unpersist()
 
     def state_for(self, principal: str, policy) -> DataFrame:
         """P4 row-level security analog for the event log
@@ -259,16 +278,26 @@ class EventQueue:
 
     # ---- S4: the poller --------------------------------------------
 
-    def ready(self, now: datetime.datetime | None = None, limit: int = 1000) -> DataFrame:
+    def ready(
+        self,
+        now: datetime.datetime | None = None,
+        limit: int = 1000,
+        scope=None,
+    ) -> DataFrame:
         """P5 readiness predicate + ordered polling batch (the indexes
-        cdc_webhook--1.0.sql:50-52 as filter + top-k)."""
+        cdc_webhook--1.0.sql:50-52 as filter + top-k).
+
+        `scope` (optional Column predicate) narrows the poll BEFORE the
+        ordered limit — a scoped poller that filtered AFTER the global
+        top-k could be starved forever by another subscription's
+        backlog filling the window."""
         now = now or _utcnow()
-        return (
-            self.state()
-            .filter((F.col("status") == "PENDING") & (F.col("next_attempt") <= F.lit(now)))
-            .orderBy("next_attempt", "event_id")
-            .limit(limit)
+        st = self.state().filter(
+            (F.col("status") == "PENDING") & (F.col("next_attempt") <= F.lit(now))
         )
+        if scope is not None:
+            st = st.filter(scope)
+        return st.orderBy("next_attempt", "event_id").limit(limit)
 
     def poll_once(
         self,
@@ -301,15 +330,17 @@ class EventQueue:
         headers = dict(headers) if headers is not None else dict(cfg.headers)
         fallback_url = cfg.webhook_url
         fallback_timeout = cfg.timeout
-        ready = (
-            self.ready(now)
-            .filter(
+        # subscription scope goes INSIDE ready() so it applies before
+        # the ordered limit — filtering after the global top-k would
+        # let another subscription's >limit backlog starve this poller
+        ready = self.ready(
+            now,
+            scope=(
                 (F.col("trigger_schema") == cfg.schema_name)
                 & (F.col("trigger_table") == cfg.table_name)
                 & (F.col("trigger_name") == cfg.name)
-            )
-            .select("event_id", "payload", "attempt_count", "timeout", "webhook_url")
-        )
+            ),
+        ).select("event_id", "payload", "attempt_count", "timeout", "webhook_url")
 
         def _attempt_partition(it):
             rows = list(it)
@@ -337,21 +368,41 @@ class EventQueue:
                     a.at,
                 )
 
-        # one materialization (persisted — a second pass over an
-        # unpersisted RDD would re-deliver every webhook), parquet
-        # written FROM THE EXECUTORS; the driver keeps only the count
-        from pyspark import StorageLevel
+        # EXACTLY ONE Spark action runs over the delivery RDD: the
+        # parquet write to a staging dir. The cycle count then comes
+        # from reading the staged FILES back (round-2 review: a persist
+        # + second action re-executes lost cached partitions on a real
+        # cluster, re-POSTing webhooks), and the staged part-files move
+        # into the attempts log afterwards — same filesystem, so the
+        # moves are atomic renames.
+        import shutil
+        import tempfile
 
         rdd = ready.rdd.mapPartitions(_attempt_partition)
-        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        os.makedirs(self.attempts_path, exist_ok=True)
+        stage = tempfile.mkdtemp(
+            prefix="attempts-stage-", dir=os.path.dirname(self.attempts_path)
+        )
         try:
-            n = int(rdd.count())
+            stage_data = os.path.join(stage, "data")
+            self.spark.createDataFrame(rdd, _ATTEMPTS_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(stage_data)
+            staged_files = glob.glob(os.path.join(stage_data, "*.parquet"))
+            n = int(
+                self.spark.read.schema(_ATTEMPTS_SCHEMA)
+                .parquet(stage_data)
+                .count()
+            ) if staged_files else 0
             if n:
-                self.spark.createDataFrame(rdd, _ATTEMPTS_SCHEMA).write.mode(
-                    "append"
-                ).parquet(self.attempts_path)
+                for f in staged_files:
+                    os.rename(
+                        f,
+                        os.path.join(self.attempts_path, os.path.basename(f)),
+                    )
+                self.spark.catalog.refreshByPath(self.attempts_path)
         finally:
-            rdd.unpersist()
+            shutil.rmtree(stage, ignore_errors=True)
         return n
 
     def start_poller(

@@ -162,7 +162,7 @@ def test_corpus_jsonl_ingest_quarantines_malformed(spark, tmp_path):
         json.dumps({"doc_id": 5, "text": None, "lang": "en", "source": "s1", "n_chars": 0}),
     ]
     p.write_text("\n".join(lines) + "\n")
-    clean, quarantine = corpus.ingest(spark, str(p), "jsonl")
+    clean, quarantine, raw = corpus.ingest(spark, str(p), "jsonl")
 
     rows = {r.doc_id: r for r in clean.collect()}
     assert set(rows) == {1, 2}
@@ -179,6 +179,7 @@ def test_corpus_jsonl_ingest_quarantines_malformed(spark, tmp_path):
     raws = {r.raw_record for r in q}
     assert "{this is not json" in raws
     assert 5 in {r.doc_id for r in q}
+    raw.unpersist()
 
 
 def test_corpus_csv_ingest(spark, tmp_path):
@@ -191,16 +192,17 @@ def test_corpus_csv_ingest(spark, tmp_path):
         "oops,gamma,en,s0,5\n"  # bad doc_id type -> quarantined
         "3,delta,de,s1,5\n"
     )
-    clean, quarantine = corpus.ingest(spark, str(p), "csv")
+    clean, quarantine, raw = corpus.ingest(spark, str(p), "csv")
     assert {r.doc_id for r in clean.collect()} == {1, 3}
     assert quarantine.count() == 1
     assert "oops" in quarantine.collect()[0].raw_record
+    raw.unpersist()
 
 
 def test_corpus_parquet_ingest_matches_direct_read(spark, sf_dir):
     from postgres_cdc_plugin_spark.sources import corpus
 
-    clean, quarantine = corpus.ingest(
+    clean, quarantine, raw = corpus.ingest(
         spark, f"{sf_dir}/documents.parquet", "parquet"
     )
     direct = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -209,6 +211,7 @@ def test_corpus_parquet_ingest_matches_direct_read(spark, sf_dir):
     assert [f.name for f in clean.schema.fields] == [
         f.name for f in corpus.DOCUMENTS_SCHEMA.fields
     ]
+    raw.unpersist()
 
 
 def test_corpus_unknown_format_rejected(spark):
