@@ -256,3 +256,38 @@ def test_corpus_stream_ingest_routes_clean_and_quarantine(spark, tmp_path):
     q2 = corpus.stream_ingest(spark, str(feed), clean_dir, quar_dir, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(clean_dir).count() == 2
+
+
+def test_stream_ingest_replayed_batch_not_duplicated(spark, tmp_path):
+    """foreachBatch is at-least-once: a REPLAYED micro-batch (fresh
+    checkpoint over the same feed -> same batch id) must overwrite its
+    own partition, not append duplicates (round-2 review fix)."""
+    import json
+
+    from postgres_cdc_plugin_spark.sources import corpus
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "one", "lang": "en", "source": "s"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "two", "lang": "en", "source": "s"})
+        + "\n"
+    )
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quar")
+
+    q = corpus.stream_ingest(
+        spark, str(feed), clean_dir, quar_dir, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(60)
+    assert spark.read.parquet(clean_dir).count() == 2
+
+    # fresh checkpoint replays the same files as batch 0 again
+    q2 = corpus.stream_ingest(
+        spark, str(feed), clean_dir, quar_dir, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(60)
+    replayed = spark.read.parquet(clean_dir)
+    assert replayed.count() == 2
+    assert {r.doc_id for r in replayed.collect()} == {1, 2}

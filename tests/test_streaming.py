@@ -1121,3 +1121,75 @@ def test_streaming_neardup_index(spark, tmp_path):
     got3 = sorted(r.doc_id for r in idx.accepted(spark).collect())
     assert got3 == [1, 2, 11], got3
     assert idx.index(spark).count() == 3
+
+def test_ready_scope_applies_before_limit(spark, tmp_path):
+    """A scoped poll must not be starved by another subscription's
+    backlog: the subscription predicate applies BEFORE the ordered
+    limit, so sub B's event is returned even when sub A's older
+    backlog alone would fill the window (round-2 review fix)."""
+    from pyspark.sql import functions as F
+
+    engine = CdcEngine(spark, str(tmp_path / "wd"))
+    cfg_a = engine.register(
+        SubscriptionConfig(
+            name="suba", table_name="employees",
+            webhook_url="http://localhost:1/a", mode="ASYNC",
+        )
+    )
+    cfg_b = engine.register(
+        SubscriptionConfig(
+            name="subb", table_name="employees",
+            webhook_url="http://localhost:1/b", mode="ASYNC",
+        )
+    )
+    # sub A: 3 events enqueued FIRST (earlier next_attempt); sub B: 1
+    changes_a = _feed(
+        spark,
+        tmp_path / "feed_a",
+        [_change(i, "INSERT", new=_row(i, "A", i)) for i in (1, 2, 3)],
+    )
+    _run(engine, cfg_a, changes_a, tmp_path, "suba")
+    import time
+
+    time.sleep(1.1)  # strictly later enqueue tick for sub B
+    changes_b = _feed(
+        spark, tmp_path / "feed_b", [_change(9, "INSERT", new=_row(9, "B", 9))]
+    )
+    _run(engine, cfg_b, changes_b, tmp_path, "subb")
+
+    scope_b = F.col("trigger_name") == "subb"
+    # window of 3 filled entirely by sub A without the scope...
+    unscoped = engine.queue.ready(limit=3).collect()
+    assert {r.trigger_name for r in unscoped} == {"suba"}
+    # ...but the scoped poll still sees sub B's event
+    scoped = engine.queue.ready(limit=3, scope=scope_b).collect()
+    assert [r.trigger_name for r in scoped] == ["subb"]
+
+
+def test_queue_compact_survives_stale_old_dir(spark, tmp_path):
+    """A leftover event_log.old from a crashed compaction must not fail
+    the next compact's directory swap (round-2 review fix)."""
+    import os
+
+    engine = CdcEngine(spark, str(tmp_path / "wd"))
+    with CaptureServer() as srv:
+        cfg = engine.register(
+            SubscriptionConfig(
+                name="cc", table_name="employees", webhook_url=srv.url,
+                mode="ASYNC",
+            )
+        )
+        changes = _feed(
+            spark, tmp_path / "feed", [_change(1, "INSERT", new=_row(1, "A", 1))]
+        )
+        _run(engine, cfg, changes, tmp_path, "cc")
+        assert engine.queue.poll_once(cfg) == 1
+        srv.wait_for(1)
+        # simulate a crashed prior compaction
+        stale = engine.queue.event_log_path + ".old"
+        os.makedirs(stale, exist_ok=True)
+        with open(os.path.join(stale, "junk.parquet"), "w") as f:
+            f.write("not parquet")
+        assert engine.queue.compact() == {"kept": 0, "dropped": 1}
+        assert not os.path.exists(stale)
+        assert engine.queue.state().count() == 0
