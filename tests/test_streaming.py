@@ -1193,3 +1193,72 @@ def test_queue_compact_survives_stale_old_dir(spark, tmp_path):
         assert engine.queue.compact() == {"kept": 0, "dropped": 1}
         assert not os.path.exists(stale)
         assert engine.queue.state().count() == 0
+
+def test_streaming_ivf_index_matches_batch_assign(spark, tmp_path, sf_dir):
+    """EmbedIvfIndex: the streaming per-batch assignment against a
+    frozen codebook equals the batch embed_ivf_assign bit-for-bit
+    (same round-6 centroid/argmin conventions), the index layout is
+    cell-partitioned (probe = partition pruning), and a replayed batch
+    overwrites its own partition instead of duplicating."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.similarity import (
+        _centroid_vecs,
+        embed_ivf_assign,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming import vectors
+
+    emb = load(spark, sf_dir, "embeddings")
+    feed = tmp_path / "vec_feed"
+    feed.mkdir()
+    with_ts = emb.withColumn("ts", F.lit("2024-01-01 10:00:00").cast("timestamp"))
+    cols = ["vec_id", "embedding", "label", "ts"]
+    with_ts.filter("vec_id % 2 = 0").select(*cols).coalesce(1).write.parquet(
+        str(feed / "chunk_a")
+    )
+    with_ts.filter("vec_id % 2 = 1").select(*cols).coalesce(1).write.parquet(
+        str(feed / "chunk_b")
+    )
+    # frozen codebook: the same round-6 per-label means the batch op uses
+    codebook = _centroid_vecs(
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+    ).localCheckpoint()
+
+    idx = vectors.EmbedIvfIndex(str(tmp_path / "ivf_index"), codebook)
+
+    def drain(ckpt):
+        src = (
+            spark.readStream.schema(vectors.VEC_STREAM_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(feed))
+        )
+        q = idx.attach(src, checkpoint=str(tmp_path / ckpt), available_now=True)
+        q.awaitTermination(60)
+
+    drain("ck1")
+    total = emb.count()
+    built = idx.index(spark)
+    assert built.count() == total
+
+    # streaming assignment == batch embed_ivf_assign (same codebook)
+    batch_assign = embed_ivf_assign(spark, sf_dir).select(
+        "vec_id", F.col("cell").alias("batch_cell")
+    )
+    joined = built.select("vec_id", "cell").join(batch_assign, "vec_id")
+    assert joined.count() == total
+    assert joined.filter("cell <> batch_cell").count() == 0
+
+    # probe prunes partitions: the cell predicate is a PartitionFilter
+    probed = idx.probe(spark, [0, 1])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
+
+    # replay with a fresh checkpoint: same files -> same batch id ->
+    # overwrite, not duplication
+    drain("ck2")
+    assert idx.index(spark).count() == total
