@@ -18,6 +18,7 @@ reference baking the op list into trigger DDL.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,15 +40,26 @@ class CdcEngine:
         self._subscriptions: dict[str, SubscriptionConfig] = {}
         self._sinks: dict[str, WebhookSink] = {}
 
+    @staticmethod
+    def _key(cfg: SubscriptionConfig) -> str:
+        """Subscription identity used for query names, checkpoint and
+        attempt-log paths, and the registry dicts. The display form
+        joins with '.', so identifiers CONTAINING dots would collide
+        (('a','b.c','d') vs ('a.b','c','d')) — an 8-hex digest over the
+        unambiguous NUL-joined triple disambiguates while keeping the
+        key readable and filesystem-safe."""
+        parts = (cfg.schema_name, cfg.table_name, cfg.name)
+        digest = hashlib.md5("\x00".join(parts).encode()).hexdigest()[:8]
+        return f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}-{digest}"
+
     def register(self, cfg: SubscriptionConfig) -> SubscriptionConfig:
         """Validation happened in the dataclass; PRIVATE mode stores the
         secret material in the credential store and the inline config is
         the only place it ever appears (the reference nulls the literals,
         cdc_webhook--1.0.sql:185-198)."""
-        key = f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}"
         if cfg.security == "PRIVATE":
             self.creds.upsert(cfg)
-        self._subscriptions[key] = cfg
+        self._subscriptions[self._key(cfg)] = cfg
         return cfg
 
     def _resolve(self, cfg: SubscriptionConfig) -> tuple[str, dict[str, str]]:
@@ -66,11 +78,15 @@ class CdcEngine:
         available_now: bool = False,
     ) -> StreamingQuery:
         """Attach the subscription to a streaming change feed."""
-        url, headers = self._resolve(cfg)
-        key = f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}"
+        key = self._key(cfg)
         if cfg.mode == "ASYNC":
+            # no credential resolution here: the enqueue sink needs
+            # none, and the poller re-resolves per tick anyway — a
+            # PRIVATE+ASYNC subscription must not fail to START just
+            # because its credentials land later
             sink = self.queue.enqueue_sink(cfg)
         else:
+            url, headers = self._resolve(cfg)
             ws = WebhookSink(
                 cfg, url, headers,
                 attempts_path=os.path.join(self.workdir, "attempts", key),
@@ -109,4 +125,4 @@ class CdcEngine:
         )
 
     def sink_of(self, cfg: SubscriptionConfig) -> WebhookSink:
-        return self._sinks[f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}"]
+        return self._sinks[self._key(cfg)]

@@ -51,6 +51,13 @@ def event_id(cfg: SubscriptionConfig) -> Column:
     key_seg = F.when(
         F.col("key").isNull(), F.lit("n")
     ).otherwise(F.concat(F.lit("k"), F.col("key").cast("string")))
+    # seq gets the same sentinel discipline: concat_ws silently SKIPS
+    # null segments, so an unguarded null seq would collapse distinct
+    # events onto one id (and let key 'x:1' seq 2 collide with key
+    # 'x:1:2' seq null). 'n' vs 's<seq>' can never collide.
+    seq_seg = F.when(
+        F.col("seq").isNull(), F.lit("n")
+    ).otherwise(F.concat(F.lit("s"), F.col("seq").cast("string")))
     return F.md5(
         F.concat_ws(
             ":",
@@ -58,13 +65,24 @@ def event_id(cfg: SubscriptionConfig) -> Column:
             F.lit(cfg.table_name),
             F.lit(cfg.name),
             key_seg,
-            F.col("seq").cast("string"),
+            seq_seg,
         )
     )
 
 
-def envelope_column(cfg: SubscriptionConfig) -> Column:
-    """The nested envelope struct (cdc_webhook--1.0.sql:252-280)."""
+def envelope_column(cfg: SubscriptionConfig, raw_images: bool = False) -> Column:
+    """The nested envelope struct (cdc_webhook--1.0.sql:252-280).
+
+    raw_images=True passes the old/new columns through as-is (they are
+    already JSON text — the feed's wire format): re-serializing a
+    map<string,string> parse would retype every number/bool to a string
+    and flatten nested objects into escaped blobs, which is NOT what
+    row_to_json emits."""
+    img = (
+        (lambda c: F.col(c))
+        if raw_images
+        else (lambda c: F.to_json(c, {"ignoreNullFields": "false"}))
+    )
     return F.struct(
         event_id(cfg).alias("id"),
         F.col("ts").alias("created_at"),
@@ -81,14 +99,8 @@ def envelope_column(cfg: SubscriptionConfig) -> Column:
             F.struct(
                 # row_to_json(OLD/NEW): NULL image stays NULL (:266-277);
                 # keep explicit nulls — row_to_json serializes NULL columns
-                F.when(
-                    F.col("op") != "INSERT",
-                    F.to_json("old", {"ignoreNullFields": "false"}),
-                ).alias("old"),
-                F.when(
-                    F.col("op") != "DELETE",
-                    F.to_json("new", {"ignoreNullFields": "false"}),
-                ).alias("new"),
+                F.when(F.col("op") != "INSERT", img("old")).alias("old"),
+                F.when(F.col("op") != "DELETE", img("new")).alias("new"),
             ).alias("data"),
         ).alias("event"),
     )
@@ -96,15 +108,20 @@ def envelope_column(cfg: SubscriptionConfig) -> Column:
 
 def project_envelope(changes: DataFrame, cfg: SubscriptionConfig) -> DataFrame:
     """P3 envelope projection: narrow column ops, no shuffle. Keeps the
-    key/seq columns alongside for sink-side per-key ordering."""
+    key/seq columns alongside for sink-side per-key ordering. String
+    old/new images (the schema-on-read wire format) pass through to the
+    envelope verbatim — the row_to_json analog preserves the original
+    value types."""
     if "key" not in changes.columns:
         changes = changes.withColumn("key", F.lit(None).cast("string"))
+    from pyspark.sql.types import StringType
+
+    raw = isinstance(changes.schema["new"].dataType, StringType)
+    env = envelope_column(cfg, raw_images=raw)
     return changes.select(
         F.col("seq"),
         F.col("key"),
         F.col("op"),
-        envelope_column(cfg).alias("envelope"),
-        F.to_json(envelope_column(cfg), {"ignoreNullFields": "false"}).alias(
-            "payload"
-        ),
+        env.alias("envelope"),
+        F.to_json(env, {"ignoreNullFields": "false"}).alias("payload"),
     )

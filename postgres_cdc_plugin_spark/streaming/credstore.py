@@ -16,6 +16,9 @@ show the table.
 from __future__ import annotations
 
 import datetime
+import glob
+import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +42,10 @@ _SCHEMA = StructType(
         StructField("headers", MapType(StringType(), StringType())),
         StructField("updated_at", TimestampType()),
         StructField("created_by", StringType()),
+        # write-order tiebreaker: same-microsecond upserts (or skewed
+        # writer clocks) would otherwise make the last-write-wins
+        # window pick a nondeterministic row
+        StructField("upsert_id", StringType()),
     ]
 )
 
@@ -63,6 +70,7 @@ class CredentialStore:
                 dict(cfg.headers),
                 now,
                 created_by,
+                uuid.uuid4().hex,
             )
         ]
         self.spark.createDataFrame(row, _SCHEMA).write.mode("append").parquet(
@@ -70,8 +78,18 @@ class CredentialStore:
         )
 
     def current(self) -> DataFrame:
-        """Last-write-wins view over the append log."""
-        w = Window.partitionBy(*_KEY).orderBy(F.desc("updated_at"))
+        """Last-write-wins view over the append log. An empty/unwritten
+        store reads as an empty relation (a fresh engine with no PRIVATE
+        subscription never writes the path — accessors must not throw).
+        Ties on updated_at break on upsert_id so the winner is
+        deterministic across reads (arbitrary but stable for
+        same-microsecond writes; legacy rows without the column sort
+        last under desc)."""
+        if not glob.glob(os.path.join(self.path, "*.parquet")):
+            return self.spark.createDataFrame([], _SCHEMA)
+        w = Window.partitionBy(*_KEY).orderBy(
+            F.desc("updated_at"), F.desc("upsert_id")
+        )
         return (
             self.spark.read.schema(_SCHEMA)
             .parquet(self.path)
@@ -103,8 +121,17 @@ class CredentialStore:
 
     def resolve_join(self, events: DataFrame) -> DataFrame:
         """Stream-side resolution as a broadcast equi-join (J1) for plans
-        that carry multiple subscriptions in one stream."""
-        return events.join(F.broadcast(self.current()), on=_KEY, how="left")
+        that carry multiple subscriptions in one stream. Credential
+        columns come back `cred_`-prefixed so joining event_log-shaped
+        inputs (which already carry webhook_url) never produces
+        ambiguous references."""
+        creds = self.current().select(
+            *_KEY,
+            F.col("webhook_url").alias("cred_webhook_url"),
+            F.col("headers").alias("cred_headers"),
+            F.col("updated_at").alias("cred_updated_at"),
+        )
+        return events.join(F.broadcast(creds), on=_KEY, how="left")
 
     def view_for(self, principal: str, policy) -> DataFrame:
         """P4 row-level security analog (cdc_webhook--1.0.sql:55-64):
@@ -115,12 +142,20 @@ class CredentialStore:
         return self.masked()
 
     def masked(self) -> DataFrame:
-        """ST10: the only display form — url host kept, secrets masked."""
+        """ST10: the only display form — scheme + host kept, EVERYTHING
+        else masked. Secrets live in URL paths (Slack-style
+        /services/T/B/TOKEN) and query strings (?token=...), not just
+        userinfo, so the display form truncates after the authority
+        (userinfo dropped too) rather than masking only user:pass@."""
         return self.current().select(
             *_KEY,
-            F.regexp_replace("webhook_url", r"//[^@/]*@", "//***@").alias(
-                "webhook_url_masked"
-            ),
+            F.concat(
+                F.regexp_extract("webhook_url", r"^(\w+://)", 1),
+                F.regexp_extract(
+                    "webhook_url", r"^\w+://(?:[^@/?#]*@)?([^/?#]*)", 1
+                ),
+                F.lit("/***"),
+            ).alias("webhook_url_masked"),
             F.transform_values(
                 F.col("headers"), lambda _, __: F.lit("***")
             ).alias("headers_masked"),

@@ -75,3 +75,33 @@ def test_queue_state_for_redacts_non_members(spark, tmp_path):
     assert outsider.status == "PENDING"  # operational state visible
     assert outsider.webhook_url == "***" and outsider.payload == "***"
     assert "sekrit" not in str(outsider)
+
+
+def test_masked_url_hides_path_and_query_secrets(spark, tmp_path):
+    """ST10: secrets live in URL paths (Slack-style /services/T/B/TOKEN)
+    and query strings, not just userinfo — the display form keeps only
+    scheme + host."""
+    from postgres_cdc_plugin_spark.config import SubscriptionConfig
+    from postgres_cdc_plugin_spark.streaming.credstore import CredentialStore
+
+    store = CredentialStore(spark, str(tmp_path / "creds"))
+    store.upsert(
+        SubscriptionConfig(
+            name="slackish", table_name="employees", security="PRIVATE",
+            webhook_url="https://user:pw@hooks.example.com/services/T0/B0/sEcReTtOk?token=qsecret",
+        )
+    )
+    masked = store.masked().collect()[0].webhook_url_masked
+    assert masked == "https://hooks.example.com/***"
+    for leak in ("sEcReTtOk", "qsecret", "user:pw"):
+        assert leak not in masked
+
+
+def test_credstore_empty_store_reads_as_empty(spark, tmp_path):
+    """A fresh store (no PRIVATE subscription ever registered) must read
+    as an empty relation, not throw PATH_NOT_FOUND."""
+    from postgres_cdc_plugin_spark.streaming.credstore import CredentialStore
+
+    store = CredentialStore(spark, str(tmp_path / "never-written"))
+    assert store.current().count() == 0
+    assert store.masked().count() == 0

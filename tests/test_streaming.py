@@ -892,9 +892,12 @@ def test_schema_on_read_envelope_survives_alter(spark, tmp_path):
 
     by_op_key = {(p["event"]["op"], json.loads(p["event"]["data"]["new"])["id"]): p for p in payloads}
     assert len(payloads) == 3  # the badge-unchanged UPDATE was suppressed
-    drifted = by_op_key[("INSERT", "2")]
+    # ids come back as ints: the raw feed JSON passes through to the
+    # envelope verbatim (round-2 fix — the old map re-serialization
+    # retyped every number/bool to a string)
+    drifted = by_op_key[("INSERT", 2)]
     assert json.loads(drifted["event"]["data"]["new"])["badge"] == "blue"
-    upd = by_op_key[("UPDATE", "1")]
+    upd = by_op_key[("UPDATE", 1)]
     assert json.loads(upd["event"]["data"]["new"])["badge"] == "red"
 
 
@@ -1262,3 +1265,30 @@ def test_streaming_ivf_index_matches_batch_assign(spark, tmp_path, sf_dir):
     # overwrite, not duplication
     drain("ck2")
     assert idx.index(spark).count() == total
+
+
+def test_schema_on_read_payload_preserves_json_types(spark, tmp_path):
+    """Schema-on-read envelopes carry the ORIGINAL feed JSON: numbers,
+    booleans, and nested objects keep their types (the map-parse is
+    used only by the diff gate — re-serializing it retyped everything
+    to strings before the round-2 fix)."""
+    with CaptureServer() as srv:
+        engine = CdcEngine(spark, str(tmp_path / "wd"))
+        cfg = engine.register(
+            SubscriptionConfig(
+                name="typed", table_name="employees", webhook_url=srv.url,
+            )
+        )
+        row = {"id": 7, "active": True, "score": 1.5, "meta": {"a": 1}}
+        ch = dict(_change(1, "INSERT"), new=json.dumps(row), key="7")
+        changes = changefeed.read_stream(
+            spark, str(_feed_raw(spark, tmp_path / "feed", [ch]))
+        )
+        _run(engine, cfg, changes, tmp_path, "typed")
+        (payload,) = srv.wait_for(1)
+    assert json.loads(payload["event"]["data"]["new"]) == row
+
+
+def _feed_raw(spark, feed_dir, rows):
+    changefeed.write_chunk(str(feed_dir), rows)
+    return str(feed_dir)
