@@ -22,9 +22,18 @@ def event_uuid(*key_cols: Column | str) -> Column:
     from the event's natural key instead of RNG so checkpoint replay
     under at-least-once delivery re-emits the SAME id and receivers can
     dedup (SURVEY.md §7 'What's hard' #5 — an intentional divergence).
+
+    Each segment is md5-hashed BEFORE joining: concat_ws silently skips
+    NULL segments (key=NULL, seq=5 would collide with key='5',
+    seq=NULL) and raw values containing ':' would blur segment
+    boundaries — per-segment digests (hex, never ':') with an 'n'
+    sentinel for NULL make the id collision-free per distinct tuple.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
-    return F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+    segs = [
+        F.coalesce(F.md5(c.cast("string")), F.lit("n")) for c in cols
+    ]
+    return F.md5(F.concat_ws(":", *segs))
 
 
 def row_to_json(*cols: str) -> Column:
@@ -53,10 +62,15 @@ def any_column_changed(columns: Iterable[str], old_prefix: str = "old",
                        new_prefix: str = "new") -> Column:
     """OR-fold of per-column diffs (cdc_webhook--1.0.sql:204-212,
     evaluated :229-235). Empty tracked set => literal False, reproducing
-    the reference's suppress-all-UPDATEs rule (README.md:119-122)."""
+    the reference's suppress-all-UPDATEs rule (README.md:119-122).
+    Fields resolve via getField so a tracked column literally named
+    'a.b' is never misread as a nested path (the capture._image_field
+    discipline)."""
     acc = F.lit(False)
     for c in columns:
-        acc = acc | is_distinct_from(f"{new_prefix}.{c}", f"{old_prefix}.{c}")
+        acc = acc | is_distinct_from(
+            F.col(new_prefix).getField(c), F.col(old_prefix).getField(c)
+        )
     return acc
 
 
@@ -84,7 +98,11 @@ def next_attempt_at(ts: Column | str, delay_seconds: Column | str) -> Column:
     delay_seconds = (
         F.col(delay_seconds) if isinstance(delay_seconds, str) else delay_seconds
     )
-    return F.timestamp_seconds(ts.cast("double") + delay_seconds.cast("double"))
+    # via timestamp_ltz: TIMESTAMP_NTZ inputs cannot cast straight to
+    # numeric (exact under the UTC session timezone)
+    return F.timestamp_seconds(
+        ts.cast("timestamp_ltz").cast("double") + delay_seconds.cast("double")
+    )
 
 
 def http_success(status: Column | str) -> Column:

@@ -46,17 +46,19 @@ def decode_payload(payload: bytes, modality: str):  # pragma: no cover - stub
 
 def _fake_features(payload: bytes, dim: int = 4) -> list[float]:
     """Deterministic stand-in for decode->feature-extract: cheap byte
-    statistics, stable across runs/partitions."""
+    statistics, stable across runs/partitions. Always exactly `dim`
+    elements (zero-padded/truncated) — ragged feature vectors would
+    misalign any fixed-width downstream consumer."""
     n = len(payload)
     if n == 0:
         return [0.0] * dim
-    s = sum(payload)
-    return [
+    base = [
         float(n),
-        float(s % 256),
+        float(sum(payload) % 256),
         float(payload[0]),
         float(payload[-1]),
-    ][:dim]
+    ]
+    return (base + [0.0] * dim)[:dim]
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
@@ -88,8 +90,11 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Tries the real decoder once per batch, falls back to fake features."""
     for pdf in batches:
         feats = []
-        for payload, modality in zip(pdf["payload"], pdf["modality"]):
-            data = bytes(payload)
+        # NULL payload (text=NULL source row) must not crash the worker
+        # — bytes(None) raises; treat missing media as empty bytes, the
+        # same rows the JVM-only metadata query tolerates
+        payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
+        for data, modality in zip(payloads, pdf["modality"]):
             try:
                 decoded = decode_payload(data, modality)
                 feats.append([float(x) for x in decoded])
@@ -99,8 +104,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"],
                 "modality": pdf["modality"],
-                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                "checksum": [sum(bytes(p)) % 256 for p in pdf["payload"]],
+                "n_bytes": [len(p) for p in payloads],
+                "checksum": [sum(p) % 256 for p in payloads],
                 "features": feats,
             }
         )
@@ -164,7 +169,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload, modality in zip(
             pdf["doc_id"], pdf["payload"], pdf["modality"]
         ):
-            data = bytes(payload)
+            data = b"" if payload is None else bytes(payload)
             try:  # real decoder unavailable in this environment
                 decode_payload(data, modality)
             except NotImplementedError:

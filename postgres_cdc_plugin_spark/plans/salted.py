@@ -40,10 +40,15 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    # deterministic spread: hash the whole left row, not random() — the
-    # same input always salts the same way (replayable, testable)
+    # salt from the row's position, not a row hash: hashing all columns
+    # throws on MapType inputs and gives ZERO spread when the hot key's
+    # rows are identical (the exact case salting exists for). The salt
+    # only picks WHICH replica of the right side a left row meets —
+    # every replica holds the same match group, so join results are
+    # identical for any salt assignment.
     salted_left = left.withColumn(
-        _SALT, F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+        _SALT,
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(_SALT)
     replicated_right = right.select("*", salts)

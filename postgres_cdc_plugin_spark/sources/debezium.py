@@ -37,15 +37,28 @@ DEBEZIUM_SCHEMA = (
 _OP_MAP = {"c": "INSERT", "r": "INSERT", "u": "UPDATE", "d": "DELETE"}
 
 
-def parse(values: DataFrame, value_col: str = "value") -> DataFrame:
+def parse(
+    values: DataFrame, value_col: str = "value", key_field: str = "id"
+) -> DataFrame:
     """Debezium JSON values -> canonical change rows (CHANGE_SCHEMA
     shape: seq, key, op, table_schema, table_name, old, new, ts).
 
     op mapping: c(reate)/r(ead, snapshot) -> INSERT, u -> UPDATE,
-    d -> DELETE. seq = source.lsn (the Postgres WAL position — the
+    d -> DELETE. Rows that don't map (tombstones — null value after a
+    delete — truncates, unparseable values) are DROPPED, not passed
+    through as all-NULL ghost rows that would pollute downstream
+    keyed state. seq = source.lsn (the Postgres WAL position — the
     total-order the reference gets implicitly from firing in commit
-    order). Narrow projection; at scale this chains straight onto the
-    Kafka source with no shuffle.
+    order). `key_field` names the primary-key column inside the row
+    images (default "id"); tables with a different PK must pass theirs
+    or per-key ordering and event-id dedup degrade to the keyless
+    path. ts = source.ts_ms, the DATABASE change time — the envelope's
+    top-level ts_ms is connector processing time, which diverges by
+    hours on connector restart/backfill and would wreck event-time
+    sessions, watermarks, and ack-latency math; the connector clock is
+    kept only as a fallback for envelopes missing source.ts_ms.
+    Narrow projection; at scale this chains straight onto the Kafka
+    source with no shuffle.
     """
     env = F.from_json(F.col(value_col), DEBEZIUM_SCHEMA).alias("e")
     op = F.col("e.op")
@@ -53,17 +66,24 @@ def parse(values: DataFrame, value_col: str = "value") -> DataFrame:
     for k, v in _OP_MAP.items():
         expr = F.when(op == k, v) if expr is None else expr.when(op == k, v)
     mapped_op = expr.otherwise(F.lit(None))
-    return values.select(env).select(
-        F.col("e.source.lsn").alias("seq"),
-        # key: the row identity travels in after (or before, on DELETE)
-        F.coalesce(
-            F.get_json_object("e.after", "$.id"),
-            F.get_json_object("e.before", "$.id"),
-        ).alias("key"),
-        mapped_op.alias("op"),
-        F.col("e.source.schema").alias("table_schema"),
-        F.col("e.source.table").alias("table_name"),
-        F.col("e.before").alias("old"),
-        F.col("e.after").alias("new"),
-        F.timestamp_millis(F.col("e.ts_ms")).alias("ts"),
+    path = f"$.{key_field}"
+    return (
+        values.select(env)
+        .select(
+            F.col("e.source.lsn").alias("seq"),
+            # key: the row identity travels in after (or before, on DELETE)
+            F.coalesce(
+                F.get_json_object("e.after", path),
+                F.get_json_object("e.before", path),
+            ).alias("key"),
+            mapped_op.alias("op"),
+            F.col("e.source.schema").alias("table_schema"),
+            F.col("e.source.table").alias("table_name"),
+            F.col("e.before").alias("old"),
+            F.col("e.after").alias("new"),
+            F.timestamp_millis(
+                F.coalesce(F.col("e.source.ts_ms"), F.col("e.ts_ms"))
+            ).alias("ts"),
+        )
+        .filter(F.col("op").isNotNull())
     )

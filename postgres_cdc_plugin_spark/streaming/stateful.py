@@ -93,7 +93,10 @@ def sessionize_changes(
 
         ts: list[float] = []
         for pdf in pdfs:
-            ts.extend(t.timestamp() for t in pdf["ts"])
+            # a malformed feed row with ts=null arrives as NaT;
+            # NaT.timestamp() raises and would kill the whole query —
+            # skip such rows instead
+            ts.extend(t.timestamp() for t in pdf["ts"] if pd.notna(t))
         ts.sort()
 
         if state.exists:
@@ -108,7 +111,13 @@ def sessionize_changes(
                 start, n = t, 0
             if start is None:
                 start = t
-            last = t
+            else:
+                # a cross-batch LATE event inside the gap extends the
+                # session backwards, never shrinks it
+                start = min(start, t)
+            # last never regresses: an out-of-order arrival must not
+            # move the session end (or the timeout base) backwards
+            last = t if last is None else max(last, t)
             n += 1
         state.update((start, last, n))
         if watermark_delay is not None:

@@ -91,3 +91,15 @@ def test_op_subscription_filter(spark):
     )
     out = df.filter(scalar.op_subscription_filter(["INSERT", "DELETE"])).collect()
     assert sorted(r.op for r in out) == ["DELETE", "INSERT"]
+
+
+def test_event_uuid_null_and_shifted_segments_do_not_collide(spark):
+    """concat_ws silently skips NULLs — per-segment digests must keep
+    (NULL, '5') distinct from ('5', NULL), and values containing ':'
+    must not blur segment boundaries."""
+    df = spark.createDataFrame(
+        [(None, "5"), ("5", None), ("a:b", "c"), ("a", "b:c")],
+        "k string, s string",
+    )
+    ids = [r.id for r in df.select(scalar.event_uuid("k", "s").alias("id")).collect()]
+    assert len(set(ids)) == 4

@@ -8,7 +8,8 @@ import json
 from postgres_cdc_plugin_spark.sources import debezium
 
 
-def _dbz(op, before=None, after=None, lsn=1, ts_ms=1_700_000_000_000):
+def _dbz(op, before=None, after=None, lsn=1, ts_ms=1_700_000_000_000,
+         source_ts_ms=None):
     return json.dumps(
         {
             "before": json.dumps(before) if before else None,
@@ -16,7 +17,7 @@ def _dbz(op, before=None, after=None, lsn=1, ts_ms=1_700_000_000_000):
             "source": {
                 "schema": "public",
                 "table": "employees",
-                "ts_ms": ts_ms,
+                "ts_ms": source_ts_ms if source_ts_ms is not None else ts_ms,
                 "lsn": lsn,
             },
             "op": op,
@@ -291,3 +292,108 @@ def test_stream_ingest_replayed_batch_not_duplicated(spark, tmp_path):
     replayed = spark.read.parquet(clean_dir)
     assert replayed.count() == 2
     assert {r.doc_id for r in replayed.collect()} == {1, 2}
+
+
+def test_debezium_ts_is_database_change_time(spark):
+    """ts must come from source.ts_ms (the DB change time), not the
+    envelope-level ts_ms (connector processing time) — after a
+    connector restart/backfill the two diverge by hours and event-time
+    sessions/watermarks would collapse onto 'now'."""
+    import datetime
+
+    row = (_dbz(
+        "c", after={"id": 1}, lsn=1,
+        ts_ms=1_700_003_600_000,          # connector clock: 1h later
+        source_ts_ms=1_700_000_000_000,   # DB change time
+    ),)
+    out = debezium.parse(spark.createDataFrame([row], "value string")).collect()[0]
+    assert out.ts == datetime.datetime.utcfromtimestamp(1_700_000_000)
+
+
+def test_debezium_tombstones_and_unmapped_ops_dropped(spark):
+    """Kafka tombstones (null value), truncate events, and unparseable
+    values must be dropped, not emitted as all-NULL ghost rows."""
+    rows = [
+        (_dbz("c", after={"id": 1}, lsn=1),),
+        (None,),                      # tombstone
+        ("{not json",),               # unparseable
+        (_dbz("t", lsn=2),),          # truncate: unmapped op
+    ]
+    out = debezium.parse(spark.createDataFrame(rows, "value string")).collect()
+    assert len(out) == 1 and out[0].op == "INSERT"
+
+
+def test_debezium_custom_key_field(spark):
+    """Tables whose PK is not literally 'id' pass key_field."""
+    row = (_dbz("c", after={"order_id": 77, "x": 1}, lsn=1),)
+    df = spark.createDataFrame([row], "value string")
+    assert debezium.parse(df).collect()[0].key is None
+    assert debezium.parse(df, key_field="order_id").collect()[0].key == "77"
+
+
+def test_stateful_sessionizer_late_event_does_not_regress(spark, tmp_path):
+    """A cross-batch LATE event inside the gap must extend the open
+    session backwards (start) without moving its end backwards — the
+    round-2 fix for the last-regression bug where a later in-gap event
+    then measured its gap from the stale earlier time and spuriously
+    split the session."""
+    import os
+    import time
+
+    from postgres_cdc_plugin_spark.sources import changefeed
+    from postgres_cdc_plugin_spark.streaming.stateful import sessionize_changes
+
+    feed = tmp_path / "feed"
+    os.makedirs(str(feed))
+    out: list = []
+
+    def chg(seq, key, hhmm):
+        return {
+            "seq": seq, "key": key, "op": "UPDATE",
+            "table_schema": "public", "table_name": "t",
+            "old": None, "new": None,
+            "ts": f"2024-01-01T{hhmm}:00.000000",
+        }
+
+    src = changefeed.read_stream(spark, str(feed), maxFilesPerTrigger="1")
+    q = (
+        sessionize_changes(src, gap_seconds=1800.0)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_batches(n, timeout=60.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if sum(1 for p in q.recentProgress if p["numInputRows"] > 0) >= n:
+                return
+            time.sleep(0.2)
+        raise TimeoutError(f"never saw {n} data batches")
+
+    try:
+        changefeed.write_chunk(str(feed), [chg(1, "A", "10:00")])
+        wait_batches(1)
+        # LATE event 10 min earlier, then one 25 min after 10:00 — all
+        # within one session; the buggy version closed at 09:50
+        changefeed.write_chunk(str(feed), [chg(2, "A", "09:50")])
+        wait_batches(2)
+        changefeed.write_chunk(str(feed), [chg(3, "A", "10:25")])
+        wait_batches(3)
+        assert out == []  # still one open session, nothing closed
+        # an event far past the gap closes it: start=09:50, end=10:25
+        changefeed.write_chunk(str(feed), [chg(4, "A", "13:00")])
+        wait_batches(4)
+        deadline = time.time() + 20
+        while time.time() < deadline and not out:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+
+    assert len(out) == 1
+    sess = out[0]
+    assert sess.key == "A" and sess.n_changes == 3
+    assert sess.session_start.strftime("%H:%M") == "09:50"
+    assert sess.session_end.strftime("%H:%M") == "10:25"
