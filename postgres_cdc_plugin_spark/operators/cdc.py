@@ -52,9 +52,21 @@ def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flattened to scalar columns (rather than a nested struct) so the DuckDB
     oracle can hash-compare it; envelope.py builds the nested/JSON form for
     the streaming sink.
+
+    OLD image: the event log carries only post-states, so the UPDATE
+    before-image is RECONSTRUCTED as the key's previous post-state
+    (lag per user_id — the cdc_delta_agg convention); an UPDATE with no
+    prior event has an unknown before-image (NULL), and DELETE's OLD is
+    the row being deleted (this event's values), matching
+    row_to_json(OLD) semantics (:266-277). Round 1 wrongly emitted the
+    CURRENT row as OLD, so every update delta read as zero. One shuffle
+    on the key (shared with the sink's per-key ordering).
     """
     ev = load(spark, sf_dir, "events")
     op = _op_expr()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_eid = F.lag("event_id").over(w)
+    prev_value = F.lag("value").over(w)
     return ev.select(
         F.md5(F.concat_ws(":", F.lit("evt"), F.col("event_id").cast("string"))).alias("id"),
         F.col("ts").alias("created_at"),
@@ -63,8 +75,12 @@ def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cdc_events_trigger").alias("trigger_name"),
         F.lit("AFTER").alias("trigger_timing"),
         op.alias("op"),
-        F.when(op != "INSERT", F.col("user_id")).alias("old_user_id"),
-        F.when(op != "INSERT", F.col("value")).alias("old_value"),
+        F.when(op == "DELETE", F.col("user_id"))
+        .when((op == "UPDATE") & prev_eid.isNotNull(), F.col("user_id"))
+        .alias("old_user_id"),
+        F.when(op == "DELETE", F.col("value"))
+        .when((op == "UPDATE") & prev_eid.isNotNull(), prev_value)
+        .alias("old_value"),
         F.when(op != "DELETE", F.col("user_id")).alias("new_user_id"),
         F.when(op != "DELETE", F.col("value")).alias("new_value"),
     )
@@ -96,13 +112,26 @@ def cdc_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("props"), F.col("props"),
         )
     )
+    # before-image reconstruction (see cdc_envelope): UPDATE's OLD is
+    # the key's previous post-state; DELETE's OLD is this row
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_eid = F.lag("event_id").over(w)
+    prev_json = F.to_json(
+        F.create_map(
+            F.lit("user_id"), F.col("user_id").cast("string"),
+            F.lit("value"), F.lag("value").over(w).cast("string"),
+            F.lit("props"), F.lag("props").over(w),
+        )
+    )
     return ev.select(
         F.md5(F.concat_ws(":", F.lit("evt"), F.col("event_id").cast("string"))).alias("id"),
         F.col("ts").alias("created_at"),
         F.lit("public").alias("table_schema"),
         F.lit("events").alias("table_name"),
         op.alias("op"),
-        F.when(op != "INSERT", row_json).alias("old_row_json"),
+        F.when(op == "DELETE", row_json)
+        .when((op == "UPDATE") & prev_eid.isNotNull(), prev_json)
+        .alias("old_row_json"),
         F.when(op != "DELETE", row_json).alias("new_row_json"),
     )
 
@@ -562,6 +591,13 @@ ORACLE_SQL = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "cdc_envelope": f"""
+        WITH base AS (
+            SELECT event_id, ts, user_id, event_type, value,
+                   lag(event_id) OVER w AS prev_eid,
+                   lag(value) OVER w AS prev_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
         SELECT md5('evt:' || CAST(event_id AS VARCHAR)) AS id,
                ts AS created_at,
                'public' AS table_schema,
@@ -569,29 +605,48 @@ ORACLE_SQL = {
                'cdc_events_trigger' AS trigger_name,
                'AFTER' AS trigger_timing,
                {_OP_SQL} AS op,
-               CASE WHEN event_type <> 'signup' THEN user_id END AS old_user_id,
-               CASE WHEN event_type <> 'signup' THEN value END AS old_value,
+               CASE WHEN event_type = 'error' THEN user_id
+                    WHEN event_type NOT IN ('signup', 'error')
+                         AND prev_eid IS NOT NULL THEN user_id
+               END AS old_user_id,
+               CASE WHEN event_type = 'error' THEN value
+                    WHEN event_type NOT IN ('signup', 'error')
+                         AND prev_eid IS NOT NULL THEN prev_value
+               END AS old_value,
                CASE WHEN event_type <> 'error' THEN user_id END AS new_user_id,
                CASE WHEN event_type <> 'error' THEN value END AS new_value
-        FROM events
+        FROM base
     """,
     "cdc_envelope_json": f"""
+        WITH base AS (
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   lag(event_id) OVER w AS prev_eid,
+                   lag(value) OVER w AS prev_value,
+                   lag(props) OVER w AS prev_props
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
         SELECT md5('evt:' || CAST(event_id AS VARCHAR)) AS id,
                ts AS created_at,
                'public' AS table_schema,
                'events' AS table_name,
                {_OP_SQL} AS op,
-               CASE WHEN event_type <> 'signup' THEN
+               CASE WHEN event_type = 'error' THEN
                    CAST(to_json(MAP {{'user_id': CAST(user_id AS VARCHAR),
                                       'value': CAST(value AS VARCHAR),
                                       'props': props}}) AS VARCHAR)
+                    WHEN event_type NOT IN ('signup', 'error')
+                         AND prev_eid IS NOT NULL THEN
+                   CAST(to_json(MAP {{'user_id': CAST(user_id AS VARCHAR),
+                                      'value': CAST(prev_value AS VARCHAR),
+                                      'props': prev_props}}) AS VARCHAR)
                END AS old_row_json,
                CASE WHEN event_type <> 'error' THEN
                    CAST(to_json(MAP {{'user_id': CAST(user_id AS VARCHAR),
                                       'value': CAST(value AS VARCHAR),
                                       'props': props}}) AS VARCHAR)
                END AS new_row_json
-        FROM events
+        FROM base
     """,
     "cdc_op_filter": """
         SELECT event_id, ts, user_id, event_type AS op, value

@@ -37,6 +37,7 @@ _ROWS_PER_BAND = 3
 _N_HASHES = _N_BANDS * _ROWS_PER_BAND
 _SHINGLE = 8  # character shingle width
 _JACCARD_THRESHOLD = 0.8  # verified similarity above which doc_b is dropped
+_CC_MAX_ROUNDS = 50  # min-label propagation safety valve (fails loud)
 
 
 def _fingerprint():
@@ -91,7 +92,7 @@ def _shingles(docs: DataFrame, distinct: bool) -> DataFrame:
     standard choice in large-scale corpus dedup.
     """
     idx = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.octet_length("b") - (_SHINGLE - 2), F.lit(1)))
+        F.sequence(F.lit(1), F.greatest(F.octet_length("b") - (_SHINGLE - 1), F.lit(1)))
     ).alias("i")
     # the source is a single small parquet file (one input split); without
     # an explicit repartition the ~100x explode amplification and per-
@@ -199,7 +200,9 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
     """Candidate pairs + exact shingle-set Jaccard (the verify step)."""
     sh = _shingles(docs, distinct=True).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = _candidate_pairs(_minhash_sigs(docs, shingles=sh).persist()).persist()
+    # pairs feeds one linear chain — persisting it would add cache-write
+    # cost with zero reuse (sh and sigs DO fan out and stay persisted)
+    pairs = _candidate_pairs(_minhash_sigs(docs, shingles=sh).persist())
 
     sa = sh.alias("sa")
     sb = sh.alias("sb")
@@ -322,8 +325,15 @@ def _simhash_blocks_df(docs: DataFrame) -> DataFrame:
     # one spark.sql() call instead of a chain of wide Dataset ops: each
     # DataFrame transformation is eagerly analyzed, and re-analyzing
     # 64-column trees per step costs ~2s of driver time — a single SQL
-    # parse+analysis pass is ~10x cheaper for this expression count
-    docs.createOrReplaceTempView("_simhash_docs")
+    # parse+analysis pass is ~10x cheaper for this expression count.
+    # The staging view gets a UNIQUE name and is dropped right after
+    # sql() resolves it (analysis is eager; execution no longer needs
+    # the catalog entry) — a fixed name would race concurrent callers
+    # on the shared session and leak into the catalog.
+    import uuid as _uuid
+
+    view = f"_simhash_docs_{_uuid.uuid4().hex}"
+    docs.createOrReplaceTempView(view)
     vote_cols = ", ".join(
         f"{_simhash_vote_expr(b).format(div='div')} AS t{b}"
         for b in range(1, _SIMHASH_BITS + 1)
@@ -340,14 +350,15 @@ def _simhash_blocks_df(docs: DataFrame) -> DataFrame:
         + f") AS blk{k}"
         for k in range(1, _SIMHASH_BLOCKS + 1)
     )
-    return docs.sparkSession.sql(f"""
+    try:
+        return docs.sparkSession.sql(f"""
         WITH docs_p AS (
             -- repartition the RAW rows, BEFORE the explode: the source is
             -- a single parquet split, and a hint on the explode SELECT
             -- would place the exchange after it, leaving the whole
             -- scan+split+explode on one core
             SELECT /*+ REPARTITION(doc_id) */ doc_id, text
-            FROM _simhash_docs
+            FROM {view}
         ),
         tok AS (
             SELECT doc_id, explode(split(text, ' ')) AS w
@@ -366,7 +377,9 @@ def _simhash_blocks_df(docs: DataFrame) -> DataFrame:
             GROUP BY doc_id
         )
         SELECT doc_id, {block_cols} FROM votes
-    """)
+        """)
+    finally:
+        docs.sparkSession.catalog.dropTempView(view)
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,7 +495,10 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint()
     )
-    for _ in range(20):  # diameter bound; near-dup components are tiny
+    converged = False
+    # diameter bound with headroom; near-dup components are tiny, but a
+    # silent cap would return WRONG labels on longer chains — fail loud
+    for _ in range(_CC_MAX_ROUNDS):
         nbr = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
@@ -509,7 +525,15 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         changed = new_labels.filter("improved").limit(1).count()
         labels = new_labels.drop("improved")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup-cluster min-label propagation did not converge within "
+            f"{_CC_MAX_ROUNDS} rounds — a near-dup component has diameter "
+            f"> {_CC_MAX_ROUNDS}; raise _CC_MAX_ROUNDS (wrong labels must "
+            "never be returned silently)"
+        )
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
@@ -561,7 +585,7 @@ QUERIES = {
 
 _SHINGLE_SQL = f"""
     SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {_SHINGLE}) AS g
-    FROM documents, unnest(range(1, greatest(length(text) - {_SHINGLE - 2}, 1) + 1)) AS t(i)
+    FROM documents, unnest(range(1, greatest(length(text) - {_SHINGLE - 1}, 1) + 1)) AS t(i)
 """
 
 # signatures: DISTINCT is harmless for min(); same md5-window scheme

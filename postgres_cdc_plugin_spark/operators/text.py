@@ -424,9 +424,13 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = docs.select(
         "doc_id",
         "source",
-        (
+        # single-token doc => empty bigram array: 0/0 throws under
+        # Spark 4's default ANSI mode; emit NULL, matching the DuckDB
+        # oracle's x/0 semantics
+        F.when(
+            F.size(bi) > 0,
             F.lit(1.0)
-            - F.size(F.array_distinct(bi)) / F.size(bi).cast("double")
+            - F.size(F.array_distinct(bi)) / F.size(bi).cast("double"),
         ).alias("dup_bigram_frac"),
     )
     return dup.join(top, "doc_id").select(
@@ -520,8 +524,6 @@ def token_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect. Final per-doc top-3 is a row_number window partitioned by
     doc_id.
     """
-    from pyspark.sql.window import Window
-
     docs = load(spark, sf_dir, "documents")
     tok = docs.repartition("doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")

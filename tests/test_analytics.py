@@ -40,3 +40,23 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         rel_err = abs(approx[k] - exact[k]) / exact[k]
         # rsd configured at 0.01; allow 5x headroom for small groups
         assert rel_err <= 0.05, f"{k}: {approx[k]} vs exact {exact[k]}"
+
+
+def test_repetition_filter_single_token_doc(spark, tmp_path):
+    # empty bigram array: 0/0 must yield NULL (matching DuckDB), not an
+    # ANSI DIVIDE_BY_ZERO crash — the test corpora have no single-token
+    # docs, so this edge needs its own fixture
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    spark.createDataFrame(
+        [(1, "solo", "en", "s", 4), (2, "a b a b a", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in T.docs_repetition_filter(spark, str(tmp_path)).collect()
+    }
+    # a single-token doc has top_token_frac 1.0, so keep is False on
+    # both engines (False AND NULL = False); the bigram share is NULL
+    assert out[1].dup_bigram_frac is None and out[1].keep is False
+    assert out[2].dup_bigram_frac > 0.0
