@@ -45,12 +45,18 @@ class CdcEngine:
         """Subscription identity used for query names, checkpoint and
         attempt-log paths, and the registry dicts. The display form
         joins with '.', so identifiers CONTAINING dots would collide
-        (('a','b.c','d') vs ('a.b','c','d')) — an 8-hex digest over the
-        unambiguous NUL-joined triple disambiguates while keeping the
-        key readable and filesystem-safe."""
+        (('a','b.c','d') vs ('a.b','c','d')). Dot-free identifiers (the
+        overwhelmingly common case) keep the plain dotted key — so
+        existing checkpoints/attempt logs stay valid across upgrades —
+        and only ambiguous triples get a '~'-marked 8-hex digest of the
+        NUL-joined parts appended. '~' also forces the digest form, so
+        a plain key can never equal a digest-marked one."""
         parts = (cfg.schema_name, cfg.table_name, cfg.name)
+        plain = ".".join(parts)
+        if not any("." in p or "~" in p for p in parts):
+            return plain
         digest = hashlib.md5("\x00".join(parts).encode()).hexdigest()[:8]
-        return f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}-{digest}"
+        return f"{plain}~{digest}"
 
     def register(self, cfg: SubscriptionConfig) -> SubscriptionConfig:
         """Validation happened in the dataclass; PRIVATE mode stores the

@@ -97,11 +97,12 @@ def cdc_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     by name (schema-on-read) and added/dropped columns never break the
     envelope's own schema. Old image NULL on INSERT, new NULL on DELETE.
 
-    Pure narrow projection — to_json/create_map are JVM built-ins inside
-    whole-stage codegen; no shuffle, no UDF. The streaming counterpart
-    is capture_pipeline's schema-on-read default (raw JSON images parsed
-    via sources/changefeed.parse_images_map, serialized back by the
-    envelope's to_json), which emits the same shape under readStream.
+    to_json/create_map are JVM built-ins inside whole-stage codegen; no
+    UDF; one key shuffle for the before-image window (see cdc_envelope).
+    The streaming counterpart is capture_pipeline's schema-on-read
+    default, which parses raw JSON images to a string map FOR THE DIFF
+    GATE ONLY and passes the original JSON text through to the envelope
+    verbatim — the same schema-on-read shape under readStream.
     """
     ev = load(spark, sf_dir, "events")
     op = _op_expr()

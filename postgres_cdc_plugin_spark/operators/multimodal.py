@@ -91,10 +91,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         feats = []
         # NULL payload (text=NULL source row) must not crash the worker
-        # — bytes(None) raises; treat missing media as empty bytes, the
-        # same rows the JVM-only metadata query tolerates
-        payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
+        # — bytes(None) raises. Missing media stays NULL end-to-end
+        # (n_bytes/checksum/features all NULL), matching what the
+        # JVM-only metadata query reports for the same rows.
+        payloads = [None if p is None else bytes(p) for p in pdf["payload"]]
         for data, modality in zip(payloads, pdf["modality"]):
+            if data is None:
+                feats.append(None)
+                continue
             try:
                 decoded = decode_payload(data, modality)
                 feats.append([float(x) for x in decoded])
@@ -104,8 +108,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"],
                 "modality": pdf["modality"],
-                "n_bytes": [len(p) for p in payloads],
-                "checksum": [sum(p) % 256 for p in payloads],
+                "n_bytes": [None if p is None else len(p) for p in payloads],
+                "checksum": [
+                    None if p is None else sum(p) % 256 for p in payloads
+                ],
                 "features": feats,
             }
         )
@@ -169,7 +175,12 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload, modality in zip(
             pdf["doc_id"], pdf["payload"], pdf["modality"]
         ):
-            data = b"" if payload is None else bytes(payload)
+            if payload is None:
+                # missing media: no frames (mirrors the NULL metadata
+                # the JVM path reports; 1->N expansion of nothing is
+                # zero rows, not a fake empty frame)
+                continue
+            data = bytes(payload)
             try:  # real decoder unavailable in this environment
                 decode_payload(data, modality)
             except NotImplementedError:

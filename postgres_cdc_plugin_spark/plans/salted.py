@@ -40,15 +40,26 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    # salt from the row's position, not a row hash: hashing all columns
-    # throws on MapType inputs and gives ZERO spread when the hot key's
-    # rows are identical (the exact case salting exists for). The salt
-    # only picks WHICH replica of the right side a left row meets —
-    # every replica holds the same match group, so join results are
-    # identical for any salt assignment.
+    # Deterministic salt over the HASHABLE columns: determinism matters
+    # because a nondeterministic salt (rand / monotonically_increasing_id)
+    # can re-salt rows differently when a lost task recomputes, and a
+    # partially-fetched shuffle then sees a row in two (key, salt)
+    # buckets or none (the SPARK-23207 correctness class). MapType
+    # columns are excluded — F.hash rejects them. Limitation: byte-
+    # identical duplicate rows of the hot key share a salt; duplicates
+    # of a hot key in practice differ in some payload column, and fully
+    # identical rows should be deduped before a join anyway.
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name
+        for f in left.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    if not hashable:
+        raise ValueError("salted_join needs >=1 non-map column to salt on")
     salted_left = left.withColumn(
-        _SALT,
-        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+        _SALT, F.pmod(F.hash(*[F.col(c) for c in hashable]), F.lit(n_salts))
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(_SALT)
     replicated_right = right.select("*", salts)

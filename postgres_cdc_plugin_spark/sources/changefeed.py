@@ -55,19 +55,6 @@ def parse_images(df: DataFrame, row_schema: str) -> DataFrame:
     )
 
 
-def parse_images_map(df: DataFrame) -> DataFrame:
-    """Schema-on-read image parse: old/new become map<string,string>, so
-    the feed survives monitored-table schema drift (ALTER TABLE adds or
-    drops columns) with no subscription restart — the Spark analog of
-    the reference's row_to_json payloads staying valid across ALTER
-    (cdc_webhook--1.0.sql:266-277). Column-diff comparisons happen on
-    the string renditions (a typed 1 vs 1.0 distinction needs
-    parse_images instead)."""
-    return df.withColumn(
-        "old", F.from_json("old", "map<string,string>")
-    ).withColumn("new", F.from_json("new", "map<string,string>"))
-
-
 def read_stream(spark: SparkSession, feed_dir: str, **options: str) -> DataFrame:
     """Streaming change feed: one JSON-lines file per capture chunk.
     options pass through to the file source (e.g. maxFilesPerTrigger=1

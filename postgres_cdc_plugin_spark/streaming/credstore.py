@@ -85,7 +85,7 @@ class CredentialStore:
         deterministic across reads (arbitrary but stable for
         same-microsecond writes; legacy rows without the column sort
         last under desc)."""
-        if not glob.glob(os.path.join(self.path, "*.parquet")):
+        if not glob.glob(os.path.join(glob.escape(self.path), "*.parquet")):
             return self.spark.createDataFrame([], _SCHEMA)
         w = Window.partitionBy(*_KEY).orderBy(
             F.desc("updated_at"), F.desc("upsert_id")

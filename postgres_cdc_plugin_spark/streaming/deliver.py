@@ -194,8 +194,12 @@ class WebhookSink:
         import pyarrow.parquet as _pq
 
         files = sorted(
-            _glob.glob(_os.path.join(self.attempts_path, "*.parquet"))
-            + _glob.glob(_os.path.join(self.attempts_path, "batch=*", "*.parquet"))
+            _glob.glob(_os.path.join(_glob.escape(self.attempts_path), "*.parquet"))
+            + _glob.glob(
+                _os.path.join(
+                    _glob.escape(self.attempts_path), "batch=*", "*.parquet"
+                )
+            )
         )
         rows: list[Attempt] = []
         for f in files:

@@ -119,7 +119,7 @@ class EventQueue:
         # with an explicit schema the parquet read is fully lazy, so a
         # missing/empty log dir would fail mid-action (inside a poller
         # tick) — guard on actual data files instead of catching late
-        if not glob.glob(os.path.join(path, "*.parquet")):
+        if not glob.glob(os.path.join(glob.escape(path), "*.parquet")):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
@@ -388,7 +388,9 @@ class EventQueue:
             self.spark.createDataFrame(rdd, _ATTEMPTS_SCHEMA).write.mode(
                 "overwrite"
             ).parquet(stage_data)
-            staged_files = glob.glob(os.path.join(stage_data, "*.parquet"))
+            staged_files = glob.glob(
+                os.path.join(glob.escape(stage_data), "*.parquet")
+            )
             n = int(
                 self.spark.read.schema(_ATTEMPTS_SCHEMA)
                 .parquet(stage_data)

@@ -97,28 +97,46 @@ def sessionize_changes(
             # NaT.timestamp() raises and would kill the whole query —
             # skip such rows instead
             ts.extend(t.timestamp() for t in pdf["ts"] if pd.notna(t))
-        ts.sort()
 
+        # Interval model: the open state plus each event is an
+        # interval [start, last]; an event merges with an interval when
+        # it lands within the gap of its span, and touching intervals
+        # coalesce. This handles out-of-order arrivals exactly: a late
+        # event inside the gap extends a session backwards, while one
+        # further in the past forms its OWN burst instead of silently
+        # swallowing a multi-hour hole into the open session.
+        ivs: list[list] = []  # sorted [start, last, n]
         if state.exists:
-            start, last, n = state.get
-        else:
-            start, last, n = None, None, 0
-
-        closed: list[tuple] = []
-        for t in ts:
-            if last is not None and (t - last) > gap_seconds:
-                closed.append((key[0], start, last, n))
-                start, n = t, 0
-            if start is None:
-                start = t
+            s0, l0, n0 = state.get
+            ivs.append([s0, l0, n0])
+        for t in sorted(ts):
+            for iv in ivs:
+                if iv[0] - gap_seconds <= t <= iv[1] + gap_seconds:
+                    iv[0] = min(iv[0], t)
+                    iv[1] = max(iv[1], t)
+                    iv[2] += 1
+                    break
             else:
-                # a cross-batch LATE event inside the gap extends the
-                # session backwards, never shrinks it
-                start = min(start, t)
-            # last never regresses: an out-of-order arrival must not
-            # move the session end (or the timeout base) backwards
-            last = t if last is None else max(last, t)
-            n += 1
+                ivs.append([t, t, 1])
+            ivs.sort()
+            merged: list[list] = []
+            for iv in ivs:
+                if merged and iv[0] - gap_seconds <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], iv[1])
+                    merged[-1][2] += iv[2]
+                else:
+                    merged.append(iv)
+            ivs = merged
+
+        if not ivs:
+            # every row in the batch was malformed: nothing to update,
+            # and (crucially) no timeout math over a None last
+            return
+
+        # every interval except the latest is closed by the existence
+        # of later changes; the latest stays open in the state store
+        closed = [(key[0], iv[0], iv[1], iv[2]) for iv in ivs[:-1]]
+        start, last, n = ivs[-1]
         state.update((start, last, n))
         if watermark_delay is not None:
             # flush once the watermark passes the gap; must be strictly

