@@ -228,3 +228,28 @@ def test_pipeline_e2e_composes_standalone_stages(spark, sf_dir):
         .count()
     )
     assert fp_dupes == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    tuples=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=8)),
+            st.one_of(st.none(), st.text(max_size=8)),
+        ),
+        min_size=2,
+        max_size=6,
+        unique=True,
+    )
+)
+def test_event_uuid_distinct_tuples_distinct_ids(tuples, spark):
+    """Per-segment digests make event_uuid collision-free over distinct
+    (key, seq) tuples — including NULLs in either slot and values
+    containing the join character (the concat_ws null-skip class)."""
+    from postgres_cdc_plugin_spark.functions import scalar
+
+    df = spark.createDataFrame(tuples, "k string, s string")
+    ids = [
+        r.id for r in df.select(scalar.event_uuid("k", "s").alias("id")).collect()
+    ]
+    assert len(set(ids)) == len(tuples)
