@@ -131,19 +131,42 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract pipeline over mapInPandas (rows-only check).
+def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pipeline over mapInPandas — array-form API.
 
     Arrow-batched binary transfer into pandas, per-batch feature
     extraction, typed struct back out. At scale this is the shape of any
     image-resize / audio-frame-sample pass: narrow, no shuffle,
-    parallelism = input partitions.
+    parallelism = input partitions. Returns `features array<float>` for
+    downstream vector consumers (e.g. the similarity operators).
     """
     docs = load(spark, sf_dir, "documents")
     # single-file source -> one input split; repartition so the Python
     # feature extraction parallelizes across cores
     return with_payload(docs).repartition("doc_id").mapInPandas(
         _extract_batches, _FEATURE_SCHEMA
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared rows-only query: scalar feature columns.
+
+    The driver's rows-only canonicalizer sorts a pandas frame, and
+    list-typed cells are unhashable (CORRECTNESS_r02 err on this query),
+    so the declared surface explodes the fixed-width feature vector to
+    f0..f3 doubles. The array form stays available via
+    multimodal_feature_vectors for programmatic use.
+    """
+    feat = multimodal_feature_vectors(spark, sf_dir)
+    return feat.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "checksum",
+        *[
+            F.element_at("features", i + 1).cast("double").alias(f"f{i}")
+            for i in range(4)
+        ],
     )
 
 

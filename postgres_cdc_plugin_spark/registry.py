@@ -7,14 +7,15 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     (non-SQL-expressible ops, e.g. approximate sketches / LSH ANN) and
     must be listed in ROWS_ONLY;
   * registration order follows PRIORITY_ORDER (below) — the driver's
-    round-1 CORRECTNESS run covered only the first 50 registered
-    queries, so queries with no driver evidence yet (the whole
-    docs_/embed_/token_/multimodal_ family, plus every query added in
-    round 2) and round-1 hash-fail fixes are registered FIRST;
-    round-1-green queries fill the tail.
-    docs_dup_clusters sits at the end of the 50-query window: its
-    recursive-CTE oracle is the most expensive, so if the driver run
-    dies there, everything before it still gets a CORRECTNESS row.
+    CORRECTNESS run covers only the FIRST 50 registered queries, so
+    each round rotates unproven/reworked queries to the front and the
+    most-recently-green family to the tail. Round-3 window: the r2 ERR
+    fix (multimodal_features), the reworked envelope pair, the two
+    never-checked queries (embed_semdedup, docs_cluster_dedup), new
+    round-3 queries, then the r1-green tail (evidence now two rounds
+    old). The most expensive oracle (docs_cluster_dedup's recursive
+    CTE) sits at position 50 so a driver timeout there still leaves
+    CORRECTNESS rows for everything before it.
 """
 
 from __future__ import annotations
@@ -42,69 +43,74 @@ ROWS_ONLY = {
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # -- never driver-checked in round 1: dedup family (minus the
-    #    expensive dup_clusters, hedged to position 50)
-    "docs_exact_dedup",
-    "docs_fingerprint_groups",
-    "docs_minhash_sigs",
-    "docs_minhash_pairs",
-    "docs_minhash_dedup",
-    "docs_ngram_jaccard",
-    "docs_simhash",
-    "docs_simhash_pairs",
-    "docs_simhash_dedup",
-    # -- never driver-checked: text / token family
-    "docs_text_stats",
-    "docs_lang_id",
-    "docs_quality_score",
-    "docs_content_fingerprint",
-    "docs_token_counts",
-    "token_frequencies",
-    "docs_rolling_fingerprint",
-    "docs_train_split",
-    "docs_stratified_sample",
-    "docs_repetition_filter",
-    "docs_contamination",
-    "token_tfidf",
-    "docs_chunks",
-    "docs_pack_bins",
-    "docs_source_mix",
-    # -- never driver-checked: embedding similarity family
-    "embed_quantize",
-    "embed_knn",
-    "embed_centroids",
-    "embed_neardup_pairs",
-    "embed_neardup_dedup",
-    "embed_ann_lsh",
-    "embed_ann_ivf",
-    "embed_norm_stats",
-    "docs_embed_join",
-    # -- never driver-checked: multimodal family
-    "multimodal_meta",
+    # ---- round-3 window (first 50) ----
+    # Broken/unproven first: the r2 ERR fix, the r2-reworked envelope
+    # pair (r1 green evidence predates the before-image rework), and the
+    # two queries that have never had a CORRECTNESS row.
     "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_dedup",
-    # -- round-1 driver hash FAILs, fixed round 2 — need fresh evidence
-    "lineitem_stats_agg",
-    "events_sessionize",
-    # -- new round-2 queries (no driver evidence yet)
-    "lineitem_approx_percentiles",
+    "cdc_envelope",
     "cdc_envelope_json",
-    "docs_boilerplate_ngrams",
-    "docs_common_spans",
-    "embed_ivf_assign",
-    "docs_pipeline_e2e",
-    "token_bigram_stats",
-    "token_zipf_audit",
-    "embed_pq_codes",
-    "embed_pipeline_e2e",
-    # -- position 50: the expensive recursive-CTE oracle, last in window
-    "docs_dup_clusters",
-    # -- position 51+: new queries that didn't fit the 50-query window
-    #    (local exact parity only until a future round rotates them in)
     "embed_semdedup",
+    # New round-3 queries (registered later this round; names absent
+    # from the registry are skipped, so listing them early is safe).
+    "multimodal_neardup",
+    "multimodal_decoded_stats",
+    # Least-recently-verified fill: the r1-green tail (last driver
+    # evidence is two rounds old). r2-green family rotates out.
+    "cdc_delta_agg",
+    "receiver_replay_dedup",
+    "creds_display_format",
+    "cdc_latest_state",
+    "cdc_scd2_history",
+    "cdc_op_filter",
+    "cdc_column_diff",
+    "creds_lookup_join",
+    "creds_last_wins",
+    "queue_ready_topk",
+    "retry_schedule",
+    "attempt_history_agg",
+    "headers_explode",
+    "events_rate_limit",
+    "customer_balance_outliers",
+    "customer_pii_anonymize",
+    "orders_enrich_join",
+    "orders_shipping_priority",
+    "supplier_part_volume",
+    "lineitem_pricing_agg",
+    "orders_semi_anti",
+    "grouping_rollup",
+    "events_cube",
+    "orders_grouping_sets",
+    "lineitem_percentiles",
+    "orders_quarterly",
+    "events_tumbling",
+    "events_sliding",
+    "events_session_window",
+    "user_activity_window",
+    "events_asof_join",
+    "customer_set_ops",
+    "top_customers_per_nation",
+    "orders_price_band_join",
+    "orders_window_funcs",
+    "lineitem_moving_avg",
+    "customer_value_deciles",
+    "nation_priority_pivot",
+    "lineitem_conditional_agg",
+    "lineitem_metrics_unpivot",
+    "orders_daily_gapfill",
+    "events_value_histogram",
+    "lineitem_ship_delays",
+    # Position 50: docs_cluster_dedup carries the expensive
+    # recursive-CTE oracle — last in the window so a driver timeout
+    # there still leaves CORRECTNESS rows for everything before it.
     "docs_cluster_dedup",
-    # -- everything after this appends in module order (round-1 green)
+    # ---- position 51+ (r4 rotation candidates) ----
+    # r1-green queries that didn't fit this round's window:
+    "status_counts",
+    "fanout_union",
+    "props_json_extract",
+    "approx_distinct_users",
+    # -- everything after this appends in module order (r2-green)
 ]
 
 

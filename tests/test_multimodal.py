@@ -18,9 +18,12 @@ def _texts(spark, sf_dir):
     }
 
 
-def test_features_match_byte_statistics(spark, sf_dir):
+def test_feature_vectors_match_byte_statistics(spark, sf_dir):
     texts = _texts(spark, sf_dir)
-    rows = {r.doc_id: r for r in M.multimodal_features(spark, sf_dir).collect()}
+    rows = {
+        r.doc_id: r
+        for r in M.multimodal_feature_vectors(spark, sf_dir).collect()
+    }
     assert set(rows) == set(texts)
     for doc_id, data in texts.items():
         r = rows[doc_id]
@@ -28,6 +31,28 @@ def test_features_match_byte_statistics(spark, sf_dir):
         assert r.n_bytes == len(data)
         assert r.checksum == sum(data) % 256
         assert r.features == [
+            float(len(data)),
+            float(sum(data) % 256),
+            float(data[0]),
+            float(data[-1]),
+        ]
+
+
+def test_declared_features_query_is_scalar_only(spark, sf_dir):
+    """The driver's rows-only canonicalizer sorts a pandas frame — any
+    array/map column crashes it (CORRECTNESS_r02). The declared query
+    must therefore stay scalar-typed, with values matching the array
+    form element-wise."""
+    df = M.multimodal_features(spark, sf_dir)
+    for field in df.schema.fields:
+        assert not field.dataType.typeName() in ("array", "map", "struct"), (
+            f"{field.name} is {field.dataType}: not driver-canonicalizable"
+        )
+    rows = {r.doc_id: r for r in df.collect()}
+    texts = _texts(spark, sf_dir)
+    for doc_id, data in texts.items():
+        r = rows[doc_id]
+        assert [r.f0, r.f1, r.f2, r.f3] == [
             float(len(data)),
             float(sum(data) % 256),
             float(data[0]),
