@@ -88,9 +88,26 @@ class EventQueue:
 
     # ---- S3: the enqueue sink --------------------------------------
 
-    def enqueue_batch(self, batch: DataFrame, cfg: SubscriptionConfig) -> None:
-        """foreachBatch append of capture_pipeline rows as PENDING events
-        (the ASYNC trigger branch, cdc_webhook--1.0.sql:295-324)."""
+    def enqueue_batch(
+        self,
+        batch: DataFrame,
+        cfg: SubscriptionConfig,
+        batch_id: int | None = None,
+    ) -> None:
+        """foreachBatch write of capture_pipeline rows as PENDING events
+        (the ASYNC trigger branch, cdc_webhook--1.0.sql:295-324).
+
+        foreachBatch is at-least-once: with a batch_id the rows go to
+        the batch's OWN `batch=<sub>-<id>` directory with overwrite (the
+        stream_ingest/WebhookSink discipline), so a replayed micro-batch
+        rewrites its partition instead of appending duplicate event rows
+        — duplicates would each be POSTed by poll_once and their doubled
+        attempt rows would burn the retry budget twice. Batch ids are
+        only unique PER STREAMING QUERY, and every subscription's sink
+        shares this one event log — the directory key therefore
+        includes the subscription identity, or two subscriptions'
+        batch 0s would overwrite each other. batch_id=None (direct
+        non-streaming call) keeps the flat append layout."""
         now = _utcnow()
         rows = batch.select(
             F.col("envelope.id").alias("event_id"),
@@ -105,23 +122,49 @@ class EventQueue:
             F.lit(cfg.retry_backoff).alias("retry_backoff"),
             F.lit(now).alias("enqueued_at"),
         )
-        rows.write.mode("append").parquet(self.event_log_path)
+        if batch_id is None:
+            rows.write.mode("append").parquet(self.event_log_path)
+        else:
+            import hashlib
+            import re
+
+            raw = f"{cfg.schema_name}.{cfg.table_name}.{cfg.name}"
+            sub = re.sub(r"[^A-Za-z0-9_.-]", "_", raw)
+            tag = hashlib.md5(raw.encode()).hexdigest()[:6]
+            rows.write.mode("overwrite").parquet(
+                os.path.join(
+                    self.event_log_path, f"batch={sub}-{tag}-{batch_id}"
+                )
+            )
 
     def enqueue_sink(self, cfg: SubscriptionConfig):
         def _sink(batch: DataFrame, batch_id: int) -> None:
-            self.enqueue_batch(batch, cfg)
+            self.enqueue_batch(batch, cfg, batch_id)
 
         return _sink
 
     # ---- derived state (ST6 status machine as a view) ---------------
 
+    @staticmethod
+    def _log_files(path: str) -> list[str]:
+        # both layouts coexist: flat appends (direct calls, staged
+        # attempt moves) and per-batch `batch=<id>` overwrite dirs
+        # (streaming sinks). Enumerating the files and reading the
+        # explicit list sidesteps partition discovery on the mixed
+        # layout and never surfaces a spurious `batch` column.
+        return sorted(
+            glob.glob(os.path.join(glob.escape(path), "*.parquet"))
+            + glob.glob(os.path.join(glob.escape(path), "batch=*", "*.parquet"))
+        )
+
     def _read_log(self, path: str, schema) -> DataFrame:
         # with an explicit schema the parquet read is fully lazy, so a
         # missing/empty log dir would fail mid-action (inside a poller
         # tick) — guard on actual data files instead of catching late
-        if not glob.glob(os.path.join(glob.escape(path), "*.parquet")):
+        files = self._log_files(path)
+        if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.schema(schema).parquet(*files)
 
     def _events(self) -> DataFrame:
         return self._read_log(self.event_log_path, _EVENT_LOG_SCHEMA)
@@ -203,6 +246,17 @@ class EventQueue:
         counts."""
         import shutil
         import tempfile
+
+        # Crash recovery FIRST: a prior compact that died between its
+        # two renames left the only copy of a log at `<path>.old` with
+        # no live directory — restore it before reading state. (The
+        # in-swap rmtree below only ever deletes a `.old` whose live
+        # path exists, i.e. genuinely stale leftovers.)
+        for path in (self.event_log_path, self.attempts_path):
+            old = path + ".old"
+            if os.path.exists(old) and not os.path.exists(path):
+                os.rename(old, path)
+                self.spark.catalog.refreshByPath(path)
 
         terminal = ["DELIVERED"] + (["FAILED"] if drop_failed else [])
         # persist the tiny (event_id, status) projection: the status

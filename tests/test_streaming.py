@@ -1197,6 +1197,69 @@ def test_queue_compact_survives_stale_old_dir(spark, tmp_path):
         assert not os.path.exists(stale)
         assert engine.queue.state().count() == 0
 
+
+def test_enqueue_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch must
+    rewrite its own batch=<id> directory, not append duplicate event
+    rows (duplicates would each be POSTed by poll_once and burn the
+    retry budget twice — round-3 advice fix)."""
+    from postgres_cdc_plugin_spark.streaming.queue import EventQueue
+
+    q = EventQueue(spark, str(tmp_path / "q"))
+    cfg = SubscriptionConfig(
+        name="rp", table_name="employees", webhook_url="http://x/",
+        mode="ASYNC",
+    )
+    batch = spark.createDataFrame(
+        [(("ev-1",), "{}"), (("ev-2",), "{}")],
+        "envelope struct<id:string>, payload string",
+    )
+    sink = q.enqueue_sink(cfg)
+    sink(batch, 7)
+    sink(batch, 7)  # crash-replay of the same micro-batch
+    assert sorted(r.event_id for r in q.state().collect()) == ["ev-1", "ev-2"]
+    # a different batch id still lands as new rows
+    sink(batch.limit(1), 8)
+    assert q.state().count() == 3
+    # direct (non-streaming) calls keep the flat append layout
+    q.enqueue_batch(
+        spark.createDataFrame(
+            [(("ev-9",), "{}")], "envelope struct<id:string>, payload string"
+        ),
+        cfg,
+    )
+    assert q.state().count() == 4
+
+
+def test_queue_compact_recovers_orphaned_old_dir(spark, tmp_path):
+    """A compact that crashes between its two directory renames leaves
+    the only copy of a log at `<path>.old` with no live directory; the
+    next compact must restore it instead of deleting it (round-3
+    advice fix)."""
+    import os
+
+    from postgres_cdc_plugin_spark.streaming.queue import EventQueue
+
+    q = EventQueue(spark, str(tmp_path / "q"))
+    cfg = SubscriptionConfig(
+        name="cr", table_name="employees", webhook_url="http://x/",
+        mode="ASYNC",
+    )
+    q.enqueue_batch(
+        spark.createDataFrame(
+            [(("ev-1",), "{}"), (("ev-2",), "{}")],
+            "envelope struct<id:string>, payload string",
+        ),
+        cfg,
+        batch_id=0,
+    )
+    assert q.state().count() == 2
+    # simulate the mid-swap crash: live dir moved aside, new dir never
+    # moved in
+    os.rename(q.event_log_path, q.event_log_path + ".old")
+    assert q.compact() == {"kept": 2, "dropped": 0}
+    assert sorted(r.event_id for r in q.state().collect()) == ["ev-1", "ev-2"]
+
 def test_streaming_ivf_index_matches_batch_assign(spark, tmp_path, sf_dir):
     """EmbedIvfIndex: the streaming per-batch assignment against a
     frozen codebook equals the batch embed_ivf_assign bit-for-bit
