@@ -151,8 +151,11 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Banded LSH: pairs agreeing on >=1 full band, with bands_matched.
 
     Explode signatures to (band, key), equi-join on them (shuffle hash
-    join on the band key — the scale path), dedup pairs, then rejoin
-    signatures to count band agreements.
+    join on the band key — the scale path), then count join rows per
+    pair. A doc has exactly ONE key per band, so the join emits at most
+    one row per (pair, band) and count(*) IS the band-agreement count —
+    no pair-distinct pass and no rejoin of the signature relation (the
+    round-2 formulation spent two extra shuffle joins on that).
     """
     bands = sigs.select(
         "doc_id",
@@ -170,29 +173,17 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
 
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.k") == F.col("b.k"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
-    )
-
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    matched = sum(
-        F.when(_band_key("sa.", b) == _band_key("sb.", b), 1).otherwise(0)
-        for b in range(1, _N_BANDS + 1)
-    )
-    return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", matched.alias("bands_matched"))
+        .agg(F.count(F.lit(1)).cast("int").alias("bands_matched"))
     )
 
 
@@ -330,10 +321,26 @@ def _simhash_blocks_df(docs: DataFrame) -> DataFrame:
     # sql() resolves it (analysis is eager; execution no longer needs
     # the catalog entry) — a fixed name would race concurrent callers
     # on the shared session and leak into the catalog.
+    #
+    # The per-(doc, token) count relation is built ONCE with DataFrame
+    # ops and persisted: both SQL branches below consume it (the
+    # vocabulary distinct AND the vote join), and Spark inlines CTEs —
+    # a `tok` CTE referenced twice would tokenize the whole corpus
+    # twice (this was round 2's plan; cutting the second explode+scan
+    # is most of the SimHash-family wall time). The repartition hits
+    # the RAW rows before the explode so the single-split source
+    # parallelizes.
     import uuid as _uuid
 
-    view = f"_simhash_docs_{_uuid.uuid4().hex}"
-    docs.createOrReplaceTempView(view)
+    counts = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    view = f"_simhash_counts_{_uuid.uuid4().hex}"
+    counts.createOrReplaceTempView(view)
     vote_cols = ", ".join(
         f"{_simhash_vote_expr(b).format(div='div')} AS t{b}"
         for b in range(1, _SIMHASH_BITS + 1)
@@ -351,33 +358,22 @@ def _simhash_blocks_df(docs: DataFrame) -> DataFrame:
         for k in range(1, _SIMHASH_BLOCKS + 1)
     )
     try:
+        # persist the (tiny: 4 smallints/doc) signature relation too:
+        # cache-manager plan matching makes every SimHash consumer in
+        # the session (docs_simhash, pair LSH, cluster labeling) share
+        # one vote computation instead of re-running it per query
         return docs.sparkSession.sql(f"""
-        WITH docs_p AS (
-            -- repartition the RAW rows, BEFORE the explode: the source is
-            -- a single parquet split, and a hint on the explode SELECT
-            -- would place the exchange after it, leaving the whole
-            -- scan+split+explode on one core
-            SELECT /*+ REPARTITION(doc_id) */ doc_id, text
-            FROM {view}
-        ),
-        tok AS (
-            SELECT doc_id, explode(split(text, ' ')) AS w
-            FROM docs_p
-        ),
-        vocab_votes AS (
+        WITH vocab_votes AS (
             SELECT w, {vote_cols}
-            FROM (SELECT w, md5(w) AS h FROM (SELECT DISTINCT w FROM tok))
-        ),
-        counts AS (
-            SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w
+            FROM (SELECT w, md5(w) AS h FROM (SELECT DISTINCT w FROM {view}))
         ),
         votes AS (
             SELECT /*+ BROADCAST(vocab_votes) */ doc_id, {vote_sums}
-            FROM counts JOIN vocab_votes USING (w)
+            FROM {view} JOIN vocab_votes USING (w)
             GROUP BY doc_id
         )
         SELECT doc_id, {block_cols} FROM votes
-        """)
+        """).persist()
     finally:
         docs.sparkSession.catalog.dropTempView(view)
 
@@ -402,7 +398,12 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_df(docs: DataFrame) -> DataFrame:
-    blocks = _simhash_blocks_df(docs).persist()
+    """Block-LSH candidates verified by exact hamming — one band-key
+    shuffle join, hamming computed INLINE from the block columns each
+    band row carries (4 smallints — cheaper than the round-2 plan's
+    pair-distinct plus two rejoins of the signature relation), then one
+    group-by to collapse multi-band agreements."""
+    blocks = _simhash_blocks_df(docs)
     bands = blocks.select(
         "doc_id",
         F.explode(
@@ -413,30 +414,37 @@ def _simhash_pairs_df(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.k").alias("k"))
+        *[F.col(f"blk{k}") for k in range(1, _SIMHASH_BLOCKS + 1)],
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.k").alias("k"),
+        *[F.col(f"blk{k}") for k in range(1, _SIMHASH_BLOCKS + 1)],
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.blk{k}").bitwiseXOR(F.col(f"b.blk{k}")).cast("bigint")
+        )
+        for k in range(1, _SIMHASH_BLOCKS + 1)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.k") == F.col("b.k"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa, sb = blocks.alias("sa"), blocks.alias("sb")
-    hamming = sum(
-        F.bit_count(
-            F.col(f"sa.blk{k}").bitwiseXOR(F.col(f"sb.blk{k}")).cast("bigint")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
         )
-        for k in range(1, _SIMHASH_BLOCKS + 1)
-    )
-    return (
-        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
-        .join(sb, cand.doc_b == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_THRESHOLD)
+        # a pair agreeing on several blocks appears once per block; the
+        # hamming value is identical on every copy
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
 
 
@@ -496,32 +504,49 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     converged = False
-    # diameter bound with headroom; near-dup components are tiny, but a
-    # silent cap would return WRONG labels on longer chains — fail loud
+    # Each checkpointed round runs TWO (min-step, pointer-shortcut)
+    # passes before materializing: the min-step pulls the smallest
+    # neighbor label one hop, the shortcut follows the label chain one
+    # more hop (label <- label(label)), so labels travel ~4 hops per
+    # round — measured 6 -> 3 rounds at sf0.1 for the same wall-time
+    # per round, and per-round fixed cost (checkpoint + convergence
+    # action) is what dominates on sparse near-dup graphs. Both steps
+    # preserve the invariant "a node's label is a doc_id inside its own
+    # component", so the fixpoint (component min) is unchanged. The cap
+    # is a safety valve; a silent cap would return WRONG labels on
+    # longer chains — fail loud.
     for _ in range(_CC_MAX_ROUNDS):
-        nbr = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # convergence detection rides INSIDE the label join (`improved`
-        # = some neighbor offered a smaller label) instead of a separate
-        # new-vs-old join — one fewer shuffle join per round, and the
-        # existence check runs over the already-checkpointed partitions
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
-            .select(
+        cur = labels.withColumn("old", F.col("cluster_id"))
+        for _step in range(2):
+            lab = cur.select(
+                F.col("doc_id").alias("l_id"), F.col("cluster_id").alias("l_lab")
+            )
+            nbr = (
+                edges.join(lab, edges.doc_b == F.col("l_id"))
+                .groupBy("doc_a")
+                .agg(F.min("l_lab").alias("nbr_min"))
+            )
+            cur = cur.join(nbr, cur.doc_id == nbr.doc_a, "left").select(
                 "doc_id",
+                "old",
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce("nbr_min", F.col("cluster_id")),
                 ).alias("cluster_id"),
-                F.coalesce(
-                    F.col("nbr_min") < F.col("cluster_id"), F.lit(False)
-                ).alias("improved"),
             )
-            .localCheckpoint()
-        )
+            ptr = cur.select(
+                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lab")
+            )
+            cur = cur.join(ptr, cur.cluster_id == ptr.p_id).select(
+                "doc_id",
+                "old",
+                F.least("cluster_id", "p_lab").alias("cluster_id"),
+            )
+        new_labels = cur.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") < F.col("old")).alias("improved"),
+        ).localCheckpoint()
         changed = new_labels.filter("improved").limit(1).count()
         labels = new_labels.drop("improved")
         if changed == 0:
