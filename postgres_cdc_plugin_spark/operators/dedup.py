@@ -397,15 +397,21 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_pairs_df(docs: DataFrame) -> DataFrame:
-    """Block-LSH candidates verified by exact hamming — one band-key
-    shuffle join, hamming computed INLINE from the block columns each
-    band row carries (4 smallints — cheaper than the round-2 plan's
-    pair-distinct plus two rejoins of the signature relation), then one
-    group-by to collapse multi-band agreements."""
-    blocks = _simhash_blocks_df(docs)
+def simhash_block_pairs(
+    blocks: DataFrame,
+    id_col: str = "doc_id",
+    hamming_threshold: int = _HAMMING_THRESHOLD,
+) -> DataFrame:
+    """Block-LSH near-dup pairs over ANY 4x16-bit signature relation
+    (`id_col`, blk1..blk4) — the shared kernel behind text SimHash and
+    the multimodal perceptual-hash near-dup. One band-key shuffle join,
+    hamming computed INLINE from the block columns each band row
+    carries (4 smallints — cheaper than a pair-distinct plus two
+    rejoins of the signature relation), then one group-by to collapse
+    multi-band agreements. Block agreement guarantees recall for
+    hamming <= 3 by pigeonhole (4 blocks, 64 bits)."""
     bands = blocks.select(
-        "doc_id",
+        F.col(id_col),
         F.explode(
             F.array(
                 *[
@@ -416,7 +422,7 @@ def _simhash_pairs_df(docs: DataFrame) -> DataFrame:
         ).alias("bk"),
         *[F.col(f"blk{k}") for k in range(1, _SIMHASH_BLOCKS + 1)],
     ).select(
-        "doc_id",
+        F.col(id_col),
         F.col("bk.band").alias("band"),
         F.col("bk.k").alias("k"),
         *[F.col(f"blk{k}") for k in range(1, _SIMHASH_BLOCKS + 1)],
@@ -433,19 +439,23 @@ def _simhash_pairs_df(docs: DataFrame) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .filter(F.col("hamming") <= _HAMMING_THRESHOLD)
+        .filter(F.col("hamming") <= hamming_threshold)
         # a pair agreeing on several blocks appears once per block; the
         # hamming value is identical on every copy
         .groupBy("doc_a", "doc_b")
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+def _simhash_pairs_df(docs: DataFrame) -> DataFrame:
+    return simhash_block_pairs(_simhash_blocks_df(docs))
 
 
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,26 +1,33 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as `binary` columns with typed metadata,
-processed by Arrow-batched pandas functions over mapInPandas. The decode
-step is STUBBED (image/audio libraries are not in this container):
-`decode_payload` raises NotImplementedError and the pipeline substitutes a
-deterministic fake extractor — the Spark-side plumbing (schema, batch
-shape, partitioning) is real and tested.
+processed by Arrow-batched pandas functions over mapInPandas.
 
-The driver testdata has no binary column, so payloads are derived from
-`documents.text` (utf-8 encode) — identically in the DuckDB oracle for the
-metadata query.
+Decoding is REAL for two container formats parseable with stdlib+numpy:
+WAV (RIFF/fmt/data chunk walk -> int16 PCM samples) and binary PPM
+(P6 header -> HxWx3 uint8 pixel array). Video decoding stays a
+documented NotImplementedError seam (no libav/opencv in this
+container); callers fall back per row. The driver testdata has no
+binary column, so payloads are synthesized deterministically from
+`documents.text`: raw utf-8 bytes for the metadata/fingerprint queries
+(mirrored by the DuckDB oracles) and genuine WAV/PPM containers
+wrapping those bytes for the decode-path queries.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -31,16 +38,78 @@ from pyspark.sql.types import (
 from ..session import load
 
 _MODALITIES = ("image", "audio", "video")
+_WAV_RATE = 8000
 
 
-def decode_payload(payload: bytes, modality: str):  # pragma: no cover - stub
-    """STUB: real decoders (PIL/libav/opencv) are not available in this
-    environment. At deployment this dispatches to the modality's decoder;
-    here it always raises and callers fall back to the deterministic fake
-    feature extractor below."""
+def synth_wav_payload(data: bytes) -> bytes:
+    """Deterministic 16-bit mono PCM WAV wrapping `data`: each source
+    byte becomes one centered sample ((b-128)<<8). Test scaffolding for
+    a corpus with no real media column — but a REAL RIFF container that
+    any WAV reader parses."""
+    samples = (
+        (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def synth_ppm_payload(data: bytes) -> bytes:
+    """Deterministic binary PPM (P6) wrapping `data` as RGB bytes in a
+    near-square raster (zero-padded to W*H*3)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n_pix = max(1, (arr.size + 2) // 3)
+    w = int(np.ceil(np.sqrt(n_pix)))
+    h = int(np.ceil(n_pix / w))
+    padded = np.zeros(w * h * 3, dtype=np.uint8)
+    padded[: arr.size] = arr
+    return b"P6\n%d %d\n255\n" % (w, h) + padded.tobytes()
+
+
+def decode_payload(payload: bytes, modality: str):
+    """Decode a media container into a numpy array.
+
+    audio -> (samples int16[n], rate); image -> pixels uint8[h, w, 3].
+    Raises ValueError on a malformed container and NotImplementedError
+    for modalities without a decoder here (video — needs libav/opencv;
+    callers treat that as the documented fallback seam)."""
+    if modality == "audio":
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                n = w.getnframes()
+                width = w.getsampwidth()
+                rate = w.getframerate()
+                frames = w.readframes(n)
+        except (wave.Error, EOFError, struct.error) as exc:
+            raise ValueError(f"malformed WAV payload: {exc}") from exc
+        if width != 2:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        return np.frombuffer(frames, dtype="<i2"), rate
+    if modality == "image":
+        if not payload.startswith(b"P6"):
+            raise ValueError("not a binary PPM (P6) payload")
+        # header: magic, width, height, maxval, single whitespace, raster
+        parts = payload.split(b"\n", 3)
+        if len(parts) < 4:
+            raise ValueError("truncated PPM header")
+        try:
+            w, h = (int(x) for x in parts[1].split())
+            maxval = int(parts[2])
+        except ValueError as exc:
+            raise ValueError(f"malformed PPM header: {exc}") from exc
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        raster = np.frombuffer(parts[3], dtype=np.uint8)
+        if raster.size < w * h * 3:
+            raise ValueError("PPM raster shorter than header promises")
+        return raster[: w * h * 3].reshape(h, w, 3)
     raise NotImplementedError(
         f"no {modality} decoder available in this environment; "
-        "install pillow/av/opencv and replace this stub"
+        "install pillow/av/opencv to extend this seam"
     )
 
 
@@ -101,8 +170,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             try:
                 decoded = decode_payload(data, modality)
-                feats.append([float(x) for x in decoded])
-            except NotImplementedError:
+                feats.append([float(x) for x in np.ravel(decoded[0])[:4]])
+            except (NotImplementedError, ValueError):
+                # raw (container-less) payloads and undecodable
+                # modalities fall back to deterministic byte stats
                 feats.append(_fake_features(data))
         yield pd.DataFrame(
             {
@@ -204,9 +275,9 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # zero rows, not a fake empty frame)
                 continue
             data = bytes(payload)
-            try:  # real decoder unavailable in this environment
+            try:  # raw payloads aren't containers; sampler uses bytes
                 decode_payload(data, modality)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
                 pass
             n_frames = max(1, (len(data) + _FRAME_SIZE - 1) // _FRAME_SIZE)
             for fi in range(0, n_frames, _FRAME_STRIDE):
@@ -269,11 +340,184 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("container", StringType()),
+        StructField("n_units", LongType()),
+        StructField("mean_level", DoubleType()),
+        StructField("rms_level", DoubleType()),
+        StructField("peak_level", DoubleType()),
+    ]
+)
+
+
+def _decoded_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize the modality's real container
+    around the payload bytes, decode it back through decode_payload,
+    and emit level statistics over the DECODED samples/pixels. Video
+    has no decoder (NotImplementedError seam) -> NULL stats row."""
+    for pdf in batches:
+        out = {k: [] for k in _DECODED_SCHEMA.fieldNames()}
+        for doc_id, payload, modality in zip(
+            pdf["doc_id"], pdf["payload"], pdf["modality"]
+        ):
+            out["doc_id"].append(doc_id)
+            out["modality"].append(modality)
+            if payload is None:
+                for k in ("container", "n_units", "mean_level",
+                          "rms_level", "peak_level"):
+                    out[k].append(None)
+                continue
+            data = bytes(payload)
+            try:
+                if modality == "audio":
+                    samples, _rate = decode_payload(
+                        synth_wav_payload(data), modality
+                    )
+                    vals = samples.astype(np.float64)
+                    container = "wav"
+                elif modality == "image":
+                    pixels = decode_payload(synth_ppm_payload(data), modality)
+                    vals = pixels.astype(np.float64).ravel()
+                    container = "ppm"
+                else:
+                    decode_payload(data, modality)
+                    raise AssertionError("unreachable: no video decoder")
+            except NotImplementedError:
+                for k in ("container", "n_units", "mean_level",
+                          "rms_level", "peak_level"):
+                    out[k].append(None)
+                continue
+            out["container"].append(container)
+            out["n_units"].append(int(vals.size))
+            out["mean_level"].append(float(vals.mean()))
+            out["rms_level"].append(float(np.sqrt((vals * vals).mean())))
+            out["peak_level"].append(float(np.abs(vals).max()))
+        yield pd.DataFrame(out)
+
+
+def multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-content statistics through REAL container decoders
+    (rows-only: container synthesis + decode is not SQL-expressible).
+
+    The shape of an audio-loudness / image-brightness pass in a media
+    pipeline: Arrow-batched mapInPandas, narrow, no shuffle; only the
+    small per-doc stat rows flow downstream. audio -> WAV PCM samples,
+    image -> PPM pixels; video rows keep NULL stats (decoder seam)."""
+    docs = load(spark, sf_dir, "documents")
+    return with_payload(docs).repartition("doc_id").mapInPandas(
+        _decoded_stats_batches, _DECODED_SCHEMA
+    )
+
+
+# --- perceptual-hash near-dup ------------------------------------------
+
+_PHASH_BITS = 64
+
+
+def phash64_blocks(data: bytes) -> tuple[int, int, int, int]:
+    """Perceptual difference-hash over payload bytes as four 16-bit
+    blocks: the payload is binned into _PHASH_BITS+1 equal windows, and
+    bit i = (mean(window i) < mean(window i+1)) — robust to small local
+    edits (a changed byte moves one window mean slightly) while
+    identical payloads hash identically. The block form feeds the
+    SimHash block-LSH kernel (dedup.simhash_block_pairs) unchanged."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        return (0, 0, 0, 0)
+    win = np.arange(arr.size, dtype=np.int64) * (_PHASH_BITS + 1) // arr.size
+    sums = np.bincount(win, weights=arr, minlength=_PHASH_BITS + 1)
+    cnts = np.bincount(win, minlength=_PHASH_BITS + 1)
+    means = sums / np.maximum(cnts, 1)
+    bits = means[:-1] < means[1:]
+    blocks = []
+    for k in range(4):
+        val = 0
+        for bit in bits[k * 16 : (k + 1) * 16]:
+            val = (val << 1) | int(bit)
+        blocks.append(val)
+    return tuple(blocks)
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("blk1", LongType()),
+        StructField("blk2", LongType()),
+        StructField("blk3", LongType()),
+        StructField("blk4", LongType()),
+    ]
+)
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in _PHASH_SCHEMA.fieldNames()}
+        for doc_id, payload, modality in zip(
+            pdf["doc_id"], pdf["payload"], pdf["modality"]
+        ):
+            if payload is None:
+                continue  # no media, no signature (mirrors frame sampling)
+            b1, b2, b3, b4 = phash64_blocks(bytes(payload))
+            rows["doc_id"].append(doc_id)
+            rows["modality"].append(modality)
+            rows["blk1"].append(b1)
+            rows["blk2"].append(b2)
+            rows["blk3"].append(b3)
+            rows["blk4"].append(b4)
+        yield pd.DataFrame(rows)
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perceptual-hash signature relation (internal API +
+    building block for multimodal_neardup)."""
+    docs = load(spark, sf_dir, "documents")
+    return with_payload(docs).repartition("doc_id").mapInPandas(
+        _phash_batches, _PHASH_SCHEMA
+    )
+
+
+def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup dedup over media payloads (rows-only).
+
+    pHash signatures (Python Arrow batch, narrow) feed the SAME block-
+    LSH kernel as text SimHash (dedup.simhash_block_pairs): band join
+    on 16-bit blocks, inline hamming verify, keep-lowest-doc_id drop —
+    content-based like multimodal_dedup's md5 pass, but tolerant of
+    small byte-level edits. Scale shape: signatures are 4 ints/blob; the
+    LSH join shuffles only (band, key, doc_id); the raw payload never
+    leaves its input partition."""
+    from .dedup import simhash_block_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = multimodal_phash(spark, sf_dir).persist()
+    losers = (
+        simhash_block_pairs(sigs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = sigs.join(losers, "doc_id", "left_anti")
+    return survivors.select(
+        "doc_id",
+        "modality",
+        F.concat(
+            *[F.format_string("%04x", F.col(f"blk{k}")) for k in range(1, 5)]
+        ).alias("phash"),
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_dedup": multimodal_dedup,
+    "multimodal_decoded_stats": multimodal_decoded_stats,
+    "multimodal_neardup": multimodal_neardup,
 }
 
 ORACLE_SQL = {

@@ -35,6 +35,8 @@ ROWS_ONLY = {
     "embed_ann_lsh",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_decoded_stats",
+    "multimodal_neardup",
     "lineitem_approx_percentiles",
 }
 

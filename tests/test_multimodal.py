@@ -60,6 +60,114 @@ def test_declared_features_query_is_scalar_only(spark, sf_dir):
         ]
 
 
+def test_wav_synth_decode_roundtrip():
+    """decode_payload parses a real RIFF container: samples round-trip
+    the deterministic (b-128)<<8 mapping exactly."""
+    import numpy as np
+
+    data = bytes(range(256))
+    samples, rate = M.decode_payload(M.synth_wav_payload(data), "audio")
+    assert rate == M._WAV_RATE
+    expected = (np.arange(256, dtype=np.int16) - 128) * 256
+    assert samples.tolist() == expected.tolist()
+
+
+def test_ppm_synth_decode_roundtrip():
+    data = b"abcdefghijkl"  # 12 bytes -> 4 pixels -> 2x2 raster
+    pixels = M.decode_payload(M.synth_ppm_payload(data), "image")
+    assert pixels.shape == (2, 2, 3)
+    assert pixels.ravel().tobytes() == data
+
+
+def test_decode_rejects_malformed_and_video():
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.decode_payload(b"this is not a wav", "audio")
+    with pytest.raises(ValueError):
+        M.decode_payload(b"P5\n2 2\n255\nxxxx", "image")  # P5 != P6
+    with pytest.raises(NotImplementedError):
+        M.decode_payload(b"anything", "video")
+
+
+def test_decoded_stats_match_python(spark, sf_dir):
+    """The Spark decode pipeline equals a driver-side python rerun of
+    the same synth+decode+stats math; video rows carry NULL stats."""
+    import numpy as np
+
+    texts = _texts(spark, sf_dir)
+    rows = {r.doc_id: r for r in M.multimodal_decoded_stats(spark, sf_dir).collect()}
+    assert set(rows) == set(texts)
+    for doc_id, data in texts.items():
+        r = rows[doc_id]
+        mod = _MOD[doc_id % 3]
+        assert r.modality == mod
+        if mod == "video":
+            assert r.container is None and r.n_units is None
+            continue
+        if mod == "audio":
+            vals, _ = M.decode_payload(M.synth_wav_payload(data), "audio")
+            vals = vals.astype(np.float64)
+            assert r.container == "wav"
+        else:
+            vals = M.decode_payload(
+                M.synth_ppm_payload(data), "image"
+            ).astype(np.float64).ravel()
+            assert r.container == "ppm"
+        assert r.n_units == vals.size
+        assert abs(r.mean_level - vals.mean()) < 1e-4
+        assert abs(r.rms_level - np.sqrt((vals * vals).mean())) < 1e-3
+        assert abs(r.peak_level - np.abs(vals).max()) < 1e-4
+
+
+def test_phash_properties():
+    """Deterministic, block-bounded, identical payloads collide, and a
+    single-byte edit stays within a small hamming distance."""
+    data = ("the quick brown fox " * 40).encode()
+    b = M.phash64_blocks(data)
+    assert b == M.phash64_blocks(bytes(data))
+    assert all(0 <= x < (1 << 16) for x in b)
+    edited = bytearray(data)
+    edited[100] ^= 0x04
+    e = M.phash64_blocks(bytes(edited))
+    hamming = sum(bin(x ^ y).count("1") for x, y in zip(b, e))
+    assert hamming <= 3, hamming
+    assert M.phash64_blocks(b"") == (0, 0, 0, 0)
+
+
+def test_multimodal_neardup_drops_phash_collisions(spark, sf_dir):
+    """Survivors = docs minus keep-lowest losers of verified pHash
+    pairs; every emitted phash is the hex form of the doc's blocks."""
+    sigs = {r.doc_id: r for r in M.multimodal_phash(spark, sf_dir).collect()}
+    out = {r.doc_id: r for r in M.multimodal_neardup(spark, sf_dir).collect()}
+    assert set(out) <= set(sigs)
+    texts = _texts(spark, sf_dir)
+    # python-side reference: block-LSH candidates + hamming<=3 verify
+    import itertools
+
+    losers = set()
+    by_block: dict[tuple, list] = {}
+    for d, r in sigs.items():
+        for k in range(1, 5):
+            by_block.setdefault((k, r[f"blk{k}"]), []).append(d)
+    cands = set()
+    for ds in by_block.values():
+        for a, b in itertools.combinations(sorted(ds), 2):
+            cands.add((a, b))
+    for a, b in cands:
+        h = sum(
+            bin(sigs[a][f"blk{k}"] ^ sigs[b][f"blk{k}"]).count("1")
+            for k in range(1, 5)
+        )
+        if h <= 3:
+            losers.add(b)
+    assert set(out) == set(sigs) - losers
+    for d, r in out.items():
+        expect = "".join(f"{sigs[d][f'blk{k}']:04x}" for k in range(1, 5))
+        assert r.phash == expect
+    assert set(out) <= set(texts)
+
+
 def test_frame_sample_covers_every_nth_frame(spark, sf_dir):
     texts = _texts(spark, sf_dir)
     by_doc: dict[int, list] = {}
