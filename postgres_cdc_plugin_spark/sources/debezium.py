@@ -18,7 +18,9 @@ checkable) without Kafka; only the transport line above needs a broker.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # the subset of the Debezium envelope the engine consumes; before/after
@@ -47,7 +49,8 @@ def parse(
     d -> DELETE. Rows that don't map (tombstones — null value after a
     delete — truncates, unparseable values) are DROPPED, not passed
     through as all-NULL ghost rows that would pollute downstream
-    keyed state. seq = source.lsn (the Postgres WAL position — the
+    keyed state; use split() when the pipeline must audit malformed
+    values instead of dropping them. seq = source.lsn (the Postgres WAL position — the
     total-order the reference gets implicitly from firing in commit
     order). `key_field` names the primary-key column inside the row
     images (default "id"); tables with a different PK must pass theirs
@@ -60,6 +63,30 @@ def parse(
     Narrow projection; at scale this chains straight onto the Kafka
     source with no shuffle.
     """
+    return split(values, value_col=value_col, key_field=key_field).changes
+
+
+class ParsedFeed(NamedTuple):
+    changes: DataFrame
+    quarantine: DataFrame  # raw values that failed to parse (auditable)
+
+
+def split(
+    values: DataFrame, value_col: str = "value", key_field: str = "id"
+) -> ParsedFeed:
+    """parse(), plus an auditable quarantine relation.
+
+    Three row fates (mirroring corpus.split_quarantine's discipline —
+    a CDC path must not lose WAL positions silently):
+      * tombstones (NULL value after a delete) — dropped by design;
+      * valid envelopes whose op the engine doesn't consume
+        (truncate 't', message 'm') — dropped by design;
+      * NON-NULL values whose envelope or op comes back NULL from
+        from_json (malformed JSON, foreign payloads) — QUARANTINED:
+        returned as raw values for replay/inspection, never silently
+        vanished.
+    Both outputs derive from one projection over the source — Catalyst
+    shares the scan when both are consumed in one foreachBatch."""
     env = F.from_json(F.col(value_col), DEBEZIUM_SCHEMA).alias("e")
     op = F.col("e.op")
     expr = None
@@ -67,9 +94,9 @@ def parse(
         expr = F.when(op == k, v) if expr is None else expr.when(op == k, v)
     mapped_op = expr.otherwise(F.lit(None))
     path = f"$.{key_field}"
-    return (
-        values.select(env)
-        .select(
+    tagged = values.select(F.col(value_col).alias("_raw"), env)
+    changes = (
+        tagged.select(
             F.col("e.source.lsn").alias("seq"),
             # key: the row identity travels in after (or before, on DELETE)
             F.coalesce(
@@ -87,3 +114,55 @@ def parse(
         )
         .filter(F.col("op").isNotNull())
     )
+    quarantine = tagged.filter(
+        F.col("_raw").isNotNull() & F.col("e.op").isNull()
+    ).select(F.col("_raw").alias(value_col))
+    return ParsedFeed(changes, quarantine)
+
+
+# --- transports --------------------------------------------------------
+#
+# SURVEY §1.4 source list: file changefeed / Delta CDF / Kafka+Debezium.
+# Every transport yields the SAME canonical change relation, so the
+# capture pipeline and sinks are transport-agnostic; the parity test
+# (tests/test_sources.py) proves file-changefeed and Debezium-dump
+# inputs produce identical envelopes.
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    key_field: str = "id",
+    starting_offsets: str = "earliest",
+    **options: str,
+) -> DataFrame:
+    """Kafka transport: canonical change rows from a Debezium topic.
+
+    Thin option plumbing over the built-in kafka source (requires the
+    spark-sql-kafka package on the cluster; not installable in this
+    sandbox, hence untested here — the parser and everything downstream
+    is exercised through file_stream, which shares this contract)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.load().selectExpr("CAST(value AS STRING) AS value")
+    return parse(raw, key_field=key_field)
+
+
+def file_stream(
+    spark: SparkSession, dump_dir: str, key_field: str = "id", **options: str
+) -> DataFrame:
+    """File transport with the identical contract: a directory of text
+    files holding one Debezium value per line (the shape of a
+    kafka-console-consumer dump) — the mock transport for tests and a
+    replay path for archived topics."""
+    reader = spark.readStream
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return parse(reader.text(dump_dir), key_field=key_field)

@@ -71,6 +71,98 @@ def test_debezium_feeds_capture_pipeline(spark):
     assert out[0].envelope.event.op == "INSERT"
 
 
+def test_debezium_split_quarantines_malformed_not_tombstones(spark):
+    """Malformed non-tombstone values land in the quarantine relation
+    with their raw bytes (auditable/replayable); tombstones and valid-
+    but-unconsumed ops (truncate) stay dropped by design."""
+    rows = [
+        (_dbz("c", after={"id": 1, "name": "A"}, lsn=1),),
+        (None,),  # tombstone: dropped, NOT quarantined
+        ("{not valid json at all",),  # malformed: quarantined
+        (json.dumps({"foreign": "payload"}),),  # opless: quarantined
+        (_dbz("t", lsn=5),),  # truncate: valid envelope, dropped
+    ]
+    feed = debezium.split(spark.createDataFrame(rows, "value string"))
+    assert [r.op for r in feed.changes.collect()] == ["INSERT"]
+    quarantined = sorted(r.value for r in feed.quarantine.collect())
+    assert quarantined == sorted(
+        ["{not valid json at all", json.dumps({"foreign": "payload"})]
+    )
+    # parse() remains the drop-everything view of the same split
+    assert debezium.parse(
+        spark.createDataFrame(rows, "value string")
+    ).count() == 1
+
+
+def test_debezium_file_transport_matches_changefeed_envelopes(spark, tmp_path):
+    """Transport parity (SURVEY §1.4): the same logical changes fed
+    through (a) the file changefeed source and (b) a Debezium dump via
+    the file transport produce IDENTICAL canonical envelopes out of
+    capture_pipeline — the engine is transport-agnostic."""
+    import os
+
+    from postgres_cdc_plugin_spark.config import SubscriptionConfig
+    from postgres_cdc_plugin_spark.sources import changefeed
+    from postgres_cdc_plugin_spark.sources.changefeed import parse_images
+    from postgres_cdc_plugin_spark.streaming.capture import capture_pipeline
+
+    ts = "2024-01-01T10:00:00.000000"
+    ts_ms = 1_704_103_200_000
+    cf_rows = [
+        dict(seq=1, key="1", op="INSERT", table_schema="public",
+             table_name="employees", old=None,
+             new=json.dumps({"id": 1, "name": "A"}), ts=ts),
+        dict(seq=2, key="1", op="UPDATE", table_schema="public",
+             table_name="employees",
+             old=json.dumps({"id": 1, "name": "A"}),
+             new=json.dumps({"id": 1, "name": "B"}), ts=ts),
+    ]
+    dbz_rows = [
+        _dbz("c", after={"id": 1, "name": "A"}, lsn=1, source_ts_ms=ts_ms),
+        _dbz("u", before={"id": 1, "name": "A"},
+             after={"id": 1, "name": "B"}, lsn=2, source_ts_ms=ts_ms),
+    ]
+    feed_dir = tmp_path / "cf_feed"
+    changefeed.write_chunk(str(feed_dir), cf_rows)
+    dump_dir = tmp_path / "dbz_dump"
+    os.makedirs(dump_dir)
+    with open(dump_dir / "part-0.txt", "w") as f:
+        f.write("\n".join(dbz_rows) + "\n")
+
+    cfg = SubscriptionConfig(
+        name="parity", table_name="employees", webhook_url="http://x/",
+        update_columns=("name",),  # empty set suppresses all UPDATEs
+    )
+    row_schema = "struct<id: bigint, name: string>"
+
+    def run(stream):
+        q = (
+            capture_pipeline(parse_images(stream, row_schema), cfg)
+            .writeStream.format("memory")
+            .queryName(f"parity_{stream.sparkSession.sparkContext.applicationId.replace('-','_')}_{id(stream)}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        name = q.name
+        rows = spark.sql(f"select * from {name}").collect()
+        return sorted(
+            (
+                r.envelope.event.op,
+                r.envelope.event.data.old,
+                r.envelope.event.data.new,
+                r.envelope.table.name,
+            )
+            for r in rows
+        )
+
+    via_changefeed = run(changefeed.read_stream(spark, str(feed_dir)))
+    via_debezium = run(debezium.file_stream(spark, str(dump_dir)))
+    assert via_changefeed == via_debezium
+    assert len(via_changefeed) == 2
+
+
 def test_stateful_sessionizer_emits_closed_bursts(spark, tmp_path):
     """applyInPandasWithState burst sessionizer: a key's session closes
     (and emits) when a later change arrives past the gap; open sessions
