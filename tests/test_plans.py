@@ -388,6 +388,51 @@ def test_semdedup_pair_join_is_equi_on_cell(spark, sf_dir):
     assert re.search(r"Left keys \[\d+\]: \[cell#", plan), plan
 
 
+# Queries allowed to plan a BroadcastNestedLoopJoin: every entry is a
+# pinned broadcast-TINY pattern (scalar aggregate, k-row centroid
+# codebook, or the documented inequality band join) — the broadcast side
+# is O(1)/O(k), never data-sized. Anything else planning a BNLJ (or any
+# query planning a CartesianProduct) is a scale regression.
+_BNLJ_ALLOWED = {
+    "customer_balance_outliers",  # scalar avg/stddev crossJoin
+    "embed_ann_ivf",  # k-row centroid codebook
+    "embed_ann_lsh",  # hyperplane constants
+    "embed_ivf_assign",  # k-row centroid codebook
+    "embed_knn",  # 1-row query vector
+    "embed_pipeline_e2e",  # composite of the above
+    "embed_pq_codes",  # sub-codebooks
+    "embed_semdedup",  # k-row centroid codebook (equi pair join pinned above)
+    "orders_price_band_join",  # intentional inequality band join
+    "token_bigram_stats",  # scalar corpus totals
+    "token_tfidf",  # scalar corpus size
+    "token_zipf_audit",  # scalar vocab size
+}
+
+
+def test_no_query_plans_cartesian_or_unapproved_nested_loop(spark, sf_dir):
+    """Surface-wide guardrail over the ENTIRE registry: no query may
+    plan a CartesianProduct, and BroadcastNestedLoopJoin only for the
+    allowlisted broadcast-tiny patterns. Catches a new/edited query
+    whose join degrades to a product before any benchmark would."""
+    from postgres_cdc_plugin_spark import registry
+
+    offenders = {}
+    for name, fn in registry.queries().items():
+        plan = inspect.physical_plan(fn(spark, sf_dir))
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            problems.append("unapproved BroadcastNestedLoopJoin")
+        if problems:
+            offenders[name] = problems
+    assert not offenders, offenders
+    # the allowlist must not go stale: every listed query still exists
+    assert _BNLJ_ALLOWED <= set(registry.queries()), (
+        _BNLJ_ALLOWED - set(registry.queries())
+    )
+
+
 def test_salted_join_handles_map_columns(spark):
     # MapType columns must not break the salt (F.hash rejects maps —
     # the salt hashes only the hashable column subset), and hot-key
