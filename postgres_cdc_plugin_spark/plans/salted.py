@@ -44,22 +44,45 @@ def salted_join(
     # because a nondeterministic salt (rand / monotonically_increasing_id)
     # can re-salt rows differently when a lost task recomputes, and a
     # partially-fetched shuffle then sees a row in two (key, salt)
-    # buckets or none (the SPARK-23207 correctness class). MapType
-    # columns are excluded — F.hash rejects them. Limitation: byte-
-    # identical duplicate rows of the hot key share a salt; duplicates
-    # of a hot key in practice differ in some payload column, and fully
-    # identical rows should be deduped before a join anyway.
-    from pyspark.sql.types import MapType
+    # buckets or none (the SPARK-23207 correctness class).
+    #
+    # F.hash rejects MapType anywhere in a column's type tree (top-level
+    # OR nested in struct/array), so map-bearing columns are detected
+    # RECURSIVELY and excluded. A TOP-LEVEL map with map-free key/value
+    # types still contributes via a canonical rendition — sorted
+    # map_entries serialized to JSON: map iteration order is not
+    # deterministic across recomputation, but the sorted entry array
+    # is, so the salt stays replay-stable while hot-key rows that
+    # differ only in that map still spread. Maps nested deeper stay
+    # excluded (their rendition cannot be canonicalized without
+    # rebuilding the tree); hot keys whose rows differ ONLY in such a
+    # column share a salt — pre-compute a stable fingerprint column in
+    # that case.
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    hashable = [
-        f.name
-        for f in left.schema.fields
-        if not isinstance(f.dataType, MapType)
-    ]
-    if not hashable:
-        raise ValueError("salted_join needs >=1 non-map column to salt on")
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    salt_inputs = []
+    for f in left.schema.fields:
+        if not _has_map(f.dataType):
+            salt_inputs.append(F.col(f.name))
+        elif isinstance(f.dataType, MapType) and not (
+            _has_map(f.dataType.keyType) or _has_map(f.dataType.valueType)
+        ):
+            salt_inputs.append(
+                F.to_json(F.array_sort(F.map_entries(F.col(f.name))))
+            )
+    if not salt_inputs:
+        raise ValueError("salted_join needs >=1 saltable column")
     salted_left = left.withColumn(
-        _SALT, F.pmod(F.hash(*[F.col(c) for c in hashable]), F.lit(n_salts))
+        _SALT, F.pmod(F.hash(*salt_inputs), F.lit(n_salts))
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(_SALT)
     replicated_right = right.select("*", salts)

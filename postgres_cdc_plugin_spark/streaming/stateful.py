@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -38,11 +39,15 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+# parallel interval arrays: ALL still-open bursts for the key, not just
+# the newest — in watermark mode an older burst stays open (mergeable
+# by late-but-in-horizon events) until the watermark passes its
+# last + gap, so the state must be able to hold several
 _STATE_SCHEMA = StructType(
     [
-        StructField("start", DoubleType()),
-        StructField("last", DoubleType()),
-        StructField("n", LongType()),
+        StructField("starts", ArrayType(DoubleType())),
+        StructField("lasts", ArrayType(DoubleType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
 
@@ -55,11 +60,14 @@ def sessionize_changes(
     """Per-key change-burst sessions over a streaming change feed.
 
     Emits a row per CLOSED session. With `watermark_delay` set (e.g.
-    "1 hour"), a session also closes when the EVENT-TIME watermark
-    passes its last change + gap — so a key that simply goes quiet
-    still emits its final session (EventTimeTimeout flush). With
-    watermark_delay=None a session only closes when a LATER change for
-    the same key arrives past the gap; a quiescent key's open session
+    "1 hour"), the EVENT-TIME watermark is the ONLY thing that closes a
+    session: an interval seals exactly when the watermark passes its
+    last change + gap (no admissible event can still merge with it), so
+    a late-but-in-horizon change merges into an older burst even when a
+    newer burst already exists, and a key that goes quiet still emits
+    its final session (EventTimeTimeout flush). With
+    watermark_delay=None a session closes when a LATER change for the
+    same key arrives past the gap; a quiescent key's open session
     stays in the state store forever — only use that mode for finite
     replays/tests where every key's stream is known to terminate with
     more data.
@@ -80,15 +88,47 @@ def sessionize_changes(
             }
         )
 
+    wm_mode = watermark_delay is not None
+
+    def _keep_or_close(ivs, state):
+        """Watermark mode: close exactly the intervals the watermark
+        has sealed (last + gap <= wm — no in-horizon event can still
+        merge with them; anything older is dropped upstream by the
+        watermark), keep the rest open in state with a timeout at the
+        earliest kept flush time."""
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        closed = [iv for iv in ivs if iv[1] + gap_seconds <= wm]
+        kept = [iv for iv in ivs if iv[1] + gap_seconds > wm]
+        if kept:
+            state.update(
+                (
+                    [iv[0] for iv in kept],
+                    [iv[1] for iv in kept],
+                    [iv[2] for iv in kept],
+                )
+            )
+            flush_at = int(min(iv[1] + gap_seconds for iv in kept) * 1000)
+            # must be strictly ahead of the watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+                max(flush_at, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        return closed, kept
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if watermark_delay is not None and state.hasTimedOut:
-            # watermark passed last+gap with no new changes: flush the
-            # open session and drop the key's state
-            start, last, n = state.get
-            state.remove()
-            yield _closed_frame([(key[0], start, last, n)])
+        if wm_mode and state.hasTimedOut:
+            # watermark passed some interval's last+gap with no new
+            # changes: flush the sealed intervals, keep the rest
+            starts, lasts, ns = state.get
+            ivs = sorted([s, l, n] for s, l, n in zip(starts, lasts, ns))
+            closed, _kept = _keep_or_close(ivs, state)
+            if closed:
+                yield _closed_frame(
+                    [(key[0], iv[0], iv[1], iv[2]) for iv in closed]
+                )
             return
 
         ts: list[float] = []
@@ -107,8 +147,9 @@ def sessionize_changes(
         # swallowing a multi-hour hole into the open session.
         ivs: list[list] = []  # sorted [start, last, n]
         if state.exists:
-            s0, l0, n0 = state.get
-            ivs.append([s0, l0, n0])
+            starts, lasts, ns = state.get
+            ivs.extend([s, l, n] for s, l, n in zip(starts, lasts, ns))
+            ivs.sort()
         for t in sorted(ts):
             for iv in ivs:
                 if iv[0] - gap_seconds <= t <= iv[1] + gap_seconds:
@@ -130,24 +171,28 @@ def sessionize_changes(
 
         if not ivs:
             # every row in the batch was malformed: nothing to update,
-            # and (crucially) no timeout math over a None last
+            # and (crucially) no timeout math over an empty state
             return
 
-        # every interval except the latest is closed by the existence
-        # of later changes; the latest stays open in the state store
-        closed = [(key[0], iv[0], iv[1], iv[2]) for iv in ivs[:-1]]
-        start, last, n = ivs[-1]
-        state.update((start, last, n))
-        if watermark_delay is not None:
-            # flush once the watermark passes the gap; must be strictly
-            # ahead of the current watermark or Spark rejects it
-            flush_at = int((last + gap_seconds) * 1000)
-            state.setTimeoutTimestamp(
-                max(flush_at, state.getCurrentWatermarkMs() + 1)
-            )
+        if wm_mode:
+            # only the watermark closes an interval: an older burst
+            # stays OPEN (and mergeable by late-but-in-horizon events)
+            # even when a newer burst exists — closing it on the mere
+            # existence of a later interval would emit a session a
+            # still-admissible event should have merged into
+            closed, _kept = _keep_or_close(ivs, state)
+        else:
+            # no watermark to reason with: every interval except the
+            # latest is closed by the existence of later changes (the
+            # finite-replay semantic documented above)
+            closed = ivs[:-1]
+            last_iv = ivs[-1]
+            state.update(([last_iv[0]], [last_iv[1]], [last_iv[2]]))
 
         if closed:
-            yield _closed_frame(closed)
+            yield _closed_frame(
+                [(key[0], iv[0], iv[1], iv[2]) for iv in closed]
+            )
 
     src = changes.select("key", "ts")
     timeout = GroupStateTimeout.NoTimeout

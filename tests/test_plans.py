@@ -454,3 +454,37 @@ def test_salted_join_handles_map_columns(spark):
         .select("s").distinct().count()
     )
     assert n_salts_used > 1  # the hot key really fans out
+
+
+def test_salted_join_handles_nested_map_and_spreads_map_only_diffs(spark):
+    # maps nested inside structs also crash F.hash — they must be
+    # excluded recursively; and hot-key rows differing ONLY in a
+    # top-level map column must still spread across salts (via the
+    # canonical sorted-entries rendition)
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.plans.salted import salted_join
+
+    left = spark.range(200).select(
+        F.lit("hot").alias("k"),
+        F.create_map(F.lit("a"), F.col("id").cast("string")).alias("m"),
+        F.struct(
+            F.create_map(F.lit("x"), F.lit("y")).alias("inner")
+        ).alias("s"),
+    )
+    right = spark.createDataFrame([("hot", 1)], "k string, v int")
+    out = salted_join(left, right, on=["k"], n_salts=4)
+    assert out.count() == 200
+    n_salts_used = (
+        left.withColumn(
+            "salt",
+            F.pmod(
+                F.hash(
+                    "k", F.to_json(F.array_sort(F.map_entries("m")))
+                ),
+                F.lit(4),
+            ),
+        )
+        .select("salt").distinct().count()
+    )
+    assert n_salts_used > 1  # map-only row diffs fan the hot key out

@@ -848,6 +848,73 @@ def test_sessionizer_watermark_flushes_quiescent_key(spark, tmp_path):
     assert (flushed[0].session_end.hour, flushed[0].session_end.minute) == (10, 5)
 
 
+def test_sessionizer_keeps_in_horizon_burst_open_for_late_merge(spark, tmp_path):
+    """Watermark mode must NOT close an older burst just because a
+    newer burst exists: a late-but-in-horizon event still merges into
+    it. The pre-fix behavior emitted the older interval immediately,
+    so the late event formed a second overlapping session row
+    (round-3 advice fix)."""
+    import os
+    import time
+
+    from postgres_cdc_plugin_spark.streaming.stateful import sessionize_changes
+
+    feed = tmp_path / "lm_feed"
+    os.makedirs(str(feed))
+    out: list = []
+
+    def chg(seq, key, hhmm):
+        return {
+            "seq": seq, "key": key, "op": "UPDATE",
+            "table_schema": "public", "table_name": "t",
+            "old": None, "new": None,
+            "ts": f"2024-01-01T{hhmm}:00.000000",
+        }
+
+    src = changefeed.read_stream(spark, str(feed), maxFilesPerTrigger="1")
+    q = (
+        sessionize_changes(src, gap_seconds=1800.0, watermark_delay="4 hours")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # burst one (10:00, 10:05) plus a far-later burst (13:00) in one
+        # batch; watermark after this batch = 13:00 - 4h = 09:00, so the
+        # first burst (sealed only at 10:35) must STAY OPEN
+        changefeed.write_chunk(
+            str(feed),
+            [chg(1, "B", "10:00"), chg(2, "B", "10:05"), chg(3, "B", "13:00")],
+        )
+        time.sleep(2.0)
+        # late event 10:20: within horizon, must merge into burst one
+        changefeed.write_chunk(str(feed), [chg(4, "B", "10:20")])
+        time.sleep(2.0)
+        # advance the watermark far past 13:30 via another key
+        deadline = time.time() + 90
+        minute = 0
+        while time.time() < deadline and len([r for r in out if r.key == "B"]) < 2:
+            changefeed.write_chunk(
+                str(feed),
+                [chg(100 + minute, "A", f"{20 + minute // 60}:{minute % 60:02d}")],
+            )
+            minute += 1
+            time.sleep(1.0)
+    finally:
+        q.stop()
+
+    sessions = sorted(
+        (r.session_start.hour, r.session_start.minute,
+         r.session_end.hour, r.session_end.minute, r.n_changes)
+        for r in out if r.key == "B"
+    )
+    # exactly two sessions: the merged early burst and the 13:00 one —
+    # no overlapping duplicate from the late event
+    assert sessions == [(10, 0, 10, 20, 3), (13, 0, 13, 0, 1)], sessions
+
+
 def test_schema_on_read_envelope_survives_alter(spark, tmp_path):
     """Schema-on-read envelope (SURVEY §1.4): with raw JSON images (no
     typed parse), a column added to the monitored table MID-STREAM
