@@ -191,12 +191,22 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
     """Candidate pairs + exact shingle-set Jaccard (the verify step)."""
     sh = _shingles(docs, distinct=True).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # pairs feeds one linear chain — persisting it would add cache-write
-    # cost with zero reuse (sh and sigs DO fan out and stay persisted)
-    pairs = _candidate_pairs(_minhash_sigs(docs, shingles=sh).persist())
+    # pairs now fans out twice (the intersection chain AND the doc_b
+    # prefilter below) — persist so the band join runs once
+    pairs = _candidate_pairs(_minhash_sigs(docs, shingles=sh).persist()).persist()
 
+    # Candidate docs are a tiny fraction of the corpus, but the
+    # (doc_id, g) intersection join would shuffle EVERY doc's shingles
+    # on its right side — prefilter sb to candidate doc_bs with a
+    # broadcast semi-join (a narrow map-side filter) so the wide
+    # shuffle moves only candidate shingles. The sa side is already
+    # pruned for free: `pairs` broadcasts onto sh without shuffling it.
     sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    sb = sh.join(
+        F.broadcast(pairs.select(F.col("doc_b").alias("doc_id")).distinct()),
+        "doc_id",
+        "semi",
+    ).alias("sb")
     inter = (
         pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
         .join(

@@ -683,6 +683,90 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ asymmetric-distance ANN search (ADC) — the query path of
+    a compressed billion-vector index, completing the ANN family
+    (brute-force kNN / LSH / IVF-exact / IVF-PQ).
+
+    Search never touches raw corpus vectors: the _N_PROBE best cells
+    come from the k-row centroid table; candidates are scored by
+    looking their 4 PQ codes up in the query's per-(cell, subspace)
+    distance table (k x M values, computed once per query). Plan shape:
+    index build is the embed_pq_codes/_ivf_assign one-groupBy argmin;
+    probe + LUT are broadcast joins of k-row relations; the only
+    data-sized work is the probed cells' index scan (partition pruning
+    under the cell layout) and one top-k (TakeOrderedAndProject). Every
+    distance is round-6 per subspace (sums of identical doubles in
+    identical order), so the whole search is bit-identical to the
+    DuckDB oracle."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cvec = _centroid_vecs(emb)
+    full_d = F.round(_sq_dist("v", "cv"), 6)
+    cand = emb.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        "label",
+        "cell",
+        full_d.alias("fd"),
+        *[_sub_dist(m).alias(f"d{m}") for m in range(_PQ_M)],
+    )
+    index = (
+        cand.groupBy("vec_id", "label")
+        .agg(
+            F.min(F.struct("fd", "cell")).alias("bf"),
+            *[
+                F.min(F.struct(f"d{m}", "cell")).alias(f"b{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("bf.cell").cast("int").alias("cell"),
+            *[
+                F.col(f"b{m}.cell").cast("int").alias(f"code_{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    probed = (
+        cvec.crossJoin(F.broadcast(q))
+        .select(
+            "cell", F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("csim")
+        )
+        .orderBy(F.desc("csim"), F.asc("cell"))
+        .limit(_N_PROBE)
+        .select(F.col("cell").cast("int").alias("cell"))
+    )
+    # the query's ADC lookup table: distance from the query's subspace m
+    # to EVERY cell's centroid subspace m (codes may reference any cell,
+    # not just probed ones)
+    lut = cvec.crossJoin(F.broadcast(q.select(F.col("qv").alias("v")))).select(
+        F.col("cell").cast("int").alias("cell"),
+        *[_sub_dist(m).alias(f"q{m}") for m in range(_PQ_M)],
+    )
+    scored = index.join(F.broadcast(probed), "cell").filter(
+        F.col("vec_id") != _QUERY_VEC_ID
+    )
+    for m in range(_PQ_M):
+        lm = lut.select(
+            F.col("cell").alias(f"code_{m}"), F.col(f"q{m}")
+        )
+        scored = scored.join(F.broadcast(lm), f"code_{m}")
+    approx = sum(F.col(f"q{m}") for m in range(_PQ_M))
+    return (
+        scored.select(
+            "vec_id", "label", "cell", approx.alias("approx_sq_dist")
+        )
+        .orderBy("approx_sq_dist", "vec_id")
+        .limit(_TOP_K)
+    )
+
+
 def embed_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding index build end-to-end, one logical plan: exact
     cosine near-dup removal → codebook trained on the SURVIVORS →
@@ -752,6 +836,7 @@ QUERIES = {
     "embed_semdedup": embed_semdedup,
     "embed_ann_lsh": embed_ann_lsh,
     "embed_ann_ivf": embed_ann_ivf,
+    "embed_ann_ivfpq": embed_ann_ivfpq,
     "embed_ivf_assign": embed_ivf_assign,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
@@ -773,6 +858,15 @@ _PQ_CODE_SQL = ",\n".join(
 )
 _PQ_ERR_SQL = " + ".join(
     f"(min(struct_pack(d{m}:=d{m}, cell:=cell))).d{m}" for m in range(_PQ_M)
+)
+# the query-side ADC lookup columns: the same per-subspace round-6
+# distance, but from the QUERY vector (q.qv) to each centroid
+_PQ_QDIST_SQL = ",\n".join(
+    f"""round(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+        i -> (q.qv[i + {m * _PQ_SUB}] - c.cv[i + {m * _PQ_SUB}])
+           * (q.qv[i + {m * _PQ_SUB}] - c.cv[i + {m * _PQ_SUB}]))), 6)
+        AS q{m}"""
+    for m in range(_PQ_M)
 )
 
 
@@ -921,6 +1015,52 @@ ORACLE_SQL = {
                {_PQ_ERR_SQL} AS sq_err
         FROM dist
         GROUP BY vec_id, label
+    """,
+    "embed_ann_ivfpq": f"""
+        WITH cent AS (
+{_cent_cte_sql("embeddings")}
+        ),
+        q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings
+            WHERE vec_id = {_QUERY_VEC_ID}
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label, c.cell,
+                   {_SQDIST_SQL} AS fd,
+                   {_PQ_DIST_SQL}
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        idx AS (
+            SELECT vec_id, label,
+                   CAST((min(struct_pack(fd:=fd, cell:=cell))).cell
+                        AS INTEGER) AS cell,
+                   {_PQ_CODE_SQL}
+            FROM dist
+            GROUP BY vec_id, label
+        ),
+        probed AS (
+            SELECT CAST(c.cell AS INTEGER) AS cell
+            FROM cent c, q
+            ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+                     c.cell ASC
+            LIMIT {_N_PROBE}
+        ),
+        lut AS (
+            SELECT CAST(c.cell AS INTEGER) AS cell,
+                   {_PQ_QDIST_SQL}
+            FROM cent c, q
+        )
+        SELECT i.vec_id, i.label, i.cell,
+               l0.q0 + l1.q1 + l2.q2 + l3.q3 AS approx_sq_dist
+        FROM idx i
+        JOIN probed p ON i.cell = p.cell
+        JOIN lut l0 ON l0.cell = i.code_0
+        JOIN lut l1 ON l1.cell = i.code_1
+        JOIN lut l2 ON l2.cell = i.code_2
+        JOIN lut l3 ON l3.cell = i.code_3
+        WHERE i.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY approx_sq_dist, i.vec_id
+        LIMIT {_TOP_K}
     """,
     "embed_pipeline_e2e": f"""
         WITH kept AS (

@@ -57,6 +57,7 @@ PRIORITY_ORDER = [
     # from the registry are skipped, so listing them early is safe).
     "multimodal_neardup",
     "multimodal_decoded_stats",
+    "embed_ann_ivfpq",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -101,13 +102,13 @@ PRIORITY_ORDER = [
     "lineitem_metrics_unpivot",
     "orders_daily_gapfill",
     "events_value_histogram",
-    "lineitem_ship_delays",
     # Position 50: docs_cluster_dedup carries the expensive
     # recursive-CTE oracle — last in the window so a driver timeout
     # there still leaves CORRECTNESS rows for everything before it.
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
     # r1-green queries that didn't fit this round's window:
+    "lineitem_ship_delays",
     "status_counts",
     "fanout_union",
     "props_json_extract",

@@ -396,6 +396,7 @@ def test_semdedup_pair_join_is_equi_on_cell(spark, sf_dir):
 _BNLJ_ALLOWED = {
     "customer_balance_outliers",  # scalar avg/stddev crossJoin
     "embed_ann_ivf",  # k-row centroid codebook
+    "embed_ann_ivfpq",  # k-row codebook + k-row ADC lookup table
     "embed_ann_lsh",  # hyperplane constants
     "embed_ivf_assign",  # k-row centroid codebook
     "embed_knn",  # 1-row query vector

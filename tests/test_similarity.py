@@ -61,6 +61,61 @@ def test_ivf_recall_and_scan_fraction(spark, sf_dir):
     assert S._N_PROBE < n_labels
 
 
+def test_ivfpq_adc_matches_python_reference(spark, sf_dir):
+    """The ADC score of every returned vector equals a python rerun of
+    the same round-6 codebook math (codes looked up in the query's
+    per-(cell, subspace) table), and results come only from probed
+    cells."""
+    import numpy as np
+
+    out = S.embed_ann_ivfpq(spark, sf_dir).collect()
+    assert len(out) == S._TOP_K
+
+    emb = {
+        r.vec_id: (r.label, np.array(r.embedding, dtype=np.float64))
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    qv = emb[S._QUERY_VEC_ID][1]
+    # round-6 per-label centroids (the _centroid_vecs convention)
+    by_label: dict = {}
+    for _vid, (lab, v) in emb.items():
+        by_label.setdefault(lab, []).append(v)
+    cent = {
+        lab: np.round(np.mean(np.stack(vs), axis=0), 6)
+        for lab, vs in by_label.items()
+    }
+    sub = S._DIM // S._PQ_M
+
+    def subd(a, b, m):
+        d = a[m * sub : (m + 1) * sub] - b[m * sub : (m + 1) * sub]
+        return round(float((d * d).sum()), 6)
+
+    probed = sorted(
+        cent,
+        key=lambda c: (
+            -round(
+                float(qv @ cent[c])
+                / (np.linalg.norm(qv) * np.linalg.norm(cent[c])),
+                6,
+            ),
+            c,
+        ),
+    )[: S._N_PROBE]
+    for r in out:
+        lab, v = emb[r.vec_id]
+        cell = min(
+            cent,
+            key=lambda c: (round(float(((v - cent[c]) ** 2).sum()), 6), c),
+        )
+        assert r.cell == cell and cell in probed
+        codes = [
+            min(cent, key=lambda c: (subd(v, cent[c], m), c))
+            for m in range(S._PQ_M)
+        ]
+        expect = sum(subd(qv, cent[codes[m]], m) for m in range(S._PQ_M))
+        assert abs(r.approx_sq_dist - expect) < 1e-9
+
+
 def test_ann_results_are_true_cosines(spark, sf_dir):
     """Approximate = smaller candidate set, never wrong scores: every
     (vec_id, cosine) an ANN variant returns must equal the brute-force
