@@ -367,7 +367,14 @@ def _centroid_vecs(emb: DataFrame) -> DataFrame:
     embed_pipeline_e2e. Means are rounded to 6 decimals on BOTH engines
     (the embed_centroids convention — washes out partial-sum order), so
     every downstream distance folds identical doubles in identical dim
-    order and is bit-identical."""
+    order and is bit-identical.
+
+    Persisted: the codebook is k rows but costs a corpus-wide
+    (label, dim) aggregation to build, and five operators consume it
+    (ivf_assign / pq_codes / ann_ivfpq / semdedup / pipeline) — often
+    several times within one query (candidate join + probe + lookup
+    table). Cache-manager plan matching shares ONE build across all of
+    them in a session."""
     return (
         emb.select("label", F.posexplode("v").alias("dim", "x"))
         .groupBy("label", "dim")
@@ -378,6 +385,7 @@ def _centroid_vecs(emb: DataFrame) -> DataFrame:
             F.col("label").alias("cell"),
             F.transform("s", lambda t: t.cx).alias("cv"),
         )
+        .persist()
     )
 
 
