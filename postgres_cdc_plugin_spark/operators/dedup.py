@@ -247,8 +247,9 @@ def docs_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH candidate pairs with band-agreement counts."""
     docs = load(spark, sf_dir, "documents")
-    # persist: the signature relation feeds three branches of the DAG
-    # (band explode + both sides of the count-agreements rejoin)
+    # persist: the band explode self-joins the signature relation (two
+    # scans of the same plan), and other minhash queries in the session
+    # share the cache entry
     return _candidate_pairs(_minhash_sigs(docs).persist())
 
 

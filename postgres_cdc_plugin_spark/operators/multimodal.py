@@ -385,8 +385,16 @@ def _decoded_stats_batches(
                     vals = pixels.astype(np.float64).ravel()
                     container = "ppm"
                 else:
-                    decode_payload(data, modality)
-                    raise AssertionError("unreachable: no video decoder")
+                    # the documented decoder seam: raises today; if a
+                    # video decoder is installed, its output is scored
+                    # generically so extending the seam cannot crash
+                    # this query
+                    decoded = decode_payload(data, modality)
+                    vals = np.asarray(
+                        decoded[0] if isinstance(decoded, tuple) else decoded,
+                        dtype=np.float64,
+                    ).ravel()
+                    container = modality
             except NotImplementedError:
                 for k in ("container", "n_units", "mean_level",
                           "rms_level", "peak_level"):
@@ -394,9 +402,16 @@ def _decoded_stats_batches(
                 continue
             out["container"].append(container)
             out["n_units"].append(int(vals.size))
-            out["mean_level"].append(float(vals.mean()))
-            out["rms_level"].append(float(np.sqrt((vals * vals).mean())))
-            out["peak_level"].append(float(np.abs(vals).max()))
+            if vals.size == 0:
+                # empty payload decodes to zero samples: stats are
+                # undefined, not 0.0 (np reductions would raise/NaN)
+                out["mean_level"].append(None)
+                out["rms_level"].append(None)
+                out["peak_level"].append(None)
+            else:
+                out["mean_level"].append(float(vals.mean()))
+                out["rms_level"].append(float(np.sqrt((vals * vals).mean())))
+                out["peak_level"].append(float(np.abs(vals).max()))
         yield pd.DataFrame(out)
 
 

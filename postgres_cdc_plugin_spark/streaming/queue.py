@@ -157,10 +157,44 @@ class EventQueue:
             + glob.glob(os.path.join(glob.escape(path), "batch=*", "*.parquet"))
         )
 
+    def _recover_crashed_swap(self, path: str) -> None:
+        """Heal a compact() swap that died in flight (cheap no-op when
+        nothing is pending — two existence checks).
+
+        Protocol: compact touches `<path>.swap` BEFORE moving the live
+        dir to `<path>.old` and removes it only after the new dir is in
+        place — so `.old` accompanied by the marker (or with no live
+        dir at all) is the authoritative pre-compact data, while `.old`
+        without a marker next to a live dir is stale post-swap junk.
+        Recovery MERGES `.old` back into the live dir (an enqueue sink
+        may have recreated it with fresh batches after the crash; on a
+        name collision the live entry wins — `batch=<id>` dirs are
+        logically identical under overwrite replay). Merging can
+        resurrect events the dead compact had dropped; state()'s
+        event/attempt dedup + the derived status keep that harmless
+        (they re-compact next run)."""
+        import shutil
+
+        old, marker = path + ".old", path + ".swap"
+        has_old, has_marker = os.path.exists(old), os.path.exists(marker)
+        if not (has_old or has_marker):
+            return
+        if has_old and (has_marker or not os.path.exists(path)):
+            os.makedirs(path, exist_ok=True)
+            for entry in os.listdir(old):
+                dst = os.path.join(path, entry)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(old, entry), dst)
+            shutil.rmtree(old, ignore_errors=True)
+            self.spark.catalog.refreshByPath(path)
+        if has_marker:
+            os.remove(marker)
+
     def _read_log(self, path: str, schema) -> DataFrame:
         # with an explicit schema the parquet read is fully lazy, so a
         # missing/empty log dir would fail mid-action (inside a poller
         # tick) — guard on actual data files instead of catching late
+        self._recover_crashed_swap(path)
         files = self._log_files(path)
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -180,9 +214,18 @@ class EventQueue:
         Backoff: delay after n completed attempts = interval (LINEAR) or
         interval * 2^(n-1) (EXPONENTIAL, 0-based shift of the last
         attempt index) — src/cdc_webhook.c:103-109.
+
+        Both logs are deduped defensively before derivation: duplicate
+        event rows (an at-least-once enqueue replay racing a compact,
+        or a crash-recovery merge) would each be polled and POSTed per
+        copy, and duplicate attempt rows would burn the retry budget
+        early — the keys (event_id) and (event_id, attempt) identify
+        the logical rows, so copies collapse to one. The dedup shuffle
+        shares the event_id partitioning the state join needs anyway.
         """
         att = (
             self._attempts()
+            .dropDuplicates(["event_id", "attempt"])
             .groupBy("event_id")
             .agg(
                 F.count(F.lit(1)).cast("int").alias("attempt_count"),
@@ -193,8 +236,11 @@ class EventQueue:
                 ).alias("history"),
             )
         )
-        ev = self._events().join(att, "event_id", "left").fillna(
-            {"attempt_count": 0, "any_ok": 0}
+        ev = (
+            self._events()
+            .dropDuplicates(["event_id"])
+            .join(att, "event_id", "left")
+            .fillna({"attempt_count": 0, "any_ok": 0})
         )
         budget = F.col("retry_number") + 1
         delay = backoff_delay(
@@ -240,23 +286,20 @@ class EventQueue:
         cdc_webhook--1.0.sql:25-47). FAILED events are kept by default
         as the dead-letter record.
 
-        Rewrite is read -> write-to-temp -> atomic directory swap; NOT
-        safe to run concurrently with a live poller (stop the worker
-        first, like any offline compaction). Returns kept/dropped
-        counts."""
+        Rewrite is read -> write-to-temp -> marker-protected directory
+        swap; NOT safe to run concurrently with a live poller OR a live
+        enqueue stream — stop both first (a cleanly stopped enqueue
+        stream has committed its checkpoint; an enqueue batch replayed
+        AFTER a compact can resurrect events the compact dropped, which
+        is the documented at-least-once envelope — ST4 receiver-side
+        dedup absorbs the redelivery, and state()'s event dedup keeps
+        the queue view consistent). Returns kept/dropped counts."""
         import shutil
         import tempfile
 
-        # Crash recovery FIRST: a prior compact that died between its
-        # two renames left the only copy of a log at `<path>.old` with
-        # no live directory — restore it before reading state. (The
-        # in-swap rmtree below only ever deletes a `.old` whose live
-        # path exists, i.e. genuinely stale leftovers.)
+        # heal any swap a previous compact left in flight
         for path in (self.event_log_path, self.attempts_path):
-            old = path + ".old"
-            if os.path.exists(old) and not os.path.exists(path):
-                os.rename(old, path)
-                self.spark.catalog.refreshByPath(path)
+            self._recover_crashed_swap(path)
 
         terminal = ["DELIVERED"] + (["FAILED"] if drop_failed else [])
         # persist the tiny (event_id, status) projection: the status
@@ -295,12 +338,20 @@ class EventQueue:
                 df.write.mode("overwrite").parquet(new_dir)
                 staged.append((path, new_dir, tmp))
             for path, new_dir, tmp in staged:
-                old = path + ".old"
-                # a leftover .old from a crashed run would fail the swap
+                old, marker = path + ".old", path + ".swap"
+                # stale .old (no marker, live dir present) is junk from
+                # a crash after a COMPLETED swap — recovery above left
+                # it alone; clear it before starting ours
                 shutil.rmtree(old, ignore_errors=True)
+                # marker up BEFORE the live dir moves: from here until
+                # the marker is removed, `.old` is the authoritative
+                # copy and _recover_crashed_swap will merge it back
+                with open(marker, "w"):
+                    pass
                 if os.path.exists(path):
                     os.rename(path, old)
                 os.rename(new_dir, path)
+                os.remove(marker)
                 shutil.rmtree(old, ignore_errors=True)
                 shutil.rmtree(tmp, ignore_errors=True)
                 # drop Spark's cached file listing for the swapped dir

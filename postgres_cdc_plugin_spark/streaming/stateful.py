@@ -97,8 +97,12 @@ def sessionize_changes(
         watermark), keep the rest open in state with a timeout at the
         earliest kept flush time."""
         wm = state.getCurrentWatermarkMs() / 1000.0
-        closed = [iv for iv in ivs if iv[1] + gap_seconds <= wm]
-        kept = [iv for iv in ivs if iv[1] + gap_seconds > wm]
+        # STRICT <: Spark's late-row filter admits an event with
+        # ts == watermark, and the merge predicate would assign it to
+        # an interval with last + gap == wm — sealing that interval at
+        # equality would emit a session such an event must still join
+        closed = [iv for iv in ivs if iv[1] + gap_seconds < wm]
+        kept = [iv for iv in ivs if iv[1] + gap_seconds >= wm]
         if kept:
             state.update(
                 (

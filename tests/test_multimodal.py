@@ -120,6 +120,36 @@ def test_decoded_stats_match_python(spark, sf_dir):
         assert abs(r.peak_level - np.abs(vals).max()) < 1e-4
 
 
+def test_decoded_stats_empty_payload_yields_null_stats(spark):
+    """A zero-byte payload (text='') decodes to zero samples — the
+    worker must emit NULL stats for audio, not crash on an empty numpy
+    reduction (code-review fix)."""
+    import pandas as pd
+
+    batches = list(
+        M._decoded_stats_batches(
+            iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "doc_id": [1, 2, 3],
+                            "modality": ["audio", "image", "video"],
+                            "payload": [b"", b"", b""],
+                        }
+                    )
+                ]
+            )
+        )
+    )
+    rows = {r.doc_id: r for _, r in pd.concat(batches).iterrows()}
+    assert rows[1].container == "wav" and rows[1].n_units == 0
+    assert pd.isna(rows[1].mean_level) and pd.isna(rows[1].peak_level)
+    # the image branch pads b'' to one zero pixel (3 zero bytes)
+    assert rows[2].container == "ppm" and rows[2].n_units == 3
+    assert rows[2].mean_level == 0.0
+    assert pd.isna(rows[3].container)  # video: decoder seam
+
+
 def test_phash_properties():
     """Deterministic, block-bounded, identical payloads collide, and a
     single-byte edit stays within a small hamming distance."""

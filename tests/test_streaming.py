@@ -1285,8 +1285,13 @@ def test_enqueue_batch_replay_is_idempotent(spark, tmp_path):
     sink(batch, 7)
     sink(batch, 7)  # crash-replay of the same micro-batch
     assert sorted(r.event_id for r in q.state().collect()) == ["ev-1", "ev-2"]
-    # a different batch id still lands as new rows
-    sink(batch.limit(1), 8)
+    # a different batch id with a NEW event still lands as a new row
+    sink(
+        spark.createDataFrame(
+            [(("ev-3",), "{}")], "envelope struct<id:string>, payload string"
+        ),
+        8,
+    )
     assert q.state().count() == 3
     # direct (non-streaming) calls keep the flat append layout
     q.enqueue_batch(
@@ -1322,10 +1327,81 @@ def test_queue_compact_recovers_orphaned_old_dir(spark, tmp_path):
     )
     assert q.state().count() == 2
     # simulate the mid-swap crash: live dir moved aside, new dir never
-    # moved in
+    # moved in, swap marker still present
     os.rename(q.event_log_path, q.event_log_path + ".old")
+    with open(q.event_log_path + ".swap", "w"):
+        pass
     assert q.compact() == {"kept": 2, "dropped": 0}
     assert sorted(r.event_id for r in q.state().collect()) == ["ev-1", "ev-2"]
+    assert not os.path.exists(q.event_log_path + ".swap")
+
+
+def test_queue_swap_recovery_merges_post_crash_enqueues(spark, tmp_path):
+    """The dangerous interleaving: compact crashes mid-swap (live dir
+    moved to .old, marker up), then an enqueue sink recreates the live
+    dir with NEW batches before anyone notices. Recovery must MERGE the
+    authoritative .old back rather than treating it as stale junk —
+    deleting it would lose every pre-crash undelivered event."""
+    import os
+
+    from postgres_cdc_plugin_spark.streaming.queue import EventQueue
+
+    q = EventQueue(spark, str(tmp_path / "q"))
+    cfg = SubscriptionConfig(
+        name="mg", table_name="employees", webhook_url="http://x/",
+        mode="ASYNC",
+    )
+
+    def batch_of(*ids):
+        return spark.createDataFrame(
+            [((i,), "{}") for i in ids],
+            "envelope struct<id:string>, payload string",
+        )
+
+    q.enqueue_batch(batch_of("ev-old-1", "ev-old-2"), cfg, batch_id=0)
+    # crash mid-swap: live moved aside, marker up
+    os.rename(q.event_log_path, q.event_log_path + ".old")
+    with open(q.event_log_path + ".swap", "w"):
+        pass
+    # a later enqueue recreates the live dir with a fresh batch
+    q.enqueue_batch(batch_of("ev-new-1"), cfg, batch_id=1)
+    # the next state() read heals the swap: union of both generations
+    assert sorted(r.event_id for r in q.state().collect()) == [
+        "ev-new-1", "ev-old-1", "ev-old-2",
+    ]
+    assert not os.path.exists(q.event_log_path + ".swap")
+    assert not os.path.exists(q.event_log_path + ".old")
+
+
+def test_queue_state_collapses_duplicate_event_and_attempt_rows(spark, tmp_path):
+    """Defense-in-depth dedup: duplicate event rows (replayed enqueue
+    racing a compact) are polled once, and duplicate attempt rows don't
+    burn the retry budget twice."""
+    from postgres_cdc_plugin_spark.streaming.queue import (
+        _ATTEMPTS_SCHEMA,
+        EventQueue,
+    )
+
+    q = EventQueue(spark, str(tmp_path / "q"))
+    cfg = SubscriptionConfig(
+        name="dd", table_name="employees", webhook_url="http://x/",
+        mode="ASYNC", retry_number=3,
+    )
+    batch = spark.createDataFrame(
+        [(("ev-1",), "{}")], "envelope struct<id:string>, payload string"
+    )
+    # the same logical event lands twice (flat append + replayed batch)
+    q.enqueue_batch(batch, cfg)
+    q.enqueue_batch(batch, cfg, batch_id=3)
+    # the same attempt row lands twice (crash-recovery merge)
+    rows = [("ev-1", 0, 500, False, "boom", 1_700_000_000.0)]
+    for _ in range(2):
+        spark.createDataFrame(rows, _ATTEMPTS_SCHEMA).write.mode(
+            "append"
+        ).parquet(q.attempts_path)
+    st = q.state().collect()
+    assert len(st) == 1
+    assert st[0].attempt_count == 1  # not 2: budget burned once
 
 def test_streaming_ivf_index_matches_batch_assign(spark, tmp_path, sf_dir):
     """EmbedIvfIndex: the streaming per-batch assignment against a
