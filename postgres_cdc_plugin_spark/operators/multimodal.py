@@ -220,12 +220,14 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared rows-only query: scalar feature columns.
+    """Declared query: scalar feature columns, fully oracle-checked.
 
-    The driver's rows-only canonicalizer sorts a pandas frame, and
-    list-typed cells are unhashable (CORRECTNESS_r02 err on this query),
-    so the declared surface explodes the fixed-width feature vector to
-    f0..f3 doubles. The array form stays available via
+    The driver's canonicalizer sorts a pandas frame and list-typed
+    cells are unhashable (CORRECTNESS_r02 err on this query), so the
+    declared surface explodes the fixed-width feature vector to f0..f3
+    doubles — which also makes the byte-statistic fallback features
+    SQL-expressible, upgrading this from a rows-only check to full
+    DuckDB parity. The array form stays available via
     multimodal_feature_vectors for programmatic use.
     """
     feat = multimodal_feature_vectors(spark, sf_dir)
@@ -300,7 +302,8 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling / resize plumbing over opaque media payloads
-    (rows-only check: the fake decoder's output is not SQL-expressible).
+    (oracle-checked: fixed byte windows + byte checksums are
+    SQL-expressible over the ASCII corpus).
 
     The video-frame-sample / image-resize shape of a training-data
     pipeline: every-Nth-frame extraction as an Arrow-batched 1->N row
@@ -535,7 +538,58 @@ QUERIES = {
     "multimodal_neardup": multimodal_neardup,
 }
 
+# Byte-level SQL mirrors: the corpora are ASCII (asserted by the other
+# char-based oracles), so char positions = byte positions and
+# unicode(char) = the byte value — the oracle reproduces the worker's
+# fallback byte statistics exactly. Empty-text edges mirror the
+# worker's zero conventions via COALESCE/CASE.
+_MODALITY_SQL = """CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"""
+_BYTESUM_SQL = """COALESCE(CAST(list_sum(list_transform(
+                    range(1, length({src}) + 1),
+                    i -> unicode(substr({src}, CAST(i AS INT), 1)))) AS BIGINT),
+                  0)"""
+
 ORACLE_SQL = {
+    "multimodal_features": f"""
+        SELECT doc_id,
+               {_MODALITY_SQL} AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST({_BYTESUM_SQL.format(src="text")} % 256 AS BIGINT)
+                   AS checksum,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS f0,
+               CAST({_BYTESUM_SQL.format(src="text")} % 256 AS DOUBLE) AS f1,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(unicode(substr(text, 1, 1)) AS DOUBLE)
+               END AS f2,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(unicode(substr(text, length(text), 1)) AS DOUBLE)
+               END AS f3
+        FROM documents
+        WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id, {_MODALITY_SQL}, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE text IS NULL
+    """,
+    "multimodal_frame_sample": f"""
+        SELECT doc_id,
+               {_MODALITY_SQL} AS modality,
+               CAST(fi AS BIGINT) AS frame_idx,
+               CAST(length(chunk) AS BIGINT) AS frame_bytes,
+               CAST({_BYTESUM_SQL.format(src="chunk")} % 256 AS BIGINT)
+                   AS frame_checksum
+        FROM (
+            SELECT doc_id, text, fi,
+                   substr(text, CAST(fi * {_FRAME_SIZE} + 1 AS INT),
+                          {_FRAME_SIZE}) AS chunk
+            FROM documents,
+                 unnest(range(0,
+                     greatest(CAST(ceil(length(text) / {_FRAME_SIZE}.0)
+                                   AS BIGINT), 1),
+                     {_FRAME_STRIDE})) AS t(fi)
+            WHERE text IS NOT NULL
+        )
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                CASE CAST(doc_id % 3 AS INT)
