@@ -419,8 +419,11 @@ def _decoded_stats_batches(
 
 
 def multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded-content statistics through REAL container decoders
-    (rows-only: container synthesis + decode is not SQL-expressible).
+    """Decoded-content statistics through REAL container decoders,
+    fully oracle-checked: the synth containers are deterministic byte
+    transforms of the text, so DuckDB reproduces the decoded sample/
+    pixel statistics exactly (integer sums stay under 2^53 — every
+    mean/rms/peak is bit-identical float64).
 
     The shape of an audio-loudness / image-brightness pass in a media
     pipeline: Arrow-batched mapInPandas, narrow, no shuffle; only the
@@ -550,7 +553,62 @@ _BYTESUM_SQL = """COALESCE(CAST(list_sum(list_transform(
                     i -> unicode(substr({src}, CAST(i AS INT), 1)))) AS BIGINT),
                   0)"""
 
+_BYTE_LIST = """list_transform(range(1, length(text) + 1),
+                    i -> unicode(substr(text, CAST(i AS INT), 1)))"""
+
 ORACLE_SQL = {
+    "multimodal_decoded_stats": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {_MODALITY_SQL} AS modality,
+                   text,
+                   octet_length(encode(text)) AS n,
+                   COALESCE(CAST(list_sum({_BYTE_LIST}) AS BIGINT), 0) AS s,
+                   COALESCE(list_sum(list_transform({_BYTE_LIST},
+                       b -> CAST(b AS DOUBLE) * b)), 0.0) AS sq,
+                   COALESCE(list_max({_BYTE_LIST}), 0) AS mx,
+                   COALESCE(list_max(list_transform({_BYTE_LIST},
+                       b -> abs(b - 128))), 0) AS mxc
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        img AS (
+            SELECT *,
+                   greatest(CAST(ceil(n / 3.0) AS BIGINT), 1) AS npix
+            FROM base WHERE modality = 'image'
+        ),
+        img2 AS (
+            SELECT *, CAST(ceil(sqrt(npix)) AS BIGINT) AS w FROM img
+        ),
+        img3 AS (
+            SELECT *,
+                   w * CAST(ceil(npix / CAST(w AS DOUBLE)) AS BIGINT) * 3
+                       AS units
+            FROM img2
+        )
+        SELECT doc_id, modality, 'wav' AS container,
+               CAST(n AS BIGINT) AS n_units,
+               CASE WHEN n = 0 THEN NULL
+                    ELSE ((s - 128.0 * n) * 256.0) / n END AS mean_level,
+               CASE WHEN n = 0 THEN NULL
+                    ELSE sqrt((sq - 256.0 * s + 16384.0 * n) * 65536.0 / n)
+               END AS rms_level,
+               CASE WHEN n = 0 THEN NULL
+                    ELSE 256.0 * mxc END AS peak_level
+        FROM base WHERE modality = 'audio'
+        UNION ALL
+        SELECT doc_id, modality, 'ppm', CAST(units AS BIGINT),
+               s / CAST(units AS DOUBLE),
+               sqrt(sq / units),
+               CAST(mx AS DOUBLE)
+        FROM img3
+        UNION ALL
+        SELECT doc_id, modality, NULL, NULL, NULL, NULL, NULL
+        FROM base WHERE modality = 'video'
+        UNION ALL
+        SELECT doc_id, {_MODALITY_SQL}, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE text IS NULL
+    """,
     "multimodal_features": f"""
         SELECT doc_id,
                {_MODALITY_SQL} AS modality,
