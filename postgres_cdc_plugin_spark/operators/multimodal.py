@@ -504,7 +504,8 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-dup dedup over media payloads (rows-only).
+    """Perceptual near-dup dedup over media payloads (oracle-checked:
+    the windowed-mean hash is exact integer/IEEE math on both engines).
 
     pHash signatures (Python Arrow batch, narrow) feed the SAME block-
     LSH kernel as text SimHash (dedup.simhash_block_pairs): band join
@@ -556,7 +557,96 @@ _BYTESUM_SQL = """COALESCE(CAST(list_sum(list_transform(
 _BYTE_LIST = """list_transform(range(1, length(text) + 1),
                     i -> unicode(substr(text, CAST(i AS INT), 1)))"""
 
+# pHash oracle: the windowed-mean difference hash is exact integer math
+# (window sums < 2^53; means are single IEEE divisions of identical
+# operands on both engines), so the whole near-dup pipeline — signature,
+# block-LSH pairs, hamming verify, keep-lowest anti-join — mirrors in
+# SQL. Block k folds its 16 bits MSB-first, matching phash64_blocks.
+_PHASH_BLOCK_SQL = ", ".join(
+    "SUM(CASE WHEN p >= {lo} AND p < {hi} THEN bit * (1 << ({hi} - 1 - p)) "
+    "ELSE 0 END) AS blk{k}".format(lo=(k - 1) * 16, hi=k * 16, k=k)
+    for k in range(1, 5)
+)
+_PHASH_BLOCKS_SQL = f"""
+        SELECT doc_id, {_PHASH_BLOCK_SQL}
+        FROM (
+            SELECT a.doc_id, a.w AS p,
+                   CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+            FROM (
+                SELECT g.doc_id, g.w,
+                       COALESCE(s / CAST(greatest(c, 1) AS DOUBLE), 0.0) AS m
+                FROM (
+                    SELECT d.doc_id, t.w
+                    FROM (SELECT DISTINCT doc_id FROM documents
+                          WHERE text IS NOT NULL AND length(text) > 0) d,
+                         unnest(range(0, {_PHASH_BITS + 1})) AS t(w)
+                ) g
+                LEFT JOIN (
+                    SELECT doc_id, (bi * {_PHASH_BITS + 1}) // n AS w,
+                           sum(b) AS s, count(*) AS c
+                    FROM (
+                        SELECT doc_id, length(text) AS n, i - 1 AS bi,
+                               unicode(substr(text, CAST(i AS INT), 1)) AS b
+                        FROM documents,
+                             unnest(range(1, length(text) + 1)) AS t(i)
+                        WHERE text IS NOT NULL AND length(text) > 0
+                    )
+                    GROUP BY doc_id, (bi * {_PHASH_BITS + 1}) // n
+                ) wins ON wins.doc_id = g.doc_id AND wins.w = g.w
+            ) a
+            JOIN (
+                SELECT g2.doc_id, g2.w,
+                       COALESCE(s / CAST(greatest(c, 1) AS DOUBLE), 0.0) AS m
+                FROM (
+                    SELECT d.doc_id, t.w
+                    FROM (SELECT DISTINCT doc_id FROM documents
+                          WHERE text IS NOT NULL AND length(text) > 0) d,
+                         unnest(range(0, {_PHASH_BITS + 1})) AS t(w)
+                ) g2
+                LEFT JOIN (
+                    SELECT doc_id, (bi * {_PHASH_BITS + 1}) // n AS w,
+                           sum(b) AS s, count(*) AS c
+                    FROM (
+                        SELECT doc_id, length(text) AS n, i - 1 AS bi,
+                               unicode(substr(text, CAST(i AS INT), 1)) AS b
+                        FROM documents,
+                             unnest(range(1, length(text) + 1)) AS t(i)
+                        WHERE text IS NOT NULL AND length(text) > 0
+                    )
+                    GROUP BY doc_id, (bi * {_PHASH_BITS + 1}) // n
+                ) wins2 ON wins2.doc_id = g2.doc_id AND wins2.w = g2.w
+            ) b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+            WHERE a.w < {_PHASH_BITS}
+        )
+        GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, 0, 0, 0, 0 FROM documents
+        WHERE text IS NOT NULL AND length(text) = 0
+"""
+_PHASH_HAMMING_SQL = " + ".join(
+    f"bit_count(CAST(xor(a.blk{k}, b.blk{k}) AS BIGINT))" for k in range(1, 5)
+)
+_PHASH_ANY_BLOCK_SQL = " OR ".join(
+    f"a.blk{k} = b.blk{k}" for k in range(1, 5)
+)
+
 ORACLE_SQL = {
+    "multimodal_neardup": f"""
+        WITH blocks AS ({_PHASH_BLOCKS_SQL}),
+        losers AS (
+            SELECT DISTINCT b.doc_id
+            FROM blocks a JOIN blocks b
+              ON a.doc_id < b.doc_id AND ({_PHASH_ANY_BLOCK_SQL})
+            WHERE {_PHASH_HAMMING_SQL} <= 3
+        )
+        SELECT k.doc_id,
+               {_MODALITY_SQL} AS modality,
+               printf('%04x%04x%04x%04x',
+                      CAST(k.blk1 AS INT), CAST(k.blk2 AS INT),
+                      CAST(k.blk3 AS INT), CAST(k.blk4 AS INT)) AS phash
+        FROM blocks k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
     "multimodal_decoded_stats": f"""
         WITH base AS (
             SELECT doc_id,

@@ -33,7 +33,6 @@ _MODULES = [cdc, analytics, dedup, text, similarity, multimodal]
 ROWS_ONLY = {
     "approx_distinct_users",
     "embed_ann_lsh",
-    "multimodal_neardup",
     "lineitem_approx_percentiles",
 }
 
