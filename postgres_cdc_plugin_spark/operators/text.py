@@ -813,7 +813,53 @@ def token_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns shared by the Spark query and its DuckDB mirror. Both
+# engines' regex dialects (Java util.regex vs RE2) agree on this
+# conservative subset: character classes, bounded quantifiers, \b, \d.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit: per-doc counts of email/phone/IP
+    patterns, a has_pii verdict, and the md5 of the REDACTED text (the
+    artifact a compliance pass would persist — proves the redaction is
+    deterministic without materializing redacted bodies downstream).
+
+    Standard training-data hygiene pass. Narrow projection — regex
+    matching is JVM-side whole-stage codegen, zero shuffles at any
+    corpus size; the scan parallelism is the input partitioning. The
+    redaction order (email, then phone, then IP) is fixed and mirrored
+    in the oracle: replacement output feeds the next pattern, so order
+    is semantics, not style.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all("text", F.lit(_PII_IP), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        n_ips.cast("bigint").alias("n_ips"),
+        (n_emails + n_phones + n_ips > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 QUERIES = {
+    "docs_pii_scan": docs_pii_scan,
     "docs_text_stats": docs_text_stats,
     "token_bigram_stats": token_bigram_stats,
     "token_zipf_audit": token_zipf_audit,
@@ -841,6 +887,25 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _SPLIT_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 ORACLE_SQL = {
+    "docs_pii_scan": f"""
+        SELECT doc_id,
+               source,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+                   AS n_phones,
+               CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)
+                   AS n_ips,
+               (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                + len(regexp_extract_all(text, '{_PII_PHONE}'))
+                + len(regexp_extract_all(text, '{_PII_IP}'))) > 0 AS has_pii,
+               md5(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+        FROM documents
+    """,
     "token_zipf_audit": f"""
         WITH vocab AS (
             SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -60,3 +60,33 @@ def test_repetition_filter_single_token_doc(spark, tmp_path):
     # both engines (False AND NULL = False); the bigram share is NULL
     assert out[1].dup_bigram_frac is None and out[1].keep is False
     assert out[2].dup_bigram_frac > 0.0
+
+
+def test_pii_scan_detects_and_redacts(spark, tmp_path):
+    # the driver corpora carry no PII (the oracle there pins regex-
+    # engine parity only), so detection + deterministic redaction need
+    # their own fixture
+    import hashlib
+
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    dirty = (
+        "contact bob@example.com or alice@test.org, "
+        "call 555-123-4567, server at 10.0.0.1 thanks"
+    )
+    clean = "no personal information in this document at all"
+    spark.createDataFrame(
+        [(1, dirty, "en", "s", len(dirty)), (2, clean, "en", "s", len(clean))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in T.docs_pii_scan(spark, str(tmp_path)).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (2, 1, 1)
+    assert out[1].has_pii is True
+    expected_redacted = (
+        "contact <EMAIL> or <EMAIL>, call <PHONE>, server at <IP> thanks"
+    )
+    assert out[1].redacted_md5 == hashlib.md5(
+        expected_redacted.encode()
+    ).hexdigest()
+    assert out[2].has_pii is False
+    assert out[2].redacted_md5 == hashlib.md5(clean.encode()).hexdigest()
