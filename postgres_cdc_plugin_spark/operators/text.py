@@ -858,8 +858,65 @@ def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-calibrated policy knobs (CCNet cuts per-language percentiles;
+# the declared query pins fixed thresholds so the verdict is
+# oracle-checkable): below = boilerplate/repetitive, above = noise.
+_SURPRISAL_LO = 4.9  # bits/token
+_SURPRISAL_HI = 5.2
+
+
+def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: mean per-token surprisal under
+    the corpus unigram model, with a keep verdict for the middle band
+    (too-low = boilerplate, too-high = noise).
+
+    Plan shape: one (doc, token) count aggregation and one vocabulary
+    aggregation (both map-side combinable), a token-key join of counts
+    to vocab probabilities (broadcast while the vocab fits, shuffle
+    join on the Zipf-bounded vocab beyond), one doc_id rollup — no
+    corpus-sized window, no collect. The mean is rounded to 6 decimals
+    through the decimal hop on BOTH engines: log2 may differ by an ulp
+    between libm and the JVM, and partial-sum order is
+    nondeterministic — the hop washes both.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.repartition("doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    tot = vocab.agg(F.sum("cf").cast("double").alias("tot"))
+    surprisal_sum = F.sum(
+        F.col("c") * -F.log2(F.col("cf") / F.col("tot"))
+    )
+    mean_surprisal = (
+        F.round(surprisal_sum / F.sum("c").cast("double"), 6)
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return (
+        counts.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            mean_surprisal.alias("surprisal"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal",
+            (
+                (F.col("surprisal") >= _SURPRISAL_LO)
+                & (F.col("surprisal") <= _SURPRISAL_HI)
+            ).alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "docs_pii_scan": docs_pii_scan,
+    "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_text_stats": docs_text_stats,
     "token_bigram_stats": token_bigram_stats,
     "token_zipf_audit": token_zipf_audit,
@@ -887,6 +944,30 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _SPLIT_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 ORACLE_SQL = {
+    "docs_unigram_surprisal": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+        ),
+        vocab AS (
+            SELECT w, count(*) AS cf FROM tok GROUP BY w
+        ),
+        tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS tot FROM vocab)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(CAST(round(
+                   sum(c * -log2(cf / tot)) / CAST(sum(c) AS DOUBLE), 6
+               ) AS DECIMAL(38,6)) AS DOUBLE) AS surprisal,
+               CAST(CAST(round(
+                   sum(c * -log2(cf / tot)) / CAST(sum(c) AS DOUBLE), 6
+               ) AS DECIMAL(38,6)) AS DOUBLE)
+                   BETWEEN {_SURPRISAL_LO} AND {_SURPRISAL_HI} AS keep
+        FROM counts JOIN vocab USING (w), tot
+        GROUP BY doc_id
+    """,
     "docs_pii_scan": f"""
         SELECT doc_id,
                source,

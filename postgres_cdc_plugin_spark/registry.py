@@ -55,6 +55,7 @@ PRIORITY_ORDER = [
     "multimodal_decoded_stats",
     "embed_ann_ivfpq",
     "docs_pii_scan",
+    "docs_unigram_surprisal",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -97,13 +98,13 @@ PRIORITY_ORDER = [
     "nation_priority_pivot",
     "lineitem_conditional_agg",
     "lineitem_metrics_unpivot",
-    "orders_daily_gapfill",
     # Position 50: docs_cluster_dedup carries the expensive
     # recursive-CTE oracle — last in the window so a driver timeout
     # there still leaves CORRECTNESS rows for everything before it.
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
     # r1-green queries that didn't fit this round's window:
+    "orders_daily_gapfill",
     "events_value_histogram",
     "lineitem_ship_delays",
     "status_counts",

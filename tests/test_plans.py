@@ -404,6 +404,7 @@ _BNLJ_ALLOWED = {
     "embed_pq_codes",  # sub-codebooks
     "embed_semdedup",  # k-row centroid codebook (equi pair join pinned above)
     "orders_price_band_join",  # intentional inequality band join
+    "docs_unigram_surprisal",  # scalar corpus-token total
     "token_bigram_stats",  # scalar corpus totals
     "token_tfidf",  # scalar corpus size
     "token_zipf_audit",  # scalar vocab size
