@@ -891,6 +891,150 @@ def customer_pii_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (§2.4/§2.5 absent-category; the
+    change-stream analytics a CDC consumer runs on captured behavior).
+
+    Per user, each stage's entry time is the earliest event of that type
+    STRICTLY AFTER the previous stage's entry time (so out-of-order
+    occurrences don't count — the standard ordered-funnel semantics, not
+    a mere per-type min). All four stage times come from conditional
+    window-mins over one user_id partitioning: Spark plans a single
+    shuffle + one in-partition pass per stage, no self-joins. The final
+    4-row summary is a bounded aggregate of per-user scalars.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    cur = ev
+    prev: str | None = None
+    for i, stage in enumerate(_FUNNEL_STAGES, start=1):
+        cond = F.col("event_type") == stage
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        cur = cur.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"t{i}"
+    per_user = cur.groupBy("user_id").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(1, 5)]
+    )
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(1, 5)]
+    )
+    # unpivot the single counts row with stack() — one aggregation pass
+    # (a 4-way union of selects over `counts` would re-run the per-user
+    # aggregation once per stage)
+    stack_args = ", ".join(
+        f"{i}, '{stage}', n{i}" for i, stage in enumerate(_FUNNEL_STAGES, start=1)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(_FUNNEL_STAGES)}, {stack_args})"
+            " as (stage_idx, stage, n_users)"
+        ),
+        F.col("n1").alias("entry"),
+    ).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users") / F.col("entry"), 4).alias("pct_of_entry"),
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (§2.4 absent-category).
+
+    Cohort = week of a user's first event; each (cohort_week,
+    week_offset) cell counts users active that many weeks later. The
+    week offset is computed with date arithmetic (datediff of two week
+    starts, an exact multiple of 7) — never epoch seconds, which would
+    drag session-timezone/DST into the value. Two shuffles total: the
+    per-user first-event agg and the cell count; the user join reuses
+    the user_id partitioning.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step behavioral paths (sequence mining, §2.5/§2.6).
+
+    Per-user event sequences ordered by (ts, event_id) — the event_id
+    tiebreak makes trigram formation deterministic under timestamp
+    collisions — sliding a 3-gram window via lead(). One shuffle for
+    the user_id window, one partial-agg shuffle for the path counts,
+    then TakeOrderedAndProject for the global top-k (per-partition k,
+    no full sort).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(20)
+    )
+
+
+def lineitem_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery, decorrelated.
+
+    Revenue impact of small orders — lineitems with quantity below 20%
+    of their part's average — as the per-brand avg_yearly metric. The
+    SQL formulation is a correlated scalar subquery per part; here (and
+    in Catalyst's decorrelation of the SQL form) it is a per-part
+    aggregate joined back to the fact on l_partkey. The threshold
+    compare is float-free by cross-multiplication: qty < 0.2 * sum/n
+    ⟺ 5*qty*n < sum, exact for integral quantities (no 0.2*avg
+    rounding hazard at the keep/drop boundary, so row membership —
+    and therefore the hash — cannot drift between engines). One
+    fact-sized shuffle on l_partkey shared by the aggregate and the
+    join (co-partitioned); part is a broadcast dim.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small = (
+        li.join(stats, "l_partkey")
+        .filter(F.col("l_quantity") * F.col("n_li") * 5 < F.col("sum_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_small_items"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
 QUERIES = {
     "events_rate_limit": events_rate_limit,
     "customer_balance_outliers": customer_balance_outliers,
@@ -926,9 +1070,90 @@ QUERIES = {
     "orders_daily_gapfill": orders_daily_gapfill,
     "events_value_histogram": events_value_histogram,
     "lineitem_ship_delays": lineitem_ship_delays,
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_user_paths": events_user_paths,
+    "lineitem_small_qty_parts": lineitem_small_qty_parts,
 }
 
 ORACLE_SQL = {
+    "events_funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+        ),
+        s4 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s3 ON e.user_id = s3.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+        ),
+        n AS (
+            SELECT (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s3) AS n3,
+                   (SELECT count(*) FROM s4) AS n4
+        )
+        SELECT 1 AS stage_idx, 'signup' AS stage, n1 AS n_users,
+               round(n1 * 1.0 / n1, 4) AS pct_of_entry FROM n
+        UNION ALL
+        SELECT 2, 'view', n2, round(n2 * 1.0 / n1, 4) FROM n
+        UNION ALL
+        SELECT 3, 'click', n3, round(n3 * 1.0 / n1, 4) FROM n
+        UNION ALL
+        SELECT 4, 'purchase', n4, round(n4 * 1.0 / n1, 4) FROM n
+    """,
+    "events_retention_cohorts": """
+        WITH cohort AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT e.user_id, c.cohort_week,
+                   CAST(date_diff('day', c.cohort_week,
+                                  date_trunc('week', e.ts)) / 7 AS BIGINT)
+                       AS week_offset
+            FROM events e JOIN cohort c ON e.user_id = c.user_id
+        )
+        SELECT cohort_week, week_offset, count(*) AS n_active
+        FROM act GROUP BY cohort_week, week_offset
+    """,
+    "events_user_paths": """
+        SELECT path, count(*) AS n_occurrences
+        FROM (
+            SELECT event_type || '>' ||
+                   lead(event_type, 1) OVER w || '>' ||
+                   lead(event_type, 2) OVER w AS path
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        WHERE path IS NOT NULL
+        GROUP BY path
+        ORDER BY n_occurrences DESC, path ASC
+        LIMIT 20
+    """,
+    "lineitem_small_qty_parts": """
+        WITH stats AS (
+            SELECT l_partkey, sum(l_quantity) AS sum_qty, count(*) AS n_li
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_brand, count(*) AS n_small_items,
+               round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN stats s ON l.l_partkey = s.l_partkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity * s.n_li * 5 < s.sum_qty
+        GROUP BY p_brand
+    """,
     "events_rate_limit": """
         SELECT event_id, user_id, ts,
                count(*) OVER (

@@ -424,6 +424,80 @@ def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K = 8  # k-means cluster count
+_KM_ITERS = 2  # assignment passes (one centroid update between them)
+
+
+def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via partial min-struct aggregation
+    (the embed_pq_codes argmin shape — no window, one ~vector-sized
+    shuffle): round-6 squared distance with a cell tiebreak, the same
+    cross-engine determinism convention as embed_ivf_assign."""
+    d = F.round(_sq_dist(F.col("v"), F.col("cv")), 6)
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            F.struct(d.alias("sq_dist"), F.col("cell")).alias("dc"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            F.col("m.cell").alias("cell"),
+            F.col("m.sq_dist").alias("sq_dist"),
+        )
+    )
+
+
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the iterative
+    clustering kernel behind codebook training, fully oracle-checked
+    (most engines leave k-means rows-only; deterministic conventions
+    make the whole iteration value-comparable against DuckDB CTEs).
+
+    Deterministic spec: init = the _KM_K vectors with the smallest
+    vec_ids (cell id = that vec_id); _KM_ITERS assignment passes with a
+    centroid update between them. Assignment argmin is the round-6
+    distance + cell-tiebreak min-struct (embed_ivf_assign convention);
+    updated centroids are per-(cell, dim) means rounded to 6 decimals
+    (embed_centroids convention), so every fold sees identical doubles
+    in identical order on both engines. Cells that attract no vectors
+    simply vanish from the next codebook — same on both engines.
+
+    Scale: each pass is one broadcast of the k-row codebook + a narrow
+    per-vector argmin (map-side partial min-struct), then one
+    (cell, dim)-key aggregation to rebuild the codebook — per-iteration
+    cost is ~2 corpus scans and no data-sized shuffle beyond the
+    (vec_id) partial agg; iterations are bounded by _KM_ITERS, not
+    data-dependent (no convergence loop to stall a 100 TB run).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    )
+    assigned = _km_assign(emb, cents)
+    for _ in range(_KM_ITERS - 1):
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s"))
+            .select("cell", F.transform("s", lambda t: t.cx).alias("cv"))
+        )
+        assigned = _km_assign(emb, cents)
+    return assigned.select("vec_id", "label", "cell", "sq_dist")
+
+
 def embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup REMOVAL: drop vec_b of every pair at or
     above the similarity threshold (keep-lowest-vec_id policy — the same
@@ -846,6 +920,7 @@ QUERIES = {
     "embed_ann_ivf": embed_ann_ivf,
     "embed_ann_ivfpq": embed_ann_ivfpq,
     "embed_ivf_assign": embed_ivf_assign,
+    "embed_kmeans": embed_kmeans,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
 }
@@ -907,6 +982,13 @@ _SQDIST_SQL = """round(list_sum(list_transform(
                        range(1, len(e.embedding) + 1),
                        i -> (e.embedding[i]::DOUBLE - c.cv[i])
                             * (e.embedding[i]::DOUBLE - c.cv[i]))), 6)"""
+
+# same round-6 distance over a pre-cast DOUBLE[] column e.v (the
+# embed_kmeans CTEs cast once up front, matching the Spark side's
+# single cast of `embedding` to array<double>)
+_KM_DIST_SQL = """round(list_sum(list_transform(
+                       range(1, len(e.v) + 1),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"""
 
 ORACLE_SQL = {
     "docs_embed_join": """
@@ -1099,6 +1181,43 @@ ORACLE_SQL = {
                {_PQ_ERR_SQL} AS sq_err
         FROM dist
         GROUP BY vec_id, label
+    """,
+    "embed_kmeans": f"""
+        WITH emb2 AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cell, v AS cv FROM emb2 ORDER BY vec_id LIMIT {_KM_K}
+        ),
+        d1 AS (
+            SELECT e.vec_id, e.label, c.cell, {_KM_DIST_SQL} AS sq_dist
+            FROM emb2 e CROSS JOIN c0 c
+        ),
+        a1 AS (
+            SELECT vec_id,
+                   (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).cell AS cell
+            FROM d1 GROUP BY vec_id
+        ),
+        c1 AS (
+            SELECT cell, list(cx ORDER BY dim) AS cv
+            FROM (
+                SELECT a.cell, t.dim, round(avg(t.x), 6) AS cx
+                FROM (
+                    SELECT vec_id, unnest(v) AS x,
+                           unnest(range(1, len(v) + 1)) AS dim
+                    FROM emb2
+                ) t JOIN a1 a ON a.vec_id = t.vec_id
+                GROUP BY a.cell, t.dim
+            ) GROUP BY cell
+        ),
+        d2 AS (
+            SELECT e.vec_id, e.label, c.cell, {_KM_DIST_SQL} AS sq_dist
+            FROM emb2 e CROSS JOIN c1 c
+        )
+        SELECT vec_id, label,
+               (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).cell AS cell,
+               (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).sq_dist AS sq_dist
+        FROM d2 GROUP BY vec_id, label
     """,
     "embed_ivf_assign": f"""
         WITH cent AS (

@@ -56,6 +56,11 @@ PRIORITY_ORDER = [
     "embed_ann_ivfpq",
     "docs_pii_scan",
     "docs_unigram_surprisal",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_user_paths",
+    "lineitem_small_qty_parts",
+    "embed_kmeans",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -93,17 +98,17 @@ PRIORITY_ORDER = [
     "top_customers_per_nation",
     "orders_price_band_join",
     "orders_window_funcs",
-    "lineitem_moving_avg",
-    "customer_value_deciles",
-    "nation_priority_pivot",
-    "lineitem_conditional_agg",
-    "lineitem_metrics_unpivot",
     # Position 50: docs_cluster_dedup carries the expensive
     # recursive-CTE oracle — last in the window so a driver timeout
     # there still leaves CORRECTNESS rows for everything before it.
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
     # r1-green queries that didn't fit this round's window:
+    "lineitem_moving_avg",
+    "customer_value_deciles",
+    "nation_priority_pivot",
+    "lineitem_conditional_agg",
+    "lineitem_metrics_unpivot",
     "orders_daily_gapfill",
     "events_value_histogram",
     "lineitem_ship_delays",

@@ -399,6 +399,7 @@ _BNLJ_ALLOWED = {
     "embed_ann_ivfpq",  # k-row codebook + k-row ADC lookup table
     "embed_ann_lsh",  # hyperplane constants
     "embed_ivf_assign",  # k-row centroid codebook
+    "embed_kmeans",  # k-row codebook per Lloyd pass
     "embed_knn",  # 1-row query vector
     "embed_pipeline_e2e",  # composite of the above
     "embed_pq_codes",  # sub-codebooks
