@@ -515,15 +515,24 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs instead of each re-running the whole SimHash candidate plan
     # (measured 2x on the dominant phase)
     pairs = _simhash_pairs_df(docs).select("doc_a", "doc_b").localCheckpoint()
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint()
-    )
+    # Size the iteration's shuffles to the SUBGRAPH, not the corpus: the
+    # label loop operates only on vertices that appear in a near-dup
+    # pair — orders of magnitude smaller than the corpus — and its exact
+    # pair count is already materialized (checkpointed), so reading it
+    # costs one cheap action. Inheriting the corpus-sized session
+    # shuffle width makes every round pay ~width tasks of pure
+    # scheduling overhead on a relation that may fit in one partition
+    # (measured ~40% of the query's wall time at sf0.1). ~100k edges per
+    # partition keeps tasks meaty; defaultParallelism caps the width
+    # for genuinely huge dup graphs. Conf is execution-time state: the
+    # corpus-sized pair generation above already ran at session width,
+    # everything eager below (edge/label checkpoints + rounds) runs at
+    # loop width, and the conf is restored before the lazy corpus-sized
+    # tail (cluster_size window / downstream anti-joins) ever executes.
+    n_pairs = pairs.count()
+    sc = spark.sparkContext
+    loop_width = max(1, min(sc.defaultParallelism, 2 * n_pairs // 100_000 + 1))
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
     converged = False
     # Each checkpointed round runs TWO (min-step, pointer-shortcut)
     # passes before materializing: the min-step pulls the smallest
@@ -536,43 +545,58 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # component", so the fixpoint (component min) is unchanged. The cap
     # is a safety valve; a silent cap would return WRONG labels on
     # longer chains — fail loud.
-    for _ in range(_CC_MAX_ROUNDS):
-        cur = labels.withColumn("old", F.col("cluster_id"))
-        for _step in range(2):
-            lab = cur.select(
-                F.col("doc_id").alias("l_id"), F.col("cluster_id").alias("l_lab")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+        edges = pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
-            nbr = (
-                edges.join(lab, edges.doc_b == F.col("l_id"))
-                .groupBy("doc_a")
-                .agg(F.min("l_lab").alias("nbr_min"))
-            )
-            cur = cur.join(nbr, cur.doc_id == nbr.doc_a, "left").select(
-                "doc_id",
-                "old",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nbr_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            ptr = cur.select(
-                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lab")
-            )
-            cur = cur.join(ptr, cur.cluster_id == ptr.p_id).select(
-                "doc_id",
-                "old",
-                F.least("cluster_id", "p_lab").alias("cluster_id"),
-            )
-        new_labels = cur.select(
-            "doc_id",
-            "cluster_id",
-            (F.col("cluster_id") < F.col("old")).alias("improved"),
         ).localCheckpoint()
-        changed = new_labels.filter("improved").limit(1).count()
-        labels = new_labels.drop("improved")
-        if changed == 0:
-            converged = True
-            break
+        labels = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        for _ in range(_CC_MAX_ROUNDS):
+            cur = labels.withColumn("old", F.col("cluster_id"))
+            for _step in range(2):
+                lab = cur.select(
+                    F.col("doc_id").alias("l_id"), F.col("cluster_id").alias("l_lab")
+                )
+                nbr = (
+                    edges.join(lab, edges.doc_b == F.col("l_id"))
+                    .groupBy("doc_a")
+                    .agg(F.min("l_lab").alias("nbr_min"))
+                )
+                cur = cur.join(nbr, cur.doc_id == nbr.doc_a, "left").select(
+                    "doc_id",
+                    "old",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("nbr_min", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                ptr = cur.select(
+                    F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lab")
+                )
+                cur = cur.join(ptr, cur.cluster_id == ptr.p_id).select(
+                    "doc_id",
+                    "old",
+                    F.least("cluster_id", "p_lab").alias("cluster_id"),
+                )
+            new_labels = cur.select(
+                "doc_id",
+                "cluster_id",
+                (F.col("cluster_id") < F.col("old")).alias("improved"),
+            ).localCheckpoint()
+            changed = new_labels.filter("improved").limit(1).count()
+            labels = new_labels.drop("improved")
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     if not converged:
         raise RuntimeError(
             f"dup-cluster min-label propagation did not converge within "
