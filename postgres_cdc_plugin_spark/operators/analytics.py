@@ -1035,6 +1035,105 @@ def lineitem_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation
+    (§2.5 window breadth as a real analytics workload).
+
+    Per customer: recency = latest order date, frequency = order count,
+    monetary = total spend; each scored into ntile(5) quintiles with a
+    c_custkey tiebreak so bucket boundaries are deterministic on both
+    engines. One fact-sized shuffle for the per-customer aggregate,
+    then three ntile windows over the (small) per-customer relation —
+    global windows, but over customer-grain rows, not the fact table.
+    """
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "last_order",
+        "n_orders",
+        "total_spend",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    ).withColumn(
+        "rfm_segment",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median absolute deviation per event_type
+    (§2.4 absent-category; the heavy-tail-safe alternative to the
+    z-score screen in customer_balance_outliers).
+
+    Median and MAD use the same continuous-interpolation percentile as
+    lineitem_percentiles (bit-identical across engines); the anomaly
+    verdict compares round-6 values on BOTH sides so a 1-ulp
+    interpolation difference cannot flip a boundary row's flag. Two
+    event_type-keyed aggregations (median, then MAD of deviations) and
+    two broadcast joins of the ~5-row stats relations back to the
+    stream — no data-sized shuffle beyond the two partial aggs.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.round(F.abs(F.col("value") - F.col("med")), 6)
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "dev",
+            (F.col("dev") > F.round(F.lit(3.0) * F.col("mad"), 6)).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation (§2.5: lag over an
+    aggregated time series, the standard reporting shape).
+
+    Revenue is rounded to 2 decimals BEFORE the ratio so the growth
+    factor divides identical doubles on both engines (IEEE division of
+    identical inputs is bit-identical). First year per nation has NULL
+    growth. Fact-sized work is one broadcast-joined aggregation; the
+    lag window runs over the tiny (nation, year) series.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("order_year")
+    return rev.select(
+        "n_name",
+        "order_year",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w), 6).alias("yoy_growth"),
+    )
+
+
 QUERIES = {
     "events_rate_limit": events_rate_limit,
     "customer_balance_outliers": customer_balance_outliers,
@@ -1074,9 +1173,68 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_user_paths": events_user_paths,
     "lineitem_small_qty_parts": lineitem_small_qty_parts,
+    "orders_rfm_segments": orders_rfm_segments,
+    "events_anomaly_mad": events_anomaly_mad,
+    "orders_yoy_growth": orders_yoy_growth,
 }
 
 ORACLE_SQL = {
+    "orders_rfm_segments": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, last_order, n_orders, total_spend,
+                   ntile(5) OVER (ORDER BY last_order DESC, o_custkey ASC)
+                       AS r_score,
+                   ntile(5) OVER (ORDER BY n_orders DESC, o_custkey ASC)
+                       AS f_score,
+                   ntile(5) OVER (ORDER BY total_spend DESC, o_custkey ASC)
+                       AS m_score
+            FROM per_cust
+        )
+        SELECT o_custkey, last_order, n_orders, total_spend,
+               r_score, f_score, m_score,
+               r_score * 100 + f_score * 10 + m_score AS rfm_segment
+        FROM scored
+    """,
+    "events_anomaly_mad": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   round(abs(e.value - m.med), 6) AS dev
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.value, d.dev,
+               d.dev > round(3.0 * m.mad, 6) AS is_anomaly
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+    """,
+    "orders_yoy_growth": """
+        WITH rev AS (
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS INT) AS order_year,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, year(o_orderdate)
+        )
+        SELECT n_name, order_year, revenue,
+               round(revenue / lag(revenue) OVER (
+                   PARTITION BY n_name ORDER BY order_year), 6) AS yoy_growth
+        FROM rev
+    """,
     "events_funnel": """
         WITH s1 AS (
             SELECT user_id, min(ts) AS t FROM events
