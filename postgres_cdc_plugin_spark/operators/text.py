@@ -914,7 +914,103 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 6  # merge rules to learn
+
+
+def token_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary training: learn the first
+    _BPE_MERGES merge rules from the corpus — the tokenizer-training
+    step of an LLM data pipeline, expressed as a declarative Spark plan
+    and fully value-checked against a DuckDB oracle (each iteration is
+    one CTE chain there).
+
+    Determinism spec shared by both engines:
+      * words are whitespace tokens; pair frequency = corpus-weighted
+        adjacency count over each word's current symbol sequence;
+      * the winning merge maximizes (freq, then sym_a ASC, sym_b ASC)
+        — total order, no RNG;
+      * merge application is literal string replace on the
+        chr(1)-bracketed symbol string ('\\x01l\\x01o\\x01o\\x01k\\x01'),
+        whose leftmost-nonoverlapping semantics ARE greedy BPE
+        (runs: 'o o o' + merge(o,o) -> 'oo o' on both engines, verified
+        in tests) and whose brackets make suffix collisions impossible
+        ('xa b' can never match pattern '\\x01a\\x01b\\x01').
+
+    Scale: this is the distributed BPE-trainer shape — the corpus is
+    touched ONCE (word counts); every iteration runs over the DISTINCT
+    word relation, which Zipf makes orders of magnitude smaller than
+    the corpus, weighted by the precomputed counts. Per iteration: one
+    vocab-sized pair aggregation (map-side partials), a 1-row argmax
+    (TakeOrderedAndProject), and a broadcast-1-row rewrite of the vocab
+    strings; localCheckpoint cuts the per-iteration lineage exactly as
+    in the CC loop (a lazy chain would nest the whole history into
+    every subsequent argmax). Iterations are bounded by _BPE_MERGES.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.select(
+        "w",
+        "cnt",
+        F.expr(
+            "concat(chr(1), regexp_replace(w, '(.)', concat('$1', chr(1))))"
+        ).alias("s"),
+    ).localCheckpoint()
+    out: DataFrame | None = None
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.expr("filter(split(s, chr(1)), x -> x != '')").alias("syms"),
+            )
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.expr(
+                    "explode(transform(sequence(1, size(syms)-1),"
+                    " i -> struct(element_at(syms, CAST(i AS INT)) AS a,"
+                    " element_at(syms, CAST(i+1 AS INT)) AS b)))"
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        top = (
+            pairs.orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        row = top.select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.concat("a", "b").alias("merged"),
+            "freq",
+        )
+        out = row if out is None else out.unionByName(row)
+        if rank < _BPE_MERGES:
+            vocab = (
+                vocab.crossJoin(F.broadcast(top))
+                .select(
+                    "w",
+                    "cnt",
+                    F.expr(
+                        "replace(s, concat(chr(1), a, chr(1), b, chr(1)),"
+                        " concat(chr(1), a, b, chr(1)))"
+                    ).alias("s"),
+                )
+                .localCheckpoint()
+            )
+    assert out is not None
+    return out
+
+
 QUERIES = {
+    "token_bpe_merges": token_bpe_merges,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_text_stats": docs_text_stats,
@@ -943,7 +1039,57 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 _SPLIT_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
+
+def _bpe_iteration_ctes(k: int) -> str:
+    """One BPE iteration as a CTE triple (pair counts, argmax, vocab
+    rewrite) — the SQL mirror of one token_bpe_merges loop pass."""
+    return f"""
+        p{k} AS (
+            SELECT syms[i] AS a, syms[i + 1] AS b,
+                   CAST(sum(cnt) AS BIGINT) AS freq
+            FROM (
+                SELECT cnt,
+                       list_filter(string_split(s, chr(1)), x -> x <> '')
+                           AS syms
+                FROM v{k - 1}
+            ), unnest(range(1, len(syms))) AS t(i)
+            GROUP BY syms[i], syms[i + 1]
+        ),
+        t{k} AS (
+            SELECT a, b, freq FROM p{k}
+            ORDER BY freq DESC, a ASC, b ASC LIMIT 1
+        ),
+        v{k} AS (
+            SELECT w, cnt,
+                   replace(s, chr(1) || a || chr(1) || b || chr(1),
+                              chr(1) || a || b || chr(1)) AS s
+            FROM v{k - 1}, t{k}
+        )"""
+
+
+_BPE_SQL = (
+    """
+        WITH w0 AS (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        ),
+        v0 AS (
+            SELECT w, cnt,
+                   chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS s
+            FROM w0
+        ),"""
+    + ",".join(_bpe_iteration_ctes(k) for k in range(1, _BPE_MERGES + 1))
+    + "\n        "
+    + "\n        UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS sym_a, b AS sym_b,"
+        f" a || b AS merged, freq FROM t{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+)
+
 ORACLE_SQL = {
+    "token_bpe_merges": _BPE_SQL,
     "docs_unigram_surprisal": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w

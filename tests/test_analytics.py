@@ -90,3 +90,101 @@ def test_pii_scan_detects_and_redacts(spark, tmp_path):
     ).hexdigest()
     assert out[2].has_pii is False
     assert out[2].redacted_md5 == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    """Ordered-funnel invariant: each stage's population is a subset of
+    the previous stage's (strictly-after semantics can only lose
+    users), and pct_of_entry is the exact count ratio."""
+    rows = sorted(A.events_funnel(spark, sf_dir).collect(), key=lambda r: r.stage_idx)
+    assert [r.stage for r in rows] == ["signup", "view", "click", "purchase"]
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0].pct_of_entry == 1.0
+    for r in rows:
+        assert 0.0 <= r.pct_of_entry <= 1.0
+        assert r.pct_of_entry == round(r.n_users / rows[0].n_users, 4)
+
+
+def test_retention_week0_counts_every_user(spark, sf_dir):
+    """Every user is active in their own cohort week by definition, so
+    the week_offset=0 diagonal must sum to the distinct user count and
+    every cell must be positive."""
+    df = A.events_retention_cohorts(spark, sf_dir)
+    rows = df.collect()
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    week0 = sum(r.n_active for r in rows if r.week_offset == 0)
+    assert week0 == n_users
+    assert all(r.n_active > 0 and r.week_offset >= 0 for r in rows)
+
+
+def test_user_paths_bounded_by_trigram_total(spark, sf_dir):
+    """Top-20 path counts are each >= 1, globally ordered, and their sum
+    cannot exceed the exact number of length-3 windows (sum over users
+    of max(0, n_events - 2))."""
+    rows = A.events_user_paths(spark, sf_dir).collect()
+    assert len(rows) == 20
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total_trigrams = sum(max(0, r.n - 2) for r in per_user)
+    assert 0 < sum(counts) <= total_trigrams
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    """ntile(5) invariants: scores in 1..5 and bucket sizes differ by at
+    most one within each dimension; the segment code decomposes back
+    into its three digits."""
+    rows = A.orders_rfm_segments(spark, sf_dir).collect()
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            s = getattr(r, dim)
+            assert 1 <= s <= 5
+            sizes[s] = sizes.get(s, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    for r in rows:
+        assert r.rfm_segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+
+
+def test_mad_anomalies_are_minority_per_type(spark, sf_dir):
+    """MAD flags at 3x the median deviation must mark a strict minority
+    of each event_type (by the definition of the median, at least half
+    the rows sit at or below 1 MAD)."""
+    rows = A.events_anomaly_mad(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        tot, anom = by_type.get(r.event_type, (0, 0))
+        by_type[r.event_type] = (tot + 1, anom + bool(r.is_anomaly))
+    for t, (tot, anom) in by_type.items():
+        assert anom < tot / 2, f"{t}: {anom}/{tot} flagged"
+
+
+def test_bpe_merge_semantics_on_runs(spark, tmp_path):
+    """The replace-based merge application must be greedy left-to-right
+    BPE: a run 'o o o' with merge (o,o) becomes 'oo o', never 'o oo',
+    and bracketed symbols can never match a suffix ('xa b' vs rule
+    (a,b)). Pinned on a synthetic corpus where the winning first merge
+    is the run character."""
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    # 'ooo' contributes (o,o) twice per word; five copies make (o,o)
+    # the clear first merge, and the second iteration sees 'oo','o'
+    text = " ".join(["ooo"] * 5 + ["xab"])
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        T.token_bpe_merges(spark, str(tmp_path)).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    assert (rows[0].sym_a, rows[0].sym_b, rows[0].freq) == ("o", "o", 10)
+    # after the greedy rewrite each 'ooo' is ['oo','o'], so the second
+    # merge pairs 'oo' with 'o' at freq 5 (not 'o','oo' — left-to-right)
+    assert (rows[1].sym_a, rows[1].sym_b, rows[1].freq) == ("oo", "o", 5)

@@ -407,6 +407,7 @@ _BNLJ_ALLOWED = {
     "orders_price_band_join",  # intentional inequality band join
     "docs_unigram_surprisal",  # scalar corpus-token total
     "token_bigram_stats",  # scalar corpus totals
+    "token_bpe_merges",  # 1-row argmax merge rule per iteration
     "token_tfidf",  # scalar corpus size
     "token_zipf_audit",  # scalar vocab size
 }

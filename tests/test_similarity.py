@@ -130,3 +130,44 @@ def test_ann_results_are_true_cosines(spark, sf_dir):
         for r in variant(spark, sf_dir).collect():
             if r.vec_id in knn_all:
                 assert abs(r.cosine_sim - knn_all[r.vec_id]) < 1e-9
+
+
+def test_kmeans_assignment_invariants(spark, sf_dir):
+    """Lloyd invariants: every vector is assigned exactly once, cells
+    come from the deterministic lowest-vec_id init set, distances are
+    non-negative, and the clustering is no worse than the init
+    assignment (Lloyd iterations never increase total distortion when
+    centroids are the cell means)."""
+    from postgres_cdc_plugin_spark.operators.similarity import (
+        _KM_K,
+        _km_assign,
+        embed_kmeans,
+    )
+    from pyspark.sql import functions as F
+
+    final = embed_kmeans(spark, sf_dir)
+    rows = final.collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    init_cells = {
+        r.vec_id
+        for r in load(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(_KM_K)
+        .collect()
+    }
+    assert {r.cell for r in rows} <= init_cells
+    assert all(r.sq_dist >= 0.0 for r in rows)
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents0 = (
+        emb.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    )
+    init_cost = _km_assign(emb, cents0).agg(F.sum("sq_dist")).first()[0]
+    final_cost = sum(r.sq_dist for r in rows)
+    assert final_cost <= init_cost + 1e-6
