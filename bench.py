@@ -80,7 +80,21 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    prev_family = None
     for name in names:
+        # Drop cached relations when the query family changes (names are
+        # sorted, so families are contiguous): persisted codebooks /
+        # signature relations are intentionally shared WITHIN a family
+        # (docs_simhash warms docs_simhash_pairs — that sharing is the
+        # session-level design), but there is no reason to let every
+        # family's caches pile up for the whole 100+-query run — each
+        # new query's plan is canonicalized against every cached plan
+        # and storage memory grows monotonically. Family-boundary
+        # clearing keeps the intended reuse and caps the accumulation.
+        family = name.split("_", 1)[0]
+        if family != prev_family:
+            spark.catalog.clearCache()
+            prev_family = family
         fn = queries[name]
         start = time.perf_counter()
         try:
