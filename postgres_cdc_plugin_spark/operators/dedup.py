@@ -234,6 +234,11 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
                 / (F.col("za.sz") + F.col("zb.sz") - F.col("n_inter")).cast("double")
             ).alias("jaccard"),
         )
+        # the verified-pair relation is pair-set sized (tiny) but costs
+        # the whole candidate-intersection pipeline to build; persist so
+        # the session's consumers (docs_ngram_jaccard, docs_minhash_dedup)
+        # share one build via cache-manager plan matching
+        .persist()
     )
 
 
@@ -466,6 +471,10 @@ def simhash_block_pairs(
 
 
 def _simhash_pairs_df(docs: DataFrame) -> DataFrame:
+    # NOT persisted: the signature blocks feeding this ARE persisted
+    # (the expensive stage), the band join on top is cheap, and the CC
+    # consumers localCheckpoint their selection of it anyway — caching
+    # here just double-materializes under that checkpoint
     return simhash_block_pairs(_simhash_blocks_df(docs))
 
 
