@@ -549,12 +549,18 @@ def orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "tier string, lo double, hi double",
     )
+    # project to the single needed column BEFORE any movement (the probe
+    # and aggregate read only o_totalprice), then spread rows ONLY if
+    # the scan yields fewer splits than cores (the local single-file
+    # case; on real storage the scan has many splits and no shuffle is
+    # added) — and the shuffle that does happen carries one double, not
+    # the whole row
+    src = orders.select("o_totalprice")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     return (
-        # single-file source -> one input split; spread rows so the
-        # nested-loop probe runs on all cores (on real storage the scan
-        # has many splits and this repartition is unnecessary)
-        orders.repartition("o_orderkey")
-        .join(
+        src.join(
             F.broadcast(tiers),
             (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
         )
