@@ -914,6 +914,78 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 8  # character k-gram width (matches the dedup shingle width)
+_WINNOW_W = 8  # winnowing window: guarantee = one fingerprint per w grams
+
+
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-fingerprinting algorithm):
+    from each sliding window of _WINNOW_W consecutive k-gram hashes,
+    select the minimum — the standard position-robust document
+    fingerprint set, guaranteeing any shared substring of length
+    >= k + w - 1 contributes at least one matching fingerprint while
+    keeping only ~2/(w+1) of the grams.
+
+    Selection convention shared bit-for-bit by both engines: the
+    window minimum orders by (md5 hex, position) — ties on identical
+    gram content resolve to the SMALLEST position (a fixed convention;
+    MOSS's rightmost rule is equally valid, this one is simpler to
+    mirror). Docs with fewer than k + w - 1 chars yield no fingerprints
+    (no full window exists).
+
+    Scale: gram hashing is a narrow explode (byte-addressed substr, no
+    shuffle); the window min is one doc_id-partitioned sort — the same
+    single-shuffle shape as every per-doc sequence operator here; the
+    DISTINCT dedups only selected fingerprints (~n/w of the grams), not
+    the gram stream.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("b")
+    )
+    n_grams = F.octet_length("b") - (_WINNOW_K - 1)
+    g = (
+        docs.repartition("doc_id")
+        .select(
+            "doc_id",
+            "b",
+            n_grams.alias("n_grams"),
+            F.explode(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "i",
+            F.md5(F.expr(f"substr(b, CAST(i AS INT), {_WINNOW_K})")).alias("h"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    # the (hash, position) pair packs into ONE fixed-width string
+    # (md5 hex ++ zero-padded position) whose lexicographic order IS
+    # the (h, i) order — a plain string min stays on the codegen path,
+    # where a struct-valued window min falls back to the interpreted
+    # aggregate (~4x wall-clock on the gram stream)
+    packed = F.concat("h", F.lpad(F.col("i").cast("string"), 10, "0"))
+    return (
+        g.select(
+            "doc_id",
+            "n_grams",
+            "i",
+            F.min(packed).over(win).alias("s"),
+        )
+        .filter(F.col("i") <= F.col("n_grams") - (_WINNOW_W - 1))
+        .select(
+            "doc_id",
+            F.substring("s", 33, 10).cast("bigint").alias("pos"),
+            F.substring("s", 1, 32).alias("fp"),
+        )
+        .distinct()
+    )
+
+
 _BPE_MERGES = 6  # merge rules to learn
 
 
@@ -1010,6 +1082,7 @@ def token_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "docs_winnowing": docs_winnowing,
     "token_bpe_merges": token_bpe_merges,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
@@ -1090,6 +1163,30 @@ _BPE_SQL = (
 
 ORACLE_SQL = {
     "token_bpe_merges": _BPE_SQL,
+    "docs_winnowing": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   length(text) - {_WINNOW_K - 1} AS n_grams,
+                   i,
+                   md5(substr(text, CAST(i AS INT), {_WINNOW_K})) AS h
+            FROM documents,
+                 unnest(range(1, greatest(length(text) - {_WINNOW_K - 1}, 1) + 1))
+                     AS t(i)
+        ),
+        sel AS (
+            SELECT doc_id, n_grams, i,
+                   min(h || lpad(CAST(i AS VARCHAR), 10, '0')) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW
+                                AND {_WINNOW_W - 1} FOLLOWING) AS s
+            FROM g
+        )
+        SELECT DISTINCT doc_id,
+               CAST(substr(s, 33, 10) AS BIGINT) AS pos,
+               substr(s, 1, 32) AS fp
+        FROM sel
+        WHERE i <= n_grams - {_WINNOW_W - 1}
+    """,
     "docs_unigram_surprisal": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -188,3 +188,29 @@ def test_bpe_merge_semantics_on_runs(spark, tmp_path):
     # after the greedy rewrite each 'ooo' is ['oo','o'], so the second
     # merge pairs 'oo' with 'o' at freq 5 (not 'o','oo' — left-to-right)
     assert (rows[1].sym_a, rows[1].sym_b, rows[1].freq) == ("oo", "o", 5)
+
+
+def test_winnowing_guarantee(spark, tmp_path):
+    """The winnowing property: two documents sharing a substring of
+    length >= k + w - 1 (= 15 here) must share at least one selected
+    fingerprint, regardless of where the substring sits in each doc.
+    Also checks density: selected fingerprints are ~2/(w+1) of grams,
+    never more than 1 per window start."""
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    shared = "zqxjkvbwpyfgmdh"  # 15 chars = k + w - 1
+    d1 = "aaaaaaaa" + shared + "bbbbbbbbbbbb"
+    d2 = "cccccccccccccccccc" + shared + "dddddd"
+    spark.createDataFrame(
+        [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = T.docs_winnowing(spark, str(tmp_path)).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2], "shared 15-char substring produced no common fingerprint"
+    for doc_id, text in ((1, d1), (2, d2)):
+        n_windows = (len(text) - 7) - 7
+        n_sel = sum(1 for r in rows if r.doc_id == doc_id)
+        assert 1 <= n_sel <= n_windows
