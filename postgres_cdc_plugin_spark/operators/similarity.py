@@ -424,6 +424,28 @@ def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit: recall@k of the IVF cell-probe ANN against
+    exact kNN for the query vector — the search-quality gate an index
+    build pipeline checks before deployment, expressed as an
+    oracle-checked 1-row relation (both rankings are deterministic:
+    round-6 cosine with vec_id tiebreaks, so the overlap count is
+    engine-exact, unlike typical ANN evaluations that can only be
+    rows-only). Cost: the two top-k searches it audits, plus a k-row
+    join."""
+    exact = embed_knn(spark, sf_dir).select("vec_id")
+    approx = embed_ann_ivf(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(_TOP_K).alias("k"),
+            "n_overlap",
+            (F.col("n_overlap") / _TOP_K).alias("recall"),
+        )
+    )
+
+
 _KM_K = 8  # k-means cluster count
 _KM_ITERS = 2  # assignment passes (one centroid update between them)
 
@@ -921,6 +943,7 @@ QUERIES = {
     "embed_ann_ivfpq": embed_ann_ivfpq,
     "embed_ivf_assign": embed_ivf_assign,
     "embed_kmeans": embed_kmeans,
+    "embed_recall_audit": embed_recall_audit,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
 }
@@ -1291,3 +1314,15 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = s.vec_id)
     """,
 }
+
+# recall@k audit: wraps the exact-kNN and IVF-probe oracles verbatim as
+# subqueries (nested WITH inside a derived table) — the audit's oracle
+# can never drift from the searches it audits
+ORACLE_SQL["embed_recall_audit"] = f"""
+    WITH exact AS (SELECT vec_id FROM ({ORACLE_SQL["embed_knn"]})),
+    appr AS (SELECT vec_id FROM ({ORACLE_SQL["embed_ann_ivf"]}))
+    SELECT {_TOP_K} AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           count(*) * 1.0 / {_TOP_K} AS recall
+    FROM exact JOIN appr USING (vec_id)
+"""

@@ -66,6 +66,7 @@ PRIORITY_ORDER = [
     "orders_yoy_growth",
     "token_bpe_merges",
     "docs_winnowing",
+    "embed_recall_audit",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -97,13 +98,13 @@ PRIORITY_ORDER = [
     "events_tumbling",
     "events_sliding",
     "events_session_window",
-    "user_activity_window",
     # Position 50: docs_cluster_dedup carries the expensive
     # recursive-CTE oracle — last in the window so a driver timeout
     # there still leaves CORRECTNESS rows for everything before it.
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
     # r1-green queries that didn't fit this round's window:
+    "user_activity_window",
     "events_asof_join",
     "customer_set_ops",
     "top_customers_per_nation",

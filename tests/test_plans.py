@@ -402,6 +402,7 @@ _BNLJ_ALLOWED = {
     "embed_kmeans",  # k-row codebook per Lloyd pass
     "embed_knn",  # 1-row query vector
     "embed_pipeline_e2e",  # composite of the above
+    "embed_recall_audit",  # composes embed_knn + embed_ann_ivf
     "embed_pq_codes",  # sub-codebooks
     "embed_semdedup",  # k-row centroid codebook (equi pair join pinned above)
     "orders_price_band_join",  # intentional inequality band join
