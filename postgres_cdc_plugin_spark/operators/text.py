@@ -914,6 +914,67 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MG_COUNTERS = 32  # Misra-Gries counters per partition
+# report cap: anything with true frequency > N/(k+1) must be reportable,
+# and at most k counters survive the merge per partition — k rows covers
+# every token the guarantee promises (more would just pad the tail)
+_MG_TOP = _MG_COUNTERS
+
+
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a mergeable Misra-Gries sketch — the bounded-
+    memory 100 TB path for corpus frequency analysis (exact
+    token_frequencies needs a full vocabulary shuffle; the sketch
+    carries at most _MG_COUNTERS rows per partition regardless of
+    vocabulary size).
+
+    Per partition, an Arrow-batched Misra-Gries pass keeps k counters
+    (decrement-all on overflow — the classic guarantee: per-partition
+    undercount <= n_p/k). Summing sketches across partitions is itself
+    a valid sketch whose total undercount is <= N/k (sum of per-
+    partition bounds), so: (a) every token with true frequency > N/k
+    survives, and (b) est <= true <= est + N/k. Both bounds are pinned
+    against the exact counts in tests/test_analytics.py. Rows-only by
+    design: the surviving counter set depends on partitioning/stream
+    order, which no SQL oracle reproduces — the GUARANTEES, not the
+    counter values, are the contract.
+    """
+    import pandas as pd
+
+    k = _MG_COUNTERS
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    if w in counters:
+                        counters[w] += 1
+                    elif len(counters) < k:
+                        counters[w] = 1
+                    else:
+                        # decrement-all; drop zeros (dict copy is per
+                        # overflow event — amortized O(1) per token)
+                        counters = {
+                            t: c - 1 for t, c in counters.items() if c > 1
+                        }
+        if counters:
+            yield pd.DataFrame(
+                {"token": list(counters), "est_count": list(counters.values())}
+            )
+
+    docs = load(spark, sf_dir, "documents").select("text").repartition("text")
+    sketches = docs.mapInPandas(_mg, "token string, est_count long")
+    return (
+        sketches.groupBy("token")
+        .agg(F.sum("est_count").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(_MG_TOP)
+    )
+
+
 _WINNOW_K = 8  # character k-gram width (matches the dedup shingle width)
 _WINNOW_W = 8  # winnowing window: guarantee = one fingerprint per w grams
 
@@ -1083,6 +1144,7 @@ def token_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "docs_winnowing": docs_winnowing,
+    "token_heavy_hitters": token_heavy_hitters,
     "token_bpe_merges": token_bpe_merges,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,

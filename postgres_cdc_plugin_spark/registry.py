@@ -34,6 +34,10 @@ ROWS_ONLY = {
     "approx_distinct_users",
     "embed_ann_lsh",
     "lineitem_approx_percentiles",
+    # Misra-Gries surviving-counter sets depend on partitioning/stream
+    # order; the guarantees (coverage + error bound) are pinned in
+    # tests/test_analytics.py instead of a SQL oracle.
+    "token_heavy_hitters",
 }
 
 # Explicit registration order. Names listed here come first, in this

@@ -214,3 +214,70 @@ def test_winnowing_guarantee(spark, tmp_path):
         n_windows = (len(text) - 7) - 7
         n_sel = sum(1 for r in rows if r.doc_id == doc_id)
         assert 1 <= n_sel <= n_windows
+
+
+def test_heavy_hitters_guarantees(spark, sf_dir):
+    """Misra-Gries contract on the driver corpus: estimates never
+    exceed true counts, undercount is bounded by N/(k+1), and every
+    token above the guarantee threshold is reported."""
+    from postgres_cdc_plugin_spark.operators import text as T
+    from postgres_cdc_plugin_spark.operators.text import _MG_COUNTERS
+
+    est = {r.token: r.est_count for r in T.token_heavy_hitters(spark, sf_dir).collect()}
+    true = {
+        r.w: r.n
+        for r in load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(true.values())
+    bound = n_total / (_MG_COUNTERS + 1)
+    for t, e in est.items():
+        assert e <= true[t], f"{t}: est {e} > true {true[t]}"
+        assert true[t] - e <= bound
+    for t, n in true.items():
+        if n > bound:
+            assert t in est, f"heavy token {t} ({n} > {bound:.0f}) missing"
+
+
+def test_heavy_hitters_under_decrement_pressure(spark, tmp_path):
+    """With vocabulary >> k the decrement path must actually run and the
+    guarantees must still hold: a synthetic corpus with 3 dominant
+    tokens over a 200-token tail."""
+    import random
+
+    from postgres_cdc_plugin_spark.operators import text as T
+    from postgres_cdc_plugin_spark.operators.text import _MG_COUNTERS
+
+    rng = random.Random(7)
+    true: dict[str, int] = {}
+    docs = []
+    for doc_id in range(40):
+        words = []
+        for _ in range(50):
+            if rng.random() < 0.45:
+                w = f"heavy{rng.randrange(3)}"
+            else:
+                w = f"tail{rng.randrange(200)}"
+            words.append(w)
+            true[w] = true.get(w, 0) + 1
+        docs.append((doc_id, " ".join(words), "en", "s", 0))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    est = {
+        r.token: r.est_count
+        for r in T.token_heavy_hitters(spark, str(tmp_path)).collect()
+    }
+    n_total = sum(true.values())
+    bound = n_total / (_MG_COUNTERS + 1)
+    for t, e in est.items():
+        assert e <= true[t]
+    for i in range(3):
+        t = f"heavy{i}"
+        assert true[t] > bound  # the fixture really is heavy
+        assert t in est
+        assert true[t] - est[t] <= bound
