@@ -1140,6 +1140,92 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_ALPHA = 0.2
+
+
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    the decay-state fold a streaming scorer maintains, expressed as a
+    batch per-key sequence fold (higher-order aggregate over the
+    ordered value array, JVM-side, no UDF).
+
+    Determinism: the fold runs left-to-right over (ts, event_id)-sorted
+    values with the merge expression written identically on both
+    engines, so every IEEE operation happens in the same order and the
+    result is bit-identical before the final round-6. Scale: one
+    user_id shuffle; per-user history is the array bound, the fold is
+    O(n) per key — the standard per-key sequence-operator shape.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+            "seq"
+        ),
+    )
+    return (
+        per_user.withColumn("vals", F.transform("seq", lambda s: s["value"]))
+        .withColumn(
+            "ewma",
+            F.round(
+                F.expr(
+                    "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),"
+                    " element_at(vals, 1),"
+                    f" (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc)"
+                ),
+                6,
+            ),
+        )
+        .select("user_id", "n_events", "ewma")
+    )
+
+
+def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue (§2.5: ordered
+    cumulative-share windows as a real inventory-analytics workload).
+
+    Revenue is computed in EXACT integer basis points — price cents x
+    discount-complement percent are both integral, their products sum
+    exactly in int64 — then divided once by 10^4, so both engines hold
+    the bit-identical double regardless of summation order (a round-2
+    of the float sum diverged on parts whose order-dependent sums
+    straddle a cent boundary). The cumsum then adds identical doubles
+    in an identical order; class A = cumulative share <= 80%, B <= 95%,
+    C the tail. The corpus total is read as max(cum) over the finished
+    cumsum — NOT a second sum, whose different addition order could
+    diverge in the last ulp. Global ordered window at part grain (same
+    caveat + degrade path as the RFM quintiles)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+    # the per-item basis-point product sums through exact wide decimal
+    # (DuckDB: HUGEINT) so the sum cannot overflow int64 at any corpus
+    # size; the single cast of the exact integer to double is the same
+    # nearest-double on both engines
+    rev = li.groupBy("l_partkey").agg(
+        (
+            F.sum((cents * disc_pct).cast("decimal(38,0)")).cast("double")
+            / F.lit(10000.0)
+        ).alias("revenue")
+    )
+    cum_w = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = rev.withColumn("cum", F.sum("revenue").over(cum_w)).withColumn(
+        "share", F.round(F.col("cum") / F.max("cum").over(Window.partitionBy(F.lit(1))), 6)
+    )
+    return scored.select(
+        "l_partkey",
+        "revenue",
+        F.col("share").alias("cum_share"),
+        F.when(F.col("share") <= 0.80, "A")
+        .when(F.col("share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
 QUERIES = {
     "events_rate_limit": events_rate_limit,
     "customer_balance_outliers": customer_balance_outliers,
@@ -1182,9 +1268,46 @@ QUERIES = {
     "orders_rfm_segments": orders_rfm_segments,
     "events_anomaly_mad": events_anomaly_mad,
     "orders_yoy_growth": orders_yoy_growth,
+    "events_user_ewma": events_user_ewma,
+    "part_abc_pareto": part_abc_pareto,
 }
 
 ORACLE_SQL = {
+    "events_user_ewma": f"""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(list_reduce(list(value ORDER BY ts, event_id),
+                     (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc),
+                     6) AS ewma
+        FROM events GROUP BY user_id
+    """,
+    "part_abc_pareto": """
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem GROUP BY l_partkey
+        ),
+        scored AS (
+            SELECT l_partkey, revenue,
+                   sum(revenue) OVER (
+                       ORDER BY revenue DESC, l_partkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM rev
+        ),
+        shared AS (
+            SELECT l_partkey, revenue,
+                   round(cum / max(cum) OVER (), 6) AS share
+            FROM scored
+        )
+        SELECT l_partkey, revenue, share AS cum_share,
+               CASE WHEN share <= 0.80 THEN 'A'
+                    WHEN share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM shared
+    """,
     "orders_rfm_segments": """
         WITH per_cust AS (
             SELECT o_custkey,

@@ -10,12 +10,13 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
     most-recently-green family to the tail. Round-3 window: the r2 ERR
-    fix (multimodal_features), the reworked envelope pair, the two
-    never-checked queries (embed_semdedup, docs_cluster_dedup), new
-    round-3 queries, then the r1-green tail (evidence now two rounds
-    old). The most expensive oracle (docs_cluster_dedup's recursive
-    CTE) sits at position 50 so a driver timeout there still leaves
-    CORRECTNESS rows for everything before it.
+    fix (multimodal_features), the reworked envelope pair, the never-
+    checked pair (embed_semdedup, docs_cluster_dedup), all eighteen
+    new round-3 queries, then the least-recently-verified r1-green
+    fill (evidence now two rounds old). The most expensive oracle
+    (docs_cluster_dedup's recursive CTE) sits at position 50 so a
+    driver timeout there still leaves CORRECTNESS rows for everything
+    before it.
 """
 
 from __future__ import annotations
@@ -71,6 +72,8 @@ PRIORITY_ORDER = [
     "token_bpe_merges",
     "docs_winnowing",
     "embed_recall_audit",
+    "events_user_ewma",
+    "part_abc_pareto",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -99,8 +102,6 @@ PRIORITY_ORDER = [
     "orders_grouping_sets",
     "lineitem_percentiles",
     "orders_quarterly",
-    "events_tumbling",
-    "events_sliding",
     "events_session_window",
     # Position 50: docs_cluster_dedup carries the expensive
     # recursive-CTE oracle — last in the window so a driver timeout
@@ -108,6 +109,8 @@ PRIORITY_ORDER = [
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
     # r1-green queries that didn't fit this round's window:
+    "events_tumbling",
+    "events_sliding",
     "user_activity_window",
     "events_asof_join",
     "customer_set_ops",
