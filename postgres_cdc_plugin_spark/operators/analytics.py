@@ -1226,6 +1226,64 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BASKET_MIN_PAIR = 2  # minimum co-occurrence count reported
+_BASKET_TOP = 100
+
+
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs co-occurring in
+    orders, with lift = P(a,b) / (P(a)·P(b)) (§2.3/§2.4 as a real
+    retail-analytics workload — the intra-order self-join shape).
+
+    Exactness: support counts are integers; lift is ONE division of
+    two exact int64 products ((n_ab·N) / (n_a·n_b)), bit-identical on
+    both engines with no rounding. Scale: the pair join is an
+    equi-join on l_orderkey (pairs explode quadratically only in the
+    per-order basket size, which is schema-bounded and tiny); part
+    supports broadcast back onto the pair relation; the global top-k
+    plans as TakeOrderedAndProject.
+    """
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
+    )
+    supp = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    total = lp.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_BASKET_TOP)
+    )
+
+
 QUERIES = {
     "events_rate_limit": events_rate_limit,
     "customer_balance_outliers": customer_balance_outliers,
@@ -1270,9 +1328,35 @@ QUERIES = {
     "orders_yoy_growth": orders_yoy_growth,
     "events_user_ewma": events_user_ewma,
     "part_abc_pareto": part_abc_pareto,
+    "orders_market_basket": orders_market_basket,
 }
 
 ORACLE_SQL = {
+    "orders_market_basket": f"""
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_ab
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= {_BASKET_MIN_PAIR}
+        ),
+        supp AS (
+            SELECT l_partkey, count(*) AS n FROM lp GROUP BY l_partkey
+        ),
+        total AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp)
+        SELECT p.part_a, p.part_b, p.n_ab,
+               (p.n_ab * t.n_orders) / (sa.n * sb.n) AS lift
+        FROM pairs p
+        JOIN supp sa ON sa.l_partkey = p.part_a
+        JOIN supp sb ON sb.l_partkey = p.part_b
+        CROSS JOIN total t
+        ORDER BY p.n_ab DESC, lift DESC, p.part_a ASC, p.part_b ASC
+        LIMIT {_BASKET_TOP}
+    """,
     "events_user_ewma": f"""
         SELECT user_id,
                count(*) AS n_events,

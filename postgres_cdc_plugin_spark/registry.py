@@ -74,6 +74,8 @@ PRIORITY_ORDER = [
     "embed_recall_audit",
     "events_user_ewma",
     "part_abc_pareto",
+    "orders_market_basket",
+    "docs_linear_classifier",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -100,8 +102,6 @@ PRIORITY_ORDER = [
     "grouping_rollup",
     "events_cube",
     "orders_grouping_sets",
-    "lineitem_percentiles",
-    "orders_quarterly",
     "events_session_window",
     # Position 50: docs_cluster_dedup carries the expensive
     # recursive-CTE oracle — last in the window so a driver timeout
@@ -109,6 +109,8 @@ PRIORITY_ORDER = [
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
     # r1-green queries that didn't fit this round's window:
+    "lineitem_percentiles",
+    "orders_quarterly",
     "events_tumbling",
     "events_sliding",
     "user_activity_window",

@@ -395,6 +395,7 @@ def test_semdedup_pair_join_is_equi_on_cell(spark, sf_dir):
 # query planning a CartesianProduct) is a scale regression.
 _BNLJ_ALLOWED = {
     "customer_balance_outliers",  # scalar avg/stddev crossJoin
+    "orders_market_basket",  # scalar total-orders crossJoin
     "embed_ann_ivf",  # k-row centroid codebook
     "embed_ann_ivfpq",  # k-row codebook + k-row ADC lookup table
     "embed_ann_lsh",  # hyperplane constants
