@@ -914,6 +914,72 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_ROWS = 4  # count-min sketch depth (hash rows)
+# narrow enough that the 31-token driver vocabulary actually collides —
+# the min-over-rows must resolve real overcounts, not a trivially
+# collision-free table (at width 64 every overcount was 0)
+_CMS_WIDTH = 16
+
+
+def token_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation, fully oracle-checked —
+    possible because CMS is ORDER-INDEPENDENT: counters merge by
+    summation, so unlike Misra-Gries (token_heavy_hitters) the final
+    sketch does not depend on partitioning and the whole estimate is
+    deterministic relational algebra. est(w) = min over d hash rows of
+    that row's bucket sum; the classic guarantees (est >= true,
+    overcount <= corpus/width w.h.p.) are audited IN the result
+    (overcount column) and pinned in tests.
+
+    Scale: token counts are one map-side-combined shuffle; each hash
+    row's bucket sums aggregate the VOCABULARY relation (Zipf-small),
+    and the per-token estimate joins d bucket values back — at 100 TB
+    the sketch is d*w integers however large the corpus, the property
+    that makes CMS the streaming/distributed frequency workhorse.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.repartition("doc_id").select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "").groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def _bucket(row: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"r{row}:"), F.col("w"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint") % _CMS_WIDTH
+
+    cells = counts.select(
+        "w",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _bucket(r).alias("bucket")
+                    )
+                    for r in range(1, _CMS_ROWS + 1)
+                ]
+            )
+        ).alias("rb"),
+    ).select("w", "cnt", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    sketch = cells.groupBy("row", "bucket").agg(F.sum("cnt").alias("cell_sum"))
+    return (
+        cells.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("w")
+        .agg(
+            F.max("cnt").alias("exact_count"),  # constant per w
+            F.min("cell_sum").alias("est_count"),
+        )
+        .select(
+            "w",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
 _CLS_THRESHOLD = 0.02  # linear-score keep threshold
 
 
@@ -1200,6 +1266,7 @@ QUERIES = {
     "docs_winnowing": docs_winnowing,
     "token_heavy_hitters": token_heavy_hitters,
     "docs_linear_classifier": docs_linear_classifier,
+    "token_count_min": token_count_min,
     "token_bpe_merges": token_bpe_merges,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
@@ -1280,6 +1347,29 @@ _BPE_SQL = (
 
 ORACLE_SQL = {
     "token_bpe_merges": _BPE_SQL,
+    "token_count_min": f"""
+        WITH counts AS (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        ),
+        cells AS (
+            SELECT w, cnt, r.row,
+                   CAST(('0x' || substr(md5('r' || r.row || ':' || w), 1, 8))
+                        AS BIGINT) % {_CMS_WIDTH} AS bucket
+            FROM counts, (SELECT unnest(range(1, {_CMS_ROWS + 1})) AS row) r
+        ),
+        sketch AS (
+            SELECT row, bucket, CAST(sum(cnt) AS BIGINT) AS cell_sum
+            FROM cells GROUP BY row, bucket
+        )
+        SELECT c.w,
+               CAST(max(c.cnt) AS BIGINT) AS exact_count,
+               min(s.cell_sum) AS est_count,
+               min(s.cell_sum) - CAST(max(c.cnt) AS BIGINT) AS overcount
+        FROM cells c JOIN sketch s ON c.row = s.row AND c.bucket = s.bucket
+        GROUP BY c.w
+    """,
     "docs_linear_classifier": f"""
         WITH tok AS (
             SELECT doc_id, w, count(*) AS cnt

@@ -76,6 +76,7 @@ PRIORITY_ORDER = [
     "part_abc_pareto",
     "orders_market_basket",
     "docs_linear_classifier",
+    "token_count_min",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -100,7 +101,6 @@ PRIORITY_ORDER = [
     "lineitem_pricing_agg",
     "orders_semi_anti",
     "grouping_rollup",
-    "events_cube",
     "orders_grouping_sets",
     "events_session_window",
     # Position 50: docs_cluster_dedup carries the expensive
@@ -109,6 +109,7 @@ PRIORITY_ORDER = [
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
     # r1-green queries that didn't fit this round's window:
+    "events_cube",
     "lineitem_percentiles",
     "orders_quarterly",
     "events_tumbling",

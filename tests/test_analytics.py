@@ -281,3 +281,18 @@ def test_heavy_hitters_under_decrement_pressure(spark, tmp_path):
         assert true[t] > bound  # the fixture really is heavy
         assert t in est
         assert true[t] - est[t] <= bound
+
+
+def test_count_min_sketch_invariants(spark, sf_dir):
+    """CMS contract: estimates never undercount, the min-over-rows is
+    tight for at least one token (some bucket holds only that token or
+    its sole collision), and every estimate is bounded by the corpus
+    total (the degenerate all-collide bucket)."""
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    rows = T.token_count_min(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.exact_count for r in rows)
+    assert all(r.overcount >= 0 for r in rows)
+    assert any(r.overcount == 0 for r in rows)
+    assert all(r.est_count <= n_total for r in rows)
