@@ -1284,6 +1284,63 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B comparison per event_type (§2.4 as experiment
+    analytics): users split into control/treatment by user_id parity (a
+    deterministic hash split, the docs_train_split convention), then a
+    Welch z-score on the value means.
+
+    Cross-engine determinism: means and variances are rounded to 6
+    decimals FIRST (washing out summation order), so the z arithmetic
+    downstream operates on identical doubles and the significance
+    verdict at |z| > 1.96 cannot flip. One shuffle (event_type + arm);
+    the z computation is a narrow projection over the ~10-row stats
+    relation.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("user_id") % 2 == 0).alias("is_control"),
+    )
+    stats = ev.groupBy("event_type", "is_control").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+    )
+    c = stats.filter(F.col("is_control")).select(
+        "event_type",
+        F.col("n").alias("n_control"),
+        F.col("mean").alias("mean_control"),
+        F.col("var").alias("var_control"),
+    )
+    t = stats.filter(~F.col("is_control")).select(
+        "event_type",
+        F.col("n").alias("n_treatment"),
+        F.col("mean").alias("mean_treatment"),
+        F.col("var").alias("var_treatment"),
+    )
+    z = (F.col("mean_treatment") - F.col("mean_control")) / F.sqrt(
+        F.col("var_treatment") / F.col("n_treatment")
+        + F.col("var_control") / F.col("n_control")
+    )
+    return (
+        c.join(t, "event_type")
+        .withColumn("z_score", F.round(z, 6))
+        .select(
+            "event_type",
+            "n_control",
+            "n_treatment",
+            "mean_control",
+            "mean_treatment",
+            F.round(F.col("mean_treatment") - F.col("mean_control"), 6).alias(
+                "mean_diff"
+            ),
+            "z_score",
+            (F.abs(F.col("z_score")) > 1.96).alias("significant"),
+        )
+    )
+
+
 QUERIES = {
     "events_rate_limit": events_rate_limit,
     "customer_balance_outliers": customer_balance_outliers,
@@ -1329,9 +1386,40 @@ QUERIES = {
     "events_user_ewma": events_user_ewma,
     "part_abc_pareto": part_abc_pareto,
     "orders_market_basket": orders_market_basket,
+    "events_ab_test": events_ab_test,
 }
 
 ORACLE_SQL = {
+    "events_ab_test": """
+        WITH stats AS (
+            SELECT event_type, (user_id % 2 = 0) AS is_control,
+                   count(*) AS n,
+                   round(avg(value), 6) AS mean,
+                   round(var_samp(value), 6) AS var
+            FROM events GROUP BY event_type, (user_id % 2 = 0)
+        ),
+        c AS (
+            SELECT event_type, n AS n_control, mean AS mean_control,
+                   var AS var_control
+            FROM stats WHERE is_control
+        ),
+        t AS (
+            SELECT event_type, n AS n_treatment, mean AS mean_treatment,
+                   var AS var_treatment
+            FROM stats WHERE NOT is_control
+        )
+        SELECT c.event_type, n_control, n_treatment,
+               mean_control, mean_treatment,
+               round(mean_treatment - mean_control, 6) AS mean_diff,
+               round((mean_treatment - mean_control)
+                     / sqrt(var_treatment / n_treatment
+                            + var_control / n_control), 6) AS z_score,
+               abs(round((mean_treatment - mean_control)
+                     / sqrt(var_treatment / n_treatment
+                            + var_control / n_control), 6)) > 1.96
+                   AS significant
+        FROM c JOIN t ON c.event_type = t.event_type
+    """,
     "orders_market_basket": f"""
         WITH lp AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
