@@ -1341,6 +1341,74 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_ITERS = 2  # PageRank power iterations
+_PR_DAMP = 0.85
+
+
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph — the second iterative
+    graph kernel beside connected components, fully oracle-checked:
+    bounded power iterations with a round-6 rescore per step so the
+    neighbor-sum order (the only nondeterminism) is washed before the
+    next iteration reads it.
+
+    Graph: parts co-occurring in >= _BASKET_MIN_PAIR orders (the
+    market-basket pair relation), symmetrized — so every vertex has
+    out-edges and the classic dangling-mass correction is structurally
+    unnecessary. Scale: each iteration is one shuffle join of the rank
+    relation onto the edge list + one dst-key aggregation — the
+    standard distributed PR shape; iterations are bounded, not
+    convergence-driven.
+    """
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
+        .select("src", "dst")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nv = deg.agg(F.count(F.lit(1)).alias("nv"))
+    ranks = deg.crossJoin(F.broadcast(nv)).select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.col("nv")).alias("pr"),
+        "nv",
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "pr", "nv"), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("pr") / F.col("deg")).alias("mass"),
+                F.max("nv").alias("nv"),
+            )
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            F.round(
+                (1 - _PR_DAMP) / F.col("nv") + _PR_DAMP * F.col("mass"), 6
+            ).alias("pr"),
+            "nv",
+        )
+    return ranks.select("node", F.col("pr").alias("pagerank"))
+
+
 QUERIES = {
     "events_rate_limit": events_rate_limit,
     "customer_balance_outliers": customer_balance_outliers,
@@ -1387,9 +1455,52 @@ QUERIES = {
     "part_abc_pareto": part_abc_pareto,
     "orders_market_basket": orders_market_basket,
     "events_ab_test": events_ab_test,
+    "part_copurchase_pagerank": part_copurchase_pagerank,
 }
 
 ORACLE_SQL = {
+    "part_copurchase_pagerank": f"""
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= {_BASKET_MIN_PAIR}
+        ),
+        edges AS (
+            SELECT src, dst FROM pairs
+            UNION ALL SELECT dst, src FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        nv AS (SELECT count(*) AS nv FROM deg),
+        pr0 AS (
+            SELECT d.src AS node, 1.0 / n.nv AS pr FROM deg d, nv n
+        ),
+        pr1 AS (
+            SELECT e.dst AS node,
+                   round((1 - {_PR_DAMP}) / max(n.nv)
+                         + {_PR_DAMP} * sum(p.pr / d.deg), 6) AS pr
+            FROM edges e
+            JOIN deg d ON d.src = e.src
+            JOIN pr0 p ON p.node = e.src
+            CROSS JOIN nv n
+            GROUP BY e.dst
+        ),
+        pr2 AS (
+            SELECT e.dst AS node,
+                   round((1 - {_PR_DAMP}) / max(n.nv)
+                         + {_PR_DAMP} * sum(p.pr / d.deg), 6) AS pr
+            FROM edges e
+            JOIN deg d ON d.src = e.src
+            JOIN pr1 p ON p.node = e.src
+            CROSS JOIN nv n
+            GROUP BY e.dst
+        )
+        SELECT node, pr AS pagerank FROM pr2
+    """,
     "events_ab_test": """
         WITH stats AS (
             SELECT event_type, (user_id % 2 = 0) AS is_control,

@@ -78,6 +78,7 @@ PRIORITY_ORDER = [
     "docs_linear_classifier",
     "token_count_min",
     "events_ab_test",
+    "part_copurchase_pagerank",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -101,7 +102,6 @@ PRIORITY_ORDER = [
     "supplier_part_volume",
     "lineitem_pricing_agg",
     "orders_semi_anti",
-    "grouping_rollup",
     "events_session_window",
     # Position 50: docs_cluster_dedup carries the expensive
     # recursive-CTE oracle — last in the window so a driver timeout
@@ -109,6 +109,7 @@ PRIORITY_ORDER = [
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
     # r1-green queries that didn't fit this round's window:
+    "grouping_rollup",
     "orders_grouping_sets",
     "events_cube",
     "lineitem_percentiles",

@@ -396,6 +396,7 @@ def test_semdedup_pair_join_is_equi_on_cell(spark, sf_dir):
 _BNLJ_ALLOWED = {
     "customer_balance_outliers",  # scalar avg/stddev crossJoin
     "orders_market_basket",  # scalar total-orders crossJoin
+    "part_copurchase_pagerank",  # scalar vertex-count crossJoin
     "embed_ann_ivf",  # k-row centroid codebook
     "embed_ann_ivfpq",  # k-row codebook + k-row ADC lookup table
     "embed_ann_lsh",  # hyperplane constants
