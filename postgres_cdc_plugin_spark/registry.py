@@ -11,7 +11,7 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     each round rotates unproven/reworked queries to the front and the
     most-recently-green family to the tail. Round-3 window: the r2 ERR
     fix (multimodal_features), the reworked envelope pair, the never-
-    checked pair (embed_semdedup, docs_cluster_dedup), all eighteen
+    checked pair (embed_semdedup, docs_cluster_dedup), all twenty-three
     new round-3 queries, then the least-recently-verified r1-green
     fill (evidence now two rounds old). The most expensive oracle
     (docs_cluster_dedup's recursive CTE) sits at position 50 so a
