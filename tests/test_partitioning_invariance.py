@@ -1,0 +1,54 @@
+"""Partitioning-invariance: the distributed-correctness property that
+matters at 100 TB — results must not depend on how many partitions the
+shuffle used. Every operator family with order-sensitive internals
+(windows, folds, iterative label propagation, argmin aggregations,
+sketch merges' DETERMINISTIC subset) is run under shuffle widths 1 and
+16 at sf0.001 and compared in canonical exact form.
+
+A query that passes the DuckDB oracle but silently depends on Spark's
+default partitioning would break the first time a cluster resizes;
+this pins the invariance directly instead of assuming it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from postgres_cdc_plugin_spark import registry
+
+from .conftest import normalize
+
+# order-sensitive internals chosen from each family: window functions,
+# per-key sequence folds, iterative min-label CC, Lloyd argmin, BPE
+# argmax loop, winnowing sliding min, cumulative-share classification,
+# LSH band joins + verify, CMS merge
+_SENSITIVE = [
+    "events_sessionize",
+    "events_user_ewma",
+    "docs_dup_clusters",
+    "embed_kmeans",
+    "token_bpe_merges",
+    "docs_winnowing",
+    "part_abc_pareto",
+    "docs_minhash_dedup",
+    "token_count_min",
+    "orders_rfm_segments",
+]
+
+
+@pytest.mark.parametrize("name", _SENSITIVE)
+def test_result_is_partitioning_invariant(name, spark, sf_dir):
+    queries = registry.queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        narrow = normalize(queries[name](spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        wide = normalize(queries[name](spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert narrow.equals(wide), (
+        f"{name}: result depends on shuffle partition count\n"
+        f"width=1:\n{narrow.head(5).to_string()}\n"
+        f"width=16:\n{wide.head(5).to_string()}"
+    )
