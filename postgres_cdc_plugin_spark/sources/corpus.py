@@ -88,7 +88,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-_READERS = {"jsonl": read_jsonl, "json": read_jsonl, "csv": read_csv, "parquet": read_parquet}
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC shards — the other self-describing columnar format Spark
+    ships natively (warehouse exports are often ORC). Same contract as
+    parquet: footer schema, up-front type failures, uniform (always
+    null) quarantine column."""
+    df = spark.read.orc(path)
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in DOCUMENTS_SCHEMA.fields
+        ],
+        F.lit(None).cast("string").alias(_CORRUPT_COL),
+    )
+
+
+_READERS = {
+    "jsonl": read_jsonl,
+    "json": read_jsonl,
+    "csv": read_csv,
+    "parquet": read_parquet,
+    "orc": read_orc,
+}
 
 
 def ingest(

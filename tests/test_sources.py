@@ -489,3 +489,23 @@ def test_stateful_sessionizer_late_event_does_not_regress(spark, tmp_path):
     assert sess.key == "A" and sess.n_changes == 3
     assert sess.session_start.strftime("%H:%M") == "09:50"
     assert sess.session_end.strftime("%H:%M") == "10:25"
+
+
+def test_corpus_orc_ingest_roundtrip(spark, sf_dir, tmp_path):
+    """ORC ingestion: write the driver documents out as ORC shards, read
+    them back through the corpus contract, and require exact row parity
+    with the parquet source — format breadth without semantic drift."""
+    from postgres_cdc_plugin_spark.sources import corpus
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orc_dir = str(tmp_path / "docs_orc")
+    src.write.mode("overwrite").orc(orc_dir)
+    clean, quarantine, raw = corpus.ingest(spark, orc_dir, "orc")
+    assert quarantine.count() == 0
+    assert [f.name for f in clean.schema.fields] == [
+        f.name for f in corpus.DOCUMENTS_SCHEMA.fields
+    ]
+    left = {r.doc_id: r.text for r in clean.collect()}
+    right = {r.doc_id: r.text for r in src.collect()}
+    assert left == right
+    raw.unpersist()
