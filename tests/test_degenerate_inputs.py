@@ -1,0 +1,64 @@
+"""Degenerate-input robustness: every documents-table operator must
+handle an EMPTY corpus and a single-document corpus by returning a
+well-formed (possibly empty) result — never by crashing. At 100 TB a
+partition-pruned read, a dried-up changefeed, or an over-aggressive
+quality gate routinely hands downstream stages zero rows; an operator
+that throws on empty input breaks the pipeline exactly when a filter
+did its job.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from postgres_cdc_plugin_spark.operators import dedup, text
+
+_DOC_QUERIES = [
+    (dedup, "docs_exact_dedup"),
+    (dedup, "docs_minhash_dedup"),
+    (dedup, "docs_simhash_dedup"),
+    (dedup, "docs_dup_clusters"),
+    (dedup, "docs_cluster_dedup"),
+    (text, "docs_winnowing"),
+    (text, "token_bpe_merges"),
+    (text, "token_heavy_hitters"),
+    (text, "token_count_min"),
+    (text, "docs_linear_classifier"),
+]
+
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_corpus")
+    spark.createDataFrame([], _SCHEMA).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def single_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("single_corpus")
+    spark.createDataFrame(
+        [(1, "lonely document with a few tokens", "en", "s", 33)], _SCHEMA
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("mod,name", _DOC_QUERIES, ids=[n for _, n in _DOC_QUERIES])
+def test_empty_corpus_returns_empty(mod, name, spark, empty_dir):
+    df = getattr(mod, name)(spark, empty_dir)
+    assert df.count() == 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("mod,name", _DOC_QUERIES, ids=[n for _, n in _DOC_QUERIES])
+def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
+    rows = getattr(mod, name)(spark, single_dir).collect()
+    if name.startswith("docs_") and "dedup" in name:
+        # one document can never be a duplicate of anything
+        assert len(rows) == 1
+    elif name in ("docs_dup_clusters",):
+        assert rows == []  # no pairs -> no clustered vertices
+    # token/*, winnowing, classifier: just must not crash and respect
+    # their own schema; BPE may learn fewer than the configured merges
