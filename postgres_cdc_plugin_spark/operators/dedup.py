@@ -498,6 +498,44 @@ def docs_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup audit: how much do the MinHash-verified
+    (shingle-Jaccard >= threshold) and SimHash (hamming <= threshold)
+    near-dup pair sets agree? The methodology sanity check a corpus
+    team runs before trusting either family's drop list — reported as
+    exact pair-set sizes plus their Jaccard overlap (one division of
+    exact int64 counts, engine-identical). Both pair relations are the
+    SAME kernels the dedup queries use (and both sides' oracles reuse
+    those kernels' SQL verbatim), so this audit can never drift from
+    the operators it audits. Cost: the two candidate pipelines plus a
+    pair-key join of two tiny pair sets."""
+    docs = load(spark, sf_dir, "documents")
+    mh = (
+        _verified_pairs(docs)
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    sh = _simhash_pairs_df(docs).select("doc_a", "doc_b")
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+    n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
+    n_both = mh.join(sh, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    return (
+        n_mh.crossJoin(n_sh)
+        .crossJoin(n_both)
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            (
+                F.col("n_both")
+                / (F.col("n_minhash") + F.col("n_simhash") - F.col("n_both"))
+            ).alias("pair_set_jaccard"),
+        )
+    )
+
+
 def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     verified SimHash near-dup pairs, labeling every involved document
@@ -649,6 +687,7 @@ def docs_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "docs_dedup_method_agreement": docs_dedup_method_agreement,
     "docs_dup_clusters": docs_dup_clusters,
     "docs_cluster_dedup": docs_cluster_dedup,
     "docs_exact_dedup": docs_exact_dedup,
@@ -762,6 +801,25 @@ _SIMHASH_PAIRS_SQL = f"""
 """
 
 ORACLE_SQL = {
+    "docs_dedup_method_agreement": f"""
+        WITH mhp AS (
+            SELECT doc_a, doc_b FROM ({_VERIFIED_SQL})
+            WHERE jaccard >= {_JACCARD_THRESHOLD}
+        ),
+        shp AS (SELECT doc_a, doc_b FROM ({_SIMHASH_PAIRS_SQL})),
+        nm AS (SELECT count(*) AS n_minhash FROM mhp),
+        ns AS (SELECT count(*) AS n_simhash FROM shp),
+        nb AS (
+            SELECT count(*) AS n_both
+            FROM mhp JOIN shp USING (doc_a, doc_b)
+        )
+        SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
+               CAST(n_simhash AS BIGINT) AS n_simhash,
+               CAST(n_both AS BIGINT) AS n_both,
+               n_both / CAST(n_minhash + n_simhash - n_both AS DOUBLE)
+                   AS pair_set_jaccard
+        FROM nm, ns, nb
+    """,
     "docs_dup_clusters": f"""
         WITH RECURSIVE p AS ({_SIMHASH_PAIRS_SQL}),
         edges AS (

@@ -397,6 +397,7 @@ _BNLJ_ALLOWED = {
     "customer_balance_outliers",  # scalar avg/stddev crossJoin
     "orders_market_basket",  # scalar total-orders crossJoin
     "part_copurchase_pagerank",  # scalar vertex-count crossJoin
+    "docs_dedup_method_agreement",  # three scalar pair-count crossJoins
     "embed_ann_ivf",  # k-row centroid codebook
     "embed_ann_ivfpq",  # k-row codebook + k-row ADC lookup table
     "embed_ann_lsh",  # hyperplane constants
