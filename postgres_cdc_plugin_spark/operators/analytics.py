@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..plans.zorder import zorder_key_sql
 from ..session import load
 
 
@@ -1409,6 +1410,41 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("pr").alias("pagerank"))
 
 
+_Z_BITS = 8  # interleaved bits per dimension (coordinates mod 256)
+_Z_BUCKET_SHIFT = 10  # 16-bit z-value >> 10 = 64 quad-tree cells
+
+
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: bucket the fact table by the bit-interleaved
+    Morton key of its (l_partkey, l_suppkey) low coordinates and report
+    each z-cell's extent in BOTH dimensions — the evidence that a
+    z-sorted file layout gives parquet min/max pruning on either
+    column: every contiguous z-range is a quad-tree cell, so each of
+    the 64 buckets here spans at most a 32x32 box (pinned in tests; a
+    single-column sort bounds one dimension and leaves the other at
+    full range). Pure JVM integer expressions (plans/zorder.py) + one
+    bucket-key aggregation.
+    """
+    from ..plans.zorder import zorder_key
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("pk_lo"),
+        (F.col("l_suppkey") % 256).alias("sk_lo"),
+    )
+    z = zorder_key(F.col("pk_lo"), F.col("sk_lo"), bits=_Z_BITS)
+    return (
+        li.withColumn("z_bucket", F.shiftright(z, _Z_BUCKET_SHIFT))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pk_lo").alias("pk_min"),
+            F.max("pk_lo").alias("pk_max"),
+            F.min("sk_lo").alias("sk_min"),
+            F.max("sk_lo").alias("sk_max"),
+        )
+    )
+
+
 QUERIES = {
     "events_rate_limit": events_rate_limit,
     "customer_balance_outliers": customer_balance_outliers,
@@ -1456,9 +1492,25 @@ QUERIES = {
     "orders_market_basket": orders_market_basket,
     "events_ab_test": events_ab_test,
     "part_copurchase_pagerank": part_copurchase_pagerank,
+    "lineitem_zorder_layout": lineitem_zorder_layout,
 }
 
 ORACLE_SQL = {
+    "lineitem_zorder_layout": f"""
+        WITH lo AS (
+            SELECT l_partkey % 256 AS pk_lo, l_suppkey % 256 AS sk_lo
+            FROM lineitem
+        )
+        SELECT ({zorder_key_sql("pk_lo", "sk_lo", 8)}) >> {_Z_BUCKET_SHIFT}
+                   AS z_bucket,
+               count(*) AS n_rows,
+               min(pk_lo) AS pk_min,
+               max(pk_lo) AS pk_max,
+               min(sk_lo) AS sk_min,
+               max(sk_lo) AS sk_max
+        FROM lo
+        GROUP BY 1
+    """,
     "part_copurchase_pagerank": f"""
         WITH lp AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

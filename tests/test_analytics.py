@@ -296,3 +296,19 @@ def test_count_min_sketch_invariants(spark, sf_dir):
     assert all(r.overcount >= 0 for r in rows)
     assert any(r.overcount == 0 for r in rows)
     assert all(r.est_count <= n_total for r in rows)
+
+
+def test_zorder_cells_bound_both_dimensions(spark, sf_dir):
+    """The quad-tree property that makes z-order worth paying for: every
+    z-bucket (16-bit Morton key >> 10) spans at most a 32x32 box in the
+    (pk_lo, sk_lo) plane — so parquet min/max stats prune selective
+    predicates on EITHER column. A single-column sort bounds only its
+    own column."""
+    rows = A.lineitem_zorder_layout(spark, sf_dir).collect()
+    assert len(rows) > 1  # the audit actually partitions the space
+    for r in rows:
+        assert r.pk_max - r.pk_min <= 31, r
+        assert r.sk_max - r.sk_min <= 31, r
+        # the cell base is 32-aligned in both dims (quad-tree cells)
+        assert r.pk_min // 32 == r.pk_max // 32
+        assert r.sk_min // 32 == r.sk_max // 32
