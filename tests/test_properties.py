@@ -253,3 +253,67 @@ def test_event_uuid_distinct_tuples_distinct_ids(tuples, spark):
         r.id for r in df.select(scalar.event_uuid("k", "s").alias("id")).collect()
     ]
     assert len(set(ids)) == len(tuples)
+
+
+# ---- round-3 pure-kernel properties -----------------------------------
+
+def _py_zorder(a: int, b: int, bits: int = 16) -> int:
+    a %= 1 << bits
+    b %= 1 << bits
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+@given(
+    a=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    b=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+@settings(max_examples=200)
+def test_zorder_sql_matches_python_reference(a, b):
+    """The SQL-mirror key text, evaluated by DuckDB, equals the
+    independent Python bit-interleave for every 16-bit pair — so the
+    Spark expression (same formula) and oracle cannot both be wrong the
+    same way without this failing too."""
+    import duckdb
+
+    from postgres_cdc_plugin_spark.plans.zorder import zorder_key_sql
+
+    sql = zorder_key_sql(str(a), str(b))
+    got = duckdb.sql(f"SELECT {sql}").fetchone()[0]
+    assert got == _py_zorder(a, b)
+
+
+@given(
+    a=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    b=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    a2=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    b2=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+@settings(max_examples=100)
+def test_zorder_is_injective(a, b, a2, b2):
+    """Distinct coordinate pairs never collide — the interleave is a
+    bijection onto 32 bits, so a z-sort loses no ordering information."""
+    if (a, b) != (a2, b2):
+        assert _py_zorder(a, b) != _py_zorder(a2, b2)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200)
+def test_ewma_fold_stays_within_input_hull(vals):
+    """The EWMA merge (0.2x + 0.8acc) is a convex combination, so the
+    fold can never leave [min(vals), max(vals)] — the invariant that
+    makes it a safe smoother regardless of sequence content."""
+    acc = vals[0]
+    for x in vals[1:]:
+        acc = 0.2 * x + 0.8 * acc
+    eps = 1e-9 * max(1.0, max(abs(v) for v in vals))
+    assert min(vals) - eps <= acc <= max(vals) + eps
