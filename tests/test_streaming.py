@@ -1498,3 +1498,64 @@ def test_schema_on_read_payload_preserves_json_types(spark, tmp_path):
 def _feed_raw(spark, feed_dir, rows):
     changefeed.write_chunk(str(feed_dir), rows)
     return str(feed_dir)
+
+
+def test_latest_state_materializer_stream_and_recovery(spark, tmp_path):
+    """streaming/materialize.py: the continuously-maintained
+    latest-state table — batch application through foreachBatch,
+    UPDATE supersedes, DELETE evicts, replay is a no-op, and a swap
+    that died mid-flight rolls back to the pre-swap snapshot."""
+    import json as _json
+    import shutil as _shutil
+
+    from postgres_cdc_plugin_spark.streaming.materialize import LatestStateTable
+
+    feed = tmp_path / "ms_feed"
+    t = LatestStateTable(spark, str(tmp_path / "state"))
+
+    def ch(seq, key, op, val):
+        return {
+            "seq": seq, "key": key, "op": op,
+            "table_schema": "public", "table_name": "employees",
+            "old": None,
+            "new": None if op == "DELETE" else _json.dumps({"v": val}),
+            "ts": f"2024-01-01T00:00:{seq:02d}.000000",
+        }
+
+    def run_stream():
+        q = (
+            changefeed.read_stream(spark, str(feed))
+            .writeStream.foreachBatch(t.sink())
+            .option("checkpointLocation", str(tmp_path / "ms_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    changefeed.write_chunk(str(feed), [ch(1, "a", "INSERT", 1), ch(2, "b", "INSERT", 2)])
+    run_stream()
+    assert {r.key for r in t.read().collect()} == {"a", "b"}
+
+    changefeed.write_chunk(
+        str(feed), [ch(3, "a", "UPDATE", 10), ch(4, "b", "DELETE", 0), ch(5, "c", "INSERT", 3)]
+    )
+    run_stream()
+    state = {r.key: r for r in t.read().collect()}
+    assert set(state) == {"a", "c"}
+    assert _json.loads(state["a"].new)["v"] == 10
+    assert state["a"].seq == 3
+
+    # replay idempotence: re-applying the WHOLE feed leaves the
+    # snapshot bit-identical (merge is a pure function of inputs)
+    before = sorted((r.key, r.seq, r.new) for r in t.read().collect())
+    t.apply_batch(changefeed.read_batch(spark, str(feed)), 99)
+    after = sorted((r.key, r.seq, r.new) for r in t.read().collect())
+    assert before == after
+
+    # crash recovery: a dead swap left marker + .old and destroyed the
+    # live dir — read() must roll back to the pre-swap snapshot
+    _shutil.copytree(t.path, t.path + ".old")
+    open(t.path + ".swap", "w").close()
+    _shutil.rmtree(t.path)
+    restored = sorted((r.key, r.seq, r.new) for r in t.read().collect())
+    assert restored == after
