@@ -1231,6 +1231,35 @@ _BASKET_MIN_PAIR = 2  # minimum co-occurrence count reported
 _BASKET_TOP = 100
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared co-purchase pair relation (part_a < part_b, n_ab >=
+    _BASKET_MIN_PAIR): the base graph for market-basket lift, PageRank,
+    and triangle counting. Persisted — three session consumers would
+    otherwise each pay the intra-order self-join + pair aggregation;
+    the relation itself is pair-set sized (basket-bounded explosion),
+    cheap to cache. Cache-manager plan matching shares one build."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
+        .persist()
+    )
+
+
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining: part pairs co-occurring in
     orders, with lift = P(a,b) / (P(a)·P(b)) (§2.3/§2.4 as a real
@@ -1249,20 +1278,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a, b = lp.alias("a"), lp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     supp = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     total = lp.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
@@ -1361,24 +1377,8 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard distributed PR shape; iterations are bounded, not
     convergence-driven.
     """
-    lp = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = lp.alias("a"), lp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
-        .select("src", "dst")
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1424,24 +1424,9 @@ def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered orientation (a<b by degree, not id) bounds wedge
     fan-out, noted as the 100 TB refinement.
     """
-    lp = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = lp.alias("a"), lp.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
-        .select("src", "dst")
+        _copurchase_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
         .localCheckpoint()
     )
     e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
