@@ -33,6 +33,10 @@ _SENSITIVE = [
     "docs_minhash_dedup",
     "token_count_min",
     "orders_rfm_segments",
+    "part_copurchase_pagerank",
+    "part_triangle_counts",
+    "orders_market_basket",
+    "docs_dedup_method_agreement",
 ]
 
 
