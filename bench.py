@@ -80,21 +80,14 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    prev_family = None
     for name in names:
-        # Drop cached relations when the query family changes (names are
-        # sorted, so families are contiguous): persisted codebooks /
-        # signature relations are intentionally shared WITHIN a family
-        # (docs_simhash warms docs_simhash_pairs — that sharing is the
-        # session-level design), but there is no reason to let every
-        # family's caches pile up for the whole 100+-query run — each
-        # new query's plan is canonicalized against every cached plan
-        # and storage memory grows monotonically. Family-boundary
-        # clearing keeps the intended reuse and caps the accumulation.
-        family = name.split("_", 1)[0]
-        if family != prev_family:
-            spark.catalog.clearCache()
-            prev_family = family
+        # No cache clearing between queries: persisted relations are the
+        # session-level sharing design (signature blocks, codebooks, the
+        # co-purchase pair graph) and deliberately cross name-prefix
+        # boundaries (orders_market_basket builds the pair relation that
+        # part_copurchase_pagerank / part_triangle_counts read). A
+        # family-boundary clearCache was tried in r3 and showed no
+        # run-wide win while breaking exactly that reuse.
         fn = queries[name]
         start = time.perf_counter()
         try:
