@@ -62,3 +62,44 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         assert rows == []  # no pairs -> no clustered vertices
     # token/*, winnowing, classifier: just must not crash and respect
     # their own schema; BPE may learn fewer than the configured merges
+
+
+_EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+@pytest.fixture(scope="module")
+def empty_emb_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_emb")
+    spark.createDataFrame([], _EMB_SCHEMA).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def single_emb_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("single_emb")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 0)], _EMB_SCHEMA
+    ).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+_EMB_QUERIES = ["embed_kmeans", "embed_ivf_assign", "embed_semdedup", "embed_neardup_dedup"]
+
+
+@pytest.mark.parametrize("name", _EMB_QUERIES)
+def test_empty_embeddings_returns_empty(name, spark, empty_emb_dir):
+    from postgres_cdc_plugin_spark.operators import similarity
+
+    df = getattr(similarity, name)(spark, empty_emb_dir)
+    assert df.count() == 0
+
+
+@pytest.mark.parametrize("name", _EMB_QUERIES)
+def test_single_embedding_is_sane(name, spark, single_emb_dir):
+    """One vector: assignments assign it somewhere; dedups keep it (a
+    sole vector cannot be anyone's duplicate)."""
+    from postgres_cdc_plugin_spark.operators import similarity
+
+    rows = getattr(similarity, name)(spark, single_emb_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].vec_id == 0
