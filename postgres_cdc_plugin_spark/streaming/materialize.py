@@ -130,3 +130,60 @@ class LatestStateTable:
             self.apply_batch(batch, batch_id)
 
         return _apply
+
+
+# SCD2 history row: every change as a versioned [valid_from, valid_to)
+# interval, matching operators/cdc.cdc_scd2_history's batch semantics
+SCD2_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("new", StringType()),
+        StructField("version", LongType()),
+        StructField("valid_from", TimestampType()),
+        StructField("valid_to", TimestampType()),
+    ]
+)
+
+
+class Scd2HistoryTable(LatestStateTable):
+    """SCD2 (slowly-changing-dimension type 2) history maintenance: the
+    companion artifact to the latest-state table — EVERY change becomes
+    a versioned row with [valid_from, valid_to) validity, valid_to
+    closing when the key's next change arrives (NULL while current).
+
+    Same crash-safe swap + replay story as the parent: the merge
+    dedups on (key, seq) — a replayed batch's rows are exact
+    duplicates of stored ones — then recomputes version numbers and
+    validity intervals as pure window functions of the union, so
+    re-application rewrites the identical snapshot. At 100 TB the
+    history partitions by key range like the parent; closing a
+    version's valid_to touches only the key's partition.
+    """
+
+    def read(self) -> DataFrame:
+        self._recover_crashed_swap()
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], SCD2_SCHEMA)
+        return self.spark.read.schema(SCD2_SCHEMA).parquet(self.path)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        changes = batch.select(
+            "key", "seq", "op", "new", F.col("ts").alias("valid_from")
+        )
+        stored = self.read().select("key", "seq", "op", "new", "valid_from")
+        merged = stored.unionByName(changes).dropDuplicates(["key", "seq"])
+        w = Window.partitionBy("key").orderBy("seq")
+        next_state = merged.select(
+            "key",
+            "seq",
+            "op",
+            "new",
+            F.row_number().over(w).cast("long").alias("version"),
+            "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+        )
+        staged = f"{self.path}.stage-{batch_id}"
+        next_state.write.mode("overwrite").parquet(staged)
+        self._swap_in(staged)

@@ -1559,3 +1559,56 @@ def test_latest_state_materializer_stream_and_recovery(spark, tmp_path):
     _shutil.rmtree(t.path)
     restored = sorted((r.key, r.seq, r.new) for r in t.read().collect())
     assert restored == after
+
+
+def test_scd2_history_materializer(spark, tmp_path):
+    """streaming/materialize.Scd2HistoryTable: every change becomes a
+    versioned [valid_from, valid_to) row; a key's prior version closes
+    when its next change lands in a LATER batch (cross-batch valid_to
+    backfill), and replay rewrites the identical history."""
+    import json as _json
+
+    from postgres_cdc_plugin_spark.streaming.materialize import Scd2HistoryTable
+
+    feed = tmp_path / "scd2_feed"
+    t = Scd2HistoryTable(spark, str(tmp_path / "history"))
+
+    def ch(seq, key, op, val):
+        return {
+            "seq": seq, "key": key, "op": op,
+            "table_schema": "public", "table_name": "employees",
+            "old": None,
+            "new": None if op == "DELETE" else _json.dumps({"v": val}),
+            "ts": f"2024-01-01T00:00:{seq:02d}.000000",
+        }
+
+    def run_stream():
+        q = (
+            changefeed.read_stream(spark, str(feed))
+            .writeStream.foreachBatch(t.sink())
+            .option("checkpointLocation", str(tmp_path / "scd2_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    changefeed.write_chunk(str(feed), [ch(1, "a", "INSERT", 1), ch(2, "b", "INSERT", 2)])
+    run_stream()
+    v1 = {(r.key, r.version): r for r in t.read().collect()}
+    assert v1[("a", 1)].valid_to is None  # current while no successor
+
+    changefeed.write_chunk(str(feed), [ch(3, "a", "UPDATE", 10), ch(4, "a", "DELETE", 0)])
+    run_stream()
+    hist = {(r.key, r.version): r for r in t.read().collect()}
+    assert len(hist) == 4
+    # cross-batch backfill: version 1 of 'a' closed by the batch-2 UPDATE
+    assert hist[("a", 1)].valid_to == hist[("a", 2)].valid_from
+    assert hist[("a", 2)].valid_to == hist[("a", 3)].valid_from
+    assert hist[("a", 3)].op == "DELETE" and hist[("a", 3)].valid_to is None
+    assert hist[("b", 1)].valid_to is None
+
+    # replay: re-applying the whole feed is a no-op
+    before = sorted((r.key, r.version, r.seq, str(r.valid_to)) for r in t.read().collect())
+    t.apply_batch(changefeed.read_batch(spark, str(feed)), 77)
+    after = sorted((r.key, r.version, r.seq, str(r.valid_to)) for r in t.read().collect())
+    assert before == after
