@@ -1612,3 +1612,61 @@ def test_scd2_history_materializer(spark, tmp_path):
     t.apply_batch(changefeed.read_batch(spark, str(feed)), 77)
     after = sorted((r.key, r.version, r.seq, str(r.valid_to)) for r in t.read().collect())
     assert before == after
+
+
+def test_materializers_are_batch_split_invariant(spark, tmp_path):
+    """Micro-batch boundaries are an accident of arrival timing; the
+    materialized latest-state and SCD2 tables must depend only on the
+    change CONTENT. Apply one 20-change log as 1, 4, and 7 batches and
+    require bit-identical snapshots."""
+    import json as _json
+    import random as _random
+
+    from postgres_cdc_plugin_spark.streaming.materialize import (
+        LatestStateTable,
+        Scd2HistoryTable,
+    )
+
+    rng = _random.Random(11)
+    keys = ["a", "b", "c", "d"]
+    changes = []
+    for seq in range(1, 21):
+        key = rng.choice(keys)
+        op = rng.choice(["INSERT", "UPDATE", "UPDATE", "DELETE"])
+        changes.append(
+            {
+                "seq": seq, "key": key, "op": op,
+                "table_schema": "public", "table_name": "employees",
+                "old": None,
+                "new": None if op == "DELETE" else _json.dumps({"v": seq}),
+                "ts": f"2024-01-01T00:00:{seq:02d}.000000",
+            }
+        )
+
+    def snapshots(n_batches, tag):
+        feed = tmp_path / f"bsfeed-{tag}"
+        state = LatestStateTable(spark, str(tmp_path / f"bs-state-{tag}"))
+        hist = Scd2HistoryTable(spark, str(tmp_path / f"bs-hist-{tag}"))
+        cuts = sorted(rng.sample(range(1, len(changes)), n_batches - 1)) if n_batches > 1 else []
+        bounds = [0, *cuts, len(changes)]
+        for i in range(len(bounds) - 1):
+            chunk = changes[bounds[i]:bounds[i + 1]]
+            changefeed.write_chunk(str(feed), chunk)
+            batch = changefeed.read_batch(spark, str(feed))
+            # apply ONLY this chunk (read_batch reads the whole dir; filter)
+            seqs = {c["seq"] for c in chunk}
+            batch = batch.filter(batch.seq.isin(*seqs))
+            state.apply_batch(batch, i)
+            hist.apply_batch(batch, i)
+        s = sorted((r.key, r.seq, r.new) for r in state.read().collect())
+        h = sorted(
+            (r.key, r.version, r.seq, r.op, str(r.valid_to))
+            for r in hist.read().collect()
+        )
+        return s, h
+
+    base_s, base_h = snapshots(1, "one")
+    for n in (4, 7):
+        s, h = snapshots(n, f"n{n}")
+        assert s == base_s, f"latest-state differs when split into {n} batches"
+        assert h == base_h, f"SCD2 history differs when split into {n} batches"
