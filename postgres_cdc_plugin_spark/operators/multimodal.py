@@ -435,6 +435,96 @@ def multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- resize / resample -------------------------------------------------
+
+_RESIZE_DIM = 4  # images resize to 4x4 RGB (48 values)
+_RESAMPLE_N = 64  # audio resamples to 64 samples
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("container", StringType()),
+        StructField("n_in_units", LongType()),
+        StructField("n_out_units", LongType()),
+        StructField("resized_checksum", LongType()),
+        StructField("resized_mean", DoubleType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: REAL decode then nearest-neighbor resample —
+    images to _RESIZE_DIM x _RESIZE_DIM RGB via floor index mapping
+    src = (dst * src_size) // dst_size, audio to _RESAMPLE_N samples by
+    the same rule. Integer checksums keep the audit exact."""
+    for pdf in batches:
+        out = {k: [] for k in _RESIZE_SCHEMA.fieldNames()}
+        for doc_id, payload, modality in zip(
+            pdf["doc_id"], pdf["payload"], pdf["modality"]
+        ):
+            data = bytes(payload) if payload is not None else b""
+            out["doc_id"].append(doc_id)
+            out["modality"].append(modality)
+            try:
+                if modality == "audio":
+                    samples, _rate = decode_payload(
+                        synth_wav_payload(data), modality
+                    )
+                    n = int(samples.size)
+                    if n == 0:
+                        vals = None
+                    else:
+                        idx = (
+                            np.arange(_RESAMPLE_N, dtype=np.int64) * n
+                        ) // _RESAMPLE_N
+                        vals = samples[idx].astype(np.int64)
+                    container, n_out = "wav", _RESAMPLE_N
+                elif modality == "image":
+                    pixels = decode_payload(synth_ppm_payload(data), modality)
+                    h, w = pixels.shape[0], pixels.shape[1]
+                    rs = (np.arange(_RESIZE_DIM, dtype=np.int64) * h) // _RESIZE_DIM
+                    cs = (np.arange(_RESIZE_DIM, dtype=np.int64) * w) // _RESIZE_DIM
+                    vals = pixels[np.ix_(rs, cs)].astype(np.int64).ravel()
+                    n = h * w * 3
+                    container, n_out = "ppm", _RESIZE_DIM * _RESIZE_DIM * 3
+                else:
+                    decode_payload(data, modality)  # raises: documented seam
+                    raise AssertionError("unreachable")
+            except NotImplementedError:
+                for k in ("container", "n_in_units", "n_out_units",
+                          "resized_checksum", "resized_mean"):
+                    out[k].append(None)
+                continue
+            out["container"].append(container)
+            out["n_in_units"].append(n)
+            out["n_out_units"].append(n_out)
+            if vals is None:
+                out["resized_checksum"].append(None)
+                out["resized_mean"].append(None)
+            else:
+                checksum = int(vals.sum())
+                out["resized_checksum"].append(checksum)
+                out["resized_mean"].append(checksum / n_out)
+        yield pd.DataFrame(out)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize / resample through the REAL decoders, fully oracle-checked:
+    images decode from PPM and nearest-neighbor downsample to 4x4 RGB
+    (the thumbnail step of an image pipeline), audio decodes from WAV
+    and decimates to 64 samples, both via the floor mapping
+    src = (dst*src_size)//dst_size; video rows carry NULLs through the
+    decoder seam. The synth containers are deterministic byte
+    transforms of the text, so DuckDB reproduces every selected
+    sample/pixel — integer checksums make the audit exact. Arrow-batched
+    mapInPandas, narrow, no shuffle; only small per-doc rows flow on."""
+    docs = load(spark, sf_dir, "documents")
+    return with_payload(docs).repartition("doc_id").mapInPandas(
+        _resize_batches, _RESIZE_SCHEMA
+    )
+
+
 # --- perceptual-hash near-dup ------------------------------------------
 
 _PHASH_BITS = 64
@@ -540,6 +630,7 @@ QUERIES = {
     "multimodal_dedup": multimodal_dedup,
     "multimodal_decoded_stats": multimodal_decoded_stats,
     "multimodal_neardup": multimodal_neardup,
+    "multimodal_resize": multimodal_resize,
 }
 
 # Byte-level SQL mirrors: the corpora are ASCII (asserted by the other
@@ -631,6 +722,84 @@ _PHASH_ANY_BLOCK_SQL = " OR ".join(
 )
 
 ORACLE_SQL = {
+    "multimodal_resize": f"""
+        WITH base AS (
+            SELECT doc_id, {_MODALITY_SQL} AS modality, text,
+                   length(text) AS n
+            FROM documents
+        ),
+        img AS (
+            SELECT doc_id, text, n,
+                   CAST(ceil(sqrt(greatest((n + 2) // 3, 1))) AS BIGINT) AS w
+            FROM base WHERE modality = 'image'
+        ),
+        img2 AS (
+            SELECT doc_id, text, n, w,
+                   CAST(ceil(CAST(greatest((n + 2) // 3, 1) AS DOUBLE) / w)
+                        AS BIGINT) AS h
+            FROM img
+        ),
+        img_vals AS (
+            SELECT doc_id, h * w * 3 AS n_in,
+                   ((((t.i // {_RESIZE_DIM * 3}) * h) // {_RESIZE_DIM}) * w
+                    + (((t.i // 3) % {_RESIZE_DIM}) * w) // {_RESIZE_DIM}) * 3
+                   + (t.i % 3) AS flat,
+                   text, n
+            FROM img2, unnest(range(0, {_RESIZE_DIM * _RESIZE_DIM * 3})) AS t(i)
+        ),
+        img_rows AS (
+            SELECT doc_id, 'image' AS modality, 'ppm' AS container,
+                   CAST(max(n_in) AS BIGINT) AS n_in_units,
+                   CAST({_RESIZE_DIM * _RESIZE_DIM * 3} AS BIGINT)
+                       AS n_out_units,
+                   CAST(sum(CASE WHEN flat < n
+                            THEN unicode(substr(text, CAST(flat + 1 AS INT), 1))
+                            ELSE 0 END) AS BIGINT) AS resized_checksum,
+                   CAST(sum(CASE WHEN flat < n
+                            THEN unicode(substr(text, CAST(flat + 1 AS INT), 1))
+                            ELSE 0 END) AS BIGINT)
+                       / {float(_RESIZE_DIM * _RESIZE_DIM * 3)} AS resized_mean
+            FROM img_vals GROUP BY doc_id
+        ),
+        aud AS (SELECT doc_id, text, n FROM base WHERE modality = 'audio'),
+        aud_vals AS (
+            SELECT doc_id, n,
+                   (unicode(substr(text,
+                        CAST((t.i * n) // {_RESAMPLE_N} + 1 AS INT), 1))
+                    - 128) * 256 AS v
+            FROM aud, unnest(range(0, {_RESAMPLE_N})) AS t(i)
+            WHERE n > 0
+        ),
+        aud_rows AS (
+            SELECT doc_id, 'audio' AS modality, 'wav' AS container,
+                   CAST(max(n) AS BIGINT) AS n_in_units,
+                   CAST({_RESAMPLE_N} AS BIGINT) AS n_out_units,
+                   CAST(sum(v) AS BIGINT) AS resized_checksum,
+                   CAST(sum(v) AS BIGINT) / {float(_RESAMPLE_N)}
+                       AS resized_mean
+            FROM aud_vals GROUP BY doc_id
+        ),
+        aud_empty AS (
+            SELECT doc_id, 'audio' AS modality, 'wav' AS container,
+                   CAST(0 AS BIGINT) AS n_in_units,
+                   CAST({_RESAMPLE_N} AS BIGINT) AS n_out_units,
+                   CAST(NULL AS BIGINT) AS resized_checksum,
+                   CAST(NULL AS DOUBLE) AS resized_mean
+            FROM aud WHERE n = 0
+        ),
+        vid_rows AS (
+            SELECT doc_id, 'video' AS modality, CAST(NULL AS VARCHAR) AS container,
+                   CAST(NULL AS BIGINT) AS n_in_units,
+                   CAST(NULL AS BIGINT) AS n_out_units,
+                   CAST(NULL AS BIGINT) AS resized_checksum,
+                   CAST(NULL AS DOUBLE) AS resized_mean
+            FROM base WHERE modality = 'video'
+        )
+        SELECT * FROM img_rows
+        UNION ALL SELECT * FROM aud_rows
+        UNION ALL SELECT * FROM aud_empty
+        UNION ALL SELECT * FROM vid_rows
+    """,
     "multimodal_neardup": f"""
         WITH blocks AS ({_PHASH_BLOCKS_SQL}),
         losers AS (

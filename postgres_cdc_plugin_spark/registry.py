@@ -11,7 +11,7 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     each round rotates unproven/reworked queries to the front and the
     most-recently-green family to the tail. Round-3 window: the r2 ERR
     fix (multimodal_features), the reworked envelope pair, the never-
-    checked pair (embed_semdedup, docs_cluster_dedup), all twenty-six
+    checked pair (embed_semdedup, docs_cluster_dedup), all twenty-seven
     new round-3 queries, then the least-recently-verified r1-green
     fill (evidence now two rounds old). The most expensive oracle
     (docs_cluster_dedup's recursive CTE) sits at position 50 so a
@@ -82,6 +82,7 @@ PRIORITY_ORDER = [
     "docs_dedup_method_agreement",
     "lineitem_zorder_layout",
     "part_triangle_counts",
+    "multimodal_resize",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -96,7 +97,6 @@ PRIORITY_ORDER = [
     "queue_ready_topk",
     "retry_schedule",
     "attempt_history_agg",
-    "headers_explode",
     "customer_balance_outliers",
     "customer_pii_anonymize",
     "orders_enrich_join",
@@ -109,6 +109,7 @@ PRIORITY_ORDER = [
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
     # r1-green queries that didn't fit this round's window:
+    "headers_explode",
     "events_rate_limit",
     "supplier_part_volume",
     "orders_semi_anti",
