@@ -108,6 +108,11 @@ PRIORITY_ORDER = [
     # there still leaves CORRECTNESS rows for everything before it.
     "docs_cluster_dedup",
     # ---- position 51+ (r4 rotation candidates) ----
+    # r4 window plan: promote the r1-green tail below (its last driver
+    # evidence will be three rounds old) plus token_heavy_hitters (the
+    # one query with NO driver row of any kind — rows-only, currently
+    # outside the window); the r3-new block above rotates out once
+    # CORRECTNESS_r03 lands green.
     # r1-green queries that didn't fit this round's window:
     "headers_explode",
     "events_rate_limit",
