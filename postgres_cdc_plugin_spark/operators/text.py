@@ -914,6 +914,43 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    intra-doc diversity signal complementing docs_repetition_filter
+    (low entropy = repetitive/boilerplate, high = diverse vocabulary).
+
+    ONE aggregation via the identity H = log2(n) - (Σ c·log2 c)/n
+    (expanding -Σ (c/n)·log2(c/n)) — no join of per-doc totals back to
+    the count stream, so the whole operator is a (doc, token) count
+    with map-side partials plus a doc rollup. Entropy is rounded to 6
+    decimals through the decimal hop (the docs_unigram_surprisal
+    convention: log2 may differ by an ulp across libm/JVM and
+    partial-sum order is nondeterministic — the hop washes both).
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    entropy = (
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / n,
+            6,
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        entropy.alias("entropy"),
+    )
+
+
 _CMS_ROWS = 4  # count-min sketch depth (hash rows)
 # narrow enough that the 31-token driver vocabulary actually collides —
 # the min-over-rows must resolve real overcounts, not a trivially
@@ -1267,6 +1304,7 @@ QUERIES = {
     "token_heavy_hitters": token_heavy_hitters,
     "docs_linear_classifier": docs_linear_classifier,
     "token_count_min": token_count_min,
+    "docs_token_entropy": docs_token_entropy,
     "token_bpe_merges": token_bpe_merges,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
@@ -1347,6 +1385,23 @@ _BPE_SQL = (
 
 ORACLE_SQL = {
     "token_bpe_merges": _BPE_SQL,
+    "docs_token_entropy": """
+        WITH counts AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(CAST(round(
+                   log2(CAST(sum(c) AS DOUBLE))
+                   - sum(c * log2(CAST(c AS DOUBLE)))
+                     / CAST(sum(c) AS DOUBLE), 6)
+                   AS DECIMAL(38,6)) AS DOUBLE) AS entropy
+        FROM counts GROUP BY doc_id
+    """,
     "token_count_min": f"""
         WITH counts AS (
             SELECT w, count(*) AS cnt
