@@ -528,7 +528,7 @@ def test_streaming_tumbling_watermark_drops_late_data(spark, tmp_path):
         .start()
     )
 
-    def wait_data_batches(n: int, timeout: float = 60.0) -> None:
+    def wait_data_batches(n: int, timeout: float = 120.0) -> None:
         deadline = _time.time() + timeout
         while _time.time() < deadline:
             done = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
@@ -545,8 +545,9 @@ def test_streaming_tumbling_watermark_drops_late_data(spark, tmp_path):
         changefeed.write_chunk(str(feed), [at("13:30")])
         wait_data_batches(3)
         # the closed-window emission rides the batch evaluated with the
-        # advanced watermark; poll briefly for it
-        deadline = _time.time() + 20
+        # advanced watermark; poll for it (generous: this timed out
+        # once under heavy machine load in an otherwise-green run)
+        deadline = _time.time() + 60
         while _time.time() < deadline and not any(r.w.start.hour == 10 for r in out):
             _time.sleep(0.2)
     finally:
