@@ -1477,6 +1477,62 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_discount_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (§2.4: the regr_* family, the one
+    SQL aggregate class the stats profile didn't yet exercise): per
+    return flag, the OLS slope/intercept of extended price on discount
+    — the price-sensitivity readout of the classic discount-effect
+    question. Spark's regr_slope/regr_intercept and DuckDB's share the
+    closed-form-from-sums definition; round-6 washes partial-sum order.
+    One map-side-combinable aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_discount").alias("n_obs"),
+        F.round(F.regr_slope("l_extendedprice", "l_discount"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_discount"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.regr_avgx("l_extendedprice", "l_discount"), 6).alias("avg_disc"),
+        F.round(F.regr_avgy("l_extendedprice", "l_discount"), 6).alias("avg_price"),
+    )
+
+
+_FUZZY_MAX_DIST = 3  # levenshtein threshold for a candidate match
+
+
+def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (the MDM/record-linkage shape):
+    candidate pairs form ONLY within a blocking key — here
+    (c_mktsegment, c_nationkey) — and are scored by Levenshtein edit
+    distance, keeping pairs within _FUZZY_MAX_DIST edits. Blocking is
+    what makes fuzzy matching survive scale: the join is an equi-join
+    on the block key (never an O(n²) cross-corpus comparison), and the
+    expensive edit-distance only runs inside blocks, whose size the
+    blocking key bounds. Both engines implement unit-cost Levenshtein
+    identically — exact integer distances, no rounding anywhere."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_mktsegment").alias("segment"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias(
+                "edit_distance"
+            ),
+        )
+        .filter(F.col("edit_distance") <= _FUZZY_MAX_DIST)
+    )
+
+
 QUERIES = {
     "events_rate_limit": events_rate_limit,
     "customer_balance_outliers": customer_balance_outliers,
@@ -1526,9 +1582,32 @@ QUERIES = {
     "part_copurchase_pagerank": part_copurchase_pagerank,
     "lineitem_zorder_layout": lineitem_zorder_layout,
     "part_triangle_counts": part_triangle_counts,
+    "lineitem_discount_regression": lineitem_discount_regression,
+    "customer_fuzzy_match": customer_fuzzy_match,
 }
 
 ORACLE_SQL = {
+    "lineitem_discount_regression": """
+        SELECT l_returnflag,
+               CAST(regr_count(l_extendedprice, l_discount) AS BIGINT)
+                   AS n_obs,
+               round(regr_slope(l_extendedprice, l_discount), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_discount), 6)
+                   AS intercept,
+               round(regr_avgx(l_extendedprice, l_discount), 6) AS avg_disc,
+               round(regr_avgy(l_extendedprice, l_discount), 6) AS avg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "customer_fuzzy_match": f"""
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               a.c_mktsegment AS segment,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+        FROM customer a JOIN customer b
+          ON a.c_mktsegment = b.c_mktsegment
+         AND a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= {_FUZZY_MAX_DIST}
+    """,
     "part_triangle_counts": f"""
         WITH lp AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
