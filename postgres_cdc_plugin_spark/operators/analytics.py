@@ -1519,7 +1519,15 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
             & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            # lossless prefilter: edit distance is at least the length
+            # gap, so pairs differing by more than the threshold in
+            # length never reach the expensive levenshtein — the
+            # standard guard for variable-length entity corpora
+            & (
+                F.abs(F.length(F.col("a.c_name")) - F.length(F.col("b.c_name")))
+                <= _FUZZY_MAX_DIST
+            ),
         )
         .select(
             F.col("a.c_custkey").alias("custkey_a"),
