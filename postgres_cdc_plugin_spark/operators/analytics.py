@@ -1541,6 +1541,69 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (§2.4/§2.5 as revenue analytics):
+    customers cohorted by first-order month; each (cohort, month
+    offset) cell reports active buyers, period revenue, and the
+    cohort's CUMULATIVE revenue per member — the LTV curve a
+    subscription/retention team tracks.
+
+    Determinism: period revenue rounds to 2 decimals BEFORE the
+    cumulative window (identical doubles summed in identical offset
+    order on both engines); ltv divides by the exact integer cohort
+    size and re-rounds. Month offsets use calendar month arithmetic
+    between month-starts (integral, TZ-proof). Two shuffles: the
+    per-customer first-order aggregate (reused by the membership join)
+    and the cohort-cell rollup; the cumulative window runs at
+    cohort-month grain.
+    """
+    orders = load(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    sizes = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        orders.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            "o_totalprice",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.col("cohort_month"),
+            )
+            .cast("bigint")
+            .alias("month_offset"),
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_revenue", F.sum("revenue").over(w))
+        .join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_active",
+            "revenue",
+            "cohort_size",
+            F.round(F.col("cum_revenue") / F.col("cohort_size"), 6).alias(
+                "ltv_per_member"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "events_rate_limit": events_rate_limit,
     "customer_balance_outliers": customer_balance_outliers,
@@ -1592,9 +1655,43 @@ QUERIES = {
     "part_triangle_counts": part_triangle_counts,
     "lineitem_discount_regression": lineitem_discount_regression,
     "customer_fuzzy_match": customer_fuzzy_match,
+    "orders_cohort_ltv": orders_cohort_ltv,
 }
 
 ORACLE_SQL = {
+    "orders_cohort_ltv": """
+        WITH first AS (
+            SELECT o_custkey, date_trunc('month', min(o_orderdate))
+                       AS cohort_month
+            FROM orders GROUP BY o_custkey
+        ),
+        sizes AS (
+            SELECT cohort_month, count(*) AS cohort_size
+            FROM first GROUP BY cohort_month
+        ),
+        cells AS (
+            SELECT f.cohort_month,
+                   CAST(date_diff('month', f.cohort_month,
+                        date_trunc('month', o.o_orderdate)) AS BIGINT)
+                       AS month_offset,
+                   count(DISTINCT o.o_custkey) AS n_active,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort_month, month_offset, n_active, revenue,
+                   sum(revenue) OVER (
+                       PARTITION BY cohort_month ORDER BY month_offset
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_revenue
+            FROM cells
+        )
+        SELECT c.cohort_month, c.month_offset, c.n_active, c.revenue,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               round(c.cum_revenue / s.cohort_size, 6) AS ltv_per_member
+        FROM cum c JOIN sizes s ON c.cohort_month = s.cohort_month
+    """,
     "lineitem_discount_regression": """
         SELECT l_returnflag,
                CAST(regr_count(l_extendedprice, l_discount) AS BIGINT)

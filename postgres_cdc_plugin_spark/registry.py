@@ -11,7 +11,7 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     each round rotates unproven/reworked queries to the front and the
     most-recently-green family to the tail. Round-3 window: the r2 ERR
     fix (multimodal_features), the reworked envelope pair, the never-
-    checked pair (embed_semdedup, docs_cluster_dedup), all thirty
+    checked pair (embed_semdedup, docs_cluster_dedup), all thirty-one
     new round-3 queries, then the least-recently-verified r1-green
     fill (evidence now two rounds old). The most expensive oracle
     (docs_cluster_dedup's recursive CTE) sits at position 50 so a
@@ -86,6 +86,7 @@ PRIORITY_ORDER = [
     "docs_token_entropy",
     "lineitem_discount_regression",
     "customer_fuzzy_match",
+    "orders_cohort_ltv",
     # Least-recently-verified fill: the r1-green tail (last driver
     # evidence is two rounds old). r2-green family rotates out.
     "cdc_delta_agg",
@@ -96,7 +97,6 @@ PRIORITY_ORDER = [
     "cdc_op_filter",
     "cdc_column_diff",
     "creds_lookup_join",
-    "creds_last_wins",
     "customer_balance_outliers",
     "customer_pii_anonymize",
     "orders_enrich_join",
@@ -114,6 +114,7 @@ PRIORITY_ORDER = [
     # outside the window); the r3-new block above rotates out once
     # CORRECTNESS_r03 lands green.
     # r1-green queries that didn't fit this round's window:
+    "creds_last_wins",
     "queue_ready_topk",
     "retry_schedule",
     "attempt_history_agg",
