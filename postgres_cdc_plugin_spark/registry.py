@@ -9,14 +9,18 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-3 window: the r2 ERR
-    fix (multimodal_features), the reworked envelope pair, the never-
-    checked pair (embed_semdedup, docs_cluster_dedup), all thirty-one
-    new round-3 queries, then the least-recently-verified r1-green
-    fill (evidence now two rounds old). The most expensive oracle
-    (docs_cluster_dedup's recursive CTE) sits at position 50 so a
-    driver timeout there still leaves CORRECTNESS rows for everything
-    before it.
+    most-recently-green family to the tail. Round-4 window: queries
+    with zero or stale driver rows first (token_heavy_hitters — never
+    checked; multimodal_frame_sample — oracle added after its last
+    driver row), then every query whose code/oracle changed THIS round
+    (fuzzy match re-block, triangle re-orientation, method-agreement
+    reuse, CC-family rework, y4m decode path, division-guard oracles,
+    winnowing byte-addressing), any new round-4 queries, then the
+    33-query r1-green tail whose last driver evidence is three rounds
+    old. The r3-green block (fresh CORRECTNESS_r03 rows) rotates to
+    the back. Expensive oracles (the CC recursive CTEs) sit at the end
+    of the window so a driver timeout there still leaves CORRECTNESS
+    rows for everything before them.
 """
 
 from __future__ import annotations
@@ -46,74 +50,27 @@ ROWS_ONLY = {
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # ---- round-3 window (first 50) ----
-    # Broken/unproven first: the r2 ERR fix, the r2-reworked envelope
-    # pair (r1 green evidence predates the before-image rework), and the
-    # two queries that have never had a CORRECTNESS row.
-    "multimodal_features",
-    "cdc_envelope",
-    "cdc_envelope_json",
-    "embed_semdedup",
-    # New round-3 queries (registered later this round; names absent
-    # from the registry are skipped, so listing them early is safe).
-    "multimodal_neardup",
-    "multimodal_decoded_stats",
-    "embed_ann_ivfpq",
-    "docs_pii_scan",
-    "docs_unigram_surprisal",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_user_paths",
-    "lineitem_small_qty_parts",
-    "embed_kmeans",
-    "orders_rfm_segments",
-    "events_anomaly_mad",
-    "orders_yoy_growth",
-    "token_bpe_merges",
-    "docs_winnowing",
-    "embed_recall_audit",
-    "events_user_ewma",
-    "part_abc_pareto",
-    "orders_market_basket",
-    "docs_linear_classifier",
-    "token_count_min",
-    "events_ab_test",
-    "part_copurchase_pagerank",
-    "docs_dedup_method_agreement",
-    "lineitem_zorder_layout",
-    "part_triangle_counts",
-    "multimodal_resize",
-    "docs_token_entropy",
-    "lineitem_discount_regression",
-    "customer_fuzzy_match",
-    "orders_cohort_ltv",
-    # Least-recently-verified fill: the r1-green tail (last driver
-    # evidence is two rounds old). r2-green family rotates out.
-    "cdc_delta_agg",
-    "receiver_replay_dedup",
-    "creds_display_format",
-    "cdc_latest_state",
-    "cdc_scd2_history",
-    "cdc_op_filter",
-    "cdc_column_diff",
-    "creds_lookup_join",
-    "customer_balance_outliers",
-    "customer_pii_anonymize",
-    "orders_enrich_join",
-    "orders_shipping_priority",
-    "lineitem_pricing_agg",
-    "events_session_window",
-    # Position 50: docs_cluster_dedup carries the expensive
-    # recursive-CTE oracle — last in the window so a driver timeout
-    # there still leaves CORRECTNESS rows for everything before it.
-    "docs_cluster_dedup",
-    # ---- position 51+ (r4 rotation candidates) ----
-    # r4 window plan: promote the r1-green tail below (its last driver
-    # evidence will be three rounds old) plus token_heavy_hitters (the
-    # one query with NO driver row of any kind — rows-only, currently
-    # outside the window); the r3-new block above rotates out once
-    # CORRECTNESS_r03 lands green.
-    # r1-green queries that didn't fit this round's window:
+    # ---- round-4 window (first 50) ----
+    # Zero/stale driver evidence first.
+    "token_heavy_hitters",        # never had ANY driver row (rows-only)
+    "multimodal_frame_sample",    # oracle added after its last (r2) driver row
+    # Queries whose code or oracle changed THIS round (need fresh rows):
+    "multimodal_decoded_stats",   # y4m video decode path added
+    "multimodal_resize",          # y4m video decode path added
+    "customer_fuzzy_match",       # high-cardinality blocking key rework
+    "part_triangle_counts",       # degree-ordered orientation rework
+    "docs_dedup_method_agreement",# persisted-pair-relation reuse
+    "docs_winnowing",             # oracle byte-addressing fix (ADVICE)
+    "events_ab_test",             # division-by-zero NULLIF guard (ADVICE)
+    "events_funnel",              # division-by-zero NULLIF guard (ADVICE)
+    # New round-4 queries (inserted here as they land):
+    "docs_suffix_dup_spans",
+    "docs_decontaminate_ngram",
+    "docs_url_dedup",
+    "docs_domain_mix",
+    "docs_robots_filter",
+    # The 33-query r1-green tail — last driver evidence is round 1,
+    # three rounds old by now (VERDICT r3 "do this" #1).
     "creds_last_wins",
     "queue_ready_topk",
     "retry_schedule",
@@ -147,7 +104,14 @@ PRIORITY_ORDER = [
     "fanout_union",
     "props_json_extract",
     "approx_distinct_users",
-    # -- everything after this appends in module order (r2-green)
+    # Positions 49-50: the reworked CC family carries the expensive
+    # recursive-CTE oracles — last in the window so a driver timeout
+    # there still leaves CORRECTNESS rows for everything before it.
+    "docs_dup_clusters",
+    "docs_cluster_dedup",
+    # ---- position 51+ ----
+    # r3-green block (fresh CORRECTNESS_r03 rows) + r2-green family
+    # append in module order below.
 ]
 
 
