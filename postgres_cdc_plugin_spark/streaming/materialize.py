@@ -95,13 +95,20 @@ class LatestStateTable:
         return self.spark.read.schema(STATE_SCHEMA).parquet(self.path)
 
     def _swap_in(self, staged: str) -> None:
+        # Marker removal is the COMMIT POINT and must precede the .old
+        # cleanup (mirrors queue.py's compact swap): if we crashed mid
+        # rmtree(.old) with the marker still present, recovery would
+        # roll back to the half-deleted backup and silently lose every
+        # key outside the last batch. With the marker gone first, a
+        # crash during cleanup leaves a marker-less .old that the
+        # recovery tail treats as junk and deletes.
         marker = self.path + ".swap"
         open(marker, "w").close()
         if os.path.exists(self.path):
             os.rename(self.path, self.path + ".old")
         os.rename(staged, self.path)
-        shutil.rmtree(self.path + ".old", ignore_errors=True)
         os.remove(marker)
+        shutil.rmtree(self.path + ".old", ignore_errors=True)
         self.spark.catalog.refreshByPath(self.path)
 
     # -- merge -----------------------------------------------------------

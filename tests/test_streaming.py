@@ -1561,6 +1561,20 @@ def test_latest_state_materializer_stream_and_recovery(spark, tmp_path):
     restored = sorted((r.key, r.seq, r.new) for r in t.read().collect())
     assert restored == after
 
+    # crash DURING post-commit cleanup: marker already removed (the
+    # commit point), rmtree(.old) died half-way leaving a corrupt
+    # partial backup. Recovery must keep the committed new snapshot
+    # and discard the junk .old — NOT roll back (a rollback here would
+    # install the partial backup and silently lose keys).
+    import os as _os
+
+    _shutil.copytree(t.path, t.path + ".old")
+    for f in list(_os.listdir(t.path + ".old"))[: 1]:
+        _os.remove(_os.path.join(t.path + ".old", f))  # corrupt it
+    kept = sorted((r.key, r.seq, r.new) for r in t.read().collect())
+    assert kept == after
+    assert not _os.path.exists(t.path + ".old")
+
 
 def test_scd2_history_materializer(spark, tmp_path):
     """streaming/materialize.Scd2HistoryTable: every change becomes a
