@@ -536,62 +536,92 @@ def docs_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment: connected components over the
-    verified SimHash near-dup pairs, labeling every involved document
-    with the smallest doc_id reachable from it (the cluster canonical).
+def _cc_union_find_pdf(pdf):
+    """Path-compressed, min-rooted union-find over one pandas batch of
+    edges. Roots are always the minimum doc_id of their component
+    (np.unique sorts ids, and union always attaches the larger-index
+    root under the smaller), so labels match the distributed min-label
+    fixpoint bit-for-bit — pinned by test_cc_paths_bit_equal."""
+    import numpy as np
+    import pandas as pd
 
-    Pairwise dedup (docs_simhash_dedup) drops doc_b of each pair, which
-    over-deletes on chains (a~b, b~c but a!~c). Cluster-based dedup
-    keeps exactly one doc per component — the standard corpus-dedup
-    refinement. Components are computed by Pregel-style min-label
-    propagation: each round every vertex takes the min of its own and
-    its neighbors' labels; rounds = graph diameter (log-ish for
-    near-dup graphs, whose components are tiny and dense). Each round
-    is one shuffle join on the vertex id; the only driver-side values
-    are the per-round convergence counts (a scalar), never the data.
-    The DuckDB oracle computes the same closure with WITH RECURSIVE —
-    an iterative Spark algorithm still fully value-checked.
-    """
-    docs = load(spark, sf_dir, "documents")
-    # localCheckpoint (not persist): each round's plan would otherwise
-    # nest the full SimHash candidate plan plus every prior round —
-    # lineage must be CUT, not just cached, or plan construction itself
-    # blows up after a few iterations. Checkpoint BEFORE the
-    # symmetrizing union: both union branches read the materialized
-    # pairs instead of each re-running the whole SimHash candidate plan
-    # (measured 2x on the dominant phase)
-    pairs = _simhash_pairs_df(docs).select("doc_a", "doc_b").localCheckpoint()
-    # Size the iteration's shuffles to the SUBGRAPH, not the corpus: the
-    # label loop operates only on vertices that appear in a near-dup
-    # pair — orders of magnitude smaller than the corpus — and its exact
-    # pair count is already materialized (checkpointed), so reading it
-    # costs one cheap action. Inheriting the corpus-sized session
-    # shuffle width makes every round pay ~width tasks of pure
-    # scheduling overhead on a relation that may fit in one partition
-    # (measured ~40% of the query's wall time at sf0.1). ~100k edges per
-    # partition keeps tasks meaty; defaultParallelism caps the width
-    # for genuinely huge dup graphs. Conf is execution-time state: the
-    # corpus-sized pair generation above already ran at session width,
-    # everything eager below (edge/label checkpoints + rounds) runs at
-    # loop width, and the conf is restored before the lazy corpus-sized
-    # tail (cluster_size window / downstream anti-joins) ever executes.
-    n_pairs = pairs.count()
+    a = pdf["doc_a"].to_numpy()
+    b = pdf["doc_b"].to_numpy()
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    parent = np.arange(len(ids))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(a)
+    for x, y in zip(inv[:n], inv[n:]):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    return pd.DataFrame({"doc_id": ids, "cluster_id": ids[roots]})
+
+
+# Above this many near-dup edges the dup graph stops being a single
+# task's problem: 2M (doc_a, doc_b) int64 pairs is ~32 MB on the wire
+# and the union-find loop stays in the low seconds — far below executor
+# memory and far above any sf we test, while a 100 TB corpus (billions
+# of edges) routes to the distributed doubling loop.
+_CC_SINGLE_TASK_EDGE_CAP = 2_000_000
+_CC_CHECK_EVERY = 2  # distributed rounds per convergence action
+
+
+def _cc_labels_single_task(pairs: DataFrame) -> DataFrame:
+    """Connected components for SUBCRITICAL dup graphs: route every
+    edge to ONE executor task (groupBy on a constant) and run
+    union-find there. One shuffle + one Arrow batch instead of
+    O(rounds) join stages — the per-round job-scheduling overhead of
+    the iterative path dominated wall time on sparse graphs (r3 bench:
+    the CC family was ~10% of the whole suite). Executor-side, never a
+    driver collect; only used below _CC_SINGLE_TASK_EDGE_CAP."""
+    return pairs.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: _cc_union_find_pdf(pdf), "doc_id long, cluster_id long"
+    )
+
+
+def _cc_labels_distributed(
+    spark: SparkSession, pairs: DataFrame, n_pairs: int
+) -> DataFrame:
+    """Pregel-style min-label propagation with pointer doubling — the
+    100 TB path for dup graphs too large for a single task.
+
+    Size the iteration's shuffles to the SUBGRAPH, not the corpus: the
+    label loop operates only on vertices in a near-dup pair — orders of
+    magnitude smaller than the corpus (~100k edges per partition keeps
+    tasks meaty; defaultParallelism caps the width). The session
+    shuffle-width conf is execution-time state mutated ONLY while the
+    loop's eager actions run and restored before returning — this
+    assumes one query executes at a time in the session (true for the
+    bench harness and driver; a concurrent query in the same session
+    would momentarily inherit loop width — documented limitation).
+
+    Each round runs TWO (min-step, pointer-shortcut) passes, so labels
+    travel ~4 hops per round (measured 6 -> 3 rounds at sf0.1).
+    Convergence protocol (r4): rounds run in batches of _CC_CHECK_EVERY
+    with NO per-round action — a batch's rounds nest into one lazy plan
+    (bounded: <= 8 joins) that a single eager localCheckpoint
+    materializes, then ONE limit(1).count() checks stability over the
+    whole batch. Labels only ever decrease, so "unchanged across the
+    batch" == fixpoint; this halves Spark jobs per round vs checking
+    every round, and per-round fixed cost (job scheduling + checkpoint)
+    is what dominates on sparse graphs. The round cap is a safety
+    valve; a silent cap would return WRONG labels on longer chains —
+    fail loud."""
     sc = spark.sparkContext
     loop_width = max(1, min(sc.defaultParallelism, 2 * n_pairs // 100_000 + 1))
     prev_width = spark.conf.get("spark.sql.shuffle.partitions")
     converged = False
-    # Each checkpointed round runs TWO (min-step, pointer-shortcut)
-    # passes before materializing: the min-step pulls the smallest
-    # neighbor label one hop, the shortcut follows the label chain one
-    # more hop (label <- label(label)), so labels travel ~4 hops per
-    # round — measured 6 -> 3 rounds at sf0.1 for the same wall-time
-    # per round, and per-round fixed cost (checkpoint + convergence
-    # action) is what dominates on sparse near-dup graphs. Both steps
-    # preserve the invariant "a node's label is a doc_id inside its own
-    # component", so the fixpoint (component min) is unchanged. The cap
-    # is a safety valve; a silent cap would return WRONG labels on
-    # longer chains — fail loud.
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
         edges = pairs.union(
@@ -605,41 +635,46 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("doc_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        for _ in range(_CC_MAX_ROUNDS):
+        rounds = 0
+        while rounds < _CC_MAX_ROUNDS:
+            batch = min(_CC_CHECK_EVERY, _CC_MAX_ROUNDS - rounds)
             cur = labels.withColumn("old", F.col("cluster_id"))
-            for _step in range(2):
-                lab = cur.select(
-                    F.col("doc_id").alias("l_id"), F.col("cluster_id").alias("l_lab")
-                )
-                nbr = (
-                    edges.join(lab, edges.doc_b == F.col("l_id"))
-                    .groupBy("doc_a")
-                    .agg(F.min("l_lab").alias("nbr_min"))
-                )
-                cur = cur.join(nbr, cur.doc_id == nbr.doc_a, "left").select(
-                    "doc_id",
-                    "old",
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce("nbr_min", F.col("cluster_id")),
-                    ).alias("cluster_id"),
-                )
-                ptr = cur.select(
-                    F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lab")
-                )
-                cur = cur.join(ptr, cur.cluster_id == ptr.p_id).select(
-                    "doc_id",
-                    "old",
-                    F.least("cluster_id", "p_lab").alias("cluster_id"),
-                )
+            for _round_in_batch in range(batch):
+                for _step in range(2):
+                    lab = cur.select(
+                        F.col("doc_id").alias("l_id"),
+                        F.col("cluster_id").alias("l_lab"),
+                    )
+                    nbr = (
+                        edges.join(lab, edges.doc_b == F.col("l_id"))
+                        .groupBy("doc_a")
+                        .agg(F.min("l_lab").alias("nbr_min"))
+                    )
+                    cur = cur.join(nbr, cur.doc_id == nbr.doc_a, "left").select(
+                        "doc_id",
+                        "old",
+                        F.least(
+                            F.col("cluster_id"),
+                            F.coalesce("nbr_min", F.col("cluster_id")),
+                        ).alias("cluster_id"),
+                    )
+                    ptr = cur.select(
+                        F.col("doc_id").alias("p_id"),
+                        F.col("cluster_id").alias("p_lab"),
+                    )
+                    cur = cur.join(ptr, cur.cluster_id == ptr.p_id).select(
+                        "doc_id",
+                        "old",
+                        F.least("cluster_id", "p_lab").alias("cluster_id"),
+                    )
+            rounds += batch
             new_labels = cur.select(
                 "doc_id",
                 "cluster_id",
                 (F.col("cluster_id") < F.col("old")).alias("improved"),
             ).localCheckpoint()
-            changed = new_labels.filter("improved").limit(1).count()
             labels = new_labels.drop("improved")
-            if changed == 0:
+            if new_labels.filter("improved").limit(1).count() == 0:
                 converged = True
                 break
     finally:
@@ -651,6 +686,41 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"> {_CC_MAX_ROUNDS}; raise _CC_MAX_ROUNDS (wrong labels must "
             "never be returned silently)"
         )
+    return labels
+
+
+def _cc_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Scale-adaptive connected components over a checkpointed pair
+    relation. The edge count is already materialized, so reading it
+    costs one cheap action; subcritical graphs take the one-job
+    union-find, larger ones the diameter-bounded doubling loop. Both
+    produce identical labels (test_cc_paths_bit_equal)."""
+    n_pairs = pairs.count()
+    if n_pairs <= _CC_SINGLE_TASK_EDGE_CAP:
+        return _cc_labels_single_task(pairs)
+    return _cc_labels_distributed(spark, pairs, n_pairs)
+
+
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    verified SimHash near-dup pairs, labeling every involved document
+    with the smallest doc_id reachable from it (the cluster canonical).
+
+    Pairwise dedup (docs_simhash_dedup) drops doc_b of each pair, which
+    over-deletes on chains (a~b, b~c but a!~c). Cluster-based dedup
+    keeps exactly one doc per component — the standard corpus-dedup
+    refinement. Component labeling is scale-adaptive (see _cc_labels):
+    a single-task union-find below _CC_SINGLE_TASK_EDGE_CAP edges,
+    Pregel-style min-label propagation with pointer doubling above it.
+    The DuckDB oracle computes the same closure with WITH RECURSIVE —
+    an iterative Spark algorithm still fully value-checked.
+    """
+    docs = load(spark, sf_dir, "documents")
+    # localCheckpoint (not persist): the pair relation feeds both the
+    # edge-count action and the label computation — materialize it once
+    # and CUT lineage so neither re-runs the SimHash candidate plan.
+    pairs = _simhash_pairs_df(docs).select("doc_a", "doc_b").localCheckpoint()
+    labels = _cc_labels(spark, pairs)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
