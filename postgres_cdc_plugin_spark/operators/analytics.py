@@ -945,7 +945,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_idx",
         "stage",
         "n_users",
-        F.round(F.col("n_users") / F.col("entry"), 4).alias("pct_of_entry"),
+        # nullif: zero signups would make every stage 0/0, which
+        # diverges across engines (Spark NULL vs DuckDB nan) — NULL
+        F.round(
+            F.col("n_users") / F.nullif(F.col("entry"), F.lit(0)), 4
+        ).alias("pct_of_entry"),
     )
 
 
@@ -1336,9 +1340,16 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean").alias("mean_treatment"),
         F.col("var").alias("var_treatment"),
     )
-    z = (F.col("mean_treatment") - F.col("mean_control")) / F.sqrt(
-        F.col("var_treatment") / F.col("n_treatment")
-        + F.col("var_control") / F.col("n_control")
+    # nullif guard on the pooled standard error: with BOTH arms at
+    # var=0 the denominator is 0 and 0-div diverges across engines
+    # (Spark non-ANSI NULL vs DuckDB IEEE inf/nan) — both sides now
+    # agree on NULL (and `significant` degrades to NULL with it)
+    z = (F.col("mean_treatment") - F.col("mean_control")) / F.nullif(
+        F.sqrt(
+            F.col("var_treatment") / F.col("n_treatment")
+            + F.col("var_control") / F.col("n_control")
+        ),
+        F.lit(0.0),
     )
     return (
         c.join(t, "event_type")
@@ -1817,11 +1828,11 @@ ORACLE_SQL = {
                mean_control, mean_treatment,
                round(mean_treatment - mean_control, 6) AS mean_diff,
                round((mean_treatment - mean_control)
-                     / sqrt(var_treatment / n_treatment
-                            + var_control / n_control), 6) AS z_score,
+                     / NULLIF(sqrt(var_treatment / n_treatment
+                            + var_control / n_control), 0), 6) AS z_score,
                abs(round((mean_treatment - mean_control)
-                     / sqrt(var_treatment / n_treatment
-                            + var_control / n_control), 6)) > 1.96
+                     / NULLIF(sqrt(var_treatment / n_treatment
+                            + var_control / n_control), 0), 6)) > 1.96
                    AS significant
         FROM c JOIN t ON c.event_type = t.event_type
     """,
@@ -1968,13 +1979,13 @@ ORACLE_SQL = {
                    (SELECT count(*) FROM s4) AS n4
         )
         SELECT 1 AS stage_idx, 'signup' AS stage, n1 AS n_users,
-               round(n1 * 1.0 / n1, 4) AS pct_of_entry FROM n
+               round(n1 * 1.0 / NULLIF(n1, 0), 4) AS pct_of_entry FROM n
         UNION ALL
-        SELECT 2, 'view', n2, round(n2 * 1.0 / n1, 4) FROM n
+        SELECT 2, 'view', n2, round(n2 * 1.0 / NULLIF(n1, 0), 4) FROM n
         UNION ALL
-        SELECT 3, 'click', n3, round(n3 * 1.0 / n1, 4) FROM n
+        SELECT 3, 'click', n3, round(n3 * 1.0 / NULLIF(n1, 0), 4) FROM n
         UNION ALL
-        SELECT 4, 'purchase', n4, round(n4 * 1.0 / n1, 4) FROM n
+        SELECT 4, 'purchase', n4, round(n4 * 1.0 / NULLIF(n1, 0), 4) FROM n
     """,
     "events_retention_cohorts": """
         WITH cohort AS (

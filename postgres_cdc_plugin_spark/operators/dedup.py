@@ -471,11 +471,16 @@ def simhash_block_pairs(
 
 
 def _simhash_pairs_df(docs: DataFrame) -> DataFrame:
-    # NOT persisted: the signature blocks feeding this ARE persisted
-    # (the expensive stage), the band join on top is cheap, and the CC
-    # consumers localCheckpoint their selection of it anyway — caching
-    # here just double-materializes under that checkpoint
-    return simhash_block_pairs(_simhash_blocks_df(docs))
+    # Persisted (r4): four session consumers fan out of this relation
+    # (docs_simhash_pairs, docs_simhash_dedup, the CC family's
+    # checkpoint build, docs_dedup_method_agreement) — without the
+    # cache each re-ran the band join + hamming verify on top of the
+    # persisted signature blocks, which r3's bench measured as the
+    # dominant cost of the method-agreement audit (7.25 s). The
+    # relation is pair-set sized, so the double-materialization under
+    # the CC localCheckpoint costs KBs of storage for a whole candidate
+    # pipeline saved per consumer.
+    return simhash_block_pairs(_simhash_blocks_df(docs)).persist()
 
 
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,9 +533,15 @@ def docs_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_minhash",
             "n_simhash",
             "n_both",
+            # nullif guard: with BOTH pair sets empty the union size is
+            # 0 and 0/0 diverges across engines (Spark non-ANSI NULL vs
+            # DuckDB IEEE nan) — both sides now agree on NULL
             (
                 F.col("n_both")
-                / (F.col("n_minhash") + F.col("n_simhash") - F.col("n_both"))
+                / F.nullif(
+                    F.col("n_minhash") + F.col("n_simhash") - F.col("n_both"),
+                    F.lit(0),
+                )
             ).alias("pair_set_jaccard"),
         )
     )
@@ -886,7 +897,7 @@ ORACLE_SQL = {
         SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
                CAST(n_simhash AS BIGINT) AS n_simhash,
                CAST(n_both AS BIGINT) AS n_both,
-               n_both / CAST(n_minhash + n_simhash - n_both AS DOUBLE)
+               n_both / CAST(NULLIF(n_minhash + n_simhash - n_both, 0) AS DOUBLE)
                    AS pair_set_jaccard
         FROM nm, ns, nb
     """,
