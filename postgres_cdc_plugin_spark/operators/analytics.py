@@ -1509,46 +1509,251 @@ def lineitem_discount_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_MAX_DIST = 3  # levenshtein threshold for a candidate match
+_FUZZY_SEGMENTS = _FUZZY_MAX_DIST + 1  # PassJoin pigeonhole: k+1 pieces
+# Below this name length the pigeonhole segments degenerate toward
+# empty strings; such records route through the coarse-block branch
+# (a bounded, tiny relation).
+_FUZZY_SHORT = 2 * _FUZZY_SEGMENTS
+
+
+def _fuzzy_segment_bounds(
+    spark: SparkSession, names: DataFrame, min_len: int, max_len: int
+) -> DataFrame:
+    """Entropy-balanced PassJoin segment boundaries, one row per
+    (string length L, segment index i) -> [start, len].
+
+    ANY contiguous partition of a string into k+1 pieces satisfies the
+    pigeonhole (<= k edits cannot touch all k+1 pieces), so boundary
+    placement is free to optimize JOIN-KEY CARDINALITY. Equal-length
+    pieces degenerate on corpora with constant affixes (entity names
+    like 'Customer#000000042' put all information in a few positions —
+    an equal split makes the prefix segments constant join keys, i.e.
+    the coarse block again). Instead, ONE corpus pass computes the
+    approx distinct-character count at each position (map-side partial
+    agg, a single ~max_len-column row collected), and per length L the
+    cut points split the cumulative log2(distinct) information mass
+    into k+1 near-equal shares — every segment then carries
+    discriminative characters and the segment join key has corpus-
+    scaled cardinality. The profile row is the only driver-side value
+    (bounded by max name length, never data-sized); boundaries ship
+    back as a broadcast-joined ~(lengths x k+1)-row relation."""
+    import math
+
+    k = _FUZZY_MAX_DIST
+    s = _FUZZY_SEGMENTS
+    prof = names.agg(
+        *[
+            F.approx_count_distinct(
+                F.substring(F.col("c_name"), p, 1)
+            ).alias(f"p{p}")
+            for p in range(1, max_len + 1)
+        ]
+    ).first()
+    w = [math.log2(max(1, prof[p - 1])) for p in range(1, max_len + 1)]
+    rows = []
+    for L in range(max(min_len, _FUZZY_SHORT), max_len + 1):
+        ws = w[:L]
+        total = sum(ws)
+        if total <= 0:
+            cuts = [round(j * L / s) for j in range(s + 1)]
+        else:
+            cuts = [0]
+            acc = 0.0
+            j = 1
+            for p, wp in enumerate(ws, start=1):
+                acc += wp
+                while j < s and acc >= total * j / s:
+                    cuts.append(p)
+                    j += 1
+            while len(cuts) < s:
+                cuts.append(L)
+            cuts.append(L)
+        # enforce non-empty, monotone segments (feasible: L >= s)
+        for j in range(1, s):
+            cuts[j] = min(max(cuts[j], j), L - (s - j))
+        for j in range(1, s):
+            cuts[j] = max(cuts[j], cuts[j - 1] + 1)
+        for i in range(1, s + 1):
+            rows.append((L, i, cuts[i - 1] + 1, cuts[i] - cuts[i - 1]))
+    return spark.createDataFrame(
+        rows, "L int, i int, seg_start int, seg_len int"
+    )
 
 
 def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity matching (the MDM/record-linkage shape):
-    candidate pairs form ONLY within a blocking key — here
-    (c_mktsegment, c_nationkey) — and are scored by Levenshtein edit
-    distance, keeping pairs within _FUZZY_MAX_DIST edits. Blocking is
-    what makes fuzzy matching survive scale: the join is an equi-join
-    on the block key (never an O(n²) cross-corpus comparison), and the
-    expensive edit-distance only runs inside blocks, whose size the
-    blocking key bounds. Both engines implement unit-cost Levenshtein
-    identically — exact integer distances, no rounding anywhere."""
+    candidate pairs are scored by Levenshtein edit distance, keeping
+    pairs within _FUZZY_MAX_DIST edits inside a
+    (c_mktsegment, c_nationkey) business block.
+
+    Blocking key (r4 rework): the coarse business key alone has FIXED
+    cardinality (~125 blocks), so at 100x the customers every block
+    grows 100x and in-block candidate pairs grow ~10,000x. The r4 key
+    adds a HIGH-CARDINALITY name-derived component via the PassJoin
+    pigeonhole (Li, Deng & Feng, ICDE 2011 — public literature): split
+    each name into k+1 contiguous segments; if ed(a, b) <= k, at least
+    one segment of `a` survives untouched and appears in `b` as an
+    exact substring whose position shift d satisfies
+    |d| + |Δ - d| <= k (edits before the segment bound d, edits after
+    bound Δ - d, Δ = len(b) - len(a)). Candidates therefore come from
+    an EQUI-JOIN on (block, partner_len, segment_idx, segment_text) —
+    and segment boundaries are ENTROPY-BALANCED per length (see
+    _fuzzy_segment_bounds) so constant affixes ('Customer#…') cannot
+    collapse any segment's key cardinality back to the coarse block.
+    The b-side substring explode is bounded: (2k+1 lengths) x (k+1
+    segments) x (shift-budget-pruned d values) ~ 100 rows per record,
+    all JVM-side expressions. Names shorter than _FUZZY_SHORT route
+    through the coarse-block branch (a tiny, length-bounded relation).
+    Verification (exact levenshtein <= k) runs only on the
+    deduplicated candidate set. The DuckDB oracle is the naive
+    in-block quadratic — the driver's hash check therefore PROVES the
+    blocking is lossless, not just fast. Both engines implement
+    unit-cost Levenshtein identically — exact integer distances, no
+    rounding anywhere."""
+    k = _FUZZY_MAX_DIST
+    s = _FUZZY_SEGMENTS
     cust = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_nationkey",
+        F.length("c_name").alias("ln"),
     )
-    a, b = cust.alias("a"), cust.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            # lossless prefilter: edit distance is at least the length
-            # gap, so pairs differing by more than the threshold in
-            # length never reach the expensive levenshtein — the
-            # standard guard for variable-length entity corpora
-            & (
-                F.abs(F.length(F.col("a.c_name")) - F.length(F.col("b.c_name")))
-                <= _FUZZY_MAX_DIST
-            ),
+    lens = cust.agg(
+        F.min("ln").alias("mn"), F.max("ln").alias("mx")
+    ).first()
+    bounds = F.broadcast(
+        _fuzzy_segment_bounds(spark, cust, int(lens.mn), int(lens.mx))
+    )
+    long_names = cust.filter(F.col("ln") >= _FUZZY_SHORT)
+
+    # role A: each long name contributes its own k+1 segments
+    a_ex = (
+        long_names.select(
+            F.col("c_custkey").alias("ka"),
+            F.col("c_name").alias("name_a"),
+            "c_mktsegment",
+            "c_nationkey",
+            F.col("ln").alias("la"),
         )
+        .join(bounds, F.col("la") == F.col("L"))
         .select(
-            F.col("a.c_custkey").alias("custkey_a"),
-            F.col("b.c_custkey").alias("custkey_b"),
-            F.col("a.c_mktsegment").alias("segment"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias(
+            "ka",
+            "name_a",
+            "c_mktsegment",
+            "c_nationkey",
+            "la",
+            "i",
+            F.substring(
+                F.col("name_a"), F.col("seg_start"), F.col("seg_len")
+            ).alias("seg"),
+        )
+    )
+
+    # role B: substrings at every (partner-length, segment, shift)
+    # combination the edit budget allows
+    b_ex = (
+        cust.select(
+            F.col("c_custkey").alias("kb"),
+            F.col("c_name").alias("name_b"),
+            "c_mktsegment",
+            "c_nationkey",
+            F.col("ln").alias("lb"),
+            F.explode(
+                F.sequence(F.col("ln") - k, F.col("ln") + k)
+            ).alias("pl"),  # candidate partner (role-A) length
+        )
+        .filter(F.col("pl") >= _FUZZY_SHORT)
+        .join(bounds, F.col("pl") == F.col("L"))
+        .select(
+            "*", F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("d")
+        )
+        # shift budget: edits before the preserved segment produce the
+        # positional shift d, edits after must absorb the remaining
+        # length difference — their counts sum within k
+        .filter(
+            F.abs(F.col("d"))
+            + F.abs((F.col("lb") - F.col("pl")) - F.col("d"))
+            <= k
+        )
+    )
+    b_pos = F.col("seg_start") + F.col("d")
+    b_ex = b_ex.filter(
+        (b_pos >= 1) & (b_pos + F.col("seg_len") - 1 <= F.col("lb"))
+    ).select(
+        "kb",
+        "name_b",
+        "c_mktsegment",
+        "c_nationkey",
+        "pl",
+        "i",
+        F.substring(F.col("name_b"), b_pos, F.col("seg_len")).alias("sub"),
+    )
+
+    seg_cand = a_ex.join(
+        b_ex,
+        (a_ex.c_mktsegment == b_ex.c_mktsegment)
+        & (a_ex.c_nationkey == b_ex.c_nationkey)
+        & (a_ex.la == b_ex.pl)
+        & (a_ex.i == b_ex.i)
+        & (a_ex.seg == b_ex.sub)
+        & (a_ex.ka != b_ex.kb),
+    ).select(
+        a_ex.c_mktsegment.alias("segment"),
+        F.least("ka", "kb").alias("custkey_a"),
+        F.greatest("ka", "kb").alias("custkey_b"),
+        F.when(F.col("ka") < F.col("kb"), F.col("name_a"))
+        .otherwise(F.col("name_b"))
+        .alias("fname_a"),
+        F.when(F.col("ka") < F.col("kb"), F.col("name_b"))
+        .otherwise(F.col("name_a"))
+        .alias("fname_b"),
+    )
+
+    # coarse-block fallback for short names (role A short). The b side
+    # is length-windowed, so both inputs are bounded relations.
+    sa = cust.filter(F.col("ln") < _FUZZY_SHORT).alias("sa")
+    sb = cust.filter(F.col("ln") < _FUZZY_SHORT + k).alias("sb")
+    short_cand = sa.join(
+        sb,
+        (F.col("sa.c_mktsegment") == F.col("sb.c_mktsegment"))
+        & (F.col("sa.c_nationkey") == F.col("sb.c_nationkey"))
+        & (F.col("sa.c_custkey") != F.col("sb.c_custkey"))
+        & (F.abs(F.col("sa.ln") - F.col("sb.ln")) <= k),
+    ).select(
+        F.col("sa.c_mktsegment").alias("segment"),
+        F.least(F.col("sa.c_custkey"), F.col("sb.c_custkey")).alias(
+            "custkey_a"
+        ),
+        F.greatest(F.col("sa.c_custkey"), F.col("sb.c_custkey")).alias(
+            "custkey_b"
+        ),
+        F.when(
+            F.col("sa.c_custkey") < F.col("sb.c_custkey"),
+            F.col("sa.c_name"),
+        )
+        .otherwise(F.col("sb.c_name"))
+        .alias("fname_a"),
+        F.when(
+            F.col("sa.c_custkey") < F.col("sb.c_custkey"),
+            F.col("sb.c_name"),
+        )
+        .otherwise(F.col("sa.c_name"))
+        .alias("fname_b"),
+    )
+
+    return (
+        seg_cand.unionByName(short_cand)
+        .distinct()
+        .select(
+            "custkey_a",
+            "custkey_b",
+            "segment",
+            F.levenshtein(F.col("fname_a"), F.col("fname_b")).alias(
                 "edit_distance"
             ),
         )
-        .filter(F.col("edit_distance") <= _FUZZY_MAX_DIST)
+        .filter(F.col("edit_distance") <= k)
     )
 
 

@@ -312,3 +312,70 @@ def test_zorder_cells_bound_both_dimensions(spark, sf_dir):
         # the cell base is 32-aligned in both dims (quad-tree cells)
         assert r.pk_min // 32 == r.pk_max // 32
         assert r.sk_min // 32 == r.sk_max // 32
+
+
+def test_fuzzy_match_blocking_is_lossless_on_adversarial_names(spark):
+    """PassJoin segment blocking vs brute force on a synthetic corpus
+    built to stress every lossless claim: shared constant prefixes
+    (degenerate equal-split segments), pure indel variants (position
+    shifts), length differences up to the full budget, names shorter
+    than _FUZZY_SHORT, and cross-block near-misses that must NOT
+    match. Deterministic corpus — no RNG."""
+    import itertools
+
+    from postgres_cdc_plugin_spark.operators import analytics as A
+
+    base = [
+        "Customer#000000001",
+        "Customer#000000002",  # 1 sub from above
+        "Customer#00000001",  # 1 deletion (shift tail)
+        "Customer#0000000012",  # 1 insertion
+        "Cust#000000001",  # far (4 deletions)
+        "ACME Corp",
+        "ACME Corp.",  # 1 insertion
+        "ACME Co",  # 2 edits from ACME Corp
+        "AB",  # short-name branch
+        "ABC",  # short, 1 edit from AB
+        "ZB",  # short, 1 sub from AB
+        "completely-different-string",
+    ]
+    rows = []
+    for idx, name in enumerate(base):
+        # two blocks: same names exist in both, but pairs must never
+        # cross the (segment, nation) boundary
+        rows.append((idx, name, "BLK1", 0))
+        rows.append((100 + idx, name + "x" if idx % 3 == 0 else name, "BLK2", 1))
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_mktsegment string, c_nationkey long"
+    )
+    import postgres_cdc_plugin_spark.session as S
+
+    orig = S.load
+    try:
+        S.load = lambda sp, sf, t: df  # noqa: ARG005
+        A.load, saved = S.load, A.load
+        got = sorted(
+            (r.custkey_a, r.custkey_b, r.edit_distance)
+            for r in A.customer_fuzzy_match(spark, "ignored").collect()
+        )
+    finally:
+        A.load = saved
+        S.load = orig
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (ka, kb, lev(na, nb))
+        for (ka, na, sa, za), (kb, nb, sb, zb) in itertools.combinations(rows, 2)
+        if sa == sb and za == zb and lev(na, nb) <= A._FUZZY_MAX_DIST
+    )
+    assert got == want
