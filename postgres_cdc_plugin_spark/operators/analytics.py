@@ -1426,29 +1426,57 @@ def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel beside connected components and PageRank, fully
     oracle-checked (exact integer counts).
 
-    Edge-iterator formulation on the a<b oriented edge list: a triangle
-    {a<b<c} is found exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two
-    equi-joins, no orientation double-counting to correct. Per-node
-    counts then credit each corner via an explode + sum. Scale: the
-    standard distributed shape — the wedge join shuffles on the shared
-    vertex, hub-vertex skew splits under AQE; at extreme skew the
-    degree-ordered orientation (a<b by degree, not id) bounds wedge
-    fan-out, noted as the 100 TB refinement.
+    Degree-ordered compact-forward formulation (r4; Schank & Wagner
+    2005 / Suri & Vassilvitskii 2011 — public literature): every edge
+    is oriented from its lower-ranked endpoint to its higher-ranked
+    one, rank = (degree, id) lexicographic. Wedges are then enumerated
+    ONLY at each triangle's lowest-ranked corner, whose out-degree is
+    O(sqrt(|E|)) by construction — a hub of degree d contributes d
+    wedges under id-ordering but only its out-neighbors (all
+    higher-rank, hence few) under degree-ordering. That bounds wedge
+    fan-out on skewed co-purchase graphs, which is exactly the 100 TB
+    failure mode of the id-oriented edge iterator. Each triangle
+    {x,y,z} (rank x<y<z) is found exactly once as o(x,y) ⋈ o(x,z)
+    closed by o(y,z) — two equi-joins, no double-counting. Per-node
+    counts credit each corner via explode + sum; counts are
+    orientation-invariant, so the DuckDB oracle keeps the simple
+    id-ordered formulation (the hash check proves equivalence).
     """
-    edges = (
-        _copurchase_pairs(spark, sf_dir)
-        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
+    deg = (
+        pairs.select(F.col("src").alias("node"))
+        .unionAll(pairs.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
+    src_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    o = (
+        pairs.join(ds, "src")
+        .join(dd, "dst")
+        .select(
+            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+            F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias(
+                "hi_deg"
+            ),
+        )
         .localCheckpoint()
     )
-    e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    e2 = edges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    e3 = edges.select(F.col("src").alias("x"), F.col("dst").alias("z"))
-    tri = (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .select(
-            F.explode(F.array("x", "y", "z")).alias("node"),
-        )
+    w1 = o.select("lo", F.col("hi").alias("y"), F.col("hi_deg").alias("y_deg"))
+    w2 = o.select("lo", F.col("hi").alias("z"), F.col("hi_deg").alias("z_deg"))
+    wedges = w1.join(w2, "lo").filter(
+        (F.col("y_deg") < F.col("z_deg"))
+        | ((F.col("y_deg") == F.col("z_deg")) & (F.col("y") < F.col("z")))
+    )
+    closing = o.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select(
+        F.explode(F.array("lo", "y", "z")).alias("node")
     )
     return tri.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 

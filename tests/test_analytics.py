@@ -379,3 +379,37 @@ def test_fuzzy_match_blocking_is_lossless_on_adversarial_names(spark):
         if sa == sb and za == zb and lev(na, nb) <= A._FUZZY_MAX_DIST
     )
     assert got == want
+
+
+def test_triangle_degree_orientation(spark, monkeypatch):
+    """Degree-ordered compact-forward triangles: a hub graph pins both
+    the counts and the orientation claim — the hub (max degree) must
+    emit ZERO wedges (it is never the lowest-ranked corner), which is
+    the whole point of degree ordering on skewed graphs."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators import analytics as A
+
+    # hub 100 connected to leaves 1..6; triangle edges among leaves:
+    # (1,2) closes hub-1-2; (3,4) closes hub-3-4; (1,3) closes hub-1-3
+    edges = [(1, 100), (2, 100), (3, 100), (4, 100), (5, 100), (6, 100),
+             (1, 2), (3, 4), (1, 3)]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "part_a long, part_b long"
+    )
+    monkeypatch.setattr(A, "_copurchase_pairs", lambda sp, sf: pairs)
+    out = {r.node: r.n_triangles for r in A.part_triangle_counts(spark, "x").collect()}
+    assert out == {100: 3, 1: 2, 2: 1, 3: 2, 4: 1}
+
+    # orientation invariant: every oriented edge points to the
+    # higher-(degree, id) endpoint, so the hub's out-degree is 0
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    hub_out = [
+        (a, b) for a, b in edges
+        if (deg[a], a) > (deg[b], b)  # hub would be 'lo' only if lower-ranked
+        and a == 100
+    ]
+    assert hub_out == []  # rank(100) is maximal: never a wedge source
