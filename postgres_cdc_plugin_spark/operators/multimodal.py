@@ -70,13 +70,39 @@ def synth_ppm_payload(data: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + padded.tobytes()
 
 
+_VID_W = 8  # synth y4m frame width
+_VID_H = 8  # synth y4m frame height
+_VID_FRAME_UNITS = 3 * _VID_W * _VID_H  # C444: full-size Y, Cb, Cr planes
+
+
+def synth_y4m_payload(data: bytes) -> bytes:
+    """Deterministic YUV4MPEG2 (y4m) container wrapping `data` as raw
+    C444 plane bytes across as many 8x8 frames as needed (zero-padded;
+    empty data still produces one all-zero frame). y4m is a public,
+    header-plus-raw-frames container (mjpegtools) parseable with pure
+    stdlib — same synthesis discipline as the WAV/PPM paths."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n_frames = max(1, -(-arr.size // _VID_FRAME_UNITS))
+    padded = np.zeros(n_frames * _VID_FRAME_UNITS, dtype=np.uint8)
+    padded[: arr.size] = arr
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (_VID_W, _VID_H)]
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(
+            padded[f * _VID_FRAME_UNITS : (f + 1) * _VID_FRAME_UNITS].tobytes()
+        )
+    return b"".join(out)
+
+
 def decode_payload(payload: bytes, modality: str):
     """Decode a media container into a numpy array.
 
-    audio -> (samples int16[n], rate); image -> pixels uint8[h, w, 3].
-    Raises ValueError on a malformed container and NotImplementedError
-    for modalities without a decoder here (video — needs libav/opencv;
-    callers treat that as the documented fallback seam)."""
+    audio -> (samples int16[n], rate); image -> pixels uint8[h, w, 3];
+    video -> frames uint8[n_frames, 3, h, w] from a YUV4MPEG2 (y4m)
+    C444 stream. Raises ValueError on a malformed container and
+    NotImplementedError for modalities with no decoder (none today —
+    the former video seam closed in r4 via the y4m parser below; the
+    branch remains for future modalities)."""
     if modality == "audio":
         try:
             with wave.open(io.BytesIO(payload), "rb") as w:
@@ -107,6 +133,43 @@ def decode_payload(payload: bytes, modality: str):
         if raster.size < w * h * 3:
             raise ValueError("PPM raster shorter than header promises")
         return raster[: w * h * 3].reshape(h, w, 3)
+    if modality == "video":
+        nl = payload.find(b"\n")
+        if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+            raise ValueError("not a YUV4MPEG2 (y4m) payload")
+        w = h = None
+        colorspace = "C420jpeg"  # the y4m spec default
+        for tok in payload[:nl].split(b" ")[1:]:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C":
+                colorspace = tok[1:].decode("ascii", "replace")
+        if w is None or h is None or w <= 0 or h <= 0:
+            raise ValueError("y4m header missing W/H")
+        if colorspace != "444":
+            raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+        frame_bytes = 3 * w * h
+        frames = []
+        pos = nl + 1
+        while pos < len(payload):
+            if not payload.startswith(b"FRAME", pos):
+                raise ValueError("y4m stream desynced: FRAME marker missing")
+            fnl = payload.find(b"\n", pos)
+            if fnl < 0:
+                raise ValueError("truncated y4m FRAME header")
+            start = fnl + 1
+            plane = np.frombuffer(payload, dtype=np.uint8,
+                                  count=frame_bytes, offset=start) \
+                if start + frame_bytes <= len(payload) else None
+            if plane is None:
+                raise ValueError("y4m frame shorter than header promises")
+            frames.append(plane.reshape(3, h, w))
+            pos = start + frame_bytes
+        if not frames:
+            raise ValueError("y4m stream contains no frames")
+        return np.stack(frames)
     raise NotImplementedError(
         f"no {modality} decoder available in this environment; "
         "install pillow/av/opencv to extend this seam"
@@ -260,11 +323,14 @@ _FRAME_STRIDE = 4  # sample every 4th frame
 def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker for frame sampling: one row per sampled frame.
 
-    The decode step is stubbed (decode_payload raises) — the sampler
-    falls back to fixed-size byte windows as deterministic fake frames.
-    The Spark-side shape is the real thing: a 1->N Arrow-batched
-    expansion whose output rows carry (doc, frame_idx) so a downstream
-    per-frame featurizer can run partition-parallel.
+    Video payloads decode through the REAL y4m parser (r4) and sample
+    every _FRAME_STRIDE-th decoded frame — frame_bytes is the true
+    C444 frame size and the checksum sums decoded plane bytes. Image/
+    audio have no temporal axis; they keep the fixed-size byte-window
+    fallback as deterministic pseudo-frames. The Spark-side shape is
+    the real thing either way: a 1->N Arrow-batched expansion whose
+    output rows carry (doc, frame_idx) so a downstream per-frame
+    featurizer can run partition-parallel.
     """
     for pdf in batches:
         doc_ids, modalities, idxs, sizes, sums = [], [], [], [], []
@@ -277,10 +343,15 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # zero rows, not a fake empty frame)
                 continue
             data = bytes(payload)
-            try:  # raw payloads aren't containers; sampler uses bytes
-                decode_payload(data, modality)
-            except (NotImplementedError, ValueError):
-                pass
+            if modality == "video":
+                frames = decode_payload(synth_y4m_payload(data), modality)
+                for fi in range(0, frames.shape[0], _FRAME_STRIDE):
+                    doc_ids.append(doc_id)
+                    modalities.append(modality)
+                    idxs.append(fi)
+                    sizes.append(int(frames[fi].size))
+                    sums.append(int(frames[fi].sum()) % 256)
+                continue
             n_frames = max(1, (len(data) + _FRAME_SIZE - 1) // _FRAME_SIZE)
             for fi in range(0, n_frames, _FRAME_STRIDE):
                 chunk = data[fi * _FRAME_SIZE : (fi + 1) * _FRAME_SIZE]
@@ -387,11 +458,14 @@ def _decoded_stats_batches(
                     pixels = decode_payload(synth_ppm_payload(data), modality)
                     vals = pixels.astype(np.float64).ravel()
                     container = "ppm"
+                elif modality == "video":
+                    frames = decode_payload(synth_y4m_payload(data), modality)
+                    vals = frames.astype(np.float64).ravel()
+                    container = "y4m"
                 else:
-                    # the documented decoder seam: raises today; if a
-                    # video decoder is installed, its output is scored
-                    # generically so extending the seam cannot crash
-                    # this query
+                    # future-modality seam: decoded output is scored
+                    # generically so extending decode_payload cannot
+                    # crash this query
                     decoded = decode_payload(data, modality)
                     vals = np.asarray(
                         decoded[0] if isinstance(decoded, tuple) else decoded,
@@ -428,7 +502,8 @@ def multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shape of an audio-loudness / image-brightness pass in a media
     pipeline: Arrow-batched mapInPandas, narrow, no shuffle; only the
     small per-doc stat rows flow downstream. audio -> WAV PCM samples,
-    image -> PPM pixels; video rows keep NULL stats (decoder seam)."""
+    image -> PPM pixels, video -> y4m C444 plane bytes (real stats
+    since r4 — the former NULL-row decoder seam is closed)."""
     docs = load(spark, sf_dir, "documents")
     return with_payload(docs).repartition("doc_id").mapInPandas(
         _decoded_stats_batches, _DECODED_SCHEMA
@@ -439,6 +514,7 @@ def multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RESIZE_DIM = 4  # images resize to 4x4 RGB (48 values)
 _RESAMPLE_N = 64  # audio resamples to 64 samples
+_VID_OUT_FRAMES = 2  # video thumbnail strip: 2 frames x 4x4 luma
 
 _RESIZE_SCHEMA = StructType(
     [
@@ -488,8 +564,33 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     vals = pixels[np.ix_(rs, cs)].astype(np.int64).ravel()
                     n = h * w * 3
                     container, n_out = "ppm", _RESIZE_DIM * _RESIZE_DIM * 3
+                elif modality == "video":
+                    frames = decode_payload(synth_y4m_payload(data), modality)
+                    nf = frames.shape[0]
+                    ts = (
+                        np.arange(_VID_OUT_FRAMES, dtype=np.int64) * nf
+                    ) // _VID_OUT_FRAMES
+                    rs = (
+                        np.arange(_RESIZE_DIM, dtype=np.int64) * _VID_H
+                    ) // _RESIZE_DIM
+                    cs = (
+                        np.arange(_RESIZE_DIM, dtype=np.int64) * _VID_W
+                    ) // _RESIZE_DIM
+                    # temporal floor-sample, then spatial floor-sample
+                    # of the luma (Y) plane — the thumbnail-strip step
+                    # of a video pipeline
+                    vals = (
+                        frames[ts][:, 0][:, rs][:, :, cs]
+                        .astype(np.int64)
+                        .ravel()
+                    )
+                    n = nf * _VID_FRAME_UNITS
+                    container, n_out = (
+                        "y4m",
+                        _VID_OUT_FRAMES * _RESIZE_DIM * _RESIZE_DIM,
+                    )
                 else:
-                    decode_payload(data, modality)  # raises: documented seam
+                    decode_payload(data, modality)  # raises: future seam
                     raise AssertionError("unreachable")
             except NotImplementedError:
                 for k in ("container", "n_in_units", "n_out_units",
@@ -787,13 +888,40 @@ ORACLE_SQL = {
                    CAST(NULL AS DOUBLE) AS resized_mean
             FROM aud WHERE n = 0
         ),
-        vid_rows AS (
-            SELECT doc_id, 'video' AS modality, CAST(NULL AS VARCHAR) AS container,
-                   CAST(NULL AS BIGINT) AS n_in_units,
-                   CAST(NULL AS BIGINT) AS n_out_units,
-                   CAST(NULL AS BIGINT) AS resized_checksum,
-                   CAST(NULL AS DOUBLE) AS resized_mean
+        vid AS (
+            SELECT doc_id, text, n,
+                   greatest(CAST(ceil(n / {_VID_FRAME_UNITS}.0) AS BIGINT), 1)
+                       AS nf
             FROM base WHERE modality = 'video'
+        ),
+        vid_vals AS (
+            -- temporal floor-sample to {_VID_OUT_FRAMES} frames, then
+            -- 2x spatial decimation of the 8x8 luma plane (frame f's Y
+            -- plane is bytes [f*{_VID_FRAME_UNITS}, f*{_VID_FRAME_UNITS}+{_VID_W * _VID_H}))
+            SELECT doc_id, nf * {_VID_FRAME_UNITS} AS n_in,
+                   ((t.i * nf) // {_VID_OUT_FRAMES}) * {_VID_FRAME_UNITS}
+                   + ((r.j * {_VID_H}) // {_RESIZE_DIM}) * {_VID_W}
+                   + (c.m * {_VID_W}) // {_RESIZE_DIM} AS flat,
+                   text, n
+            FROM vid,
+                 unnest(range(0, {_VID_OUT_FRAMES})) AS t(i),
+                 unnest(range(0, {_RESIZE_DIM})) AS r(j),
+                 unnest(range(0, {_RESIZE_DIM})) AS c(m)
+        ),
+        vid_rows AS (
+            SELECT doc_id, 'video' AS modality, 'y4m' AS container,
+                   CAST(max(n_in) AS BIGINT) AS n_in_units,
+                   CAST({_VID_OUT_FRAMES * _RESIZE_DIM * _RESIZE_DIM} AS BIGINT)
+                       AS n_out_units,
+                   CAST(sum(CASE WHEN flat < n
+                            THEN unicode(substr(text, CAST(flat + 1 AS INT), 1))
+                            ELSE 0 END) AS BIGINT) AS resized_checksum,
+                   CAST(sum(CASE WHEN flat < n
+                            THEN unicode(substr(text, CAST(flat + 1 AS INT), 1))
+                            ELSE 0 END) AS BIGINT)
+                       / {float(_VID_OUT_FRAMES * _RESIZE_DIM * _RESIZE_DIM)}
+                       AS resized_mean
+            FROM vid_vals GROUP BY doc_id
         )
         SELECT * FROM img_rows
         UNION ALL SELECT * FROM aud_rows
@@ -862,7 +990,14 @@ ORACLE_SQL = {
                CAST(mx AS DOUBLE)
         FROM img3
         UNION ALL
-        SELECT doc_id, modality, NULL, NULL, NULL, NULL, NULL
+        SELECT doc_id, modality, 'y4m',
+               CAST(greatest(CAST(ceil(n / {_VID_FRAME_UNITS}.0) AS BIGINT), 1)
+                    * {_VID_FRAME_UNITS} AS BIGINT) AS n_units,
+               s / CAST(greatest(CAST(ceil(n / {_VID_FRAME_UNITS}.0) AS BIGINT), 1)
+                    * {_VID_FRAME_UNITS} AS DOUBLE),
+               sqrt(sq / (greatest(CAST(ceil(n / {_VID_FRAME_UNITS}.0) AS BIGINT), 1)
+                    * {_VID_FRAME_UNITS})),
+               CAST(mx AS DOUBLE)
         FROM base WHERE modality = 'video'
         UNION ALL
         SELECT doc_id, {_MODALITY_SQL}, NULL, NULL, NULL, NULL, NULL
@@ -889,22 +1024,45 @@ ORACLE_SQL = {
         FROM documents WHERE text IS NULL
     """,
     "multimodal_frame_sample": f"""
-        SELECT doc_id,
-               {_MODALITY_SQL} AS modality,
+        WITH base AS (
+            SELECT doc_id, {_MODALITY_SQL} AS modality, text
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, modality,
                CAST(fi AS BIGINT) AS frame_idx,
                CAST(length(chunk) AS BIGINT) AS frame_bytes,
                CAST({_BYTESUM_SQL.format(src="chunk")} % 256 AS BIGINT)
                    AS frame_checksum
         FROM (
-            SELECT doc_id, text, fi,
+            SELECT doc_id, modality, text, fi,
                    substr(text, CAST(fi * {_FRAME_SIZE} + 1 AS INT),
                           {_FRAME_SIZE}) AS chunk
-            FROM documents,
+            FROM base,
                  unnest(range(0,
                      greatest(CAST(ceil(length(text) / {_FRAME_SIZE}.0)
                                    AS BIGINT), 1),
                      {_FRAME_STRIDE})) AS t(fi)
-            WHERE text IS NOT NULL
+            WHERE modality <> 'video'
+        )
+        UNION ALL
+        -- video: REAL decoded y4m frames — always {_VID_FRAME_UNITS}
+        -- plane bytes per frame; the checksum over zero-padded planes
+        -- equals the sum over the raw byte window
+        SELECT doc_id, modality,
+               CAST(fi AS BIGINT) AS frame_idx,
+               CAST({_VID_FRAME_UNITS} AS BIGINT) AS frame_bytes,
+               CAST({_BYTESUM_SQL.format(src="chunk")} % 256 AS BIGINT)
+                   AS frame_checksum
+        FROM (
+            SELECT doc_id, modality, text, fi,
+                   substr(text, CAST(fi * {_VID_FRAME_UNITS} + 1 AS INT),
+                          {_VID_FRAME_UNITS}) AS chunk
+            FROM base,
+                 unnest(range(0,
+                     greatest(CAST(ceil(length(text) / {_VID_FRAME_UNITS}.0)
+                                   AS BIGINT), 1),
+                     {_FRAME_STRIDE})) AS t(fi)
+            WHERE modality = 'video'
         )
     """,
     "multimodal_meta": """

@@ -79,20 +79,44 @@ def test_ppm_synth_decode_roundtrip():
     assert pixels.ravel().tobytes() == data
 
 
-def test_decode_rejects_malformed_and_video():
+def test_y4m_synth_decode_roundtrip():
+    import numpy as np
+
+    # 200 bytes -> 2 frames of 192 C444 plane bytes (zero-padded)
+    data = bytes(range(200))
+    frames = M.decode_payload(M.synth_y4m_payload(data), "video")
+    assert frames.shape == (2, 3, M._VID_H, M._VID_W)
+    flat = frames.reshape(-1)
+    assert flat[:200].tobytes() == data
+    assert not flat[200:].any()
+    # empty payload still yields one all-zero frame
+    empty = M.decode_payload(M.synth_y4m_payload(b""), "video")
+    assert empty.shape == (1, 3, M._VID_H, M._VID_W)
+    assert not empty.any()
+    assert isinstance(frames, np.ndarray)
+
+
+def test_decode_rejects_malformed():
     import pytest
 
     with pytest.raises(ValueError):
         M.decode_payload(b"this is not a wav", "audio")
     with pytest.raises(ValueError):
         M.decode_payload(b"P5\n2 2\n255\nxxxx", "image")  # P5 != P6
-    with pytest.raises(NotImplementedError):
-        M.decode_payload(b"anything", "video")
+    with pytest.raises(ValueError):
+        M.decode_payload(b"anything", "video")  # no YUV4MPEG2 magic
+    with pytest.raises(ValueError):  # frame shorter than promised
+        M.decode_payload(b"YUV4MPEG2 W8 H8 C444\nFRAME\nxx", "video")
+    with pytest.raises(ValueError):  # unsupported colorspace
+        M.decode_payload(b"YUV4MPEG2 W8 H8 C420\nFRAME\n" + b"\0" * 96, "video")
+    with pytest.raises(NotImplementedError):  # future-modality seam
+        M.decode_payload(b"anything", "hologram")
 
 
 def test_decoded_stats_match_python(spark, sf_dir):
     """The Spark decode pipeline equals a driver-side python rerun of
-    the same synth+decode+stats math; video rows carry NULL stats."""
+    the same synth+decode+stats math for ALL three modalities (video
+    decodes for real since r4)."""
     import numpy as np
 
     texts = _texts(spark, sf_dir)
@@ -102,13 +126,15 @@ def test_decoded_stats_match_python(spark, sf_dir):
         r = rows[doc_id]
         mod = _MOD[doc_id % 3]
         assert r.modality == mod
-        if mod == "video":
-            assert r.container is None and r.n_units is None
-            continue
         if mod == "audio":
             vals, _ = M.decode_payload(M.synth_wav_payload(data), "audio")
             vals = vals.astype(np.float64)
             assert r.container == "wav"
+        elif mod == "video":
+            vals = M.decode_payload(
+                M.synth_y4m_payload(data), "video"
+            ).astype(np.float64).ravel()
+            assert r.container == "y4m"
         else:
             vals = M.decode_payload(
                 M.synth_ppm_payload(data), "image"
@@ -147,7 +173,10 @@ def test_decoded_stats_empty_payload_yields_null_stats(spark):
     # the image branch pads b'' to one zero pixel (3 zero bytes)
     assert rows[2].container == "ppm" and rows[2].n_units == 3
     assert rows[2].mean_level == 0.0
-    assert pd.isna(rows[3].container)  # video: decoder seam
+    # the video branch pads b'' to one all-zero 8x8 C444 frame
+    assert rows[3].container == "y4m"
+    assert rows[3].n_units == M._VID_FRAME_UNITS
+    assert rows[3].mean_level == 0.0 and rows[3].peak_level == 0.0
 
 
 def test_phash_properties():
@@ -204,13 +233,19 @@ def test_frame_sample_covers_every_nth_frame(spark, sf_dir):
     for r in M.multimodal_frame_sample(spark, sf_dir).collect():
         by_doc.setdefault(r.doc_id, []).append(r)
     assert set(by_doc) == set(texts)
-    fs, stride = M._FRAME_SIZE, M._FRAME_STRIDE
+    stride = M._FRAME_STRIDE
     for doc_id, data in texts.items():
         frames = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        # video samples REAL y4m frames (192 padded plane bytes each);
+        # image/audio keep the byte-window pseudo-frames
+        fs = M._VID_FRAME_UNITS if _MOD[doc_id % 3] == "video" else M._FRAME_SIZE
         n_frames = max(1, (len(data) + fs - 1) // fs)
         expected_idxs = list(range(0, n_frames, stride))
         assert [f.frame_idx for f in frames] == expected_idxs
         for f in frames:
             chunk = data[f.frame_idx * fs : (f.frame_idx + 1) * fs]
-            assert f.frame_bytes == len(chunk)
+            if _MOD[doc_id % 3] == "video":
+                assert f.frame_bytes == M._VID_FRAME_UNITS
+            else:
+                assert f.frame_bytes == len(chunk)
             assert f.frame_checksum == sum(chunk) % 256
