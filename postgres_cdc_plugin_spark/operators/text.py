@@ -1151,21 +1151,25 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror). Docs with fewer than k + w - 1 chars yield no fingerprints
     (no full window exists).
 
-    Scale: gram hashing is a narrow explode (byte-addressed substr, no
-    shuffle); the window min is one doc_id-partitioned sort — the same
-    single-shuffle shape as every per-doc sequence operator here; the
-    DISTINCT dedups only selected fingerprints (~n/w of the grams), not
-    the gram stream.
+    Scale: gram hashing is a narrow explode (no shuffle); the window
+    min is one doc_id-partitioned sort — the same single-shuffle shape
+    as every per-doc sequence operator here; the DISTINCT dedups only
+    selected fingerprints (~n/w of the grams), not the gram stream.
+
+    Addressing (r4 ADVICE fix): grams are CHARACTER-addressed on both
+    engines (Spark substring on string, DuckDB substr on VARCHAR) and
+    md5 hashes the gram's UTF-8 bytes on both — bit-identical for any
+    Unicode corpus, not just ASCII (the r3 Spark side byte-addressed a
+    binary cast, which silently diverged from the char-addressed
+    oracle on non-ASCII input).
     """
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("b")
-    )
-    n_grams = F.octet_length("b") - (_WINNOW_K - 1)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_grams = F.length("text") - (_WINNOW_K - 1)
     g = (
         docs.repartition("doc_id")
         .select(
             "doc_id",
-            "b",
+            "text",
             n_grams.alias("n_grams"),
             F.explode(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))).alias("i"),
         )
@@ -1173,7 +1177,9 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "i",
-            F.md5(F.expr(f"substr(b, CAST(i AS INT), {_WINNOW_K})")).alias("h"),
+            F.md5(
+                F.substring(F.col("text"), F.col("i"), _WINNOW_K)
+            ).alias("h"),
         )
     )
     win = (
