@@ -509,3 +509,56 @@ def test_corpus_orc_ingest_roundtrip(spark, sf_dir, tmp_path):
     right = {r.doc_id: r.text for r in src.collect()}
     assert left == right
     raw.unpersist()
+
+
+def test_delta_cdf_transport_matches_changefeed(spark):
+    """Transport parity (SURVEY §1.4, Delta CDF leg): the same logical
+    changes as (a) file-changefeed rows and (b) a CDF-shaped relation
+    canonicalize to IDENTICAL change rows — insert/update pre+post
+    pairing/delete all covered. The delta reader itself is a documented
+    seam (delta-spark not installable here); this pins the shared
+    transport contract from_cdf implements."""
+    from postgres_cdc_plugin_spark.sources import changefeed, delta_cdf
+
+    ts = "2024-01-01 10:00:00"
+    cdf_rows = [
+        # (id, name, _change_type, _commit_version, _commit_timestamp)
+        (1, "A", "insert", 1, ts),
+        (1, "A", "update_preimage", 2, ts),
+        (1, "B", "update_postimage", 2, ts),
+        (2, "C", "insert", 2, ts),
+        (1, "B", "delete", 3, ts),
+    ]
+    cdf = spark.createDataFrame(
+        cdf_rows,
+        "id long, name string, _change_type string, "
+        "_commit_version long, _commit_timestamp string",
+    )
+    got = delta_cdf.from_cdf(cdf, key_field="id")
+    # same column names and types (nullability flags differ for lit()
+    # columns, which is irrelevant to the transport contract)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in changefeed.CHANGE_SCHEMA.fields
+    ]
+
+    import json as _json
+
+    want = {
+        (1, "1", "INSERT", None, '{"id":1,"name":"A"}'),
+        (2, "1", "UPDATE", '{"id":1,"name":"A"}', '{"id":1,"name":"B"}'),
+        (2, "2", "INSERT", None, '{"id":2,"name":"C"}'),
+        (3, "1", "DELETE", '{"id":1,"name":"B"}', None),
+    }
+    rows = {(r.seq, r.key, r.op, r.old, r.new) for r in got.collect()}
+    assert rows == want
+    for r in got.collect():
+        assert r.table_schema == "public" and r.table_name == "employees"
+        assert r.ts is not None
+
+    # malformed inputs fail loud, not silently canonical
+    import pytest
+
+    with pytest.raises(ValueError):
+        delta_cdf.from_cdf(cdf.drop("_commit_version"))
+    with pytest.raises(ValueError):
+        delta_cdf.from_cdf(cdf, key_field="nope")
