@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 from ..config import SubscriptionConfig
 
 
+_RESPONSE_CAP = 4096  # bytes of response body retained per attempt
+
+
 @dataclass
 class Attempt:
     event_id: str
@@ -47,6 +50,11 @@ class Attempt:
     ok: bool
     error: str | None
     at: float
+    # capped response body (reference keeps full per-attempt response
+    # JSON in attempts_response JSONB[], cdc_webhook--1.0.sql:39; we
+    # truncate to _RESPONSE_CAP so a chatty endpoint cannot bloat the
+    # attempt log). None on connection-level failure.
+    response: str | None = None
 
 
 def _is_success(status: int) -> bool:
@@ -56,10 +64,12 @@ def _is_success(status: int) -> bool:
 def post_once(
     url: str, payload: str, headers: dict[str, str], timeout: int,
     conn: http.client.HTTPConnection | None = None,
-) -> tuple[int, str | None, http.client.HTTPConnection | None]:
+) -> tuple[int, str | None, str | None, http.client.HTTPConnection | None]:
     """One HTTP(S) attempt (attempt_webhook_call, src/cdc_webhook.c:121-145).
-    Returns (status, error, live_connection) — the connection is reused
-    by the caller when the server kept it alive.
+    Returns (status, error, response_body, live_connection) — the
+    connection is reused by the caller when the server kept it alive;
+    the response body is retained (capped at _RESPONSE_CAP bytes, the
+    attempts_response analog of cdc_webhook--1.0.sql:39).
 
     The reference hands the full URL to libcurl (src/cdc_webhook.c:129),
     which negotiates TLS and preserves the query string; stdlib
@@ -69,7 +79,7 @@ def post_once(
     request target, and any other scheme is rejected outright."""
     parsed = urllib.parse.urlparse(url)
     if parsed.scheme not in ("http", "https"):
-        return -1, f"unsupported url scheme: {parsed.scheme!r}", None
+        return -1, f"unsupported url scheme: {parsed.scheme!r}", None, None
     try:
         if conn is None:
             if parsed.scheme == "https":
@@ -85,15 +95,16 @@ def post_once(
         target = (parsed.path or "/") + (f"?{parsed.query}" if parsed.query else "")
         conn.request("POST", target, body=body, headers=hdrs)
         resp = conn.getresponse()
-        resp.read()  # drain so the connection is reusable
-        return resp.status, None, conn
+        raw = resp.read()  # full drain so the connection is reusable
+        resp_body = raw[:_RESPONSE_CAP].decode("utf-8", "replace")
+        return resp.status, None, resp_body, conn
     except Exception as exc:  # connection refused / timeout / reset
         try:
             if conn is not None:
                 conn.close()
         except Exception:
             pass
-        return -1, str(exc), None
+        return -1, str(exc), None, None
 
 
 def deliver_rows_per_event(
@@ -114,13 +125,16 @@ def deliver_rows_per_event(
         parsed = urllib.parse.urlparse(url)
         pool_key = (parsed.scheme, parsed.hostname, parsed.port, timeout)
         for attempt in range(attempt_budget):
-            status, error, conn = post_once(
+            status, error, resp_body, conn = post_once(
                 url, payload, headers, timeout, conns.get(pool_key)
             )
             conns[pool_key] = conn
             ok = _is_success(status)
             attempts.append(
-                Attempt(event_id, attempt, status, ok, error, time.time())
+                Attempt(
+                    event_id, attempt, status, ok, error, time.time(),
+                    resp_body,
+                )
             )
             if ok:
                 break
@@ -143,7 +157,8 @@ def deliver_rows(
 
 
 _ATTEMPT_LOG_SCHEMA = (
-    "event_id string, attempt int, status int, ok boolean, error string, at double"
+    "event_id string, attempt int, status int, ok boolean, error string, "
+    "at double, response string"
 )
 
 
@@ -207,7 +222,7 @@ class WebhookSink:
             rows.extend(
                 Attempt(
                     r["event_id"], r["attempt"], r["status"],
-                    r["ok"], r["error"], r["at"],
+                    r["ok"], r["error"], r["at"], r.get("response"),
                 )
                 for r in t.to_pylist()
             )
@@ -233,7 +248,10 @@ class WebhookSink:
         def _deliver_partition(it):
             rows = [(r.event_id, r.payload) for r in it]
             for a in deliver_rows(rows, url, headers, cfg):
-                yield (a.event_id, a.attempt, a.status, a.ok, a.error, a.at)
+                yield (
+                    a.event_id, a.attempt, a.status, a.ok, a.error, a.at,
+                    a.response,
+                )
 
         # EXACTLY ONE Spark action runs over the delivery RDD: the
         # parquet write of this batch's attempt log, executor-side,

@@ -72,6 +72,10 @@ _ATTEMPTS_SCHEMA = StructType(
         StructField("ok", BooleanType()),
         StructField("error", StringType()),
         StructField("attempted_at", DoubleType()),  # epoch seconds
+        # capped response body per attempt — attempts_response JSONB[]
+        # analog (cdc_webhook--1.0.sql:39); NULL on connection failure
+        # and in attempt logs written before this column existed
+        StructField("response", StringType()),
     ]
 )
 
@@ -232,7 +236,11 @@ class EventQueue:
                 F.max(F.when(F.col("ok"), 1).otherwise(0)).alias("any_ok"),
                 F.max("attempted_at").alias("last_attempt_at"),
                 F.sort_array(
-                    F.collect_list(F.struct("attempt", "attempted_at", "http_status"))
+                    F.collect_list(
+                        F.struct(
+                            "attempt", "attempted_at", "http_status", "response"
+                        )
+                    )
                 ).alias("history"),
             )
         )
@@ -471,6 +479,7 @@ class EventQueue:
                     a.ok,
                     a.error,
                     a.at,
+                    a.response,
                 )
 
         # EXACTLY ONE Spark action runs over the delivery RDD: the

@@ -722,8 +722,9 @@ def test_https_scheme_selection_and_rejection():
     from postgres_cdc_plugin_spark.streaming.deliver import post_once
 
     # unknown scheme: rejected outright
-    status, err, conn = post_once("ftp://h/p", "{}", {}, 1)
+    status, err, body, conn = post_once("ftp://h/p", "{}", {}, 1)
     assert status == -1 and "unsupported url scheme" in err and conn is None
+    assert body is None
 
     made = {}
 
@@ -735,7 +736,7 @@ def test_https_scheme_selection_and_rejection():
     orig = http.client.HTTPSConnection
     http.client.HTTPSConnection = FakeHTTPS
     try:
-        status, err, _ = post_once("https://secure.example/hook", "{}", {}, 7)
+        status, err, _body, _ = post_once("https://secure.example/hook", "{}", {}, 7)
     finally:
         http.client.HTTPSConnection = orig
     assert status == -1 and "marker: https path taken" in err
@@ -748,7 +749,7 @@ def test_post_preserves_query_string():
     from postgres_cdc_plugin_spark.streaming.deliver import post_once
 
     with CaptureServer() as srv:
-        status, err, _ = post_once(srv.url + "?token=abc", "{}", {}, 5)
+        status, err, _body, _ = post_once(srv.url + "?token=abc", "{}", {}, 5)
         assert status == 200, err
         assert srv.paths_seen == ["/webhook/?token=abc"]
 
@@ -1395,7 +1396,7 @@ def test_queue_state_collapses_duplicate_event_and_attempt_rows(spark, tmp_path)
     q.enqueue_batch(batch, cfg)
     q.enqueue_batch(batch, cfg, batch_id=3)
     # the same attempt row lands twice (crash-recovery merge)
-    rows = [("ev-1", 0, 500, False, "boom", 1_700_000_000.0)]
+    rows = [("ev-1", 0, 500, False, "boom", 1_700_000_000.0, "err-body")]
     for _ in range(2):
         spark.createDataFrame(rows, _ATTEMPTS_SCHEMA).write.mode(
             "append"
