@@ -226,6 +226,8 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
             "n_inter",
+            F.col("za.sz").alias("sz_a"),
+            F.col("zb.sz").alias("sz_b"),
             # unrounded: int/int IEEE division is bit-identical across
             # engines, while round() diverges exactly at the .xxxx5
             # midpoints these rational values land on
@@ -236,8 +238,10 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
         )
         # the verified-pair relation is pair-set sized (tiny) but costs
         # the whole candidate-intersection pipeline to build; persist so
-        # the session's consumers (docs_ngram_jaccard, docs_minhash_dedup)
-        # share one build via cache-manager plan matching
+        # the session's consumers (docs_ngram_jaccard, docs_minhash_dedup,
+        # docs_ngram_containment) share one build via cache-manager plan
+        # matching. Shingle-set sizes ride along so the containment
+        # variant reuses the identical cached relation.
         .persist()
     )
 
@@ -261,7 +265,32 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard for every LSH candidate pair."""
     docs = load(spark, sf_dir, "documents")
-    return _verified_pairs(docs)
+    return _verified_pairs(docs).select("doc_a", "doc_b", "n_inter", "jaccard")
+
+
+def docs_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scores for every LSH candidate pair:
+    containment_a = |A∩B| / |A| and containment_b = |A∩B| / |B| over
+    the exact shingle sets, alongside the symmetric Jaccard.
+
+    Jaccard under-scores QUOTATION: a short document wholly embedded in
+    a long one has |A∩B| ≈ |A| but tiny |A∪B|-relative overlap, so the
+    Jaccard-thresholded dedup keeps both. Containment (Broder's
+    resemblance/containment pair, public literature) is the standard
+    signal for that case — a training-data team filters on
+    max(containment) to catch quote-inclusion near-dups. Zero extra
+    pipeline cost: projects the SAME persisted verified-pair relation
+    the Jaccard queries build (sizes ride along in the cache), so at
+    any scale this adds two divisions per candidate pair."""
+    docs = load(spark, sf_dir, "documents")
+    return _verified_pairs(docs).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "jaccard",
+        (F.col("n_inter") / F.col("sz_a").cast("double")).alias("containment_a"),
+        (F.col("n_inter") / F.col("sz_b").cast("double")).alias("containment_b"),
+    )
 
 
 def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,8 +796,131 @@ def docs_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_K = 20  # char width of the duplicated-substring probe grams
+_SPAN_DUP_MAX = 0.8  # span-filter ceiling on the duplicated-char fraction
+
+
+def _dup_span_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc cross-document duplicated-span statistics — the
+    substring-level dedup signal of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (public literature), re-expressed
+    relationally: their suffix-array scan finds substrings of length
+    >= K occurring twice in the corpus; a position-addressed K-gram
+    that occurs in >= 2 documents marks exactly the same spans, so the
+    gram relation IS the match list, no suffix array needed.
+
+    Shape: (1) a narrow positional K-gram explode; (2) one gram-content
+    aggregation counting distinct docs (map-side partials; the gram key
+    shuffles once); (3) a semi-join of positions against the
+    multi-document gram set; (4) per-doc islands-and-gaps span merge —
+    one doc_id-partitioned window (positions sort within doc), merging
+    overlapping/adjacent [i, i+K-1] intervals; (5) one doc_id rollup.
+    Nothing is quadratic: cost scales with corpus chars + the
+    duplicated-position subset. At 100 TB the gram aggregation is the
+    big shuffle — identical shape (and skew posture) to the MinHash
+    shingle signature pass above, sharing its AQE skew handling.
+
+    Char-addressed on BOTH engines (substring on string / substr on
+    VARCHAR) — Unicode-safe like docs_winnowing post-r4."""
+    n_grams = F.length("text") - (_SPAN_K - 1)
+    grams = (
+        docs.filter(n_grams >= 1)
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "i",
+            F.substring(F.col("text"), F.col("i"), _SPAN_K).alias("g"),
+        )
+    )
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_grams, "g", "semi").select("doc_id", "n_chars", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        hits.withColumn("prev_i", F.lag("i").over(w))
+        # break when this gram's interval [i, i+K-1] neither overlaps
+        # nor touches the previous one's
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_i").isNull()
+                | (F.col("i") > F.col("prev_i") + _SPAN_K),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("brk").over(
+                Window.partitionBy("doc_id")
+                .orderBy("i")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "n_chars", "span_id")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + F.lit(_SPAN_K - 1)).alias("e"),
+        )
+    )
+    return spans.groupBy("doc_id", "n_chars").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
+
+
+def docs_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated spans per document (see
+    _dup_span_stats): how many maximal regions of each doc also occur
+    verbatim elsewhere in the corpus, and what fraction of the doc they
+    cover — the audit a substring-level dedup pass is driven by."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return _dup_span_stats(docs).select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_chars",
+        F.round(
+            F.col("dup_chars") / F.col("n_chars").cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
+def docs_dup_span_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup hygiene pass: drop documents whose cross-doc
+    duplicated-span coverage exceeds _SPAN_DUP_MAX (mostly-copied
+    documents), keep everything else — the filter Lee et al. apply
+    after the span scan. One anti-join of the corpus against the
+    (tiny) over-duplicated doc set; the span kernel dominates and is
+    shared with docs_suffix_dup_spans via its plan shape."""
+    docs = load(spark, sf_dir, "documents")
+    heavy = (
+        _dup_span_stats(docs.select("doc_id", "text", "n_chars"))
+        .filter(
+            F.col("dup_chars") / F.col("n_chars").cast("double")
+            > _SPAN_DUP_MAX
+        )
+        .select("doc_id")
+    )
+    return docs.join(heavy, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 QUERIES = {
     "docs_dedup_method_agreement": docs_dedup_method_agreement,
+    "docs_suffix_dup_spans": docs_suffix_dup_spans,
+    "docs_dup_span_filter": docs_dup_span_filter,
+    "docs_ngram_containment": docs_ngram_containment,
     "docs_dup_clusters": docs_dup_clusters,
     "docs_cluster_dedup": docs_cluster_dedup,
     "docs_exact_dedup": docs_exact_dedup,
@@ -831,6 +983,7 @@ _VERIFIED_SQL = f"""
         GROUP BY c.doc_a, c.doc_b
     )
     SELECT i.doc_a, i.doc_b, i.n_inter,
+           za.sz AS sz_a, zb.sz AS sz_b,
            i.n_inter / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
     FROM inter i
     JOIN sizes za ON za.doc_id = i.doc_a
@@ -972,7 +1125,101 @@ ORACLE_SQL = {
     """,
     "docs_minhash_sigs": _SIG_SQL,
     "docs_minhash_pairs": _PAIRS_SQL,
-    "docs_ngram_jaccard": _VERIFIED_SQL,
+    "docs_ngram_jaccard": f"""
+        SELECT doc_a, doc_b, n_inter, jaccard FROM ({_VERIFIED_SQL})
+    """,
+    "docs_ngram_containment": f"""
+        SELECT doc_a, doc_b, n_inter, jaccard,
+               n_inter / CAST(sz_a AS DOUBLE) AS containment_a,
+               n_inter / CAST(sz_b AS DOUBLE) AS containment_b
+        FROM ({_VERIFIED_SQL})
+    """,
+    "docs_suffix_dup_spans": f"""
+        WITH g AS (
+            SELECT doc_id, n_chars, i,
+                   substr(text, CAST(i AS INT), {_SPAN_K}) AS g
+            FROM documents,
+                 unnest(range(1, greatest(length(text) - {_SPAN_K - 1}, 0) + 1))
+                     AS t(i)
+        ),
+        dup AS (
+            SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+            SELECT g.doc_id, g.n_chars, g.i
+            FROM g SEMI JOIN dup USING (g)
+        ),
+        marked AS (
+            SELECT doc_id, n_chars, i,
+                   CASE WHEN lag(i) OVER w IS NULL
+                             OR i > lag(i) OVER w + {_SPAN_K}
+                        THEN 1 ELSE 0 END AS brk
+            FROM hits
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        spans AS (
+            SELECT doc_id, n_chars,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS span_id,
+                   i
+            FROM marked
+        ),
+        merged AS (
+            SELECT doc_id, n_chars, span_id,
+                   min(i) AS s, max(i) + {_SPAN_K - 1} AS e
+            FROM spans GROUP BY doc_id, n_chars, span_id
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+               round(sum(e - s + 1) / CAST(max(n_chars) AS DOUBLE), 6)
+                   AS dup_frac
+        FROM merged GROUP BY doc_id
+    """,
+    "docs_dup_span_filter": f"""
+        WITH g AS (
+            SELECT doc_id, n_chars, i,
+                   substr(text, CAST(i AS INT), {_SPAN_K}) AS g
+            FROM documents,
+                 unnest(range(1, greatest(length(text) - {_SPAN_K - 1}, 0) + 1))
+                     AS t(i)
+        ),
+        dup AS (
+            SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+            SELECT g.doc_id, g.n_chars, g.i
+            FROM g SEMI JOIN dup USING (g)
+        ),
+        marked AS (
+            SELECT doc_id, n_chars, i,
+                   CASE WHEN lag(i) OVER w IS NULL
+                             OR i > lag(i) OVER w + {_SPAN_K}
+                        THEN 1 ELSE 0 END AS brk
+            FROM hits
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        spans AS (
+            SELECT doc_id, n_chars,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS span_id,
+                   i
+            FROM marked
+        ),
+        merged AS (
+            SELECT doc_id, n_chars, span_id,
+                   min(i) AS s, max(i) + {_SPAN_K - 1} AS e
+            FROM spans GROUP BY doc_id, n_chars, span_id
+        ),
+        heavy AS (
+            SELECT doc_id
+            FROM merged GROUP BY doc_id, n_chars
+            HAVING sum(e - s + 1) / CAST(n_chars AS DOUBLE) > {_SPAN_DUP_MAX}
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM documents d
+        WHERE doc_id NOT IN (SELECT doc_id FROM heavy)
+    """,
     "docs_minhash_dedup": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents d

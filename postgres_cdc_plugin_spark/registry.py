@@ -65,10 +65,10 @@ PRIORITY_ORDER = [
     "events_funnel",              # division-by-zero NULLIF guard (ADVICE)
     # New round-4 queries (inserted here as they land):
     "docs_suffix_dup_spans",
-    "docs_decontaminate_ngram",
-    "docs_url_dedup",
-    "docs_domain_mix",
-    "docs_robots_filter",
+    "docs_dup_span_filter",
+    "docs_ngram_containment",
+    "token_bigram_surprisal",
+    "docs_dsir_weights",
     # The 33-query r1-green tail — last driver evidence is round 1,
     # three rounds old by now (VERDICT r3 "do this" #1).
     "creds_last_wins",
