@@ -914,6 +914,126 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram estimate
+
+
+def token_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal per document — the next step up
+    from docs_unigram_surprisal's CCNet-style signal: mean per-position
+    -log2( λ·p(w2|w1) + (1-λ)·p(w2) ), the Jelinek-Mercer-smoothed
+    bigram model (public LM literature). Context-aware surprisal
+    separates "rare words" (high unigram surprisal, maybe fine) from
+    "incoherent sequences" (high bigram surprisal given context — the
+    stronger noise signal).
+
+    Plan shape: one doc-partitioned window builds the bigram stream
+    (lag over position), then three count aggregations — per-doc
+    bigrams, corpus bigrams cb(w1,w2), contexts cx(w1) — all map-side
+    combinable; the probability join is keyed on the Zipf-bounded
+    bigram vocabulary; one doc rollup. The mean rounds to 6 decimals
+    through the decimal hop on BOTH engines (log2 ulp + partial-sum
+    order washed, the docs_unigram_surprisal convention). Docs with
+    fewer than two tokens have no bigram positions and drop out.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.repartition("doc_id").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w1", F.lag("w").over(wdoc))
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", "w1", F.col("w").alias("w2"))
+    )
+    dbig = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cdoc")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cx = cb.groupBy("w1").agg(F.sum("cb").alias("cx"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    tot = uni.agg(F.sum("cf").cast("double").alias("tot"))
+    lam = _BIGRAM_LAMBDA
+    p = F.lit(lam) * (F.col("cb") / F.col("cx")) + F.lit(1 - lam) * (
+        F.col("cf") / F.col("tot")
+    )
+    mean_surprisal = (
+        F.round(F.sum(F.col("cdoc") * -F.log2(p)) / F.sum("cdoc").cast("double"), 6)
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return (
+        dbig.join(cb, ["w1", "w2"])
+        .join(cx, "w1")
+        .join(uni.select(F.col("w").alias("w2"), "cf"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cdoc").cast("bigint").alias("n_bigrams"),
+            mean_surprisal.alias("bigram_surprisal"),
+        )
+    )
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-sampling log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public literature): score every raw document by how much more
+    likely its tokens are under the TARGET distribution (the
+    held-out-quality split, _BENCH_SOURCE) than under the raw pool —
+    per-token mean of log2 p̂_target(w) - log2 p̂_raw(w) with add-one
+    smoothing over the shared vocabulary. The standard
+    domain-targeting pass of a pre-training pipeline: sample raw docs
+    proportionally to exp(weight).
+
+    Plan shape: ONE corpus-stats aggregation (vocab size + both token
+    totals in a single 1-row agg, broadcast), two vocabulary count
+    aggregations split by source, one token-key join of per-doc counts
+    to the two vocabularies (left join on target — absent tokens
+    smooth to count 0), one doc rollup. Round-6 decimal hop washes
+    log2 ulp + partial-sum order as everywhere else.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.repartition("doc_id").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    is_target = F.col("source") == _BENCH_SOURCE
+    stats = tok.agg(
+        F.count_distinct("w").alias("v"),
+        F.count_if(is_target).alias("tt"),
+        F.count_if(~is_target).alias("tr"),
+    )
+    ct = tok.filter(is_target).groupBy("w").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    cr = tok.filter(~is_target).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    cdoc = (
+        tok.filter(~is_target)
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.log2(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+        / (F.col("tt") + F.col("v")).cast("double")
+    ) - F.log2((F.col("cr") + 1) / (F.col("tr") + F.col("v")).cast("double"))
+    logweight = (
+        F.round(F.sum(F.col("c") * term) / F.sum("c").cast("double"), 6)
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return (
+        cdoc.join(ct, "w", "left")
+        .join(cr, "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            logweight.alias("dsir_logweight"),
+        )
+    )
+
+
 def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon entropy of the token distribution — the
     intra-doc diversity signal complementing docs_repetition_filter
@@ -1314,6 +1434,8 @@ QUERIES = {
     "token_bpe_merges": token_bpe_merges,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
+    "token_bigram_surprisal": token_bigram_surprisal,
+    "docs_dsir_weights": docs_dsir_weights,
     "docs_text_stats": docs_text_stats,
     "token_bigram_stats": token_bigram_stats,
     "token_zipf_audit": token_zipf_audit,
@@ -1502,6 +1624,80 @@ ORACLE_SQL = {
                    BETWEEN {_SURPRISAL_LO} AND {_SURPRISAL_HI} AS keep
         FROM counts JOIN vocab USING (w), tot
         GROUP BY doc_id
+    """,
+    "token_bigram_surprisal": f"""
+        WITH tok AS (
+            SELECT doc_id, t.i AS pos, s.parts[t.i] AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                  FROM documents) s,
+                 unnest(range(1, len(s.parts) + 1)) AS t(i)
+        ),
+        big AS (
+            SELECT doc_id, w1, w2 FROM (
+                SELECT doc_id,
+                       lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                       w AS w2
+                FROM tok
+            ) WHERE w1 IS NOT NULL
+        ),
+        dbig AS (
+            SELECT doc_id, w1, w2, count(*) AS cdoc
+            FROM big GROUP BY doc_id, w1, w2
+        ),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+        cx AS (SELECT w1, sum(cb) AS cx FROM cb GROUP BY w1),
+        uni AS (SELECT w, count(*) AS cf FROM tok GROUP BY w),
+        tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS tot FROM uni)
+        SELECT doc_id,
+               CAST(sum(cdoc) AS BIGINT) AS n_bigrams,
+               CAST(CAST(round(
+                   sum(cdoc * -log2({_BIGRAM_LAMBDA} * (cb / cx)
+                                    + {1 - _BIGRAM_LAMBDA} * (cf / tot)))
+                   / CAST(sum(cdoc) AS DOUBLE), 6
+               ) AS DECIMAL(38,6)) AS DOUBLE) AS bigram_surprisal
+        FROM dbig
+        JOIN cb USING (w1, w2)
+        JOIN cx USING (w1)
+        JOIN uni ON uni.w = dbig.w2, tot
+        GROUP BY doc_id
+    """,
+    "docs_dsir_weights": f"""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(DISTINCT w) AS v,
+                   sum(CASE WHEN source = '{_BENCH_SOURCE}' THEN 1 ELSE 0 END)
+                       AS tt,
+                   sum(CASE WHEN source <> '{_BENCH_SOURCE}' THEN 1 ELSE 0 END)
+                       AS tr
+            FROM tok
+        ),
+        ct AS (
+            SELECT w, count(*) AS ct FROM tok
+            WHERE source = '{_BENCH_SOURCE}' GROUP BY w
+        ),
+        cr AS (
+            SELECT w, count(*) AS cr FROM tok
+            WHERE source <> '{_BENCH_SOURCE}' GROUP BY w
+        ),
+        cdoc AS (
+            SELECT doc_id, source, w, count(*) AS c FROM tok
+            WHERE source <> '{_BENCH_SOURCE}' GROUP BY doc_id, source, w
+        )
+        SELECT doc_id, source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(CAST(round(
+                   sum(c * (log2((COALESCE(ct, 0) + 1)
+                                 / CAST(tt + v AS DOUBLE))
+                            - log2((cr + 1) / CAST(tr + v AS DOUBLE))))
+                   / CAST(sum(c) AS DOUBLE), 6
+               ) AS DECIMAL(38,6)) AS DOUBLE) AS dsir_logweight
+        FROM cdoc
+        LEFT JOIN ct USING (w)
+        JOIN cr USING (w), stats
+        GROUP BY doc_id, source
     """,
     "docs_pii_scan": f"""
         SELECT doc_id,
