@@ -410,6 +410,8 @@ _BNLJ_ALLOWED = {
     "embed_semdedup",  # k-row centroid codebook (equi pair join pinned above)
     "orders_price_band_join",  # intentional inequality band join
     "docs_unigram_surprisal",  # scalar corpus-token total
+    "token_bigram_surprisal",  # scalar corpus-token total (r4)
+    "docs_dsir_weights",  # 1-row corpus stats (vocab size + totals, r4)
     "token_bigram_stats",  # scalar corpus totals
     "token_bpe_merges",  # 1-row argmax merge rule per iteration
     "token_tfidf",  # scalar corpus size
