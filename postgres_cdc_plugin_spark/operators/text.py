@@ -1362,7 +1362,16 @@ def token_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the CC loop (a lazy chain would nest the whole history into
     every subsequent argmax). Iterations are bounded by _BPE_MERGES.
     """
-    docs = load(spark, sf_dir, "documents")
+    merges, _vocab = _bpe_train(load(spark, sf_dir, "documents"))
+    return merges
+
+
+def _bpe_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE trainer: returns (merge-rule relation, the distinct
+    word vocabulary with ALL learned merges applied). token_bpe_merges
+    consumes the rules; token_bpe_encode consumes the rewritten vocab
+    (tokenizer inference = one join of the token stream against this
+    Zipf-small relation — the corpus itself is never rewritten)."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -1408,21 +1417,64 @@ def token_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
         )
         out = row if out is None else out.unionByName(row)
-        if rank < _BPE_MERGES:
-            vocab = (
-                vocab.crossJoin(F.broadcast(top))
-                .select(
-                    "w",
-                    "cnt",
-                    F.expr(
-                        "replace(s, concat(chr(1), a, chr(1), b, chr(1)),"
-                        " concat(chr(1), a, b, chr(1)))"
-                    ).alias("s"),
-                )
-                .localCheckpoint()
+        # the final rewrite (r4) is applied too: token_bpe_encode needs
+        # the vocabulary AFTER every learned merge; one extra
+        # vocab-sized pass, invisible against the pair aggregations
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                "w",
+                "cnt",
+                F.expr(
+                    "replace(s, concat(chr(1), a, chr(1), b, chr(1)),"
+                    " concat(chr(1), a, b, chr(1)))"
+                ).alias("s"),
             )
+            .localCheckpoint()
+        )
     assert out is not None
-    return out
+    return out, vocab
+
+
+def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE over the trained merges — the other half
+    of the tokenizer story (token_bpe_merges learns the rules; this
+    applies them): per document, word count, encoded BPE-token count,
+    and chars-per-token compression under the learned vocabulary.
+
+    Scale shape: training already reduced merge application to the
+    DISTINCT word relation (Zipf-small); encoding is then ONE join of
+    per-doc word counts against that rewritten vocabulary — the corpus
+    is tokenized by lookup, never re-segmented per occurrence. The
+    symbol count per word is a JVM higher-order size(filter(split)));
+    compression divides two exact int64 sums, rounded once.
+    """
+    docs = load(spark, sf_dir, "documents")
+    _merges, vocab = _bpe_train(docs)
+    enc = vocab.select(
+        "w",
+        F.expr("size(filter(split(s, chr(1)), x -> x != ''))").alias(
+            "n_syms"
+        ),
+    )
+    dw = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return dw.join(enc, "w").groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.sum(F.col("c") * F.col("n_syms")).cast("bigint").alias(
+            "n_bpe_tokens"
+        ),
+        F.round(
+            F.sum(F.col("c") * F.length("w"))
+            / F.sum(F.col("c") * F.col("n_syms")).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
 
 
 QUERIES = {
@@ -1432,6 +1484,7 @@ QUERIES = {
     "token_count_min": token_count_min,
     "docs_token_entropy": docs_token_entropy,
     "token_bpe_merges": token_bpe_merges,
+    "token_bpe_encode": token_bpe_encode,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "token_bigram_surprisal": token_bigram_surprisal,
@@ -1511,8 +1564,45 @@ _BPE_SQL = (
     )
 )
 
+_BPE_ENCODE_SQL = (
+    """
+        WITH w0 AS (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        ),
+        v0 AS (
+            SELECT w, cnt,
+                   chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS s
+            FROM w0
+        ),"""
+    + ",".join(_bpe_iteration_ctes(k) for k in range(1, _BPE_MERGES + 1))
+    + f""",
+        enc AS (
+            SELECT w,
+                   len(list_filter(string_split(s, chr(1)), x -> x <> ''))
+                       AS n_syms
+            FROM v{_BPE_MERGES}
+        ),
+        dw AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(sum(c * n_syms) AS BIGINT) AS n_bpe_tokens,
+               round(sum(c * length(w))
+                     / CAST(sum(c * n_syms) AS DOUBLE), 6) AS chars_per_token
+        FROM dw JOIN enc USING (w)
+        GROUP BY doc_id
+    """
+)
+
 ORACLE_SQL = {
     "token_bpe_merges": _BPE_SQL,
+    "token_bpe_encode": _BPE_ENCODE_SQL,
     "docs_token_entropy": """
         WITH counts AS (
             SELECT doc_id, w, count(*) AS c
