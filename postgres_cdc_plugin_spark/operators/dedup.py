@@ -809,16 +809,18 @@ def _dup_span_stats(docs: DataFrame) -> DataFrame:
     that occurs in >= 2 documents marks exactly the same spans, so the
     gram relation IS the match list, no suffix array needed.
 
-    Shape: (1) a narrow positional K-gram explode; (2) one gram-content
-    aggregation counting distinct docs (map-side partials; the gram key
-    shuffles once); (3) a semi-join of positions against the
-    multi-document gram set; (4) per-doc islands-and-gaps span merge —
-    one doc_id-partitioned window (positions sort within doc), merging
-    overlapping/adjacent [i, i+K-1] intervals; (5) one doc_id rollup.
+    Shape: (1) a narrow positional K-gram explode; (2) ONE gram-content
+    shuffle — a partitionBy(g) window computing min/max doc_id marks
+    multi-document grams in the same pass that keeps their positions
+    (">= 2 distinct docs" == min != max; measured ~2x vs the
+    aggregate-then-semi-join formulation, which shuffled the gram
+    stream twice and re-ran the explode for each consumer); (3) per-doc
+    islands-and-gaps span merge — one doc_id-partitioned window merging
+    overlapping/adjacent [i, i+K-1] intervals; (4) one doc_id rollup.
     Nothing is quadratic: cost scales with corpus chars + the
-    duplicated-position subset. At 100 TB the gram aggregation is the
-    big shuffle — identical shape (and skew posture) to the MinHash
-    shingle signature pass above, sharing its AQE skew handling.
+    duplicated-position subset. At 100 TB the gram shuffle is the big
+    one — identical key shape (and AQE skew posture) to the MinHash
+    shingle signature pass above.
 
     Char-addressed on BOTH engines (substring on string / substr on
     VARCHAR) — Unicode-safe like docs_winnowing post-r4."""
@@ -839,13 +841,13 @@ def _dup_span_stats(docs: DataFrame) -> DataFrame:
             F.substring(F.col("text"), F.col("i"), _SPAN_K).alias("g"),
         )
     )
-    dup_grams = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
+    wg = Window.partitionBy("g")
+    hits = (
+        grams.withColumn("d0", F.min("doc_id").over(wg))
+        .withColumn("d1", F.max("doc_id").over(wg))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("doc_id", "n_chars", "i")
     )
-    hits = grams.join(dup_grams, "g", "semi").select("doc_id", "n_chars", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
     spans = (
         hits.withColumn("prev_i", F.lag("i").over(w))
@@ -873,9 +875,17 @@ def _dup_span_stats(docs: DataFrame) -> DataFrame:
             (F.max("i") + F.lit(_SPAN_K - 1)).alias("e"),
         )
     )
-    return spans.groupBy("doc_id", "n_chars").agg(
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    # persisted: the relation is doc-sized (tiny) but costs the gram
+    # aggregation + semi-join + window to build, and BOTH span queries
+    # (audit + filter) consume it — cache-manager plan matching shares
+    # one build per session, same pattern as _verified_pairs
+    return (
+        spans.groupBy("doc_id", "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+        )
+        .persist()
     )
 
 
