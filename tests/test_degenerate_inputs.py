@@ -21,9 +21,15 @@ _DOC_QUERIES = [
     (dedup, "docs_cluster_dedup"),
     (text, "docs_winnowing"),
     (text, "token_bpe_merges"),
+    (text, "token_bpe_encode"),
     (text, "token_heavy_hitters"),
     (text, "token_count_min"),
     (text, "docs_linear_classifier"),
+    (dedup, "docs_suffix_dup_spans"),
+    (dedup, "docs_dup_span_filter"),
+    (dedup, "docs_ngram_containment"),
+    (text, "token_bigram_surprisal"),
+    (text, "docs_dsir_weights"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -60,6 +66,14 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         assert len(rows) == 1
     elif name in ("docs_dup_clusters",):
         assert rows == []  # no pairs -> no clustered vertices
+    elif name in ("docs_suffix_dup_spans", "docs_ngram_containment"):
+        assert rows == []  # cross-doc signals need >= 2 documents
+    elif name == "docs_dup_span_filter":
+        assert len(rows) == 1  # nothing to drop -> passthrough
+    elif name == "docs_dsir_weights":
+        # single doc is raw-side; the target split is empty, weights
+        # still well-defined through add-one smoothing
+        assert len(rows) == 1
     # token/*, winnowing, classifier: just must not crash and respect
     # their own schema; BPE may learn fewer than the configured merges
 
