@@ -800,8 +800,9 @@ _SPAN_K = 20  # char width of the duplicated-substring probe grams
 _SPAN_DUP_MAX = 0.8  # span-filter ceiling on the duplicated-char fraction
 
 
-def _dup_span_stats(docs: DataFrame) -> DataFrame:
-    """Per-doc cross-document duplicated-span statistics — the
+def _dup_spans(docs: DataFrame) -> DataFrame:
+    """Merged cross-document duplicated spans (doc_id, n_chars,
+    span_id, s, e) — the
     substring-level dedup signal of Lee et al., "Deduplicating Training
     Data Makes Language Models Better" (public literature), re-expressed
     relationally: their suffix-array scan finds substrings of length
@@ -874,18 +875,20 @@ def _dup_span_stats(docs: DataFrame) -> DataFrame:
             F.min("i").alias("s"),
             (F.max("i") + F.lit(_SPAN_K - 1)).alias("e"),
         )
-    )
-    # persisted: the relation is doc-sized (tiny) but costs the gram
-    # aggregation + semi-join + window to build, and BOTH span queries
-    # (audit + filter) consume it — cache-manager plan matching shares
-    # one build per session, same pattern as _verified_pairs
-    return (
-        spans.groupBy("doc_id", "n_chars")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_spans"),
-            F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
-        )
+        # persisted: the merged-span relation is span-count sized
+        # (tiny) but costs the gram shuffle + window to build, and
+        # THREE consumers (audit, filter, strip) share it via
+        # cache-manager plan matching, same pattern as _verified_pairs
         .persist()
+    )
+    return spans
+
+
+def _dup_span_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc rollup of the merged dup-span relation."""
+    return _dup_spans(docs).groupBy("doc_id", "n_chars").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
     )
 
 
@@ -926,10 +929,68 @@ def docs_dup_span_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup TRANSFORMATION itself (Lee et al.'s actual
+    output): rewrite every document with its cross-document duplicated
+    spans removed, keeping only corpus-unique content; emit the kept
+    text's md5 plus before/after sizes so the rewrite is fully
+    hash-audited without shipping full text through the result.
+
+    The complement-interval assembly runs entirely in JVM higher-order
+    expressions: per doc, the sorted merged spans become K+1 kept
+    segments ([1, s1-1], [e_k+1, s_{k+1}-1], ..., [e_K+1, n]) via one
+    transform over the collected span array, concatenated in order —
+    no Python, no explode, one span-relation aggregation + one
+    doc-keyed join against the corpus (docs without dup spans pass
+    through untouched via the left join). The span kernel itself is
+    the shared persisted relation (see _dup_spans)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    sp = (
+        _dup_spans(docs)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp"))
+    )
+    kept = F.expr(
+        """
+        concat_ws('', transform(
+            sequence(0, size(sp)),
+            k -> substring(
+                text,
+                CAST(IF(k = 0, 1, sp[k - 1].e + 1) AS INT),
+                CAST(GREATEST(
+                    IF(k = size(sp), n_chars, sp[k].s - 1)
+                    - IF(k = 0, 1, sp[k - 1].e + 1) + 1,
+                    0) AS INT)
+            )
+        ))
+        """
+    )
+    return (
+        docs.join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            # explicit NULL-array guard: concat_ws never returns NULL,
+            # so a bare coalesce around the transform would turn
+            # span-free docs into empty strings instead of passthrough
+            F.when(F.col("sp").isNull(), F.col("text"))
+            .otherwise(kept)
+            .alias("kept_text"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.length("kept_text").cast("bigint").alias("kept_chars"),
+            F.md5("kept_text").alias("kept_md5"),
+        )
+    )
+
+
 QUERIES = {
     "docs_dedup_method_agreement": docs_dedup_method_agreement,
     "docs_suffix_dup_spans": docs_suffix_dup_spans,
     "docs_dup_span_filter": docs_dup_span_filter,
+    "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_ngram_containment": docs_ngram_containment,
     "docs_dup_clusters": docs_dup_clusters,
     "docs_cluster_dedup": docs_cluster_dedup,
@@ -1044,6 +1105,43 @@ _SIMHASH_PAIRS_SQL = f"""
     WHERE {_SIMHASH_HAMMING_SQL} <= {_HAMMING_THRESHOLD}
 """
 
+_SPAN_CTES = f"""
+        g AS (
+            SELECT doc_id, n_chars, i,
+                   substr(text, CAST(i AS INT), {_SPAN_K}) AS g
+            FROM documents,
+                 unnest(range(1, greatest(length(text) - {_SPAN_K - 1}, 0) + 1))
+                     AS t(i)
+        ),
+        dup AS (
+            SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+            SELECT g.doc_id, g.n_chars, g.i
+            FROM g SEMI JOIN dup USING (g)
+        ),
+        marked AS (
+            SELECT doc_id, n_chars, i,
+                   CASE WHEN lag(i) OVER w IS NULL
+                             OR i > lag(i) OVER w + {_SPAN_K}
+                        THEN 1 ELSE 0 END AS brk
+            FROM hits
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        spans AS (
+            SELECT doc_id, n_chars,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS span_id,
+                   i
+            FROM marked
+        ),
+        merged AS (
+            SELECT doc_id, n_chars, span_id,
+                   min(i) AS s, max(i) + {_SPAN_K - 1} AS e
+            FROM spans GROUP BY doc_id, n_chars, span_id
+        )
+"""
+
 ORACLE_SQL = {
     "docs_dedup_method_agreement": f"""
         WITH mhp AS (
@@ -1145,40 +1243,7 @@ ORACLE_SQL = {
         FROM ({_VERIFIED_SQL})
     """,
     "docs_suffix_dup_spans": f"""
-        WITH g AS (
-            SELECT doc_id, n_chars, i,
-                   substr(text, CAST(i AS INT), {_SPAN_K}) AS g
-            FROM documents,
-                 unnest(range(1, greatest(length(text) - {_SPAN_K - 1}, 0) + 1))
-                     AS t(i)
-        ),
-        dup AS (
-            SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
-        ),
-        hits AS (
-            SELECT g.doc_id, g.n_chars, g.i
-            FROM g SEMI JOIN dup USING (g)
-        ),
-        marked AS (
-            SELECT doc_id, n_chars, i,
-                   CASE WHEN lag(i) OVER w IS NULL
-                             OR i > lag(i) OVER w + {_SPAN_K}
-                        THEN 1 ELSE 0 END AS brk
-            FROM hits
-            WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-        ),
-        spans AS (
-            SELECT doc_id, n_chars,
-                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i
-                                  ROWS UNBOUNDED PRECEDING) AS span_id,
-                   i
-            FROM marked
-        ),
-        merged AS (
-            SELECT doc_id, n_chars, span_id,
-                   min(i) AS s, max(i) + {_SPAN_K - 1} AS e
-            FROM spans GROUP BY doc_id, n_chars, span_id
-        )
+        WITH {_SPAN_CTES}
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_dup_spans,
                CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
@@ -1187,40 +1252,7 @@ ORACLE_SQL = {
         FROM merged GROUP BY doc_id
     """,
     "docs_dup_span_filter": f"""
-        WITH g AS (
-            SELECT doc_id, n_chars, i,
-                   substr(text, CAST(i AS INT), {_SPAN_K}) AS g
-            FROM documents,
-                 unnest(range(1, greatest(length(text) - {_SPAN_K - 1}, 0) + 1))
-                     AS t(i)
-        ),
-        dup AS (
-            SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
-        ),
-        hits AS (
-            SELECT g.doc_id, g.n_chars, g.i
-            FROM g SEMI JOIN dup USING (g)
-        ),
-        marked AS (
-            SELECT doc_id, n_chars, i,
-                   CASE WHEN lag(i) OVER w IS NULL
-                             OR i > lag(i) OVER w + {_SPAN_K}
-                        THEN 1 ELSE 0 END AS brk
-            FROM hits
-            WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-        ),
-        spans AS (
-            SELECT doc_id, n_chars,
-                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i
-                                  ROWS UNBOUNDED PRECEDING) AS span_id,
-                   i
-            FROM marked
-        ),
-        merged AS (
-            SELECT doc_id, n_chars, span_id,
-                   min(i) AS s, max(i) + {_SPAN_K - 1} AS e
-            FROM spans GROUP BY doc_id, n_chars, span_id
-        ),
+        WITH {_SPAN_CTES},
         heavy AS (
             SELECT doc_id
             FROM merged GROUP BY doc_id, n_chars
@@ -1229,6 +1261,38 @@ ORACLE_SQL = {
         SELECT doc_id, lang, source, n_chars
         FROM documents d
         WHERE doc_id NOT IN (SELECT doc_id FROM heavy)
+    """,
+    "docs_strip_dup_spans": f"""
+        WITH {_SPAN_CTES},
+        spagg AS (
+            SELECT doc_id,
+                   list_sort(list(struct_pack(s := s, e := e))) AS sp
+            FROM merged GROUP BY doc_id
+        ),
+        rewritten AS (
+            SELECT d.doc_id, d.n_chars,
+                   CASE WHEN sp IS NULL THEN d.text ELSE
+                       list_aggregate(
+                           list_transform(
+                               range(0, len(sp) + 1),
+                               k -> substr(
+                                   d.text,
+                                   CAST(CASE WHEN k = 0 THEN 1
+                                             ELSE sp[k].e + 1 END AS INT),
+                                   CAST(greatest(
+                                       (CASE WHEN k = len(sp) THEN d.n_chars
+                                             ELSE sp[k + 1].s - 1 END)
+                                       - (CASE WHEN k = 0 THEN 1
+                                               ELSE sp[k].e + 1 END) + 1,
+                                       0) AS INT))),
+                           'string_agg', '')
+                   END AS kept
+            FROM documents d LEFT JOIN spagg USING (doc_id)
+        )
+        SELECT doc_id, n_chars,
+               CAST(length(kept) AS BIGINT) AS kept_chars,
+               md5(kept) AS kept_md5
+        FROM rewritten
     """,
     "docs_minhash_dedup": f"""
         SELECT doc_id, lang, source, n_chars

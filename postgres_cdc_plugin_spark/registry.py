@@ -70,6 +70,7 @@ PRIORITY_ORDER = [
     "token_bigram_surprisal",
     "docs_dsir_weights",
     "token_bpe_encode",
+    "docs_strip_dup_spans",
     # The 33-query r1-green tail — last driver evidence is round 1,
     # three rounds old by now (VERDICT r3 "do this" #1).
     "creds_last_wins",
@@ -103,18 +104,20 @@ PRIORITY_ORDER = [
     "lineitem_ship_delays",
     "status_counts",
     "fanout_union",
-    "props_json_extract",
     # Positions 49-50: the reworked CC family carries the expensive
     # recursive-CTE oracles — last in the window so a driver timeout
     # there still leaves CORRECTNESS rows for everything before it.
     "docs_dup_clusters",
     "docs_cluster_dedup",
     # ---- position 51+ ----
-    # approx_distinct_users displaced from the window by the new
-    # token_bpe_encode: it is rows-only at the driver (weak signal
-    # regardless of freshness) and its error bounds are pinned in
-    # local tests every run.
+    # Displaced from the window by the new r4 queries (the hash check
+    # of a never-verified operator outranks freshness of these):
+    # approx_distinct_users is rows-only at the driver (weak signal
+    # regardless of freshness; error bounds pinned locally every run)
+    # and props_json_extract is a simple JSON point-lookup with local
+    # parity coverage.
     "approx_distinct_users",
+    "props_json_extract",
     # r3-green block (fresh CORRECTNESS_r03 rows) + r2-green family
     # append in module order below.
 ]
