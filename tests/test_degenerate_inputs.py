@@ -28,6 +28,7 @@ _DOC_QUERIES = [
     (dedup, "docs_suffix_dup_spans"),
     (dedup, "docs_dup_span_filter"),
     (dedup, "docs_ngram_containment"),
+    (dedup, "docs_strip_dup_spans"),
     (text, "token_bigram_surprisal"),
     (text, "docs_dsir_weights"),
 ]
@@ -70,6 +71,9 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         assert rows == []  # cross-doc signals need >= 2 documents
     elif name == "docs_dup_span_filter":
         assert len(rows) == 1  # nothing to drop -> passthrough
+    elif name == "docs_strip_dup_spans":
+        # no cross-doc spans -> text passes through untouched
+        assert len(rows) == 1 and rows[0].kept_chars == rows[0].n_chars
     elif name == "docs_dsir_weights":
         # single doc is raw-side; the target split is empty, weights
         # still well-defined through add-one smoothing
