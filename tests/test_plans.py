@@ -498,3 +498,45 @@ def test_salted_join_handles_nested_map_and_spreads_map_only_diffs(spark):
         .select("salt").distinct().count()
     )
     assert n_salts_used > 1  # map-only row diffs fan the hot key out
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime semi-join reduction: on a shuffle fact-fact join with a
+    selective build side, Catalyst injects a bloom-filter
+    might_contain() predicate onto the probe-side SCAN — at 100 TB this
+    skips whole row groups of lineitem before the exchange. The
+    optimization is size-gated (application side must be scan-heavy),
+    so the test lowers the thresholds to emulate the cluster condition
+    on local data; the assertion is that THIS Spark build plans the
+    rewrite our scale posture relies on."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.session import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_orderdate")
+        )
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderdate")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = inspect.physical_plan(j)
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
