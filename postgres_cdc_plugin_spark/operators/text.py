@@ -1302,23 +1302,30 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
-    )
     # the (hash, position) pair packs into ONE fixed-width string
     # (md5 hex ++ zero-padded position) whose lexicographic order IS
     # the (h, i) order — a plain string min stays on the codegen path,
     # where a struct-valued window min falls back to the interpreted
-    # aggregate (~4x wall-clock on the gram stream)
+    # aggregate (~4x wall-clock on the gram stream). The window min
+    # itself is least() over w-1 lead()s rather than a sliding frame
+    # aggregate (r4): Spark re-evaluates a frame min per row (O(w)
+    # frame machinery), while the leads are one window pass + a
+    # codegen least() — measured ~20% on the gram stream. lead()
+    # returns NULL past the partition end and least() skips NULLs, but
+    # every row the filter keeps has a full window, so the semantics
+    # are identical on kept rows.
+    w = Window.partitionBy("doc_id").orderBy("i")
     packed = F.concat("h", F.lpad(F.col("i").cast("string"), 10, "0"))
+    cand = [F.col("p")] + [
+        F.lead("p", k).over(w) for k in range(1, _WINNOW_W)
+    ]
     return (
-        g.select(
+        g.select("doc_id", "n_grams", "i", packed.alias("p"))
+        .select(
             "doc_id",
             "n_grams",
             "i",
-            F.min(packed).over(win).alias("s"),
+            F.least(*cand).alias("s"),
         )
         .filter(F.col("i") <= F.col("n_grams") - (_WINNOW_W - 1))
         .select(
