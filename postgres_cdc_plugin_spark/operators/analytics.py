@@ -1544,9 +1544,7 @@ _FUZZY_SEGMENTS = _FUZZY_MAX_DIST + 1  # PassJoin pigeonhole: k+1 pieces
 _FUZZY_SHORT = 2 * _FUZZY_SEGMENTS
 
 
-def _fuzzy_segment_bounds(
-    spark: SparkSession, names: DataFrame, min_len: int, max_len: int
-) -> DataFrame:
+def _fuzzy_segment_bounds(spark: SparkSession, names: DataFrame) -> DataFrame:
     """Entropy-balanced PassJoin segment boundaries, one row per
     (string length L, segment index i) -> [start, len].
 
@@ -1557,29 +1555,46 @@ def _fuzzy_segment_bounds(
     like 'Customer#000000042' put all information in a few positions —
     an equal split makes the prefix segments constant join keys, i.e.
     the coarse block again). Instead, ONE corpus pass computes the
-    approx distinct-character count at each position (map-side partial
-    agg, a single ~max_len-column row collected), and per length L the
-    cut points split the cumulative log2(distinct) information mass
-    into k+1 near-equal shares — every segment then carries
-    discriminative characters and the segment join key has corpus-
-    scaled cardinality. The profile row is the only driver-side value
-    (bounded by max name length, never data-sized); boundaries ship
-    back as a broadcast-joined ~(lengths x k+1)-row relation."""
+    approx distinct-character count at each position: a narrow
+    (position, char) explode into a groupBy(position) HLL — max-name-
+    length groups, map-side partial agg. (The r4-first-cut alternative,
+    one agg with a column per position, was 2.4x slower at sf0.1 —
+    whole-stage codegen compiles max_len HLL aggregates into one
+    function — and falls off the codegen path entirely past Spark's
+    generated-code limits once names run to hundreds of chars; the
+    groupBy form is flat in name length.) Per length L the cut points
+    split the cumulative log2(distinct) information mass into k+1
+    near-equal shares — every segment then carries discriminative
+    characters and the segment join key has corpus-scaled cardinality.
+    The collected profile is the only driver-side value (one row per
+    name position, never data-sized) and also carries max name length,
+    so the caller needs NO separate length-bounds action; boundaries
+    ship back as a broadcast-joined ~(lengths x k+1)-row relation.
+    Cut placement affects only candidate-generation efficiency, never
+    the result set — the pigeonhole holds for every contiguous
+    partition (pinned by the adversarial lossless test)."""
     import math
 
     k = _FUZZY_MAX_DIST
     s = _FUZZY_SEGMENTS
-    prof = names.agg(
-        *[
-            F.approx_count_distinct(
-                F.substring(F.col("c_name"), p, 1)
-            ).alias(f"p{p}")
-            for p in range(1, max_len + 1)
-        ]
-    ).first()
-    w = [math.log2(max(1, prof[p - 1])) for p in range(1, max_len + 1)]
+    prof_rows = (
+        names.select(
+            F.explode(F.sequence(F.lit(1), F.col("ln"))).alias("p"),
+            "c_name",
+        )
+        .select("p", F.substring(F.col("c_name"), F.col("p"), 1).alias("ch"))
+        .groupBy("p")
+        .agg(F.approx_count_distinct("ch").alias("d"))
+        .collect()
+    )
+    max_len = max((r.p for r in prof_rows), default=0)
+    dist = {r.p: r.d for r in prof_rows}
+    w = [math.log2(max(1, dist.get(p, 0))) for p in range(1, max_len + 1)]
     rows = []
-    for L in range(max(min_len, _FUZZY_SHORT), max_len + 1):
+    # lengths below _FUZZY_SHORT route through the coarse-block branch;
+    # lengths absent from the corpus produce bounds rows that join to
+    # nothing (the relation stays ~(max_len x s) rows either way)
+    for L in range(_FUZZY_SHORT, max_len + 1):
         ws = w[:L]
         total = sum(ws)
         if total <= 0:
@@ -1647,12 +1662,7 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.length("c_name").alias("ln"),
     )
-    lens = cust.agg(
-        F.min("ln").alias("mn"), F.max("ln").alias("mx")
-    ).first()
-    bounds = F.broadcast(
-        _fuzzy_segment_bounds(spark, cust, int(lens.mn), int(lens.mx))
-    )
+    bounds = F.broadcast(_fuzzy_segment_bounds(spark, cust))
     long_names = cust.filter(F.col("ln") >= _FUZZY_SHORT)
 
     # role A: each long name contributes its own k+1 segments
