@@ -498,7 +498,16 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id) partial agg; iterations are bounded by _KM_ITERS, not
     data-dependent (no convergence loop to stall a 100 TB run).
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    _, assigned = _km_fit(load(spark, sf_dir, "embeddings"))
+    return assigned.select("vec_id", "label", "cell", "sq_dist")
+
+
+def _km_fit(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's fit shared by embed_kmeans / embed_silhouette: returns
+    (final codebook, final assignment) — the codebook is exactly the
+    one the final assignment pass measured distances against, so
+    audits over the pair are self-consistent."""
+    emb = raw.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = (
@@ -517,7 +526,65 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cell", F.transform("s", lambda t: t.cx).alias("cv"))
         )
         assigned = _km_assign(emb, cents)
-    return assigned.select("vec_id", "label", "cell", "sq_dist")
+    return cents, assigned
+
+
+def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: per-cell simplified silhouette of the
+    k-means fit — the standard O(n·k) silhouette variant (distance to
+    centroids instead of mean pairwise distance; Hruschka et al.'s
+    simplified silhouette, public literature) that clustering pipelines
+    report because the classic O(n²) form is unrunnable at corpus
+    scale. For each vector: a = distance to its own (final) centroid,
+    b = distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b) — s near 1 means tight well-separated
+    cells, near 0 means boundary vectors, negative means likely
+    misassignment. Reported per cell with the cell's population.
+
+    Determinism: a and b are IEEE sqrt of the round-6 squared
+    distances (_km_assign convention; sqrt is correctly rounded, so
+    bit-identical across engines); per-vector s is a pure-double
+    expression; the per-cell mean goes through the round-6 decimal hop
+    (partial-sum order wash). A vector with no other cell in the
+    codebook (k collapsed to 1) yields NULL s on both engines and
+    drops out of the mean. Division is guarded: coincident point and
+    centroids (max(a,b) = 0) define s = 0.
+
+    Scale: reuses the _km_fit passes (broadcast k-row codebook, narrow
+    per-vector argmin) plus ONE more broadcast crossJoin for the
+    nearest-other-centroid distance — still no data-sized shuffle
+    beyond the per-vector aggregations; the rollup output is k rows.
+    """
+    cents, assigned = _km_fit(load(spark, sf_dir, "embeddings"))
+    oth = (
+        assigned.select("vec_id", F.col("cell").alias("own"), "v")
+        .crossJoin(F.broadcast(cents))
+        .filter(F.col("cell") != F.col("own"))
+        .groupBy("vec_id")
+        .agg(F.min(F.round(_sq_dist(F.col("v"), F.col("cv")), 6)).alias("b2"))
+    )
+    a = F.sqrt("sq_dist")
+    b = F.sqrt("b2")
+    # explicit NULL-first branch: Spark's greatest() skips NULLs while
+    # DuckDB's propagates them, so the no-other-cell case must be
+    # decided before either engine's greatest() semantics can differ
+    s = (
+        F.when(F.col("b2").isNull(), F.lit(None).cast("double"))
+        .when(F.greatest(a, b) == 0.0, F.lit(0.0))
+        .otherwise((b - a) / F.greatest(a, b))
+    )
+    return (
+        assigned.join(oth, "vec_id", "left")
+        .select("cell", s.alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("s"), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("avg_silhouette"),
+        )
+    )
 
 
 def embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,6 +1010,7 @@ QUERIES = {
     "embed_ann_ivfpq": embed_ann_ivfpq,
     "embed_ivf_assign": embed_ivf_assign,
     "embed_kmeans": embed_kmeans,
+    "embed_silhouette": embed_silhouette,
     "embed_recall_audit": embed_recall_audit,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
@@ -1241,6 +1309,62 @@ ORACLE_SQL = {
                (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).cell AS cell,
                (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).sq_dist AS sq_dist
         FROM d2 GROUP BY vec_id, label
+    """,
+    "embed_silhouette": f"""
+        WITH emb2 AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cell, v AS cv FROM emb2 ORDER BY vec_id LIMIT {_KM_K}
+        ),
+        d1 AS (
+            SELECT e.vec_id, e.label, c.cell, {_KM_DIST_SQL} AS sq_dist
+            FROM emb2 e CROSS JOIN c0 c
+        ),
+        a1 AS (
+            SELECT vec_id,
+                   (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).cell AS cell
+            FROM d1 GROUP BY vec_id
+        ),
+        c1 AS (
+            SELECT cell, list(cx ORDER BY dim) AS cv
+            FROM (
+                SELECT a.cell, t.dim, round(avg(t.x), 6) AS cx
+                FROM (
+                    SELECT vec_id, unnest(v) AS x,
+                           unnest(range(1, len(v) + 1)) AS dim
+                    FROM emb2
+                ) t JOIN a1 a ON a.vec_id = t.vec_id
+                GROUP BY a.cell, t.dim
+            ) GROUP BY cell
+        ),
+        d2 AS (
+            SELECT e.vec_id, e.label, c.cell, {_KM_DIST_SQL} AS sq_dist
+            FROM emb2 e CROSS JOIN c1 c
+        ),
+        a2 AS (
+            SELECT vec_id,
+                   (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).cell AS cell,
+                   (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).sq_dist
+                       AS sq_dist
+            FROM d2 GROUP BY vec_id
+        ),
+        oth AS (
+            SELECT d.vec_id, min(d.sq_dist) AS b2
+            FROM d2 d JOIN a2 ON a2.vec_id = d.vec_id AND d.cell <> a2.cell
+            GROUP BY d.vec_id
+        )
+        SELECT a2.cell,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(CAST(round(avg(
+                   CASE WHEN oth.b2 IS NULL THEN NULL
+                        WHEN greatest(sqrt(a2.sq_dist), sqrt(oth.b2)) = 0
+                        THEN 0.0
+                        ELSE (sqrt(oth.b2) - sqrt(a2.sq_dist))
+                             / greatest(sqrt(a2.sq_dist), sqrt(oth.b2))
+                   END), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_silhouette
+        FROM a2 LEFT JOIN oth ON oth.vec_id = a2.vec_id
+        GROUP BY a2.cell
     """,
     "embed_ivf_assign": f"""
         WITH cent AS (

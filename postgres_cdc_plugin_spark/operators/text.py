@@ -974,6 +974,90 @@ def token_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_DF_PCT = 1  # word eligibility: document frequency >= 1% of corpus docs
+_PMI_PAIR_PCT = 1  # pair support: co-occurrence docs >= 1% of corpus docs
+
+
+def docs_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-association mining: pointwise mutual information over
+    within-document co-occurrence (Church & Hanks 1990, public
+    literature) — the collocation/association signal corpus-analysis
+    pipelines report next to raw bigram counts. For eligible word
+    pairs: pmi = log2( P(a,b) / (P(a)·P(b)) ) with document-frequency
+    probabilities (P(w) = df(w)/N over N docs, P(a,b) = docs containing
+    both). Positive = the words attract, ~0 = independent, negative =
+    they repel.
+
+    Scale: the naive per-doc pair explode is O(v²) in per-doc DISTINCT
+    vocabulary — the min-df prefilter is what bounds it. Words must
+    appear in >= _PMI_DF_PCT% of documents, so the eligible vocabulary
+    carries at most (100/_PMI_DF_PCT)·avg_distinct_words_per_doc
+    entries REGARDLESS of corpus size (sum of eligible dfs <= total
+    word-doc incidences) — a corpus-stat-bounded relation that stays
+    broadcastable at 100 TB, and rare-word pair noise (the classic PMI
+    failure mode) never enters the join. Thresholds compare in exact
+    integer arithmetic (df·100 >= N·pct) — no float-boundary drift
+    between engines (ceil(0.01·N) can land on either side of an exact
+    percent boundary in IEEE). The pair self-join shuffles on doc_id
+    only; counts are integers; the single transcendental (log2) goes
+    through the round-6 decimal hop (docs_unigram_surprisal
+    convention).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    dfw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    eligible = (
+        dfw.crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 100 >= F.col("n_docs") * _PMI_DF_PCT)
+        .select("w", "df")
+    )
+    tokf = tok.join(F.broadcast(eligible.select("w")), "w", "semi")
+    a = tokf.alias("a")
+    b = tokf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w_a"), F.col("b.w").alias("w_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair_docs"))
+    )
+    pmi = (
+        F.round(
+            F.log2(
+                (F.col("n_pair_docs").cast("double") * F.col("n_docs").cast("double"))
+                / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+            ),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .filter(F.col("n_pair_docs") * 100 >= F.col("n_docs") * _PMI_PAIR_PCT)
+        .join(
+            F.broadcast(
+                eligible.select(F.col("w").alias("w_a"), F.col("df").alias("df_a"))
+            ),
+            "w_a",
+        )
+        .join(
+            F.broadcast(
+                eligible.select(F.col("w").alias("w_b"), F.col("df").alias("df_b"))
+            ),
+            "w_b",
+        )
+        .select("w_a", "w_b", "n_pair_docs", "df_a", "df_b", pmi.alias("pmi"))
+    )
+
+
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance-sampling log-weights (Xie et al. 2023,
     "Data Selection for Language Models via Importance Resampling" —
@@ -1507,6 +1591,7 @@ QUERIES = {
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "token_bigram_surprisal": token_bigram_surprisal,
+    "docs_word_pmi": docs_word_pmi,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_text_stats": docs_text_stats,
     "token_bigram_stats": token_bigram_stats,
@@ -1769,6 +1854,40 @@ ORACLE_SQL = {
         JOIN cx USING (w1)
         JOIN uni ON uni.w = dbig.w2, tot
         GROUP BY doc_id
+    """,
+    "docs_word_pmi": f"""
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        tok AS (
+            SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            )
+        ),
+        dfw AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+        elig AS (
+            SELECT w, df FROM dfw CROSS JOIN n
+            WHERE df * 100 >= n_docs * {_PMI_DF_PCT}
+        ),
+        tokf AS (SELECT t.doc_id, t.w FROM tok t JOIN elig e ON e.w = t.w),
+        pairs AS (
+            SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_pair_docs
+            FROM tokf a JOIN tokf b
+              ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY a.w, b.w
+        )
+        SELECT p.w_a, p.w_b,
+               CAST(p.n_pair_docs AS BIGINT) AS n_pair_docs,
+               CAST(ea.df AS BIGINT) AS df_a,
+               CAST(eb.df AS BIGINT) AS df_b,
+               CAST(CAST(round(log2(
+                   (CAST(p.n_pair_docs AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+                   / (CAST(ea.df AS DOUBLE) * CAST(eb.df AS DOUBLE))
+               ), 6) AS DECIMAL(38,6)) AS DOUBLE) AS pmi
+        FROM pairs p
+        CROSS JOIN n
+        JOIN elig ea ON ea.w = p.w_a
+        JOIN elig eb ON eb.w = p.w_b
+        WHERE p.n_pair_docs * 100 >= n.n_docs * {_PMI_PAIR_PCT}
     """,
     "docs_dsir_weights": f"""
         WITH tok AS (

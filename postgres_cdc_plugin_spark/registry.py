@@ -71,17 +71,17 @@ PRIORITY_ORDER = [
     "docs_dsir_weights",
     "token_bpe_encode",
     "docs_strip_dup_spans",
+    "docs_word_pmi",
+    "embed_silhouette",
     # The 33-query r1-green tail — last driver evidence is round 1,
     # three rounds old by now (VERDICT r3 "do this" #1).
     "creds_last_wins",
     "queue_ready_topk",
     "retry_schedule",
     "attempt_history_agg",
-    "headers_explode",
     "events_rate_limit",
     "supplier_part_volume",
     "orders_semi_anti",
-    "grouping_rollup",
     "orders_grouping_sets",
     "events_cube",
     "lineitem_percentiles",
@@ -113,11 +113,15 @@ PRIORITY_ORDER = [
     # Displaced from the window by the new r4 queries (the hash check
     # of a never-verified operator outranks freshness of these):
     # approx_distinct_users is rows-only at the driver (weak signal
-    # regardless of freshness; error bounds pinned locally every run)
-    # and props_json_extract is a simple JSON point-lookup with local
-    # parity coverage.
+    # regardless of freshness; error bounds pinned locally every run);
+    # props_json_extract is a simple JSON point-lookup with local
+    # parity coverage; headers_explode is a trivial array explode; and
+    # grouping_rollup's grouping-analytics family keeps two fresher
+    # window members (orders_grouping_sets, events_cube).
     "approx_distinct_users",
     "props_json_extract",
+    "headers_explode",
+    "grouping_rollup",
     # r3-green block (fresh CORRECTNESS_r03 rows) + r2-green family
     # append in module order below.
 ]

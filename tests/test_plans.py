@@ -412,6 +412,8 @@ _BNLJ_ALLOWED = {
     "docs_unigram_surprisal",  # scalar corpus-token total
     "token_bigram_surprisal",  # scalar corpus-token total (r4)
     "docs_dsir_weights",  # 1-row corpus stats (vocab size + totals, r4)
+    "docs_word_pmi",  # 1-row doc-count scalar crossJoins (r4)
+    "embed_silhouette",  # k-row codebook crossJoin per Lloyd pass (r4)
     "token_bigram_stats",  # scalar corpus totals
     "token_bpe_merges",  # 1-row argmax merge rule per iteration
     "token_tfidf",  # scalar corpus size

@@ -317,3 +317,35 @@ def test_ewma_fold_stays_within_input_hull(vals):
         acc = 0.2 * x + 0.8 * acc
     eps = 1e-9 * max(1.0, max(abs(v) for v in vals))
     assert min(vals) - eps <= acc <= max(vals) + eps
+
+
+def test_word_pmi_known_associations(spark):
+    """PMI ground truth on a constructed corpus: perfectly co-occurring
+    words score log2(N/df) exactly, a word pair where one member is in
+    every document is exactly independent (pmi = 0), and disjoint
+    word pairs never appear (no zero-count smoothing artifacts)."""
+    import postgres_cdc_plugin_spark.operators.text as T
+
+    rows = [(i, ("x y c" if i < 5 else "z c"), "en", "web", 5) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = T.load
+    try:
+        T.load = lambda sp, sf, t: docs  # noqa: ARG005
+        got = {
+            (r.w_a, r.w_b): r for r in T.docs_word_pmi(spark, "ignored").collect()
+        }
+    finally:
+        T.load = orig
+
+    # x and y co-occur in all 5 of their docs: pmi = log2(5*10/(5*5)) = 1
+    assert got[("x", "y")].pmi == 1.0
+    assert got[("x", "y")].n_pair_docs == 5
+    # c appears in EVERY doc -> independent of anything: pmi = 0
+    assert got[("c", "x")].pmi == 0.0
+    assert got[("c", "z")].pmi == 0.0
+    # x and z never share a doc -> pair absent, not -inf
+    assert ("x", "z") not in got
+    # pairs are canonically ordered (w_a < w_b), each reported once
+    assert all(a < b for a, b in got)

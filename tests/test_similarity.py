@@ -171,3 +171,44 @@ def test_kmeans_assignment_invariants(spark, sf_dir):
     init_cost = _km_assign(emb, cents0).agg(F.sum("sq_dist")).first()[0]
     final_cost = sum(r.sq_dist for r in rows)
     assert final_cost <= init_cost + 1e-6
+
+
+def test_silhouette_bounds_and_cell_consistency(spark, sf_dir):
+    """Simplified-silhouette invariants: per-cell means lie in [-1, 1],
+    the reported cells are exactly the k-means fit's non-empty cells,
+    and populations sum to the corpus size."""
+    from postgres_cdc_plugin_spark.operators.similarity import (
+        embed_kmeans,
+        embed_silhouette,
+    )
+
+    sil = embed_silhouette(spark, sf_dir).collect()
+    km = embed_kmeans(spark, sf_dir).collect()
+    assert {r.cell for r in sil} == {r.cell for r in km}
+    assert sum(r.n_vecs for r in sil) == len(km)
+    for r in sil:
+        assert r.avg_silhouette is not None
+        assert -1.0 <= r.avg_silhouette <= 1.0, r
+
+
+def test_silhouette_single_cluster_yields_null(spark):
+    """With the codebook collapsed to one cell there is no 'other'
+    centroid: the NULL-first branch must fire on every vector and the
+    per-cell mean must be NULL (not 0, not a crash) — the case where
+    Spark's NULL-skipping greatest() and DuckDB's NULL-propagating
+    greatest() would otherwise diverge."""
+    import postgres_cdc_plugin_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame(
+        [(7, [1.0] * 4, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    orig = S.load
+    try:
+        S.load = lambda sp, sf, t: one  # noqa: ARG005
+        rows = S.embed_silhouette(spark, "ignored").collect()
+    finally:
+        S.load = orig
+    assert len(rows) == 1
+    assert rows[0].n_vecs == 1
+    assert rows[0].avg_silhouette is None
