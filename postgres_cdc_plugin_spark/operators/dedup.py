@@ -542,7 +542,15 @@ def docs_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME kernels the dedup queries use (and both sides' oracles reuse
     those kernels' SQL verbatim), so this audit can never drift from
     the operators it audits. Cost: the two candidate pipelines plus a
-    pair-key join of two tiny pair sets."""
+    pair-key join of two tiny pair sets.
+
+    Bench attribution: this query sorts alphabetically before its
+    siblings (docs_minhash_* / docs_simhash_* / docs_ngram_*), so in a
+    full bench pass IT pays the one-time build of both persisted pair
+    pipelines that the siblings then reuse from cache — its per-query
+    wall-clock is the family's shared build, not this audit's own
+    cost. Measured at sf0.1: ~0.9 s with the pair relations already
+    cached vs ~6 s as first consumer."""
     docs = load(spark, sf_dir, "documents")
     mh = (
         _verified_pairs(docs)
