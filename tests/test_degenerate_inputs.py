@@ -31,6 +31,7 @@ _DOC_QUERIES = [
     (dedup, "docs_strip_dup_spans"),
     (text, "token_bigram_surprisal"),
     (text, "docs_dsir_weights"),
+    (text, "docs_word_pmi"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -78,6 +79,11 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         # single doc is raw-side; the target split is empty, weights
         # still well-defined through add-one smoothing
         assert len(rows) == 1
+    elif name == "docs_word_pmi":
+        # N = 1: every pair of the doc's distinct words co-occurs with
+        # df_a = df_b = n_pair_docs = 1, so pmi = log2(1*1/1) = 0 exactly
+        assert len(rows) > 0
+        assert all(r.pmi == 0.0 for r in rows)
     # token/*, winnowing, classifier: just must not crash and respect
     # their own schema; BPE may learn fewer than the configured merges
 
@@ -101,7 +107,13 @@ def single_emb_dir(spark, tmp_path_factory):
     return str(d)
 
 
-_EMB_QUERIES = ["embed_kmeans", "embed_ivf_assign", "embed_semdedup", "embed_neardup_dedup"]
+_EMB_QUERIES = [
+    "embed_kmeans",
+    "embed_ivf_assign",
+    "embed_semdedup",
+    "embed_neardup_dedup",
+    "embed_silhouette",
+]
 
 
 @pytest.mark.parametrize("name", _EMB_QUERIES)
@@ -120,4 +132,8 @@ def test_single_embedding_is_sane(name, spark, single_emb_dir):
 
     rows = getattr(similarity, name)(spark, single_emb_dir).collect()
     assert len(rows) == 1
-    assert rows[0].vec_id == 0
+    if name == "embed_silhouette":
+        # one vector, one cell: no other centroid exists, silhouette NULL
+        assert rows[0].n_vecs == 1 and rows[0].avg_silhouette is None
+    else:
+        assert rows[0].vec_id == 0
