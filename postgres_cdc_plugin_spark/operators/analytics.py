@@ -1012,6 +1012,46 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov chain: the event-type transition
+    matrix (from_type, to_type, count, probability) over per-user
+    event sequences — the model behind next-action prediction and
+    funnel-drop-off attribution, one level below events_user_paths'
+    raw trigram mining.
+
+    Determinism: sequences order by (ts, event_id) — the event_id
+    tiebreak fixes transition formation under timestamp collisions
+    (events_user_paths convention). Probabilities are exact int64/int64
+    IEEE divisions (count / row marginal), bit-identical across
+    engines with no rounding wash needed.
+
+    Scale: one user_id-partitioned window (the same single shuffle
+    every per-user sequence operator here pays — at 100 TB this is
+    sort-based shuffle over the event log, AQE-coalesced), then a
+    (from, to)-key count aggregation with map-side partials over a
+    |event_types|² ≤ tiny key space, and a broadcast-sized window for
+    the row marginals. Output is the transition matrix — dimensioned
+    by the event vocabulary, not the corpus."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wrow).cast("double")
+        ).alias("probability"),
+    )
+
+
 def lineitem_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery, decorrelated.
 
@@ -1896,6 +1936,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "events_user_paths": events_user_paths,
+    "events_markov_transitions": events_markov_transitions,
     "lineitem_small_qty_parts": lineitem_small_qty_parts,
     "orders_rfm_segments": orders_rfm_segments,
     "events_anomaly_mad": events_anomaly_mad,
@@ -2258,6 +2299,21 @@ ORACLE_SQL = {
         GROUP BY path
         ORDER BY n_occurrences DESC, path ASC
         LIMIT 20
+    """,
+    "events_markov_transitions": """
+        SELECT from_type, to_type,
+               count(*) AS n_transitions,
+               count(*) / CAST(sum(count(*)) OVER (PARTITION BY from_type)
+                               AS DOUBLE) AS probability
+        FROM (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        )
+        WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
     """,
     "lineitem_small_qty_parts": """
         WITH stats AS (

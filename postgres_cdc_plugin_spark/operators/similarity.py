@@ -587,6 +587,126 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_ITERS = 3  # fixed power-iteration count (no data-dependent loop)
+
+
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via power
+    iteration — the whitening/decorrelation primitive embedding
+    pipelines run before indexing (OPQ rotation, SemDeDup's
+    preprocessing), fully oracle-checked like embed_kmeans (PCA is
+    usually rows-only in engine test suites; fixed iterations +
+    deterministic arithmetic conventions make the whole computation
+    value-comparable against DuckDB CTEs).
+
+    Spec shared by both engines: center by per-dim round-6 means;
+    start from the uniform unit vector (1/sqrt(d) per dim);
+    _PCA_ITERS power steps, each computing y = X̃·w per vector (a
+    strict left fold over the array, round-6), u = X̃ᵀ·y per dim
+    (one d-key aggregation, round-6), then w' = u/‖u‖ (round-6,
+    NULLIF-guarded: a rank-0 centered matrix — e.g. a single vector —
+    yields NULL loadings on both engines rather than an inf/NULL
+    divergence). The eigenvalue estimate is ‖u‖/(n-1) (u = (n-1)·C·w
+    for unit w), reported through the decimal hop. Sign is
+    deterministic: both engines run identical arithmetic from the
+    same start vector, so they produce the same signed component.
+    Like any power method, PROXIMITY to the true top component after
+    a fixed iteration budget depends on the spectral gap (pinned in
+    tests on a gapped corpus; on near-isotropic data the result is
+    the deterministic 3-step iterate, still useful as a whitening
+    direction and still engine-exact) — the fixed budget rather than
+    a convergence loop is deliberate: a data-dependent loop is the
+    thing that stalls a 100 TB run.
+
+    Scale: the centered corpus is persisted and scanned twice per
+    iteration (the y fold is a broadcast of the 1-row weight vector —
+    narrow; the u step is ONE d-key aggregation with map-side
+    partials); iterations are fixed, never data-dependent. No
+    d×d covariance materialization anywhere — the memory profile is
+    O(d) driver-side and O(rows) executor-side, which is what lets
+    the same plan run at 100 TB where an explicit covariance +
+    eigensolver cannot.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = (
+        emb.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.round(F.avg("x"), 6).alias("mx"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("s"))
+        .select(F.transform("s", lambda t: t.mx).alias("mv"))
+    )
+    c = (
+        emb.crossJoin(F.broadcast(m))
+        .select(
+            "vec_id", F.zip_with("v", "mv", lambda x, mx: x - mx).alias("vc")
+        )
+        .persist()
+    )
+    w = emb.limit(1).select(
+        F.array_repeat(
+            F.lit(1.0) / F.sqrt(F.size("v").cast("double")), F.size("v")
+        ).alias("wv")
+    )
+    norm = None
+    for _ in range(_PCA_ITERS):
+        y = c.crossJoin(F.broadcast(w)).select(
+            "vc",
+            F.round(
+                F.aggregate(
+                    F.zip_with("vc", "wv", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("y"),
+        )
+        u = (
+            y.select(F.posexplode("vc").alias("dim", "xc"), "y")
+            .groupBy("dim")
+            .agg(F.round(F.sum(F.col("xc") * F.col("y")), 6).alias("uv"))
+        )
+        norm = u.agg(F.sqrt(F.sum(F.col("uv") * F.col("uv"))).alias("nrm"))
+        w = (
+            u.crossJoin(F.broadcast(norm))
+            .select(
+                "dim",
+                F.round(
+                    F.col("uv") / F.nullif(F.col("nrm"), F.lit(0.0)), 6
+                ).alias("wx"),
+            )
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "wx"))).alias("s"))
+            .select(F.transform("s", lambda t: t.wx).alias("wv"))
+            # 1-row weight vector: localCheckpoint cuts the per-iteration
+            # lineage so the final plan stays 1 iteration deep instead of
+            # _PCA_ITERS crossJoin chains (the token_bpe_merges pattern;
+            # measured ~26% wall-clock at sf0.1, all of it plan
+            # compilation)
+            .localCheckpoint()
+        )
+    eig = (
+        norm.crossJoin(F.broadcast(emb.agg(F.count(F.lit(1)).alias("n"))))
+        .select(
+            F.round(
+                F.col("nrm")
+                / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0)),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("eigenvalue")
+        )
+    )
+    return (
+        w.select(F.posexplode("wv").alias("dim", "loading"))
+        .crossJoin(F.broadcast(eig))
+        .select(F.col("dim").cast("int").alias("dim"), "loading", "eigenvalue")
+    )
+
+
 def embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup REMOVAL: drop vec_b of every pair at or
     above the similarity threshold (keep-lowest-vec_id policy — the same
@@ -1011,6 +1131,7 @@ QUERIES = {
     "embed_ivf_assign": embed_ivf_assign,
     "embed_kmeans": embed_kmeans,
     "embed_silhouette": embed_silhouette,
+    "embed_pca_power": embed_pca_power,
     "embed_recall_audit": embed_recall_audit,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
@@ -1309,6 +1430,63 @@ ORACLE_SQL = {
                (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).cell AS cell,
                (min(struct_pack(sq_dist:=sq_dist, cell:=cell))).sq_dist AS sq_dist
         FROM d2 GROUP BY vec_id, label
+    """,
+    "embed_pca_power": f"""
+        WITH emb2 AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        m AS (
+            SELECT list(mx ORDER BY dim) AS mv FROM (
+                SELECT dim, round(avg(x), 6) AS mx FROM (
+                    SELECT unnest(v) AS x,
+                           unnest(range(1, len(v) + 1)) AS dim
+                    FROM emb2
+                ) GROUP BY dim
+            )
+        ),
+        c AS (
+            SELECT vec_id,
+                   list_transform(range(1, len(v) + 1), i -> v[i] - mv[i])
+                       AS vc
+            FROM emb2 CROSS JOIN m
+        ),
+        w0 AS (
+            SELECT list_transform(range(1, len(v) + 1),
+                                  i -> 1.0 / sqrt(CAST(len(v) AS DOUBLE)))
+                       AS wv
+            FROM emb2 ORDER BY vec_id LIMIT 1
+        ),
+        {",".join(f'''
+        y{k} AS (
+            SELECT vec_id, vc,
+                   round(list_sum(list_transform(
+                       range(1, len(vc) + 1), i -> vc[i] * wv[i])), 6) AS y
+            FROM c CROSS JOIN w{k - 1}
+        ),
+        u{k} AS (
+            SELECT dim, round(sum(xc * y), 6) AS uv FROM (
+                SELECT unnest(vc) AS xc,
+                       unnest(range(1, len(vc) + 1)) AS dim, y
+                FROM y{k}
+            ) GROUP BY dim
+        ),
+        n{k} AS (SELECT sqrt(sum(uv * uv)) AS nrm FROM u{k}),
+        w{k} AS (
+            SELECT list(wx ORDER BY dim) AS wv FROM (
+                SELECT dim, round(uv / nullif(nrm, 0), 6) AS wx
+                FROM u{k} CROSS JOIN n{k}
+            )
+        )''' for k in range(1, _PCA_ITERS + 1))},
+        cnt AS (SELECT count(*) AS n FROM emb2)
+        SELECT CAST(t.dim - 1 AS INT) AS dim, t.wx AS loading,
+               CAST(CAST(round(
+                   n{_PCA_ITERS}.nrm / nullif(CAST(cnt.n - 1 AS DOUBLE), 0),
+               6) AS DECIMAL(38,6)) AS DOUBLE) AS eigenvalue
+        FROM (
+            SELECT unnest(wv) AS wx,
+                   unnest(range(1, len(wv) + 1)) AS dim
+            FROM w{_PCA_ITERS}
+        ) t CROSS JOIN n{_PCA_ITERS} CROSS JOIN cnt
     """,
     "embed_silhouette": f"""
         WITH emb2 AS (

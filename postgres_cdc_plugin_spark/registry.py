@@ -73,6 +73,8 @@ PRIORITY_ORDER = [
     "docs_strip_dup_spans",
     "docs_word_pmi",
     "embed_silhouette",
+    "events_markov_transitions",
+    "embed_pca_power",
     # The 33-query r1-green tail — last driver evidence is round 1,
     # three rounds old by now (VERDICT r3 "do this" #1).
     "creds_last_wins",
@@ -97,10 +99,8 @@ PRIORITY_ORDER = [
     "lineitem_moving_avg",
     "customer_value_deciles",
     "nation_priority_pivot",
-    "lineitem_conditional_agg",
     "lineitem_metrics_unpivot",
     "orders_daily_gapfill",
-    "events_value_histogram",
     "lineitem_ship_delays",
     "status_counts",
     "fanout_union",
@@ -122,6 +122,11 @@ PRIORITY_ORDER = [
     "props_json_extract",
     "headers_explode",
     "grouping_rollup",
+    # Displaced by the second pair of new r4 queries: simple CASE/
+    # width_bucket aggregations whose local parity coverage is strong
+    # and whose families keep fresher window members.
+    "events_value_histogram",
+    "lineitem_conditional_agg",
     # r3-green block (fresh CORRECTNESS_r03 rows) + r2-green family
     # append in module order below.
 ]

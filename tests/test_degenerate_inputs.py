@@ -113,6 +113,7 @@ _EMB_QUERIES = [
     "embed_semdedup",
     "embed_neardup_dedup",
     "embed_silhouette",
+    "embed_pca_power",
 ]
 
 
@@ -131,6 +132,12 @@ def test_single_embedding_is_sane(name, spark, single_emb_dir):
     from postgres_cdc_plugin_spark.operators import similarity
 
     rows = getattr(similarity, name)(spark, single_emb_dir).collect()
+    if name == "embed_pca_power":
+        # rank-0 centered matrix: one row per dim, NULL loadings and
+        # eigenvalue (the NULLIF guard), never inf or a crash
+        assert len(rows) == 4
+        assert all(r.loading is None and r.eigenvalue is None for r in rows)
+        return
     assert len(rows) == 1
     if name == "embed_silhouette":
         # one vector, one cell: no other centroid exists, silhouette NULL

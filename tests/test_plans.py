@@ -414,6 +414,7 @@ _BNLJ_ALLOWED = {
     "docs_dsir_weights",  # 1-row corpus stats (vocab size + totals, r4)
     "docs_word_pmi",  # 1-row doc-count scalar crossJoins (r4)
     "embed_silhouette",  # k-row codebook crossJoin per Lloyd pass (r4)
+    "embed_pca_power",  # 1-row mean/weight/norm-vector crossJoins (r4)
     "token_bigram_stats",  # scalar corpus totals
     "token_bpe_merges",  # 1-row argmax merge rule per iteration
     "token_tfidf",  # scalar corpus size

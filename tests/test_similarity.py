@@ -212,3 +212,55 @@ def test_silhouette_single_cluster_yields_null(spark):
     assert len(rows) == 1
     assert rows[0].n_vecs == 1
     assert rows[0].avg_silhouette is None
+
+
+def test_pca_power_invariants_and_gapped_convergence(spark, sf_dir):
+    """Guaranteed power-iteration invariants on the real corpus (unit
+    loadings, 0 < eigenvalue estimate <= true top eigenvalue since
+    ||C w|| <= lambda_max for unit w), plus actual convergence on a
+    constructed corpus with a dominant direction, checked against
+    numpy's eigensolver."""
+    import math
+
+    import numpy as np
+
+    import postgres_cdc_plugin_spark.operators.similarity as S
+
+    rows = S.embed_pca_power(spark, sf_dir).collect()
+    w = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    lam_est = rows[0].eigenvalue
+    assert abs(np.linalg.norm(w) - 1.0) < 1e-4  # round-6 tolerance
+    import pyarrow.parquet as pq
+
+    X = np.array(
+        [np.array(v, dtype=float) for v in
+         pq.read_table(sf_dir + "/embeddings.parquet").to_pandas().embedding]
+    )
+    Xc = X - X.mean(0)
+    lam_true = np.linalg.eigvalsh(Xc.T @ Xc / (len(X) - 1))[-1]
+    assert 0.0 < lam_est <= lam_true + 1e-4
+
+    # gapped corpus: a dominant direction 10x the noise floor
+    n, d = 40, 6
+    vecs = []
+    for i in range(n):
+        v = [0.0] * d
+        v[0] = (i - n / 2) * 1.0          # dominant axis
+        v[1] = 0.1 * ((-1) ** i)          # small orthogonal wiggle
+        v[2] = 0.01 * i
+        vecs.append((i, [float(x) for x in v], 0))
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    orig = S.load
+    try:
+        S.load = lambda sp, sf, t: df  # noqa: ARG005
+        got = S.embed_pca_power(spark, "ignored").collect()
+    finally:
+        S.load = orig
+    wg = np.array([r.loading for r in sorted(got, key=lambda r: r.dim)])
+    Xg = np.array([np.array(v, dtype=float) for _, v, _ in vecs])
+    Xgc = Xg - Xg.mean(0)
+    evals, evecs = np.linalg.eigh(Xgc.T @ Xgc / (n - 1))
+    assert abs(float(wg @ evecs[:, -1])) > 0.999
+    assert math.isclose(got[0].eigenvalue, evals[-1], rel_tol=1e-3)
