@@ -922,7 +922,14 @@ def docs_dup_span_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents), keep everything else — the filter Lee et al. apply
     after the span scan. One anti-join of the corpus against the
     (tiny) over-duplicated doc set; the span kernel dominates and is
-    shared with docs_suffix_dup_spans via its plan shape."""
+    shared with docs_suffix_dup_spans via its plan shape.
+
+    Bench attribution: alphabetically first of the span family
+    (docs_dup_span_filter < docs_strip_dup_spans <
+    docs_suffix_dup_spans), so in a full bench pass IT pays the
+    one-time _dup_spans build the siblings then read from cache —
+    its per-query wall-clock is the family's shared gram shuffle,
+    not the anti-join."""
     docs = load(spark, sf_dir, "documents")
     heavy = (
         _dup_span_stats(docs.select("doc_id", "text", "n_chars"))
