@@ -543,3 +543,36 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_word_pmi_eligibility_is_broadcast_and_pair_agg_partial(spark, sf_dir):
+    """The PMI scale contract: the eligible-word filter reaches the
+    token stream as a broadcast semi-join (never a shuffle of the
+    occurrence stream against the vocabulary), and the pair counts
+    have a map-side partial aggregation before their exchange."""
+    from postgres_cdc_plugin_spark.operators.text import docs_word_pmi
+
+    plan = inspect.physical_plan(docs_word_pmi(spark, sf_dir))
+    assert "LeftSemi, BuildRight" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_pca_power_plan_has_no_covariance_blowup(spark, sf_dir):
+    """embed_pca_power's scale claim: no d x d covariance relation is
+    ever formed — every join in the plan is against a broadcast 1-row
+    relation (means / weights / norm), and the only aggregations key
+    on dim or nothing. A covariance formulation would show a
+    (dim, dim)-keyed exchange."""
+    from postgres_cdc_plugin_spark.operators.similarity import embed_pca_power
+
+    plan = inspect.physical_plan(embed_pca_power(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # every hash-aggregate keys on at most one column (dim / vec-level
+    # fold), never a composite (dim_a, dim_b) covariance key
+    for line in plan.splitlines():
+        line = line.strip()
+        if line.startswith("+- HashAggregate(keys=[") or line.startswith(
+            "HashAggregate(keys=["
+        ):
+            keys = line.split("keys=[", 1)[1].split("]", 1)[0]
+            assert keys.count(",") == 0, line
