@@ -1316,6 +1316,11 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order basket size, which is schema-bounded and tiny); part
     supports broadcast back onto the pair relation; the global top-k
     plans as TakeOrderedAndProject.
+
+    Bench attribution: alphabetically first consumer of the persisted
+    co-purchase pair relation (_copurchase_pairs) that
+    part_copurchase_pagerank / part_triangle_counts then read from
+    cache — its per-query wall-clock includes that one-time build.
     """
     lp = (
         load(spark, sf_dir, "lineitem")
