@@ -1012,6 +1012,53 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_TOP = 10  # hottest keys reported by the skew audit
+
+
+def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the per-key cardinality profile of the
+    event stream's user_id — the audit that decides whether a
+    fact-fact join key needs salting (plans/salted.py) or AQE
+    skew-join handling BEFORE the job runs, instead of discovering a
+    straggler task at hour six. Reports the _SKEW_TOP hottest keys
+    with their row share and ratio to the mean key size, plus the
+    global key count for context.
+
+    Determinism: counts are int64; row_share and skew_ratio are
+    pure-double expressions of exact integers, with factors cast to
+    double BEFORE multiplying so 100 TB-scale (count × key-count)
+    products cannot overflow int64. Ties order by (n_rows desc,
+    user_id asc) so the top-k is a total order.
+
+    Scale: ONE key-count aggregation with map-side partials over the
+    fact table; the global (n_keys, total) pair is a 1-row broadcast;
+    the top-k plans as TakeOrderedAndProject (per-partition k, no full
+    sort) and the rank window runs over the k-row result, never the
+    key population."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    g = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n_rows").alias("total")
+    )
+    top = kc.orderBy(F.desc("n_rows"), F.asc("user_id")).limit(_SKEW_TOP)
+    w = Window.orderBy(F.desc("n_rows"), F.asc("user_id"))
+    return (
+        top.crossJoin(F.broadcast(g))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "user_id",
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") / F.col("total").cast("double")).alias("row_share"),
+            (
+                F.col("n_rows").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total").cast("double")
+            ).alias("skew_ratio"),
+        )
+    )
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavioral Markov chain: the event-type transition
     matrix (from_type, to_type, count, probability) over per-user
@@ -1942,6 +1989,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_user_paths": events_user_paths,
     "events_markov_transitions": events_markov_transitions,
+    "events_key_skew_audit": events_key_skew_audit,
     "lineitem_small_qty_parts": lineitem_small_qty_parts,
     "orders_rfm_segments": orders_rfm_segments,
     "events_anomaly_mad": events_anomaly_mad,
@@ -2304,6 +2352,28 @@ ORACLE_SQL = {
         GROUP BY path
         ORDER BY n_occurrences DESC, path ASC
         LIMIT 20
+    """,
+    "events_key_skew_audit": f"""
+        WITH kc AS (
+            SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+        ),
+        g AS (
+            SELECT count(*) AS n_keys, CAST(sum(n_rows) AS BIGINT) AS total
+            FROM kc
+        ),
+        top AS (
+            SELECT user_id, n_rows FROM kc
+            ORDER BY n_rows DESC, user_id ASC LIMIT {_SKEW_TOP}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, user_id ASC)
+                    AS INT) AS rank,
+               user_id,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               n_rows / CAST(total AS DOUBLE) AS row_share,
+               CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                   / CAST(total AS DOUBLE) AS skew_ratio
+        FROM top CROSS JOIN g
     """,
     "events_markov_transitions": """
         SELECT from_type, to_type,

@@ -75,6 +75,7 @@ PRIORITY_ORDER = [
     "embed_silhouette",
     "events_markov_transitions",
     "embed_pca_power",
+    "events_key_skew_audit",
     # The 33-query r1-green tail — last driver evidence is round 1,
     # three rounds old by now (VERDICT r3 "do this" #1).
     "creds_last_wins",
@@ -96,7 +97,6 @@ PRIORITY_ORDER = [
     "top_customers_per_nation",
     "orders_price_band_join",
     "orders_window_funcs",
-    "lineitem_moving_avg",
     "customer_value_deciles",
     "nation_priority_pivot",
     "lineitem_metrics_unpivot",
@@ -127,6 +127,9 @@ PRIORITY_ORDER = [
     # and whose families keep fresher window members.
     "events_value_histogram",
     "lineitem_conditional_agg",
+    # Displaced by events_key_skew_audit: the moving-average window
+    # family keeps four fresher window members in the window.
+    "lineitem_moving_avg",
     # r3-green block (fresh CORRECTNESS_r03 rows) + r2-green family
     # append in module order below.
 ]
