@@ -1012,6 +1012,62 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: for every purchase, the
+    user's FIRST and LAST touchpoint (view/click) at-or-before the
+    conversion, rolled up into per-model credit shares — the
+    first-touch vs last-touch comparison every attribution analysis
+    starts from, as two running windows over one user-ordered pass.
+
+    Determinism: event order is (ts, event_id) — the asof-join tie
+    convention; a purchase with no prior touch credits '(none)' on
+    both engines (explicit coalesce, not engine NULL-group behavior);
+    shares are exact int64/int64 divisions.
+
+    Scale: ONE user_id-partitioned window pass computes both running
+    first/last touch columns (ignore-nulls first_value/last_value over
+    the same frame — no self-join against the touch stream), then two
+    touch-type-keyed count rollups over the conversions only. The
+    credit relation is |touch types| x 2 rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    tt = F.when(F.col("event_type").isin("view", "click"), F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conv = (
+        ev.withColumn("first_touch", F.first(tt, ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last(tt, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+
+    def credit(col: str, model: str) -> DataFrame:
+        return (
+            conv.groupBy(
+                F.coalesce(F.col(col), F.lit("(none)")).alias("touch_type")
+            )
+            .agg(F.count(F.lit(1)).alias("n_conversions"))
+            .select(F.lit(model).alias("model"), "touch_type", "n_conversions")
+        )
+
+    out = credit("first_touch", "first_touch").unionByName(
+        credit("last_touch", "last_touch")
+    )
+    wm = Window.partitionBy("model")
+    return out.select(
+        "model",
+        "touch_type",
+        "n_conversions",
+        (
+            F.col("n_conversions")
+            / F.sum("n_conversions").over(wm).cast("double")
+        ).alias("credit_share"),
+    )
+
+
 _SKEW_TOP = 10  # hottest keys reported by the skew audit
 
 
@@ -1990,6 +2046,7 @@ QUERIES = {
     "events_user_paths": events_user_paths,
     "events_markov_transitions": events_markov_transitions,
     "events_key_skew_audit": events_key_skew_audit,
+    "events_touch_attribution": events_touch_attribution,
     "lineitem_small_qty_parts": lineitem_small_qty_parts,
     "orders_rfm_segments": orders_rfm_segments,
     "events_anomaly_mad": events_anomaly_mad,
@@ -2352,6 +2409,34 @@ ORACLE_SQL = {
         GROUP BY path
         ORDER BY n_occurrences DESC, path ASC
         LIMIT 20
+    """,
+    "events_touch_attribution": """
+        WITH enriched AS (
+            SELECT event_type,
+                   first_value(CASE WHEN event_type IN ('view', 'click')
+                                    THEN event_type END IGNORE NULLS)
+                       OVER w AS first_touch,
+                   last_value(CASE WHEN event_type IN ('view', 'click')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS last_touch
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        conv AS (SELECT * FROM enriched WHERE event_type = 'purchase'),
+        credit AS (
+            SELECT 'first_touch' AS model,
+                   coalesce(first_touch, '(none)') AS touch_type,
+                   count(*) AS n_conversions
+            FROM conv GROUP BY 2
+            UNION ALL
+            SELECT 'last_touch', coalesce(last_touch, '(none)'), count(*)
+            FROM conv GROUP BY 2
+        )
+        SELECT model, touch_type, n_conversions,
+               n_conversions / CAST(sum(n_conversions)
+                   OVER (PARTITION BY model) AS DOUBLE) AS credit_share
+        FROM credit
     """,
     "events_key_skew_audit": f"""
         WITH kc AS (

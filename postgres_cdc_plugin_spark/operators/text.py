@@ -72,6 +72,36 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: the confusion matrix of declared vs
+    predicted language over the whole corpus, with per-declared-label
+    recall share — the calibration readout that decides whether the
+    lang-ID gate's threshold is safe to filter on. Reuses the
+    docs_lang_id kernel verbatim (and its SQL in the oracle), so the
+    audit can never drift from the classifier it audits.
+
+    Scale: the per-doc classification is the lang_id pass (one doc_id
+    shuffle); the matrix rollup keys on (declared, predicted) — a
+    |langs|² relation — with map-side partials; the per-declared
+    marginal is a broadcast-sized window. Shares are exact int64/int64
+    divisions."""
+    per_doc = docs_lang_id(spark, sf_dir).select(
+        "declared_lang", "predicted_lang"
+    )
+    cm = per_doc.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("declared_lang")
+    return cm.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w).cast("double")).alias(
+            "share_of_declared"
+        ),
+    )
+
+
 def _quality_parts():
     """(len_score, uniq_ratio) over a `text` column — the
     docs_quality_score formula, shared with docs_pipeline_e2e's stage-1
@@ -1592,6 +1622,7 @@ QUERIES = {
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "token_bigram_surprisal": token_bigram_surprisal,
     "docs_word_pmi": docs_word_pmi,
+    "docs_lang_confusion": docs_lang_confusion,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_text_stats": docs_text_stats,
     "token_bigram_stats": token_bigram_stats,
@@ -2110,6 +2141,31 @@ ORACLE_SQL = {
                CASE WHEN n_stopwords / CAST(n_tokens AS DOUBLE) >= 0.05
                     THEN 'en' ELSE 'other' END AS predicted_lang
         FROM agg
+    """,
+    "docs_lang_confusion": f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id, lang, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN w IN ({_STOP_SQL}) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_stopwords
+            FROM tok
+            GROUP BY doc_id, lang
+        ),
+        per_doc AS (
+            SELECT lang AS declared_lang,
+                   CASE WHEN n_stopwords / CAST(n_tokens AS DOUBLE) >= 0.05
+                        THEN 'en' ELSE 'other' END AS predicted_lang
+            FROM agg
+        )
+        SELECT declared_lang, predicted_lang,
+               count(*) AS n_docs,
+               count(*) / CAST(sum(count(*)) OVER (PARTITION BY declared_lang)
+                               AS DOUBLE) AS share_of_declared
+        FROM per_doc
+        GROUP BY declared_lang, predicted_lang
     """,
     "docs_quality_score": """
         SELECT doc_id, lang,

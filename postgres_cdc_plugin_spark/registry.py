@@ -130,6 +130,13 @@ PRIORITY_ORDER = [
     # Displaced by events_key_skew_audit: the moving-average window
     # family keeps four fresher window members in the window.
     "lineitem_moving_avg",
+    # Late-r4 additions, registered at 51+ by policy: the window was
+    # already full of never-verified/reworked queries plus the stale
+    # r1 tail, and displacing more anchors would age reference-operator
+    # evidence instead. Both have sf0.001+sf0.01 local parity; the r5
+    # rotation promotes them (never-driver-checked outranks freshness).
+    "docs_lang_confusion",
+    "events_touch_attribution",
     # r3-green block (fresh CORRECTNESS_r03 rows) + r2-green family
     # append in module order below.
 ]
