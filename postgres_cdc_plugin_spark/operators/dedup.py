@@ -62,6 +62,41 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene segmentation: exact-duplicate rate per source —
+    the "which crawl is dirtiest" audit that decides where to point
+    cleaning effort and which feeds to renegotiate. A document is a
+    duplicate when it is not the canonical (first-doc_id) copy of its
+    normalized-text fingerprint; the verdict reuses the
+    docs_exact_dedup window kernel verbatim, so this audit cannot
+    drift from the dedup pass it explains.
+
+    Scale: the fingerprint window is the dedup pass's one shuffle; the
+    rollup keys on source (map-side partials, |sources| rows out).
+    Rates are exact int64/int64 divisions."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    flagged = (
+        docs.withColumn("fingerprint", _fingerprint())
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "source",
+            "n_chars",
+            (F.col("rn") > 1).cast("int").alias("is_dup"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dups"),
+        (
+            F.sum("is_dup") / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+        F.sum(F.col("n_chars") * F.col("is_dup")).cast("bigint").alias(
+            "dup_chars"
+        ),
+    )
+
+
 def docs_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group stats per content fingerprint."""
     docs = load(spark, sf_dir, "documents")
@@ -1010,6 +1045,7 @@ QUERIES = {
     "docs_dup_clusters": docs_dup_clusters,
     "docs_cluster_dedup": docs_cluster_dedup,
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_dedup_rate_by_source": docs_dedup_rate_by_source,
     "docs_fingerprint_groups": docs_fingerprint_groups,
     "docs_minhash_sigs": docs_minhash_sigs,
     "docs_minhash_pairs": docs_minhash_pairs,
@@ -1228,6 +1264,22 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
             SELECT 1 FROM ({_SIMHASH_PAIRS_SQL}) p WHERE p.doc_b = d.doc_id
         )
+    """,
+    "docs_dedup_rate_by_source": """
+        WITH flagged AS (
+            SELECT source, n_chars,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+                   ) > 1 THEN 1 ELSE 0 END AS is_dup
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_dups,
+               sum(is_dup) / CAST(count(*) AS DOUBLE) AS dup_rate,
+               CAST(sum(n_chars * is_dup) AS BIGINT) AS dup_chars
+        FROM flagged
+        GROUP BY source
     """,
     "docs_exact_dedup": """
         SELECT doc_id, fingerprint, lang, source, n_chars

@@ -424,6 +424,42 @@ def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-balance audit: per-cell population share and ratio to
+    the mean cell size — the vector-index analog of
+    events_key_skew_audit. A hot cell absorbs a disproportionate share
+    of probe latency and signals the coarse quantizer needs
+    re-training (or the cell needs splitting) BEFORE the index is
+    rolled out; a starved cell wastes a probe budget slot. The
+    assignment is the embed_ivf_assign kernel verbatim (and its SQL in
+    the oracle), so the audit cannot drift from the index build it
+    grades.
+
+    Scale: one ivf_assign pass (broadcast codebook + per-vector
+    argmin), then a cell-keyed rollup with map-side partials — k rows
+    out. Shares are exact int64/int64 divisions; ratio factors cast to
+    double before multiplying (no overflow at any corpus size)."""
+    kc = (
+        embed_ivf_assign(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    g = kc.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("n_vecs").alias("total")
+    )
+    return kc.crossJoin(F.broadcast(g)).select(
+        "cell",
+        "n_vecs",
+        "n_cells",
+        (F.col("n_vecs") / F.col("total").cast("double")).alias("vec_share"),
+        (
+            F.col("n_vecs").cast("double")
+            * F.col("n_cells").cast("double")
+            / F.col("total").cast("double")
+        ).alias("balance_ratio"),
+    )
+
+
 def embed_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality audit: recall@k of the IVF cell-probe ANN against
     exact kNN for the query vector — the search-quality gate an index
@@ -1129,6 +1165,7 @@ QUERIES = {
     "embed_ann_ivf": embed_ann_ivf,
     "embed_ann_ivfpq": embed_ann_ivfpq,
     "embed_ivf_assign": embed_ivf_assign,
+    "embed_cell_balance_audit": embed_cell_balance_audit,
     "embed_kmeans": embed_kmeans,
     "embed_silhouette": embed_silhouette,
     "embed_pca_power": embed_pca_power,
@@ -1543,6 +1580,38 @@ ORACLE_SQL = {
                    END), 6) AS DECIMAL(38,6)) AS DOUBLE) AS avg_silhouette
         FROM a2 LEFT JOIN oth ON oth.vec_id = a2.vec_id
         GROUP BY a2.cell
+    """,
+    "embed_cell_balance_audit": f"""
+        WITH cent AS (
+{_cent_cte_sql("embeddings")}
+        ),
+        dist AS (
+            SELECT e.vec_id, c.cell,
+                   {_SQDIST_SQL}
+                       AS sq_dist
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, cell
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sq_dist, cell) AS rn
+                FROM dist
+            )
+            WHERE rn = 1
+        ),
+        kc AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+        g AS (
+            SELECT count(*) AS n_cells, CAST(sum(n_vecs) AS BIGINT) AS total
+            FROM kc
+        )
+        SELECT cell,
+               CAST(n_vecs AS BIGINT) AS n_vecs,
+               CAST(n_cells AS BIGINT) AS n_cells,
+               n_vecs / CAST(total AS DOUBLE) AS vec_share,
+               CAST(n_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE)
+                   / CAST(total AS DOUBLE) AS balance_ratio
+        FROM kc CROSS JOIN g
     """,
     "embed_ivf_assign": f"""
         WITH cent AS (

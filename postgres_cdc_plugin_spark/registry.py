@@ -137,6 +137,8 @@ PRIORITY_ORDER = [
     # rotation promotes them (never-driver-checked outranks freshness).
     "docs_lang_confusion",
     "events_touch_attribution",
+    "docs_dedup_rate_by_source",
+    "embed_cell_balance_audit",
     # r3-green block (fresh CORRECTNESS_r03 rows) + r2-green family
     # append in module order below.
 ]
