@@ -32,6 +32,8 @@ _DOC_QUERIES = [
     (text, "token_bigram_surprisal"),
     (text, "docs_dsir_weights"),
     (text, "docs_word_pmi"),
+    (dedup, "docs_dedup_rate_by_source"),
+    (text, "docs_lang_confusion"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -79,6 +81,13 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         # single doc is raw-side; the target split is empty, weights
         # still well-defined through add-one smoothing
         assert len(rows) == 1
+    elif name == "docs_dedup_rate_by_source":
+        # one doc, one source, zero duplicates
+        assert len(rows) == 1
+        assert rows[0].n_dups == 0 and rows[0].dup_rate == 0.0
+    elif name == "docs_lang_confusion":
+        # one doc -> one (declared, predicted) cell with share 1.0
+        assert len(rows) == 1 and rows[0].share_of_declared == 1.0
     elif name == "docs_word_pmi":
         # N = 1: every pair of the doc's distinct words co-occurs with
         # df_a = df_b = n_pair_docs = 1, so pmi = log2(1*1/1) = 0 exactly
@@ -114,6 +123,7 @@ _EMB_QUERIES = [
     "embed_neardup_dedup",
     "embed_silhouette",
     "embed_pca_power",
+    "embed_cell_balance_audit",
 ]
 
 
@@ -132,6 +142,12 @@ def test_single_embedding_is_sane(name, spark, single_emb_dir):
     from postgres_cdc_plugin_spark.operators import similarity
 
     rows = getattr(similarity, name)(spark, single_emb_dir).collect()
+    if name == "embed_cell_balance_audit":
+        # one vector, one occupied cell: share and balance are exactly 1
+        assert len(rows) == 1
+        assert rows[0].n_vecs == 1 and rows[0].vec_share == 1.0
+        assert rows[0].balance_ratio == 1.0
+        return
     if name == "embed_pca_power":
         # rank-0 centered matrix: one row per dim, NULL loadings and
         # eigenvalue (the NULLIF guard), never inf or a crash
