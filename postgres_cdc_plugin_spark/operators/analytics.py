@@ -1407,6 +1407,27 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared undirected-degree relation (node, deg) over the
+    co-purchase graph — the second persisted kernel of the graph
+    family (r4 verdict ask: PageRank and triangle counting each
+    recomputed degrees from _copurchase_pairs; now both read this one
+    cached aggregation). Degree here counts NEIGHBORS: pairs hold each
+    undirected edge once (part_a < part_b), so a node's appearances
+    across both columns is exactly its adjacency count — equal to the
+    out-degree of the symmetrized edge list PageRank previously
+    aggregated. Node-set sized, cheap to cache; cache-manager plan
+    matching shares one build across consumers."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    return (
+        pairs.select(F.col("part_a").alias("node"))
+        .unionAll(pairs.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+
+
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining: part pairs co-occurring in
     orders, with lift = P(a,b) / (P(a)·P(b)) (§2.3/§2.4 as a real
@@ -1542,7 +1563,12 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Shared persisted degree kernel (neighbor count == symmetrized
+    # out-degree; see _copurchase_degrees) — also read by
+    # part_triangle_counts.
+    deg = _copurchase_degrees(spark, sf_dir).select(
+        F.col("node").alias("src"), "deg"
+    )
     nv = deg.agg(F.count(F.lit(1)).alias("nv"))
     ranks = deg.crossJoin(F.broadcast(nv)).select(
         F.col("src").alias("node"),
@@ -1593,12 +1619,7 @@ def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir).select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
-    deg = (
-        pairs.select(F.col("src").alias("node"))
-        .unionAll(pairs.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = _copurchase_degrees(spark, sf_dir)
     ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
     dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
     src_first = (F.col("sdeg") < F.col("ddeg")) | (

@@ -682,12 +682,15 @@ def _cc_labels_distributed(
     Size the iteration's shuffles to the SUBGRAPH, not the corpus: the
     label loop operates only on vertices in a near-dup pair — orders of
     magnitude smaller than the corpus (~100k edges per partition keeps
-    tasks meaty; defaultParallelism caps the width). The session
-    shuffle-width conf is execution-time state mutated ONLY while the
-    loop's eager actions run and restored before returning — this
-    assumes one query executes at a time in the session (true for the
-    bench harness and driver; a concurrent query in the same session
-    would momentarily inherit loop width — documented limitation).
+    tasks meaty; defaultParallelism caps the width). Width is applied
+    PER-PLAN — explicit repartition(loop_width, key) on each relation
+    the loop materializes (edges on the join key, labels on doc_id) —
+    never by mutating session shuffle-width conf, which would leak loop
+    width into any query running concurrently in the same session (the
+    norm on a shared 100 TB cluster). Intra-batch join shuffles inherit
+    the session width and are coalesced at runtime by AQE
+    (coalescePartitions is pinned on in session.py), so tiny label
+    relations never fan out to corpus-sized shuffle widths.
 
     Each round runs TWO (min-step, pointer-shortcut) passes, so labels
     travel ~4 hops per round (measured 6 -> 3 rounds at sf0.1).
@@ -703,65 +706,72 @@ def _cc_labels_distributed(
     fail loud."""
     sc = spark.sparkContext
     loop_width = max(1, min(sc.defaultParallelism, 2 * n_pairs // 100_000 + 1))
-    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
     converged = False
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
-        edges = pairs.union(
+    edges = (
+        pairs.union(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
-        ).localCheckpoint()
-        labels = (
-            edges.select(F.col("doc_a").alias("doc_id"))
-            .distinct()
-            .select("doc_id", F.col("doc_id").alias("cluster_id"))
-            .localCheckpoint()
         )
-        rounds = 0
-        while rounds < _CC_MAX_ROUNDS:
-            batch = min(_CC_CHECK_EVERY, _CC_MAX_ROUNDS - rounds)
-            cur = labels.withColumn("old", F.col("cluster_id"))
-            for _round_in_batch in range(batch):
-                for _step in range(2):
-                    lab = cur.select(
-                        F.col("doc_id").alias("l_id"),
-                        F.col("cluster_id").alias("l_lab"),
-                    )
-                    nbr = (
-                        edges.join(lab, edges.doc_b == F.col("l_id"))
-                        .groupBy("doc_a")
-                        .agg(F.min("l_lab").alias("nbr_min"))
-                    )
-                    cur = cur.join(nbr, cur.doc_id == nbr.doc_a, "left").select(
-                        "doc_id",
-                        "old",
-                        F.least(
-                            F.col("cluster_id"),
-                            F.coalesce("nbr_min", F.col("cluster_id")),
-                        ).alias("cluster_id"),
-                    )
-                    ptr = cur.select(
-                        F.col("doc_id").alias("p_id"),
-                        F.col("cluster_id").alias("p_lab"),
-                    )
-                    cur = cur.join(ptr, cur.cluster_id == ptr.p_id).select(
-                        "doc_id",
-                        "old",
-                        F.least("cluster_id", "p_lab").alias("cluster_id"),
-                    )
-            rounds += batch
-            new_labels = cur.select(
+        # Partition the materialized edge relation on the loop's join
+        # key (doc_b) at loop width — every min-step joins edges on
+        # doc_b, so the checkpointed layout is already join-shaped.
+        .repartition(loop_width, "doc_b")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .repartition(loop_width, "doc_id")
+        .localCheckpoint()
+    )
+    rounds = 0
+    while rounds < _CC_MAX_ROUNDS:
+        batch = min(_CC_CHECK_EVERY, _CC_MAX_ROUNDS - rounds)
+        cur = labels.withColumn("old", F.col("cluster_id"))
+        for _round_in_batch in range(batch):
+            for _step in range(2):
+                lab = cur.select(
+                    F.col("doc_id").alias("l_id"),
+                    F.col("cluster_id").alias("l_lab"),
+                )
+                nbr = (
+                    edges.join(lab, edges.doc_b == F.col("l_id"))
+                    .groupBy("doc_a")
+                    .agg(F.min("l_lab").alias("nbr_min"))
+                )
+                cur = cur.join(nbr, cur.doc_id == nbr.doc_a, "left").select(
+                    "doc_id",
+                    "old",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("nbr_min", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                ptr = cur.select(
+                    F.col("doc_id").alias("p_id"),
+                    F.col("cluster_id").alias("p_lab"),
+                )
+                cur = cur.join(ptr, cur.cluster_id == ptr.p_id).select(
+                    "doc_id",
+                    "old",
+                    F.least("cluster_id", "p_lab").alias("cluster_id"),
+                )
+        rounds += batch
+        new_labels = (
+            cur.select(
                 "doc_id",
                 "cluster_id",
                 (F.col("cluster_id") < F.col("old")).alias("improved"),
-            ).localCheckpoint()
-            labels = new_labels.drop("improved")
-            if new_labels.filter("improved").limit(1).count() == 0:
-                converged = True
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+            )
+            .repartition(loop_width, "doc_id")
+            .localCheckpoint()
+        )
+        labels = new_labels.drop("improved")
+        if new_labels.filter("improved").limit(1).count() == 0:
+            converged = True
+            break
     if not converged:
         raise RuntimeError(
             f"dup-cluster min-label propagation did not converge within "
