@@ -308,6 +308,99 @@ def attempt_history_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def queue_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue state machine, driver-checkable (ST6/A2 — the streaming
+    layer's first oracle-checked query).
+
+    Applies streaming.queue.queue_state_fold — the SAME derivation
+    EventQueue.state() runs over its live logs — to a deterministic
+    attempt-log fixture built relationally from the events table:
+    event_id%6 attempts per event at one-minute spacing, attempt a
+    succeeding iff (event_id + a) % 7 == 0, retry budget event_id%4 + 1,
+    LINEAR backoff for click/view else EXPONENTIAL (the retry_schedule
+    convention). The fold computes terminal PENDING/DELIVERED/FAILED
+    status (status CHECK, cdc_webhook--1.0.sql:35), the sorted attempt
+    array (attempts_* arrays, :36-39) and next_attempt (backoff
+    src/cdc_webhook.c:103-109); the DuckDB oracle recomputes all three
+    from the same fixture in plain SQL. Projection is hash-stable:
+    epochs as bigint, history array joined to a string.
+
+    Scale: one lateral sequence explode (narrow), one (event_id,
+    attempt) dedup/agg shuffle, one key join — the fold's own shape;
+    nothing collects.
+    """
+    from ..streaming.queue import queue_state_fold
+
+    ev = load(spark, sf_dir, "events")
+    n_att = (F.col("event_id") % 6).cast("int")
+    qevents = ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.lit("public").alias("trigger_schema"),
+        F.lit("events").alias("trigger_table"),
+        F.lit("cdc_events_trigger").alias("trigger_name"),
+        F.lit("http://127.0.0.1:0/hook").alias("webhook_url"),
+        F.col("props").alias("payload"),
+        F.lit(30).alias("timeout"),
+        (F.col("event_id") % 4).cast("int").alias("retry_number"),
+        F.lit(2).alias("retry_interval"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("LINEAR"))
+        .otherwise(F.lit("EXPONENTIAL"))
+        .alias("retry_backoff"),
+        F.col("ts").alias("enqueued_at"),
+    )
+    ok = (F.col("eid") + F.col("attempt")) % 7 == 0
+    qattempts = (
+        ev.select(
+            F.col("event_id").alias("eid"),
+            F.floor(F.col("ts").cast("timestamp_ltz").cast("double")).alias(
+                "t0"
+            ),
+            F.explode(
+                F.when(n_att >= 1, F.sequence(F.lit(1), n_att)).otherwise(
+                    F.array()
+                )
+            ).alias("attempt"),
+        )
+        .select(
+            F.col("eid").cast("string").alias("event_id"),
+            F.col("attempt"),
+            F.when(ok, F.lit(200)).otherwise(F.lit(500)).alias("http_status"),
+            ok.alias("ok"),
+            F.when(~ok, F.lit("HTTP 500")).alias("error"),
+            (F.col("t0") + 60 * F.col("attempt"))
+            .cast("double")
+            .alias("attempted_at"),
+            F.concat(
+                F.lit('{"attempt":'), F.col("attempt").cast("string"), F.lit("}")
+            ).alias("response"),
+        )
+    )
+    state = queue_state_fold(qevents, qattempts)
+    return state.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "retry_backoff",
+        "attempt_count",
+        "status",
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    "attempts",
+                    lambda s: F.concat_ws(
+                        ":",
+                        s.attempt.cast("string"),
+                        s.http_status.cast("string"),
+                    ),
+                ),
+                ",",
+            ),
+            F.lit(""),
+        ).alias("attempt_log"),
+        F.floor(F.col("next_attempt").cast("timestamp_ltz").cast("double"))
+        .cast("bigint")
+        .alias("next_attempt_epoch"),
+    )
+
+
 def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Status/op distribution (A3).
 
@@ -514,6 +607,7 @@ QUERIES = {
     "queue_ready_topk": queue_ready_topk,
     "retry_schedule": retry_schedule,
     "attempt_history_agg": attempt_history_agg,
+    "queue_state_machine": queue_state_machine,
     "status_counts": status_counts,
     "fanout_union": fanout_union,
     "headers_explode": headers_explode,
@@ -706,6 +800,52 @@ ORACLE_SQL = {
         FROM events
         WHERE event_type = 'error'
         GROUP BY user_id
+    """,
+    "queue_state_machine": """
+        WITH base AS (
+            SELECT event_id,
+                   CAST(event_id % 4 AS INT) AS retry_number,
+                   2 AS retry_interval,
+                   CASE WHEN event_type IN ('click', 'view') THEN 'LINEAR'
+                        ELSE 'EXPONENTIAL' END AS retry_backoff,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS enq_epoch,
+                   CAST(event_id % 6 AS INT) AS n_att
+            FROM events
+        ),
+        att AS (
+            SELECT b.event_id, a.attempt,
+                   ((b.event_id + a.attempt) % 7) = 0 AS ok,
+                   CASE WHEN ((b.event_id + a.attempt) % 7) = 0
+                        THEN 200 ELSE 500 END AS http_status
+            FROM base b,
+                 LATERAL unnest(generate_series(1, b.n_att)) AS a(attempt)
+        ),
+        agg AS (
+            SELECT event_id,
+                   CAST(count(*) AS INT) AS attempt_count,
+                   max(CASE WHEN ok THEN 1 ELSE 0 END) AS any_ok,
+                   string_agg(attempt || ':' || http_status, ','
+                              ORDER BY attempt) AS attempt_log
+            FROM att
+            GROUP BY event_id
+        )
+        SELECT b.event_id,
+               b.retry_backoff,
+               COALESCE(g.attempt_count, 0) AS attempt_count,
+               CASE WHEN COALESCE(g.any_ok, 0) = 1 THEN 'DELIVERED'
+                    WHEN COALESCE(g.attempt_count, 0) >= b.retry_number + 1
+                         THEN 'FAILED'
+                    ELSE 'PENDING' END AS status,
+               COALESCE(g.attempt_log, '') AS attempt_log,
+               CASE WHEN COALESCE(g.attempt_count, 0) = 0 THEN b.enq_epoch
+                    ELSE b.enq_epoch + 60 * g.attempt_count
+                         + CASE WHEN b.retry_backoff = 'LINEAR'
+                                THEN b.retry_interval
+                                ELSE b.retry_interval * CAST(
+                                    POWER(2, g.attempt_count - 1) AS BIGINT)
+                           END
+               END AS next_attempt_epoch
+        FROM base b LEFT JOIN agg g USING (event_id)
     """,
     "status_counts": """
         SELECT event_type AS status, count(*) AS n, round(sum(value), 2) AS total_value

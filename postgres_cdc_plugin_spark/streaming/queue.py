@@ -84,6 +84,88 @@ def _utcnow() -> datetime.datetime:
     return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
 
 
+def queue_state_fold(events: DataFrame, attempts: DataFrame) -> DataFrame:
+    """THE queue-state derivation (ST6): fold an event log and an
+    attempt log into one row per event with status, attempt-history
+    array (A2: attempts_time/status/response arrays,
+    cdc_webhook--1.0.sql:36-39) and the computed next_attempt.
+
+    Module-level on purpose — EventQueue.state() applies it to the live
+    append-only logs, and the batch `queue_state_machine` query
+    (operators/cdc.py) applies it to a deterministic fixture with a
+    DuckDB oracle, so the driver's hash check exercises the very fold
+    the streaming poller runs (not a parallel reimplementation).
+
+    Backoff: delay after n completed attempts = interval (LINEAR) or
+    interval * 2^(n-1) (EXPONENTIAL, 0-based shift of the last attempt
+    index) — src/cdc_webhook.c:103-109. Status: any successful attempt
+    => DELIVERED; attempt budget (retry_number + 1) exhausted => FAILED;
+    else PENDING (cdc_webhook--1.0.sql:35).
+
+    Both logs are deduped defensively before derivation: duplicate
+    event rows (an at-least-once enqueue replay racing a compact, or a
+    crash-recovery merge) would each be polled and POSTed per copy, and
+    duplicate attempt rows would burn the retry budget early — the keys
+    (event_id) and (event_id, attempt) identify the logical rows, so
+    copies collapse to one. The dedup shuffle shares the event_id
+    partitioning the state join needs anyway.
+    """
+    att = (
+        attempts.dropDuplicates(["event_id", "attempt"])
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("attempt_count"),
+            F.max(F.when(F.col("ok"), 1).otherwise(0)).alias("any_ok"),
+            F.max("attempted_at").alias("last_attempt_at"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "attempt", "attempted_at", "http_status", "response"
+                    )
+                )
+            ).alias("history"),
+        )
+    )
+    ev = (
+        events.dropDuplicates(["event_id"])
+        .join(att, "event_id", "left")
+        .fillna({"attempt_count": 0, "any_ok": 0})
+    )
+    budget = F.col("retry_number") + 1
+    delay = backoff_delay(
+        "retry_backoff",
+        "retry_interval",
+        F.greatest(F.col("attempt_count") - 1, F.lit(0)),
+    )
+    status = (
+        F.when(F.col("any_ok") == 1, "DELIVERED")
+        .when(F.col("attempt_count") >= budget, "FAILED")
+        .otherwise("PENDING")
+    )
+    next_attempt = F.when(
+        F.col("attempt_count") == 0, F.col("enqueued_at")
+    ).otherwise(
+        F.timestamp_seconds(F.col("last_attempt_at") + delay)
+    )
+    return ev.select(
+        "event_id",
+        "trigger_schema",
+        "trigger_table",
+        "trigger_name",
+        "webhook_url",
+        "payload",
+        "timeout",
+        "retry_number",
+        "retry_interval",
+        "retry_backoff",
+        "enqueued_at",
+        "attempt_count",
+        F.col("history").alias("attempts"),
+        status.alias("status"),
+        next_attempt.alias("next_attempt"),
+    )
+
+
 class EventQueue:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -212,77 +294,11 @@ class EventQueue:
 
     def state(self) -> DataFrame:
         """Current queue state: one row per event with status, attempt
-        history arrays (A2: attempts_time/status arrays,
-        cdc_webhook--1.0.sql:36-39) and the computed next_attempt.
-
-        Backoff: delay after n completed attempts = interval (LINEAR) or
-        interval * 2^(n-1) (EXPONENTIAL, 0-based shift of the last
-        attempt index) — src/cdc_webhook.c:103-109.
-
-        Both logs are deduped defensively before derivation: duplicate
-        event rows (an at-least-once enqueue replay racing a compact,
-        or a crash-recovery merge) would each be polled and POSTed per
-        copy, and duplicate attempt rows would burn the retry budget
-        early — the keys (event_id) and (event_id, attempt) identify
-        the logical rows, so copies collapse to one. The dedup shuffle
-        shares the event_id partitioning the state join needs anyway.
+        history arrays and the computed next_attempt — the shared
+        queue_state_fold applied to the live append-only logs (see its
+        docstring for the state-machine semantics and dedup rationale).
         """
-        att = (
-            self._attempts()
-            .dropDuplicates(["event_id", "attempt"])
-            .groupBy("event_id")
-            .agg(
-                F.count(F.lit(1)).cast("int").alias("attempt_count"),
-                F.max(F.when(F.col("ok"), 1).otherwise(0)).alias("any_ok"),
-                F.max("attempted_at").alias("last_attempt_at"),
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            "attempt", "attempted_at", "http_status", "response"
-                        )
-                    )
-                ).alias("history"),
-            )
-        )
-        ev = (
-            self._events()
-            .dropDuplicates(["event_id"])
-            .join(att, "event_id", "left")
-            .fillna({"attempt_count": 0, "any_ok": 0})
-        )
-        budget = F.col("retry_number") + 1
-        delay = backoff_delay(
-            "retry_backoff",
-            "retry_interval",
-            F.greatest(F.col("attempt_count") - 1, F.lit(0)),
-        )
-        status = (
-            F.when(F.col("any_ok") == 1, "DELIVERED")
-            .when(F.col("attempt_count") >= budget, "FAILED")
-            .otherwise("PENDING")
-        )
-        next_attempt = F.when(
-            F.col("attempt_count") == 0, F.col("enqueued_at")
-        ).otherwise(
-            F.timestamp_seconds(F.col("last_attempt_at") + delay)
-        )
-        return ev.select(
-            "event_id",
-            "trigger_schema",
-            "trigger_table",
-            "trigger_name",
-            "webhook_url",
-            "payload",
-            "timeout",
-            "retry_number",
-            "retry_interval",
-            "retry_backoff",
-            "enqueued_at",
-            "attempt_count",
-            F.col("history").alias("attempts"),
-            status.alias("status"),
-            next_attempt.alias("next_attempt"),
-        )
+        return queue_state_fold(self._events(), self._attempts())
 
     def compact(self, drop_failed: bool = False) -> dict[str, int]:
         """Maintenance: rewrite the append-only logs without terminal
