@@ -1115,6 +1115,40 @@ def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key fact enrichment through an explicitly SALTED shuffle
+    join (plans/salted.py) — the mitigation query paired with
+    events_key_skew_audit's diagnosis: the event log's user_id is
+    power-law hot, so the fact side is split 8 ways on a deterministic
+    row salt and the user dimension is replicated once per salt value,
+    spreading each hot key over 8 tasks where a plain shuffle join
+    serializes it into one straggler. The construction is
+    result-invariant by design, so the DuckDB oracle is the PLAIN
+    left join + aggregation — the hash check proves salting changes
+    the physical distribution and nothing else. Physical-plan shape
+    (salt in the join keys, replicated-right explode) is pinned in
+    tests/test_plans.py.
+
+    Scale: this is the big-big join pattern — the dimension here is
+    customer-sized (broadcastable at test SF, NOT at 100 TB, which is
+    exactly when salting earns its keep); the salt bounds the largest
+    task at ~1/8 of the hottest key. Aggregation after the join is a
+    tiny-keyspace groupBy with map-side partials.
+    """
+    from ..plans.salted import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on=["user_id"], n_salts=8, how="left")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavioral Markov chain: the event-type transition
     matrix (from_type, to_type, count, probability) over per-user
@@ -2067,6 +2101,7 @@ QUERIES = {
     "events_user_paths": events_user_paths,
     "events_markov_transitions": events_markov_transitions,
     "events_key_skew_audit": events_key_skew_audit,
+    "events_salted_enrich": events_salted_enrich,
     "events_touch_attribution": events_touch_attribution,
     "lineitem_small_qty_parts": lineitem_small_qty_parts,
     "orders_rfm_segments": orders_rfm_segments,
@@ -2480,6 +2515,14 @@ ORACLE_SQL = {
                CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
                    / CAST(total AS DOUBLE) AS skew_ratio
         FROM top CROSS JOIN g
+    """,
+    "events_salted_enrich": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users,
+               round(sum(e.value), 2) AS total_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
     """,
     "events_markov_transitions": """
         SELECT from_type, to_type,

@@ -123,6 +123,17 @@ def test_salted_join_spreads_hot_key(spark):
     assert out.count() == 1000
 
 
+def test_salted_enrich_plan_carries_salt(spark, sf_dir):
+    """The DECLARED salted-join query (events_salted_enrich) really
+    executes the salted construction: the physical plan joins on the
+    salt column and replicates the right side via the salt explode.
+    Result-invariance vs the plain join is the query's DuckDB oracle."""
+    df = analytics.events_salted_enrich(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "__salt" in plan, plan
+    assert "explode" in plan.lower(), plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Both sides bucketed+sorted on the join key => the orders x
     lineitem fact-fact join runs with ZERO exchanges (the shuffle was
