@@ -271,7 +271,7 @@ def _with_buckets_pandas(df: DataFrame) -> DataFrame:
 
 
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via multi-table random-hyperplane LSH (rows-only).
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
     _N_TABLES independent hash tables of _N_PLANES bits each; candidates
     = union over tables of vectors sharing the query's bucket, deduped,
@@ -282,8 +282,11 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ~ 1-(1-(1-theta/pi)^B)^L, candidates ~ L*n/2^B; B grows with
     log(n) at scale. The bucket equi-join is the 100 TB path: signature
     computation is narrow, the join shuffles (bucket, vec_id) only.
-    Approximate -> no SQL oracle; tests/test_similarity.py measures
-    recall against embed_knn and bounds candidates examined.
+    Approximate wrt true top-k, but DETERMINISTIC given the fixed
+    md5-seeded planes — so since round 6 it carries a full DuckDB
+    oracle (_lsh_bucket_sql renders the same signatures from literal
+    plane lists); tests/test_similarity.py additionally measures recall
+    against embed_knn and bounds candidates examined.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -1176,6 +1179,33 @@ QUERIES = {
 
 _COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 
+
+def _lsh_bucket_sql(tbl_alias: str, table: int) -> str:
+    """SQL mirror of one LSH table's bucket signature: bit p =
+    sign(v . plane_p) with the SAME deterministic md5 +/-1 hyperplanes
+    the operator uses (_plane_coeffs), rendered as literal DOUBLE
+    lists. With fixed seeded planes the bucketing is plain relational
+    algebra, so embed_ann_lsh gets a full value oracle instead of a
+    rows-only check (r4 verdict ask #8). Sign flips from summation
+    order are the only cross-engine hazard; tests pin the expression
+    fold == BLAS-batch signatures on the test corpora, and no vector
+    sits near the decision boundary there."""
+    planes = _plane_coeffs(table)
+    bits = []
+    for p in range(_N_PLANES):
+        lst = ",".join("1.0" if c > 0 else "-1.0" for c in planes[p])
+        bits.append(
+            f"CASE WHEN list_dot_product({tbl_alias}.embedding::DOUBLE[], "
+            f"[{lst}]) >= 0 THEN '1' ELSE '0' END"
+        )
+    return f"'{table}:' || " + " || ".join(bits)
+
+
+_LSH_CAND_SQL = " OR ".join(
+    f"({_lsh_bucket_sql('c', t)}) = ({_lsh_bucket_sql('q', t)})"
+    for t in range(_N_TABLES)
+)
+
 _PQ_SUB = _DIM // _PQ_M
 _PQ_DIST_SQL = ",\n".join(
     f"""round(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
@@ -1296,6 +1326,25 @@ ORACLE_SQL = {
                ), 6) AS cosine_sim
         FROM embeddings a
         WHERE a.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY cosine_sim DESC, a.vec_id ASC
+        LIMIT {_TOP_K}
+    """,
+    "embed_ann_lsh": f"""
+        WITH q AS (
+            SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+        ),
+        cand AS (
+            SELECT DISTINCT c.vec_id
+            FROM embeddings c, q
+            WHERE c.vec_id <> {_QUERY_VEC_ID} AND ({_LSH_CAND_SQL})
+        )
+        SELECT a.vec_id, a.label,
+               round(list_cosine_similarity(
+                   a.embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings
+                    WHERE vec_id = {_QUERY_VEC_ID})
+               ), 6) AS cosine_sim
+        FROM embeddings a JOIN cand USING (vec_id)
         ORDER BY cosine_sim DESC, a.vec_id ASC
         LIMIT {_TOP_K}
     """,
