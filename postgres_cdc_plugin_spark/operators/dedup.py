@@ -119,12 +119,19 @@ def _shingles(docs: DataFrame, distinct: bool) -> DataFrame:
     Shingling operates on the utf-8 BYTES of the text: substr on a
     binary column is O(1) byte addressing, while substring on a string
     is an O(i) codepoint scan — byte-grams make shingling O(n) per doc
-    instead of O(n^2) (~5x wall-clock on this corpus). On ASCII text
-    (all driver corpora — asserted in tests/test_oracle_parity.py via
-    the char-based DuckDB oracle) byte-grams ARE the char-grams and md5
-    digests are identical since md5 hashes bytes either way; on
-    multi-byte text the operator's semantics are byte-grams, the
-    standard choice in large-scale corpus dedup.
+    instead of O(n^2) (~5x wall-clock on this corpus). Byte-grams are
+    the standard choice in large-scale corpus dedup; a mid-codepoint
+    window is a legitimate shingle.
+
+    The shingle VALUE is the hex rendition of the byte window, not the
+    raw bytes: a mid-codepoint byte slice is not valid UTF-8, so no
+    engine-portable string form of the raw window exists (DuckDB can
+    neither substr nor md5 a BLOB), while hex is plain ASCII that both
+    engines hash identically — which is what lets the whole MinHash
+    family keep exact DuckDB oracles on NON-ASCII corpora
+    (tests/test_nonascii_parity.py; this gate caught the raw-byte form
+    diverging). hex() is a narrow codegen expression; the 2x shingle
+    width only affects the pre-aggregation stream.
     """
     idx = F.explode(
         F.sequence(F.lit(1), F.greatest(F.octet_length("b") - (_SHINGLE - 1), F.lit(1)))
@@ -139,7 +146,7 @@ def _shingles(docs: DataFrame, distinct: bool) -> DataFrame:
         .select("doc_id", "b", idx)
         .select(
             "doc_id",
-            F.expr(f"substr(b, CAST(i AS INT), {_SHINGLE})").alias("g"),
+            F.hex(F.expr(f"substr(b, CAST(i AS INT), {_SHINGLE})")).alias("g"),
         )
     )
     return sh.distinct() if distinct else sh
@@ -1066,9 +1073,13 @@ QUERIES = {
     "docs_simhash_dedup": docs_simhash_dedup,
 }
 
+# byte shingles as hex (see _shingles: the engine-portable rendition of
+# a byte window; i indexes BYTES, so the hex substring starts at 2i-1)
 _SHINGLE_SQL = f"""
-    SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {_SHINGLE}) AS g
-    FROM documents, unnest(range(1, greatest(length(text) - {_SHINGLE - 1}, 1) + 1)) AS t(i)
+    SELECT DISTINCT doc_id,
+           substr(hex(encode(text)), CAST(2 * i - 1 AS INT), {2 * _SHINGLE}) AS g
+    FROM documents,
+         unnest(range(1, greatest(octet_length(encode(text)) - {_SHINGLE - 1}, 1) + 1)) AS t(i)
 """
 
 # signatures: DISTINCT is harmless for min(); same md5-window scheme
