@@ -124,6 +124,28 @@ def main() -> int:
         if any(name in t for t in per_run)
     }
     total = round(sum(timings.values()), 3)
+
+    # Warm-kernel attribution pass (r4 verdict ask #4): one extra pass
+    # with all session caches left warm from the final cold pass, so
+    # each query's time is its MARGINAL cost with every shared
+    # persisted kernel (pair graphs, signature blocks, codebooks,
+    # span relations) already built. Alphabetical first consumers —
+    # docs_dedup_method_agreement, docs_dup_span_filter,
+    # orders_market_basket — absorb their family's one-time build in
+    # the cold median; `queries_marginal` separates the two:
+    # shared build cost ~= cold median - marginal for those queries.
+    # The headline value stays the cold median-of-N total.
+    warm_timings: dict[str, float] = {}
+    for name in names:
+        if name in errors:
+            continue
+        fn = queries[name]
+        start = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm_timings[name] = round(time.perf_counter() - start, 3)
+        except Exception:
+            pass  # cold-pass errors are already recorded
     # SPARK_GRAFT_BENCH_DETAIL redirects the detail file (tests use a
     # tmp path so a sf0.001 subset run never clobbers the committed
     # sf0.1 record); a CLI subset run (explicit query names) likewise
@@ -145,6 +167,8 @@ def main() -> int:
         "per_run_totals": [
             round(sum(t.values()), 3) for t in per_run
         ],
+        "queries_marginal": warm_timings,
+        "marginal_total": round(sum(warm_timings.values()), 3),
     }
     if errors:
         detail["errors"] = errors
