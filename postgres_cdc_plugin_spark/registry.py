@@ -4,23 +4,28 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
 (enforced by tests/test_oracle_parity.py::test_registry_consistency):
   * every oracle key has a query;
   * queries without an oracle entry are intentionally rows-only
-    (non-SQL-expressible ops, e.g. approximate sketches / LSH ANN) and
-    must be listed in ROWS_ONLY;
+    (non-SQL-expressible ops, e.g. approximate sketches) and must be
+    listed in ROWS_ONLY;
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-4 window: queries
-    with zero or stale driver rows first (token_heavy_hitters — never
-    checked; multimodal_frame_sample — oracle added after its last
-    driver row), then every query whose code/oracle changed THIS round
-    (fuzzy match re-block, triangle re-orientation, method-agreement
-    reuse, CC-family rework, y4m decode path, division-guard oracles,
-    winnowing byte-addressing), any new round-4 queries, then the
-    33-query r1-green tail whose last driver evidence is three rounds
-    old. The r3-green block (fresh CORRECTNESS_r03 rows) rotates to
-    the back. Expensive oracles (the CC recursive CTEs) sit at the end
-    of the window so a driver timeout there still leaves CORRECTNESS
-    rows for everything before them.
+    most-recently-green family to the tail. Round-6 window (the r5
+    rotation never ran — zero-commit round): (1) the four queries that
+    have NEVER had a driver row, (2) the two new round-6 queries
+    (queue_state_machine, events_salted_enrich), (3) every query whose
+    results or oracle changed this round — embed_ann_lsh (promoted
+    from rows-only to a full oracle), the MinHash shingle family
+    (byte-window shingles now hex-rendered so the oracle is portable
+    to non-ASCII text), and the two graph queries that now read the
+    shared _copurchase_degrees kernel, (4) the seven anchors whose
+    only driver evidence is round 1, (5) a 26-query slice of the
+    46-query r2-green block (preferring oracle-checked members over
+    rows-only ones), and (6) the CC family — its distributed loop was
+    reworked this round (per-plan repartition instead of session-conf
+    mutation) and its expensive recursive-CTE oracles sit LAST in the
+    window so a driver timeout there still leaves CORRECTNESS rows for
+    everything before them. The r3/r5-green blocks and the remaining
+    15 r2 queries append after the window in module order.
 """
 
 from __future__ import annotations
@@ -53,97 +58,89 @@ ROWS_ONLY = {
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # ---- round-4 window (first 50) ----
-    # Zero/stale driver evidence first.
-    "token_heavy_hitters",        # never had ANY driver row (rows-only)
-    "multimodal_frame_sample",    # oracle added after its last (r2) driver row
-    # Queries whose code or oracle changed THIS round (need fresh rows):
-    "multimodal_decoded_stats",   # y4m video decode path added
-    "multimodal_resize",          # y4m video decode path added
-    "customer_fuzzy_match",       # high-cardinality blocking key rework
-    "part_triangle_counts",       # degree-ordered orientation rework
-    "docs_dedup_method_agreement",# persisted-pair-relation reuse
-    "docs_winnowing",             # oracle byte-addressing fix (ADVICE)
-    "events_ab_test",             # division-by-zero NULLIF guard (ADVICE)
-    "events_funnel",              # division-by-zero NULLIF guard (ADVICE)
-    # New round-4 queries (inserted here as they land):
-    "docs_suffix_dup_spans",
-    "docs_dup_span_filter",
-    "docs_ngram_containment",
-    "token_bigram_surprisal",
-    "docs_dsir_weights",
-    "token_bpe_encode",
-    "docs_strip_dup_spans",
-    "docs_word_pmi",
-    "embed_silhouette",
-    "events_markov_transitions",
-    "embed_pca_power",
-    "events_key_skew_audit",
-    # The 33-query r1-green tail — last driver evidence is round 1,
-    # three rounds old by now (VERDICT r3 "do this" #1).
-    "creds_last_wins",
-    "queue_ready_topk",
-    "retry_schedule",
-    "attempt_history_agg",
-    "events_rate_limit",
-    "supplier_part_volume",
-    "orders_semi_anti",
-    "orders_grouping_sets",
-    "events_cube",
-    "lineitem_percentiles",
-    "orders_quarterly",
-    "events_tumbling",
-    "events_sliding",
-    "user_activity_window",
-    "events_asof_join",
-    "customer_set_ops",
-    "top_customers_per_nation",
-    "orders_price_band_join",
-    "orders_window_funcs",
-    "customer_value_deciles",
-    "nation_priority_pivot",
-    "lineitem_metrics_unpivot",
-    "orders_daily_gapfill",
-    "lineitem_ship_delays",
-    "status_counts",
-    "fanout_union",
-    # Positions 49-50: the reworked CC family carries the expensive
-    # recursive-CTE oracles — last in the window so a driver timeout
-    # there still leaves CORRECTNESS rows for everything before it.
-    "docs_dup_clusters",
-    "docs_cluster_dedup",
-    # ---- position 51+ ----
-    # Displaced from the window by the new r4 queries (the hash check
-    # of a never-verified operator outranks freshness of these):
-    # approx_distinct_users is rows-only at the driver (weak signal
-    # regardless of freshness; error bounds pinned locally every run);
-    # props_json_extract is a simple JSON point-lookup with local
-    # parity coverage; headers_explode is a trivial array explode; and
-    # grouping_rollup's grouping-analytics family keeps two fresher
-    # window members (orders_grouping_sets, events_cube).
-    "approx_distinct_users",
-    "props_json_extract",
-    "headers_explode",
-    "grouping_rollup",
-    # Displaced by the second pair of new r4 queries: simple CASE/
-    # width_bucket aggregations whose local parity coverage is strong
-    # and whose families keep fresher window members.
-    "events_value_histogram",
-    "lineitem_conditional_agg",
-    # Displaced by events_key_skew_audit: the moving-average window
-    # family keeps four fresher window members in the window.
-    "lineitem_moving_avg",
-    # Late-r4 additions, registered at 51+ by policy: the window was
-    # already full of never-verified/reworked queries plus the stale
-    # r1 tail, and displacing more anchors would age reference-operator
-    # evidence instead. Both have sf0.001+sf0.01 local parity; the r5
-    # rotation promotes them (never-driver-checked outranks freshness).
+    # ---- round-6 window (first 50) ----
+    # Never had ANY driver row (registered late in r4 at 51+):
     "docs_lang_confusion",
     "events_touch_attribution",
     "docs_dedup_rate_by_source",
     "embed_cell_balance_audit",
-    # r3-green block (fresh CORRECTNESS_r03 rows) + r2-green family
-    # append in module order below.
+    # New round-6 queries:
+    "queue_state_machine",        # streaming fold, first driver-visible check
+    "events_salted_enrich",       # salted hot-key join, plain-join oracle
+    # Results or oracle changed in round 6 (need fresh rows):
+    "embed_ann_lsh",              # rows-only -> full deterministic oracle
+    "docs_minhash_sigs",          # hex-rendered byte shingles (non-ASCII fix)
+    "docs_minhash_pairs",
+    "docs_minhash_dedup",
+    "docs_ngram_jaccard",
+    "docs_ngram_containment",
+    "docs_dedup_method_agreement",
+    "part_triangle_counts",       # shared _copurchase_degrees kernel
+    "part_copurchase_pagerank",   # shared _copurchase_degrees kernel
+    # The seven anchors whose only driver evidence is round 1:
+    "approx_distinct_users",      # rows-only; error bounds pinned locally
+    "props_json_extract",
+    "headers_explode",
+    "grouping_rollup",
+    "events_value_histogram",
+    "lineitem_conditional_agg",
+    "lineitem_moving_avg",
+    # 26-query slice of the r2-green block (last driver rows four
+    # rounds old). lineitem_approx_percentiles (rows-only) yields its
+    # slot to the oracle-checked docs_common_spans; the remaining 15
+    # r2 queries (embed_*/multimodal_meta/multimodal_dedup/
+    # docs_pipeline_e2e/docs_embed_join) rotate in next round.
+    "lineitem_stats_agg",
+    "events_sessionize",
+    "docs_exact_dedup",
+    "docs_fingerprint_groups",
+    "docs_simhash",
+    "docs_simhash_pairs",
+    "docs_simhash_dedup",
+    "docs_text_stats",
+    "token_bigram_stats",
+    "token_zipf_audit",
+    "docs_lang_id",
+    "docs_quality_score",
+    "docs_content_fingerprint",
+    "docs_token_counts",
+    "token_frequencies",
+    "docs_rolling_fingerprint",
+    "docs_train_split",
+    "docs_stratified_sample",
+    "docs_repetition_filter",
+    "docs_contamination",
+    "token_tfidf",
+    "docs_chunks",
+    "docs_pack_bins",
+    "docs_source_mix",
+    "docs_boilerplate_ngrams",
+    "docs_common_spans",
+    # Positions 49-50: the CC family — distributed loop reworked this
+    # round (per-plan repartition); expensive recursive-CTE oracles
+    # last in the window so a driver timeout there still leaves
+    # CORRECTNESS rows for everything before it.
+    "docs_dup_clusters",
+    "docs_cluster_dedup",
+    # ---- position 51+ ----
+    # The remaining r2-green block members (evidence ages to five
+    # rounds; first in line for the r7 window):
+    "lineitem_approx_percentiles",
+    "docs_pipeline_e2e",
+    "embed_quantize",
+    "embed_pq_codes",
+    "embed_pipeline_e2e",
+    "embed_knn",
+    "embed_centroids",
+    "embed_neardup_pairs",
+    "embed_neardup_dedup",
+    "embed_ann_ivf",
+    "embed_ivf_assign",
+    "embed_norm_stats",
+    "docs_embed_join",
+    "multimodal_meta",
+    "multimodal_dedup",
+    # r3-green and r5-green blocks append in module order below.
 ]
 
 
