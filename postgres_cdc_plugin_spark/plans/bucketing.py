@@ -23,14 +23,21 @@ def write_bucketed(
     key: str | list[str],
     n_buckets: int = 32,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Persist df hash-bucketed (and optionally sorted) by the join key.
     Sorting within buckets lets a later sort-merge join skip its Sort as
-    well — the join becomes a pure zip of pre-sorted streams."""
+    well — the join becomes a pure zip of pre-sorted streams. `path`
+    pins the table's storage location explicitly (bucketed writes must
+    go through saveAsTable, whose default location is the cwd-relative
+    warehouse — callers that may run under an arbitrary cwd pass an
+    absolute path instead)."""
     keys = [key] if isinstance(key, str) else list(key)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

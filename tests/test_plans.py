@@ -134,6 +134,16 @@ def test_salted_enrich_plan_carries_salt(spark, sf_dir):
     assert "explode" in plan.lower(), plan
 
 
+def test_bucketed_join_query_is_exchange_free(spark, sf_dir):
+    """The DECLARED bucketed query (orders_bucketed_join) reads its
+    pre-bucketed fact tables and plans the join AND the per-key
+    aggregation with ZERO exchanges — the shuffle was paid at write
+    time. Result parity vs the plain join is the query's DuckDB
+    oracle."""
+    df = analytics.orders_bucketed_join(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.physical_plan(df)
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Both sides bucketed+sorted on the join key => the orders x
     lineitem fact-fact join runs with ZERO exchanges (the shuffle was
