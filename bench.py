@@ -169,6 +169,13 @@ def main() -> int:
         ],
         "queries_marginal": warm_timings,
         "marginal_total": round(sum(warm_timings.values()), 3),
+        "marginal_note": (
+            "single warm pass after the cold passes: read it ONLY for "
+            "family first-consumers (their cold-minus-marginal delta is "
+            "the shared kernel build); for everything else it is one "
+            "end-of-run sample inside the VM noise band, often slower "
+            "than the cold median from accumulated JVM/GC aging"
+        ),
     }
     if errors:
         detail["errors"] = errors
