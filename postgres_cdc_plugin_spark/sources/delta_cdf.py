@@ -1,12 +1,15 @@
 """Delta Change Data Feed transport -> canonical change relation.
 
 SURVEY §1.4 source list: file changefeed / Delta CDF / Kafka+Debezium.
-This module closes the Delta CDF leg the same way debezium.kafka_stream
-closes the Kafka leg: the format-specific reader is a thin, documented
-seam (delta-spark is not installable in this sandbox), while the
-row-shape transformation — the actual semantics — is a pure DataFrame
-function exercised by the transport-parity contract test
-(tests/test_sources.py::test_delta_cdf_transport_matches_changefeed).
+Since r6 the BATCH leg is live end-to-end WITHOUT delta-spark:
+read_cdf_log implements the public Delta log protocol directly
+(driver-side commit-JSON parse, distributed parquet reads of the
+cdc/add/remove files) and cdf_batch chains it into from_cdf —
+exercised in tests/test_sources.py against a hand-built on-disk Delta
+table. Only the STREAMING leg (delta_cdf_stream) still needs the
+delta-spark streaming source and remains a thin documented seam; the
+row-shape transformation — the actual semantics — is the same pure
+from_cdf both legs share.
 
 Delta CDF shape (public Delta Lake protocol): the table's data columns
 plus `_change_type` ('insert' | 'update_preimage' | 'update_postimage'
@@ -31,10 +34,169 @@ the lakehouse equivalent of that change stream.
 
 from __future__ import annotations
 
+import json
+import os
+import re
+import urllib.parse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CDF_META = ("_change_type", "_commit_version", "_commit_timestamp")
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+
+# Reader features this minimal client genuinely implements. Anything
+# else in a protocol action's readerFeatures (deletionVectors,
+# columnMapping, v2Checkpoint, ...) changes how data files must be
+# interpreted, so encountering one must fail LOUD, never misread.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "changeDataFeed"}
+
+
+def _commit_files(table_path: str) -> dict[int, str]:
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"not a Delta table: no _delta_log under {table_path}")
+    out: dict[int, str] = {}
+    for name in os.listdir(log_dir):
+        m = _COMMIT_RE.match(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(log_dir, name)
+    return out
+
+
+def read_cdf_log(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """NATIVE Delta CDF reader over the public Delta log protocol — no
+    delta-spark dependency (closes the one SURVEY §1.4 source leg that
+    was previously a documented seam).
+
+    A Delta table's change feed is fully determined by public on-disk
+    structures (delta.io PROTOCOL.md): `_delta_log/<v>.json` holds one
+    JSON action per line; a commit's change rows are (a) its `cdc`
+    actions' parquet files under `_change_data/` (which carry the
+    `_change_type` column), or, when a commit wrote no cdc files,
+    (b) its `add` actions with dataChange=true read as inserts /
+    (c) its `remove`-only actions read back as deletes (every row of a
+    removed file was deleted; the file itself is immutable and still
+    on disk — Delta's own CDF reader reconstructs deletes the same
+    way). A commit that mixes add+remove with NO cdc files (a merge
+    rewriting files) is ambiguous without row tracking and raises —
+    loud, never a silent misread. Compaction actions
+    (dataChange=false) contribute nothing, exactly per protocol.
+
+    Scope guard: the protocol action gates this client — reader
+    features beyond _SUPPORTED_READER_FEATURES (deletion vectors,
+    column mapping) change data-file interpretation and raise.
+
+    Scale: ONLY the commit JSONs (small metadata, the same thing every
+    Delta client reads on the driver) are parsed driver-side; the
+    change DATA stays distributed — one spark.read.parquet over the
+    selected files per commit, unioned lazily. Partition values ride
+    in from the action's partitionValues map as literal columns.
+    """
+    commits = _commit_files(table_path)
+    versions = sorted(
+        v
+        for v in commits
+        if v >= starting_version
+        and (ending_version is None or v <= ending_version)
+    )
+    if not versions:
+        raise ValueError(
+            f"no Delta commits in [{starting_version}, {ending_version}] "
+            f"under {table_path} (have: {sorted(commits)})"
+        )
+
+    parts: list[DataFrame] = []
+    for v in versions:
+        cdc_files: list[tuple[str, dict]] = []
+        adds: list[tuple[str, dict]] = []
+        removes: list[tuple[str, dict]] = []
+        ts_ms: int | None = None
+        with open(commits[v]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    p = action["protocol"]
+                    unsupported = (
+                        set(p.get("readerFeatures") or [])
+                        - _SUPPORTED_READER_FEATURES
+                    )
+                    if p.get("minReaderVersion", 1) > 1 and unsupported:
+                        raise ValueError(
+                            "Delta table requires reader features this "
+                            f"minimal CDF client does not implement: "
+                            f"{sorted(unsupported)}"
+                        )
+                elif "commitInfo" in action:
+                    ts_ms = action["commitInfo"].get("timestamp", ts_ms)
+                elif "cdc" in action:
+                    cdc_files.append(
+                        (action["cdc"]["path"],
+                         action["cdc"].get("partitionValues") or {})
+                    )
+                elif "add" in action and action["add"].get("dataChange"):
+                    adds.append(
+                        (action["add"]["path"],
+                         action["add"].get("partitionValues") or {})
+                    )
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    removes.append(
+                        (action["remove"]["path"],
+                         action["remove"].get("partitionValues") or {})
+                    )
+        if cdc_files:
+            files, change_type = cdc_files, None
+        elif adds and not removes:
+            files, change_type = adds, "insert"
+        elif removes and not adds:
+            files, change_type = removes, "delete"
+        elif not adds and not removes:
+            continue  # metadata-only commit
+        else:
+            raise ValueError(
+                f"commit {v} rewrites files (add+remove) without cdc "
+                "actions — its row-level changes cannot be derived "
+                "without Delta row tracking; enable CDF on the writer"
+            )
+        by_part: dict[tuple, list[str]] = {}
+        for path, pvals in files:
+            abs_path = os.path.join(table_path, urllib.parse.unquote(path))
+            by_part.setdefault(tuple(sorted(pvals.items())), []).append(abs_path)
+        for pvals, paths in by_part.items():
+            df = spark.read.parquet(*paths)
+            for k, val in pvals:
+                df = df.withColumn(k, F.lit(val))
+            if change_type is not None:
+                df = df.withColumn("_change_type", F.lit(change_type))
+            parts.append(
+                df.withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_millis(F.lit(ts_ms).cast("long"))
+                    if ts_ms is not None
+                    else F.lit(None).cast("timestamp"),
+                )
+            )
+    if not parts:
+        raise ValueError(
+            f"no data-changing commits in [{starting_version}, "
+            f"{ending_version}] under {table_path}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def from_cdf(
@@ -133,13 +295,19 @@ def cdf_batch(
     ending_version: int | None = None,
     **kwargs,
 ) -> DataFrame:
-    """Batch variant (backfill/replay): table_changes over a version
-    range. Same documented-seam status as delta_cdf_stream."""
-    reader = (
-        spark.read.format("delta")
-        .option("readChangeFeed", "true")
-        .option("startingVersion", str(starting_version))
+    """Batch CDF (backfill/replay): canonical change rows over a commit
+    version range — LIVE end-to-end since r6 via the native
+    read_cdf_log protocol reader (no delta-spark needed), then the
+    shared from_cdf canonicalization. tests/test_sources.py exercises
+    it against a hand-built on-disk Delta table (insert commit, cdc
+    update commit, delete commit)."""
+    return from_cdf(
+        read_cdf_log(
+            spark,
+            table_path,
+            starting_version=starting_version,
+            ending_version=ending_version,
+        ),
+        key_field=key_field,
+        **kwargs,
     )
-    if ending_version is not None:
-        reader = reader.option("endingVersion", str(ending_version))
-    return from_cdf(reader.load(table_path), key_field=key_field, **kwargs)

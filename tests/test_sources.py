@@ -515,9 +515,9 @@ def test_delta_cdf_transport_matches_changefeed(spark):
     """Transport parity (SURVEY §1.4, Delta CDF leg): the same logical
     changes as (a) file-changefeed rows and (b) a CDF-shaped relation
     canonicalize to IDENTICAL change rows — insert/update pre+post
-    pairing/delete all covered. The delta reader itself is a documented
-    seam (delta-spark not installable here); this pins the shared
-    transport contract from_cdf implements."""
+    pairing/delete all covered. This pins the shared transport contract
+    from_cdf implements (the on-disk read path is covered end-to-end by
+    test_delta_cdf_native_reader_end_to_end below)."""
     from postgres_cdc_plugin_spark.sources import changefeed, delta_cdf
 
     ts = "2024-01-01 10:00:00"
@@ -562,3 +562,193 @@ def test_delta_cdf_transport_matches_changefeed(spark):
         delta_cdf.from_cdf(cdf.drop("_commit_version"))
     with pytest.raises(ValueError):
         delta_cdf.from_cdf(cdf, key_field="nope")
+
+
+def _write_delta_commit(root, version, actions):
+    import json
+    import os
+
+    path = os.path.join(root, "_delta_log", f"{version:020d}.json")
+    with open(path, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _build_delta_cdf_fixture(root):
+    """Hand-built on-disk Delta table per the PUBLIC protocol
+    (delta.io PROTOCOL.md): commit 0 = blind-append inserts, commit 1 =
+    update recorded as a _change_data cdc file (whose add/remove
+    actions must be IGNORED by a CDF reader), commit 2 = delete-only
+    remove whose rows reconstruct from the immutable removed file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "_change_data"))
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "name": ["A", "C"]}),
+        os.path.join(root, "part-0.parquet"),
+    )
+    _write_delta_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": "{}",
+                    "partitionColumns": [],
+                    "configuration": {"delta.enableChangeDataFeed": "true"},
+                }
+            },
+            {
+                "add": {
+                    "path": "part-0.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+            {"commitInfo": {"timestamp": 1704100000000}},
+        ],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 1], pa.int64()),
+                "name": ["A", "B"],
+                "_change_type": ["update_preimage", "update_postimage"],
+            }
+        ),
+        os.path.join(root, "_change_data", "cdc-1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "name": ["B", "C"]}),
+        os.path.join(root, "part-1.parquet"),
+    )
+    _write_delta_commit(
+        root,
+        1,
+        [
+            {
+                "cdc": {
+                    "path": "_change_data/cdc-1.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "dataChange": False,
+                }
+            },
+            {
+                "add": {
+                    "path": "part-1.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+            {"remove": {"path": "part-0.parquet", "dataChange": True}},
+            {"commitInfo": {"timestamp": 1704200000000}},
+        ],
+    )
+    _write_delta_commit(
+        root,
+        2,
+        [
+            {"remove": {"path": "part-1.parquet", "dataChange": True}},
+            {"commitInfo": {"timestamp": 1704300000000}},
+        ],
+    )
+
+
+def test_delta_cdf_native_reader_end_to_end(spark, tmp_path):
+    """SURVEY §1.4 Delta CDF leg, LIVE batch read path (r6): the native
+    protocol reader derives insert/update/delete change rows from a
+    real on-disk Delta table with no delta-spark — cdc files win over
+    the same commit's add/remove, blind appends read as inserts,
+    delete-only commits reconstruct from the removed file, and the
+    canonical relation matches the changefeed transport contract."""
+    from postgres_cdc_plugin_spark.sources import delta_cdf
+
+    root = str(tmp_path / "dtable")
+    _build_delta_cdf_fixture(root)
+
+    got = delta_cdf.cdf_batch(spark, root, key_field="id")
+    rows = {(r.seq, r.key, r.op, r.old, r.new) for r in got.collect()}
+    assert rows == {
+        (0, "1", "INSERT", None, '{"id":1,"name":"A"}'),
+        (0, "2", "INSERT", None, '{"id":2,"name":"C"}'),
+        (1, "1", "UPDATE", '{"id":1,"name":"A"}', '{"id":1,"name":"B"}'),
+        (2, "1", "DELETE", '{"id":1,"name":"B"}', None),
+        (2, "2", "DELETE", '{"id":2,"name":"C"}', None),
+    }
+    # commit timestamps rode in from commitInfo (millis -> timestamp)
+    ts_by_seq = {r.seq: r.ts for r in got.collect()}
+    assert ts_by_seq[0] < ts_by_seq[1] < ts_by_seq[2]
+
+    # version-range selection
+    only_update = delta_cdf.cdf_batch(
+        spark, root, key_field="id", starting_version=1, ending_version=1
+    )
+    assert {(r.seq, r.op) for r in only_update.collect()} == {(1, "UPDATE")}
+
+
+def test_delta_cdf_native_reader_fails_loud(spark, tmp_path):
+    """Ambiguous or out-of-scope Delta structures must raise, never
+    silently misread: (a) a file-rewriting commit without cdc actions,
+    (b) reader features this minimal client does not implement,
+    (c) a path that is not a Delta table."""
+    import pytest
+
+    from postgres_cdc_plugin_spark.sources import delta_cdf
+
+    root = str(tmp_path / "dtable")
+    _build_delta_cdf_fixture(root)
+
+    # (a) merge-shaped commit: add+remove, no cdc
+    _write_delta_commit(
+        root,
+        3,
+        [
+            {
+                "add": {
+                    "path": "part-1.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+            {"remove": {"path": "part-0.parquet", "dataChange": True}},
+            {"commitInfo": {"timestamp": 1704400000000}},
+        ],
+    )
+    with pytest.raises(ValueError, match="without cdc"):
+        delta_cdf.read_cdf_log(spark, root)
+
+    # (b) unsupported reader feature
+    _write_delta_commit(
+        root,
+        4,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            },
+            {"commitInfo": {"timestamp": 1704500000000}},
+        ],
+    )
+    with pytest.raises(ValueError, match="deletionVectors"):
+        delta_cdf.read_cdf_log(spark, root, starting_version=4)
+
+    # (c) not a Delta table
+    with pytest.raises(ValueError, match="_delta_log"):
+        delta_cdf.read_cdf_log(spark, str(tmp_path / "nope"))
