@@ -274,6 +274,56 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WSAMPLE_K = 100  # weighted sample size
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    data-mixing selection step (upweight long documents, a quality
+    score, or a domain factor) done as pure relational algebra via
+    Efraimidis-Spirakis A-Res: each doc gets key = ln(u)/w for a
+    hash-derived uniform u in (0,1] and weight w (n_chars here), and
+    the sample is the top-k keys — provably equivalent to sequential
+    weighted draws without replacement (Efraimidis & Spirakis 2006,
+    public literature), with inclusion probability proportional to
+    weight.
+
+    Determinism/ordering: u comes from the md5 convention shared with
+    docs_linear_classifier (first 8 hex chars as an int), +1 so u>0;
+    ln(u)/w is rounded to 6 decimals BEFORE ranking (JVM-vs-libm ulp
+    wash) with a doc_id tiebreak, so the k-set and its order are
+    engine-exact.
+
+    Scale: key computation is a scan projection (no shuffle); the
+    global top-k plans as TakeOrderedAndProject (per-partition k, no
+    full sort); the rank window runs over the k-row result only. At
+    100 TB this is ONE pass over the corpus with k rows moved — the
+    same shape a weighted corpus-subsampling job needs at any size.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 6)
+    top = (
+        docs.select("doc_id", "lang", "source", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(_WSAMPLE_K)
+    )
+    w = Window.orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "sample_key",
+    )
+
+
 _CHUNK_TOKENS = 64  # tokens per training chunk
 _CHUNK_STRIDE = 48  # chunk start spacing (16-token overlap)
 
@@ -1635,6 +1685,7 @@ QUERIES = {
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "docs_train_split": docs_train_split,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_weighted_sample": docs_weighted_sample,
     "docs_repetition_filter": docs_repetition_filter,
     "docs_contamination": docs_contamination,
     "token_tfidf": token_tfidf,
@@ -2108,6 +2159,26 @@ ORACLE_SQL = {
         SELECT doc_id, lang, source, n_chars
         FROM documents
         WHERE {_SPLIT_BUCKET_SQL} < '33'
+    """,
+    "docs_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, source, n_chars,
+                   round(
+                       ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) + 1.0)
+                          / {float(1 << 32)})
+                       / CAST(n_chars AS DOUBLE), 6) AS sample_key
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        top AS (
+            SELECT * FROM keyed
+            ORDER BY sample_key DESC, doc_id ASC LIMIT {_WSAMPLE_K}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id ASC)
+                    AS INT) AS rank,
+               doc_id, lang, source, n_chars, sample_key
+        FROM top
     """,
     "docs_text_stats": """
         SELECT doc_id, lang, source,

@@ -11,9 +11,9 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     each round rotates unproven/reworked queries to the front and the
     most-recently-green family to the tail. Round-6 window (the r5
     rotation never ran — zero-commit round): (1) the four queries that
-    have NEVER had a driver row, (2) the three new round-6 queries
-    (queue_state_machine, events_salted_enrich, orders_bucketed_join),
-    (3) every query whose
+    have NEVER had a driver row, (2) the four new round-6 queries
+    (queue_state_machine, events_salted_enrich, orders_bucketed_join,
+    docs_weighted_sample), (3) every query whose
     results or oracle changed this round — embed_ann_lsh (promoted
     from rows-only to a full oracle), the MinHash shingle family
     (byte-window shingles now hex-rendered so the oracle is portable
@@ -69,6 +69,7 @@ PRIORITY_ORDER = [
     "queue_state_machine",        # streaming fold, first driver-visible check
     "events_salted_enrich",       # salted hot-key join, plain-join oracle
     "orders_bucketed_join",       # exchange-free bucketed fact-fact join
+    "docs_weighted_sample",       # A-Res weighted sampling w/o replacement
     # Results or oracle changed in round 6 (need fresh rows):
     "embed_ann_lsh",              # rows-only -> full deterministic oracle
     "docs_minhash_sigs",          # hex-rendered byte shingles (non-ASCII fix)
@@ -116,7 +117,6 @@ PRIORITY_ORDER = [
     "docs_chunks",
     "docs_pack_bins",
     "docs_source_mix",
-    "docs_boilerplate_ngrams",
     # Positions 49-50: the CC family — distributed loop reworked this
     # round (per-plan repartition); expensive recursive-CTE oracles
     # last in the window so a driver timeout there still leaves
@@ -125,9 +125,12 @@ PRIORITY_ORDER = [
     "docs_cluster_dedup",
     # ---- position 51+ ----
     # The remaining r2-green block members (evidence ages to five
-    # rounds; first in line for the r7 window). docs_common_spans
-    # yielded its window slot to the new orders_bucketed_join:
+    # rounds; first in line for the r7 window). docs_common_spans and
+    # docs_boilerplate_ngrams yielded their window slots to the new
+    # orders_bucketed_join / docs_weighted_sample (never-driver-checked
+    # outranks freshness):
     "docs_common_spans",
+    "docs_boilerplate_ngrams",
     "lineitem_approx_percentiles",
     "docs_pipeline_e2e",
     "embed_quantize",
