@@ -34,6 +34,7 @@ _DOC_QUERIES = [
     (text, "docs_word_pmi"),
     (dedup, "docs_dedup_rate_by_source"),
     (text, "docs_lang_confusion"),
+    (text, "docs_weighted_sample"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
