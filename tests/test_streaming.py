@@ -1686,3 +1686,23 @@ def test_materializers_are_batch_split_invariant(spark, tmp_path):
         s, h = snapshots(n, f"n{n}")
         assert s == base_s, f"latest-state differs when split into {n} batches"
         assert h == base_h, f"SCD2 history differs when split into {n} batches"
+
+
+def test_queue_state_machine_fixture_covers_all_statuses(spark, sf_dir):
+    """The driver-checkable queue_state_machine query must actually
+    EXERCISE the state machine: its deterministic fixture has to land
+    events in every terminal state (and leave some PENDING), otherwise
+    the oracle hash proves a degenerate fold. Guards against fixture
+    drift (e.g. a retry-budget or success-rule edit that collapses all
+    events into one status)."""
+    from postgres_cdc_plugin_spark.operators.cdc import queue_state_machine
+
+    out = queue_state_machine(spark, sf_dir)
+    statuses = {r.status for r in out.select("status").distinct().collect()}
+    assert statuses == {"PENDING", "DELIVERED", "FAILED"}
+    # and the backoff split covers both schedules
+    backoffs = {
+        r.retry_backoff
+        for r in out.select("retry_backoff").distinct().collect()
+    }
+    assert backoffs == {"LINEAR", "EXPONENTIAL"}
