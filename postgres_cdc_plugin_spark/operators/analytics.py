@@ -397,6 +397,95 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BURST_US = 300_000_000  # 5-minute impact window after each error event
+_IJ_BIN_US = 300_000_000  # time-bin width of the binned range join
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — which user sessions overlap OTHER users'
+    error-burst windows ([ts, ts+5min] around each error event): the
+    incident-impact / concurrency question every ops pipeline asks, and
+    the join shape (§2.3 absent-category: interval/temporal join) Spark
+    has no native operator for.
+
+    Physical strategy — BINNED range join, not a nested loop: both
+    interval sets explode into the fixed-width time bins they cover
+    (sequence + explode on epoch-microsecond div), equi-join on the bin
+    key, dedup pairs that met in several bins, then apply the EXACT
+    inclusive overlap predicate. The bin key turns an all-pairs
+    BroadcastNestedLoopJoin into a shuffle-partitionable hash join whose
+    fan-out is bounded by temporal co-location (intervals per bin), the
+    only interval-join plan that survives 100 TB of events on both
+    sides. The oracle is the plain inequality join — the binning is
+    physical only, proven result-invariant by the driver hash.
+
+    Sessions come from the events_sessionize kernel verbatim (drift-proof);
+    epoch microseconds (unix_micros ↔ epoch_us) keep every bound an
+    exact BIGINT, so overlaps are integer-exact on both engines.
+    """
+    sess = events_sessionize(spark, sf_dir).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        F.unix_micros(F.col("session_start").cast("timestamp_ltz")).alias("s_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp_ltz")).alias("e_us"),
+    )
+    bursts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("burst_id"),
+            F.col("user_id").alias("burst_user"),
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("b_us"),
+        )
+    )
+    s_binned = sess.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_IJ_BIN_US}"), F.expr(f"e_us div {_IJ_BIN_US}")
+            )
+        ),
+    )
+    b_binned = bursts.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"b_us div {_IJ_BIN_US}"),
+                F.expr(f"(b_us + {_BURST_US}) div {_IJ_BIN_US}"),
+            )
+        ),
+    )
+    overlap = F.least(F.col("e_us"), F.col("b_us") + F.lit(_BURST_US)) - F.greatest(
+        F.col("s_us"), F.col("b_us")
+    )
+    pairs = (
+        s_binned.join(b_binned, "bin")
+        .filter(
+            (F.col("user_id") != F.col("burst_user"))
+            & (F.col("s_us") <= F.col("b_us") + F.lit(_BURST_US))
+            & (F.col("b_us") <= F.col("e_us"))
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "session_start",
+            "session_end",
+            "burst_id",
+            overlap.alias("overlap_us"),
+        )
+        .dropDuplicates(["user_id", "session_id", "burst_id"])
+    )
+    return pairs.groupBy(
+        "user_id", "session_id", "session_start", "session_end"
+    ).agg(
+        F.count(F.lit(1)).alias("n_bursts"),
+        F.sum("overlap_us").alias("total_overlap_us"),
+        F.max("overlap_us").alias("max_overlap_us"),
+    )
+
+
 def user_activity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking + running aggregates (§2.5 absent-category).
 
@@ -2134,6 +2223,7 @@ QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
+    "events_interval_join": events_interval_join,
     "events_session_window": events_session_window,
     "user_activity_window": user_activity_window,
     "events_asof_join": events_asof_join,
@@ -2809,6 +2899,48 @@ ORACLE_SQL = {
                    AS session_value
         FROM sess
         GROUP BY user_id, session_id
+    """,
+    "events_interval_join": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+            ) AS session_id
+            FROM flagged
+        ),
+        sessions AS (
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+            FROM sess GROUP BY user_id, session_id
+        ),
+        bursts AS (
+            SELECT event_id AS burst_id, user_id AS burst_user,
+                   epoch_us(ts) AS b_us
+            FROM events WHERE event_type = 'error'
+        ),
+        pairs AS (
+            SELECT s.user_id, s.session_id, s.session_start, s.session_end,
+                   least(s.e_us, b.b_us + {_BURST_US})
+                       - greatest(s.s_us, b.b_us) AS overlap_us
+            FROM sessions s JOIN bursts b
+              ON s.user_id <> b.burst_user
+             AND s.s_us <= b.b_us + {_BURST_US}
+             AND b.b_us <= s.e_us
+        )
+        SELECT user_id, session_id, session_start, session_end,
+               count(*) AS n_bursts,
+               CAST(sum(overlap_us) AS BIGINT) AS total_overlap_us,
+               CAST(max(overlap_us) AS BIGINT) AS max_overlap_us
+        FROM pairs
+        GROUP BY user_id, session_id, session_start, session_end
     """,
     "events_session_window": """
         WITH flagged AS (

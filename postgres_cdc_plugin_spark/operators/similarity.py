@@ -626,6 +626,70 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KC_K = 8  # coreset size (greedy farthest-point iterations)
+
+
+def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985, public literature): seed with the lowest vec_id,
+    then _KC_K-1 times pick the vector FARTHEST (round-6 squared L2,
+    vec_id tiebreak) from the current center set — the
+    diversity-sampling / coreset-selection step of a training-data
+    pipeline (active learning, dataset distillation), and a
+    2-approximation of the optimal k-center cover. sel_dist of the
+    k-th pick = the corpus coverage radius after k-1 centers, so the
+    result doubles as a coverage-curve audit. Fully oracle-checked:
+    the deterministic seed, round-6 distance wash, and vec_id
+    tiebreaks make every selection engine-exact (coreset pickers are
+    normally rows-only). When the corpus has fewer than _KC_K vectors
+    the argmax legitimately re-picks at radius 0 (both engines alike);
+    k rows always come back.
+
+    Scale: each of the k iterations is ONE narrow corpus pass — the
+    running min-distance column folds against the single broadcast
+    new center (least(mind, d)) — plus a 1-row TakeOrderedAndProject
+    argmax; 1-row winners are localCheckpoint'd (the BPE/CC loop
+    convention) so lineage stays linear in k. O(k·n) distance work,
+    no data-sized shuffle at any corpus size; iterations are bounded
+    by _KC_K, never by the data.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seed = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "v", F.lit(None).cast("double").alias("sel_dist"))
+        .localCheckpoint()
+    )
+    picks = [seed]
+    cand = emb.crossJoin(F.broadcast(seed.select(F.col("v").alias("cv")))).select(
+        "vec_id", "v", F.round(_sq_dist(F.col("v"), F.col("cv")), 6).alias("mind")
+    )
+    for _ in range(_KC_K - 1):
+        top = (
+            cand.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "v", F.col("mind").alias("sel_dist"))
+            .localCheckpoint()
+        )
+        picks.append(top)
+        cand = cand.crossJoin(F.broadcast(top.select(F.col("v").alias("cv")))).select(
+            "vec_id",
+            "v",
+            F.least(
+                "mind", F.round(_sq_dist(F.col("v"), F.col("cv")), 6)
+            ).alias("mind"),
+        )
+    out: DataFrame | None = None
+    for rank, p in enumerate(picks, start=1):
+        row = p.select(
+            F.lit(rank).cast("int").alias("rank"), "vec_id", "sel_dist"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 _PCA_ITERS = 3  # fixed power-iteration count (no data-dependent loop)
 
 
@@ -1172,6 +1236,7 @@ QUERIES = {
     "embed_kmeans": embed_kmeans,
     "embed_silhouette": embed_silhouette,
     "embed_pca_power": embed_pca_power,
+    "embed_kcenter_coreset": embed_kcenter_coreset,
     "embed_recall_audit": embed_recall_audit,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
@@ -1269,7 +1334,55 @@ _KM_DIST_SQL = """round(list_sum(list_transform(
                        range(1, len(e.v) + 1),
                        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"""
 
+# round-6 distance between two pre-cast DOUBLE[] columns d.v and c.v —
+# the k-center oracle's mirror of _sq_dist (same no-drift convention as
+# _KM_DIST_SQL, different aliases).
+_KC_DIST_SQL = """round(list_sum(list_transform(
+                       range(1, len(d.v) + 1),
+                       i -> (d.v[i] - c.v[i]) * (d.v[i] - c.v[i]))), 6)"""
+
+
+def _kc_iteration_ctes(k: int) -> str:
+    """One greedy k-center step as a CTE pair: the argmax pick over the
+    running min-distance relation, then the least() fold of distances
+    against that pick — the SQL mirror of one embed_kcenter_coreset
+    loop iteration."""
+    return f"""
+        c{k} AS (
+            SELECT vec_id, v, mind AS sel FROM d{k - 1}
+            ORDER BY mind DESC, vec_id ASC LIMIT 1
+        ),
+        d{k} AS (
+            SELECT d.vec_id, d.v, least(d.mind, {_KC_DIST_SQL}) AS mind
+            FROM d{k - 1} d, c{k} c
+        )"""
+
+
+_KC_SQL = (
+    """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        c1 AS (
+            SELECT vec_id, v, CAST(NULL AS DOUBLE) AS sel
+            FROM e ORDER BY vec_id ASC LIMIT 1
+        ),
+        d1 AS (
+            SELECT d.vec_id, d.v, """
+    + _KC_DIST_SQL
+    + """ AS mind
+            FROM e d, c1 c
+        ),"""
+    + ",".join(_kc_iteration_ctes(k) for k in range(2, _KC_K + 1))
+    + "\n        "
+    + "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, vec_id, sel AS sel_dist FROM c{k}"
+        for k in range(1, _KC_K + 1)
+    )
+)
+
 ORACLE_SQL = {
+    "embed_kcenter_coreset": _KC_SQL,
     "docs_embed_join": """
         SELECT lang, label, count(*) AS n_docs,
                sum(n_chars) / CAST(count(*) AS DOUBLE) AS avg_chars,

@@ -324,6 +324,87 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "vector", "join")  # fixed lexical query
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-k retrieval — the keyword-search sibling of
+    embed_knn (BASELINE's similarity-search mandate has both a vector and
+    a lexical leg): score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+    with the Lucene-style positive idf ln((N-df+0.5)/(df+0.5)+1)
+    (Robertson & Spärck Jones BM25, public literature).
+
+    Determinism: idf and each per-term contribution are rounded to 6
+    decimals (the ln/libm ulp wash) and the contribution is summed as
+    DECIMAL(38,6) — exact and order-free — so the per-doc score, the
+    top-k membership, and its order (score DESC, doc_id tiebreak) are
+    engine-identical.
+
+    Scale (the inverted-index probe shape): doc length dl is a NARROW
+    array projection (no explode, no shuffle); the corpus-stats relation
+    is one 1-row aggregate; only tokens MATCHING the query terms survive
+    the explode filter, so the lone (doc_id, dl, term) aggregation
+    shuffles a few rows per matching doc, not the corpus. df/idf derive
+    from that tiny relation and broadcast back; the global top-k plans
+    as TakeOrderedAndProject. At 100 TB: one corpus scan, query-sized
+    shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    dl = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    lengths = docs.select("doc_id", dl.alias("dl"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_tokens"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", dl.alias("dl"), F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "w",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "w").crossJoin(F.broadcast(stats))
+    tf_d = F.col("tf").cast("double")
+    norm = F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (
+        (F.col("dl") * F.col("n_docs")).cast("double")
+        / F.col("tot_tokens").cast("double")
+    )
+    contrib = F.round(
+        F.col("idf")
+        * (tf_d * F.lit(_BM25_K1 + 1.0))
+        / (tf_d + F.lit(_BM25_K1) * norm),
+        6,
+    ).cast("decimal(38,6)")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(contrib).alias("score_dec"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_terms_matched",
+            F.col("score_dec").cast("double").alias("bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
 _CHUNK_TOKENS = 64  # tokens per training chunk
 _CHUNK_STRIDE = 48  # chunk start spacing (16-token overlap)
 
@@ -1686,6 +1767,7 @@ QUERIES = {
     "docs_train_split": docs_train_split,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_weighted_sample": docs_weighted_sample,
+    "docs_bm25_search": docs_bm25_search,
     "docs_repetition_filter": docs_repetition_filter,
     "docs_contamination": docs_contamination,
     "token_tfidf": token_tfidf,
@@ -2179,6 +2261,51 @@ ORACLE_SQL = {
                     AS INT) AS rank,
                doc_id, lang, source, n_chars, sample_key
         FROM top
+    """,
+    "docs_bm25_search": f"""
+        WITH lengths AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens
+            FROM lengths
+        ),
+        tf AS (
+            SELECT doc_id, dl, w, count(*) AS tf
+            FROM (
+                SELECT doc_id, dl, unnest(string_split(text, ' ')) AS w
+                FROM documents JOIN lengths USING (doc_id)
+            )
+            WHERE w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+            GROUP BY doc_id, dl, w
+        ),
+        idf AS (
+            SELECT w,
+                   round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+                       AS idf
+            FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) d, stats s
+        ),
+        contrib AS (
+            SELECT t.doc_id,
+                   CAST(round(
+                       i.idf * (CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                       / (CAST(t.tf AS DOUBLE)
+                          + {_BM25_K1} * ({1.0 - _BM25_B}
+                              + {_BM25_B} * (CAST(t.dl * s.n_docs AS DOUBLE)
+                                             / CAST(s.tot_tokens AS DOUBLE)))),
+                       6) AS DECIMAL(38,6)) AS c
+            FROM tf t JOIN idf i USING (w), stats s
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_terms_matched,
+               CAST(sum(c) AS DOUBLE) AS bm25_score
+        FROM contrib
+        GROUP BY doc_id
+        ORDER BY bm25_score DESC, doc_id ASC
+        LIMIT {_BM25_TOPK}
     """,
     "docs_text_stats": """
         SELECT doc_id, lang, source,

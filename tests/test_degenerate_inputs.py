@@ -35,6 +35,7 @@ _DOC_QUERIES = [
     (dedup, "docs_dedup_rate_by_source"),
     (text, "docs_lang_confusion"),
     (text, "docs_weighted_sample"),
+    (text, "docs_bm25_search"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -89,6 +90,10 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
     elif name == "docs_lang_confusion":
         # one doc -> one (declared, predicted) cell with share 1.0
         assert len(rows) == 1 and rows[0].share_of_declared == 1.0
+    elif name == "docs_bm25_search":
+        # the single doc contains none of the fixed query terms, so the
+        # inverted-index probe legitimately retrieves nothing
+        assert rows == []
     elif name == "docs_word_pmi":
         # N = 1: every pair of the doc's distinct words co-occurs with
         # df_a = df_b = n_pair_docs = 1, so pmi = log2(1*1/1) = 0 exactly
@@ -118,6 +123,7 @@ def single_emb_dir(spark, tmp_path_factory):
 
 
 _EMB_QUERIES = [
+    "embed_kcenter_coreset",
     "embed_kmeans",
     "embed_ivf_assign",
     "embed_semdedup",
@@ -155,9 +161,60 @@ def test_single_embedding_is_sane(name, spark, single_emb_dir):
         assert len(rows) == 4
         assert all(r.loading is None and r.eigenvalue is None for r in rows)
         return
+    if name == "embed_kcenter_coreset":
+        # n < k: greedy farthest-point legitimately re-picks the sole
+        # vector (coverage radius 0 after the seed) — k rows, all vec 0,
+        # sel_dist NULL for the seed then exactly 0.0
+        assert len(rows) == 8
+        assert all(r.vec_id == 0 for r in rows)
+        assert rows[0].sel_dist is None or any(r.rank == 1 and r.sel_dist is None for r in rows)
+        assert all(r.sel_dist == 0.0 for r in rows if r.rank > 1)
+        return
     assert len(rows) == 1
     if name == "embed_silhouette":
         # one vector, one cell: no other centroid exists, silhouette NULL
         assert rows[0].n_vecs == 1 and rows[0].avg_silhouette is None
     else:
         assert rows[0].vec_id == 0
+
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def empty_ev_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_events")
+    spark.createDataFrame([], _EV_SCHEMA).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def single_error_dir(spark, tmp_path_factory):
+    import datetime
+
+    d = tmp_path_factory.mktemp("single_error")
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 12, 0, 0), 7, "error", 1.0, "{}")],
+        _EV_SCHEMA,
+    ).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_interval_join_empty_events(spark, empty_ev_dir):
+    from postgres_cdc_plugin_spark.operators import analytics
+
+    df = analytics.events_interval_join(spark, empty_ev_dir)
+    assert df.count() == 0
+    assert len(df.schema.fields) > 0
+
+
+def test_interval_join_excludes_own_bursts(spark, single_error_dir):
+    """A user's session trivially overlaps their OWN error burst; the
+    self-exclusion predicate must drop it — one lone error event yields
+    no impacted foreign session."""
+    from postgres_cdc_plugin_spark.operators import analytics
+
+    assert analytics.events_interval_join(spark, single_error_dir).count() == 0

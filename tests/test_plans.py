@@ -442,6 +442,8 @@ _BNLJ_ALLOWED = {
     "token_bpe_merges",  # 1-row argmax merge rule per iteration
     "token_tfidf",  # scalar corpus size
     "token_zipf_audit",  # scalar vocab size
+    "docs_bm25_search",  # 1-row corpus stats + 3-row idf crossJoins (r6)
+    "embed_kcenter_coreset",  # 1-row center crossJoin per greedy step (r6)
 }
 
 
