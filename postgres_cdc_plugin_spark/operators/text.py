@@ -350,9 +350,11 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles a few rows per matching doc, not the corpus. df/idf derive
     from that tiny relation and broadcast back; the global top-k plans
     as TakeOrderedAndProject. At 100 TB: one corpus scan, query-sized
-    shuffles."""
+    shuffles. The scoring kernel (_bm25_rank) is shared verbatim with
+    streaming/lexical.py's LexicalPostingsIndex.search, so the live
+    index and this batch query can never drift."""
     docs = load(spark, sf_dir, "documents")
-    dl = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    dl = _doc_len(F.col("text"))
     lengths = docs.select("doc_id", dl.alias("dl"))
     stats = lengths.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -366,6 +368,21 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_rank(tf, stats)
+
+
+def _doc_len(text):
+    """BM25 document length: count of nonempty whitespace tokens, as a
+    narrow array projection (no explode)."""
+    return F.size(F.filter(F.split(text, " "), lambda x: x != ""))
+
+
+def _bm25_rank(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared BM25 scoring kernel: ranks a (doc_id, dl, w, tf) postings
+    relation (already restricted to the query terms) against a 1-row
+    (n_docs, tot_tokens) corpus-stats relation. Used by the batch
+    docs_bm25_search AND streaming/lexical.py's index search — one
+    formula, one rounding convention, zero drift."""
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     idf = df_.crossJoin(F.broadcast(stats.select("n_docs"))).select(
         "w",

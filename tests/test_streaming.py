@@ -1475,6 +1475,77 @@ def test_streaming_ivf_index_matches_batch_assign(spark, tmp_path, sf_dir):
     assert idx.index(spark).count() == total
 
 
+def test_streaming_postings_index_matches_batch_bm25(spark, tmp_path, sf_dir):
+    """LexicalPostingsIndex: BM25 search over the streamed postings
+    index equals the batch docs_bm25_search bit-for-bit (shared
+    _bm25_rank kernel + exact integer stats folding), the probe prunes
+    term-bucket partitions, and a replayed batch overwrites its own
+    directory instead of duplicating postings or double-counting
+    corpus stats."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.text import (
+        _BM25_TERMS,
+        docs_bm25_search,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming import lexical
+
+    docs = load(spark, sf_dir, "documents")
+    feed = tmp_path / "doc_feed"
+    feed.mkdir()
+    with_ts = docs.withColumn("ts", F.lit("2024-01-01 10:00:00").cast("timestamp"))
+    cols = ["doc_id", "text", "lang", "source", "n_chars", "ts"]
+    with_ts.filter("doc_id % 2 = 0").select(*cols).coalesce(1).write.parquet(
+        str(feed / "chunk_a")
+    )
+    with_ts.filter("doc_id % 2 = 1").select(*cols).coalesce(1).write.parquet(
+        str(feed / "chunk_b")
+    )
+
+    idx = lexical.LexicalPostingsIndex(str(tmp_path / "lex_index"))
+
+    def drain(ckpt):
+        src = (
+            spark.readStream.schema(lexical.DOC_STREAM_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(feed))
+        )
+        q = idx.attach(src, checkpoint=str(tmp_path / ckpt), available_now=True)
+        q.awaitTermination(60)
+
+    drain("ck1")
+    # corpus stats fold exactly: n_docs across batches == corpus size
+    stats = idx.stats(spark).collect()[0]
+    assert stats.n_docs == docs.count()
+
+    # index search == batch query, bit for bit (same kernel, same stats)
+    streamed = sorted(
+        idx.search(spark, _BM25_TERMS).collect(), key=lambda r: r.doc_id
+    )
+    batch = sorted(
+        docs_bm25_search(spark, sf_dir).collect(), key=lambda r: r.doc_id
+    )
+    assert streamed == batch
+
+    # probe prunes partitions: the term-bucket predicate is a
+    # PartitionFilter — unprobed buckets' files are never planned
+    probe = idx.postings(spark).filter(F.col("tb").isin([3, 7]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
+
+    # replay with a fresh checkpoint: same files -> same batch ids ->
+    # overwrite, not duplication (postings stable, stats not doubled)
+    drain("ck2")
+    assert idx.stats(spark).collect()[0].n_docs == docs.count()
+    replayed = sorted(
+        idx.search(spark, _BM25_TERMS).collect(), key=lambda r: r.doc_id
+    )
+    assert replayed == batch
+
+
 def test_schema_on_read_payload_preserves_json_types(spark, tmp_path):
     """Schema-on-read envelopes carry the ORIGINAL feed JSON: numbers,
     booleans, and nested objects keep their types (the map-parse is
