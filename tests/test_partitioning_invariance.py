@@ -37,6 +37,10 @@ _SENSITIVE = [
     "part_triangle_counts",
     "orders_market_basket",
     "docs_dedup_method_agreement",
+    # r6: greedy argmax loop, decimal-summed top-k, binned-join dedup
+    "embed_kcenter_coreset",
+    "docs_bm25_search",
+    "events_interval_join",
 ]
 
 
