@@ -626,6 +626,75 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- audio silence segmentation (VAD shape) -----------------------------
+
+_VAD_WINDOW = 50  # samples per energy window
+_VAD_THRESHOLD = 5000  # mean |sample| below this = silence
+
+_SILENCE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("n_silent", LongType()),
+        StructField("lead_trim", LongType()),
+        StructField("trail_trim", LongType()),
+        StructField("kept_windows", LongType()),
+    ]
+)
+
+
+def _silence_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode the WAV container, score fixed-width
+    windows by mean |sample| (the tail window keeps its true size), and
+    derive the silence/trim profile. All integers except the window
+    mean, whose int/int float64 division the oracle reproduces
+    bit-identically."""
+    for pdf in batches:
+        out = {k: [] for k in _SILENCE_SCHEMA.fieldNames()}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload) if payload is not None else b""
+            samples, _rate = decode_payload(synth_wav_payload(data), "audio")
+            a = np.abs(samples.astype(np.int64))
+            n = int(a.size)
+            nw = (n + _VAD_WINDOW - 1) // _VAD_WINDOW
+            silent = []
+            for w in range(nw):
+                seg = a[w * _VAD_WINDOW : (w + 1) * _VAD_WINDOW]
+                silent.append(bool(seg.sum() / seg.size < _VAD_THRESHOLD))
+            loud = [w for w, s in enumerate(silent) if not s]
+            first = loud[0] if loud else nw
+            last = loud[-1] if loud else -1
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(n)
+            out["n_windows"].append(nw)
+            out["n_silent"].append(sum(silent))
+            out["lead_trim"].append(first)
+            out["trail_trim"].append(nw - 1 - last)
+            out["kept_windows"].append(max(0, last - first + 1))
+        yield pd.DataFrame(out)
+
+
+def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence segmentation through the REAL WAV decoder — the
+    VAD / silence-trim shape of an audio-corpus pipeline: decode int16
+    PCM, score _VAD_WINDOW-sample windows by mean |amplitude|, report
+    the silent-window count and the leading/trailing trim a cut at the
+    first/last loud window would apply. Fully oracle-checked: the
+    synth container is a deterministic byte transform of the text, so
+    DuckDB reproduces every window mean exactly (int sums, one int/int
+    float64 division per window).
+
+    Scale: Arrow-batched mapInPandas over the audio modality only
+    (filter pushes to the scan) — narrow, payload bytes never leave
+    the executor, one small stat row per doc flows downstream."""
+    docs = load(spark, sf_dir, "documents")
+    audio = with_payload(docs).filter(F.col("modality") == "audio")
+    return audio.repartition("doc_id").mapInPandas(
+        _silence_batches, _SILENCE_SCHEMA
+    )
+
+
 # --- perceptual-hash near-dup ------------------------------------------
 
 _PHASH_BITS = 64
@@ -732,6 +801,7 @@ QUERIES = {
     "multimodal_decoded_stats": multimodal_decoded_stats,
     "multimodal_neardup": multimodal_neardup,
     "multimodal_resize": multimodal_resize,
+    "multimodal_silence_trim": multimodal_silence_trim,
 }
 
 # Byte-level SQL mirrors: the corpora are ASCII (asserted by the other
@@ -823,6 +893,45 @@ _PHASH_ANY_BLOCK_SQL = " OR ".join(
 )
 
 ORACLE_SQL = {
+    "multimodal_silence_trim": f"""
+        WITH audio AS (
+            SELECT doc_id, text FROM documents
+            WHERE CAST(doc_id % 3 AS INT) = 1
+        ),
+        s AS (
+            SELECT doc_id, (i - 1) // {_VAD_WINDOW} AS w,
+                   abs(unicode(substr(text, CAST(i AS INT), 1)) - 128) * 256
+                       AS a
+            FROM audio, unnest(range(1, length(text) + 1)) AS t(i)
+        ),
+        wins AS (
+            SELECT doc_id, w,
+                   CASE WHEN sum(a) / CAST(count(*) AS DOUBLE)
+                             < {_VAD_THRESHOLD}
+                        THEN 1 ELSE 0 END AS silent
+            FROM s GROUP BY doc_id, w
+        ),
+        agg AS (
+            SELECT doc_id,
+                   count(*) AS n_windows,
+                   CAST(sum(silent) AS BIGINT) AS n_silent,
+                   COALESCE(min(CASE WHEN silent = 0 THEN w END), count(*))
+                       AS first_loud,
+                   COALESCE(max(CASE WHEN silent = 0 THEN w END), -1)
+                       AS last_loud
+            FROM wins GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               CAST(length(a.text) AS BIGINT) AS n_samples,
+               CAST(COALESCE(g.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(g.n_silent, 0) AS BIGINT) AS n_silent,
+               CAST(COALESCE(g.first_loud, 0) AS BIGINT) AS lead_trim,
+               CAST(COALESCE(g.n_windows - 1 - g.last_loud, 0) AS BIGINT)
+                   AS trail_trim,
+               CAST(COALESCE(greatest(0, g.last_loud - g.first_loud + 1), 0)
+                    AS BIGINT) AS kept_windows
+        FROM audio a LEFT JOIN agg g USING (doc_id)
+    """,
     "multimodal_resize": f"""
         WITH base AS (
             SELECT doc_id, {_MODALITY_SQL} AS modality, text,

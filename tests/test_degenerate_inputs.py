@@ -178,6 +178,22 @@ def test_single_embedding_is_sane(name, spark, single_emb_dir):
         assert rows[0].vec_id == 0
 
 
+def test_silence_trim_degenerate_corpora(spark, empty_dir, single_dir):
+    """Empty corpus -> empty result; the single-doc fixture (doc_id=1 ->
+    audio modality) decodes and segments: window accounting must be
+    self-consistent (lead + kept + trail == n_windows)."""
+    from postgres_cdc_plugin_spark.operators import multimodal
+
+    assert multimodal.multimodal_silence_trim(spark, empty_dir).count() == 0
+    rows = multimodal.multimodal_silence_trim(spark, single_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_samples == 33 and r.n_windows == 1
+    assert r.lead_trim + r.kept_windows + r.trail_trim == r.n_windows or (
+        r.kept_windows == 0 and r.lead_trim == r.n_windows
+    )
+
+
 def test_lsh_tuning_single_doc_is_all_zero(spark, single_dir):
     """One document: every swept banding legitimately yields zero
     candidates and zero true pairs; precision/recall are NULL (0/0
