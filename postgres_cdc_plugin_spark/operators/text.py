@@ -353,7 +353,13 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. The scoring kernel (_bm25_rank) is shared verbatim with
     streaming/lexical.py's LexicalPostingsIndex.search, so the live
     index and this batch query can never drift."""
-    docs = load(spark, sf_dir, "documents")
+    return bm25_search(load(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def bm25_search(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """BM25 over an arbitrary documents relation and term tuple — the
+    parametrized form behind docs_bm25_search; _bm25_sql(terms) is its
+    SQL mirror (the non-ASCII gate runs both with multibyte terms)."""
     dl = _doc_len(F.col("text"))
     lengths = docs.select("doc_id", dl.alias("dl"))
     stats = lengths.agg(
@@ -364,7 +370,7 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", dl.alias("dl"), F.explode(F.split("text", " ")).alias("w")
         )
-        .filter(F.col("w").isin(*_BM25_TERMS))
+        .filter(F.col("w").isin(*terms))
         .groupBy("doc_id", "dl", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1796,6 +1802,57 @@ QUERIES = {
     "docs_pipeline_e2e": docs_pipeline_e2e,
 }
 
+def _bm25_sql(terms: tuple[str, ...]) -> str:
+    """DuckDB mirror of bm25_search(docs, terms) — parametrized so the
+    non-ASCII gate can prove the whole retrieval path on multibyte
+    terms, not just the registered ASCII query."""
+    return f"""
+        WITH lengths AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens
+            FROM lengths
+        ),
+        tf AS (
+            SELECT doc_id, dl, w, count(*) AS tf
+            FROM (
+                SELECT doc_id, dl, unnest(string_split(text, ' ')) AS w
+                FROM documents JOIN lengths USING (doc_id)
+            )
+            WHERE w IN ({", ".join(f"'{t}'" for t in terms)})
+            GROUP BY doc_id, dl, w
+        ),
+        idf AS (
+            SELECT w,
+                   round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+                       AS idf
+            FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) d, stats s
+        ),
+        contrib AS (
+            SELECT t.doc_id,
+                   CAST(round(
+                       i.idf * (CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                       / (CAST(t.tf AS DOUBLE)
+                          + {_BM25_K1} * ({1.0 - _BM25_B}
+                              + {_BM25_B} * (CAST(t.dl * s.n_docs AS DOUBLE)
+                                             / CAST(s.tot_tokens AS DOUBLE)))),
+                       6) AS DECIMAL(38,6)) AS c
+            FROM tf t JOIN idf i USING (w), stats s
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_terms_matched,
+               CAST(sum(c) AS DOUBLE) AS bm25_score
+        FROM contrib
+        GROUP BY doc_id
+        ORDER BY bm25_score DESC, doc_id ASC
+        LIMIT {_BM25_TOPK}
+    """
+
+
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 _SPLIT_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
@@ -2279,51 +2336,7 @@ ORACLE_SQL = {
                doc_id, lang, source, n_chars, sample_key
         FROM top
     """,
-    "docs_bm25_search": f"""
-        WITH lengths AS (
-            SELECT doc_id,
-                   len(list_filter(string_split(text, ' '), x -> x <> ''))
-                       AS dl
-            FROM documents
-        ),
-        stats AS (
-            SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens
-            FROM lengths
-        ),
-        tf AS (
-            SELECT doc_id, dl, w, count(*) AS tf
-            FROM (
-                SELECT doc_id, dl, unnest(string_split(text, ' ')) AS w
-                FROM documents JOIN lengths USING (doc_id)
-            )
-            WHERE w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
-            GROUP BY doc_id, dl, w
-        ),
-        idf AS (
-            SELECT w,
-                   round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
-                       AS idf
-            FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) d, stats s
-        ),
-        contrib AS (
-            SELECT t.doc_id,
-                   CAST(round(
-                       i.idf * (CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1.0})
-                       / (CAST(t.tf AS DOUBLE)
-                          + {_BM25_K1} * ({1.0 - _BM25_B}
-                              + {_BM25_B} * (CAST(t.dl * s.n_docs AS DOUBLE)
-                                             / CAST(s.tot_tokens AS DOUBLE)))),
-                       6) AS DECIMAL(38,6)) AS c
-            FROM tf t JOIN idf i USING (w), stats s
-        )
-        SELECT doc_id,
-               CAST(count(*) AS INT) AS n_terms_matched,
-               CAST(sum(c) AS DOUBLE) AS bm25_score
-        FROM contrib
-        GROUP BY doc_id
-        ORDER BY bm25_score DESC, doc_id ASC
-        LIMIT {_BM25_TOPK}
-    """,
+    "docs_bm25_search": _bm25_sql(_BM25_TERMS),
     "docs_text_stats": """
         SELECT doc_id, lang, source,
                CAST(length(text) AS BIGINT) AS n_chars_calc,

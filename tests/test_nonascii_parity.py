@@ -164,3 +164,21 @@ def test_nonascii_parity(name, spark, nonascii_dir, nonascii_duck):
         nonascii_duck.sql(ORACLES[name]),
         f"nonascii:{name}",
     )
+
+
+def test_nonascii_bm25_multibyte_terms(spark, nonascii_dir, nonascii_duck):
+    """The registered docs_bm25_search terms are ASCII and absent from
+    this corpus (its registry parity run retrieves nothing), so prove
+    the retrieval path END-TO-END on multibyte query terms: CJK,
+    Cyrillic, and kana terms that DO occur here. Exercises tokenize /
+    tf / df / idf / decimal-summed scoring / top-k on text where a
+    byte-addressing bug would diverge."""
+    from postgres_cdc_plugin_spark.operators.text import _bm25_sql, bm25_search
+    from postgres_cdc_plugin_spark.session import load
+
+    terms = ("данные", "データ", "查询")
+    spark_df = bm25_search(load(spark, nonascii_dir, "documents"), terms)
+    assert spark_df.count() > 0, "multibyte terms must retrieve documents"
+    assert_parity(
+        spark_df, nonascii_duck.sql(_bm25_sql(terms)), "nonascii:bm25_terms"
+    )
