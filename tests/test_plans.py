@@ -65,6 +65,32 @@ def test_topk_is_not_a_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    # the BM25 global top-k must plan as TakeOrderedAndProject
+    # (per-partition k + merge), never a full Sort+Limit
+    from postgres_cdc_plugin_spark.operators.text import docs_bm25_search
+
+    plan = inspect.physical_plan(docs_bm25_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_interval_join_is_equi_join_on_bin(spark, sf_dir):
+    # the binned range join must execute as a partitionable equi-join on
+    # the time-bin key — the exact overlap predicate refines AFTER the
+    # hash join, never via a nested loop over the inequality (which is
+    # what the DuckDB oracle runs, and what 100 TB cannot)
+    from postgres_cdc_plugin_spark.operators.analytics import (
+        events_interval_join,
+    )
+
+    df = events_interval_join(spark, sf_dir)
+    kinds = inspect.join_kinds(df)
+    assert "BroadcastNestedLoopJoin" not in kinds, kinds
+    assert "CartesianProduct" not in kinds, kinds
+    plan = inspect.physical_plan(df)
+    assert "bin#" in plan, plan
+
+
 def test_minhash_band_join_shuffles_only_band_keys(spark, sf_dir):
     # the candidate join must be an equi-join (hash-partitioned exchange),
     # not a nested-loop over the OR-condition like the SQL oracle
