@@ -626,6 +626,124 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_POOL = 32  # relevance candidate pool fed to the diversifier
+_MMR_K = 8  # diversified result size
+_MMR_LAMBDA = 0.7  # relevance vs redundancy trade-off
+
+
+def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, public literature) — the diversification step between ANN
+    retrieval and serving: take the _MMR_POOL most-relevant vectors
+    for the query (exact round-6 cosine, the embed_knn convention),
+    then greedily select _MMR_K of them maximizing
+    λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s). Completes the
+    retrieval story beside docs_bm25_search (lexical) and embed_knn
+    (vector): relevance alone returns near-duplicates; MMR trades
+    them for coverage. Fully oracle-checked: round-6 cosines, vec_id
+    tiebreaks, and identical IEEE score arithmetic make every pick
+    engine-exact.
+
+    Scale: the candidate pool is top-k relevance (TakeOrderedAndProject
+    over the corpus — the only corpus-sized step); the greedy loop then
+    runs on the POOL-sized relation (k tiny broadcast joins + 1-row
+    argmaxes, the embed_kcenter_coreset loop shape with lineage cut per
+    pick) — pool size, not corpus size, bounds the iteration cost.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("simq"),
+        )
+        .orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    first = (
+        pool.orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "simq",
+            F.lit(None).cast("double").alias("max_sim_selected"),
+            (F.lit(lam) * F.col("simq")).alias("mmr_score"),
+        )
+        .localCheckpoint()
+    )
+    picks = [first]
+    cand = pool.join(
+        F.broadcast(first.select(F.col("vec_id").alias("sel_id"))),
+        F.col("vec_id") == F.col("sel_id"),
+        "left_anti",
+    ).crossJoin(F.broadcast(first.select(F.col("v").alias("sv")))).select(
+        "vec_id",
+        "label",
+        "v",
+        "simq",
+        F.round(_cosine(F.col("v"), F.col("sv")), 6).alias("maxsim"),
+    )
+    for _ in range(_MMR_K - 1):
+        score = F.lit(lam) * F.col("simq") - F.lit(mu) * F.col("maxsim")
+        top = (
+            cand.select(
+                "vec_id", "label", "v", "simq", "maxsim", score.alias("mmr")
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id",
+                "label",
+                "v",
+                "simq",
+                F.col("maxsim").alias("max_sim_selected"),
+                F.col("mmr").alias("mmr_score"),
+            )
+            .localCheckpoint()
+        )
+        picks.append(top)
+        cand = cand.join(
+            F.broadcast(top.select(F.col("vec_id").alias("sel_id"))),
+            F.col("vec_id") == F.col("sel_id"),
+            "left_anti",
+        ).crossJoin(F.broadcast(top.select(F.col("v").alias("sv")))).select(
+            "vec_id",
+            "label",
+            "v",
+            "simq",
+            F.greatest(
+                "maxsim", F.round(_cosine(F.col("v"), F.col("sv")), 6)
+            ).alias("maxsim"),
+        )
+    out: DataFrame | None = None
+    for rank, p in enumerate(picks, start=1):
+        row = p.select(
+            F.lit(rank).cast("int").alias("rank"),
+            "vec_id",
+            "label",
+            "simq",
+            "max_sim_selected",
+            "mmr_score",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 _KC_K = 8  # coreset size (greedy farthest-point iterations)
 
 
@@ -1237,6 +1355,7 @@ QUERIES = {
     "embed_silhouette": embed_silhouette,
     "embed_pca_power": embed_pca_power,
     "embed_kcenter_coreset": embed_kcenter_coreset,
+    "embed_mmr_rerank": embed_mmr_rerank,
     "embed_recall_audit": embed_recall_audit,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
@@ -1334,6 +1453,60 @@ _KM_DIST_SQL = """round(list_sum(list_transform(
                        range(1, len(e.v) + 1),
                        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"""
 
+def _mmr_iteration_ctes(k: int) -> str:
+    """One MMR step as a CTE pair: argmax of λ·simq − (1−λ)·maxsim over
+    the remaining pool, then the greatest() fold of redundancy against
+    that pick — the SQL mirror of one embed_mmr_rerank loop pass."""
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    return f"""
+        m{k} AS (
+            SELECT vec_id, label, v, simq, maxsim AS msel,
+                   CAST({lam} AS DOUBLE) * simq
+                       - CAST({mu!r} AS DOUBLE) * maxsim AS mmr
+            FROM d{k - 1}
+            ORDER BY mmr DESC, vec_id ASC LIMIT 1
+        ),
+        d{k} AS (
+            SELECT d.vec_id, d.label, d.v, d.simq,
+                   greatest(d.maxsim,
+                            round(list_cosine_similarity(d.v, m.v), 6))
+                       AS maxsim
+            FROM d{k - 1} d, m{k} m WHERE d.vec_id <> m.vec_id
+        )"""
+
+
+_MMR_SQL = (
+    f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+        pool AS (
+            SELECT vec_id, label, v,
+                   round(list_cosine_similarity(v, q.qv), 6) AS simq
+            FROM e, q WHERE vec_id <> {_QUERY_VEC_ID}
+            ORDER BY simq DESC, vec_id ASC LIMIT {_MMR_POOL}
+        ),
+        m1 AS (
+            SELECT vec_id, label, v, simq,
+                   CAST(NULL AS DOUBLE) AS msel,
+                   CAST({_MMR_LAMBDA} AS DOUBLE) * simq AS mmr
+            FROM pool ORDER BY simq DESC, vec_id ASC LIMIT 1
+        ),
+        d1 AS (
+            SELECT p.vec_id, p.label, p.v, p.simq,
+                   round(list_cosine_similarity(p.v, m.v), 6) AS maxsim
+            FROM pool p, m1 m WHERE p.vec_id <> m.vec_id
+        ),"""
+    + ",".join(_mmr_iteration_ctes(k) for k in range(2, _MMR_K + 1))
+    + "\n        "
+    + "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, vec_id, label, simq,"
+        f" msel AS max_sim_selected, mmr AS mmr_score FROM m{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+)
+
 # round-6 distance between two pre-cast DOUBLE[] columns d.v and c.v —
 # the k-center oracle's mirror of _sq_dist (same no-drift convention as
 # _KM_DIST_SQL, different aliases).
@@ -1383,6 +1556,7 @@ _KC_SQL = (
 
 ORACLE_SQL = {
     "embed_kcenter_coreset": _KC_SQL,
+    "embed_mmr_rerank": _MMR_SQL,
     "docs_embed_join": """
         SELECT lang, label, count(*) AS n_docs,
                sum(n_chars) / CAST(count(*) AS DOUBLE) AS avg_chars,

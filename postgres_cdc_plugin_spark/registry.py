@@ -11,16 +11,17 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     each round rotates unproven/reworked queries to the front and the
     most-recently-green family to the tail. Round-6 window (the r5
     rotation never ran — zero-commit round): (1) the four queries that
-    have NEVER had a driver row, (2) the nine new round-6 queries
+    have NEVER had a driver row, (2) the ten new round-6 queries
     (queue_state_machine, events_salted_enrich, orders_bucketed_join,
     docs_weighted_sample, docs_bm25_search, events_interval_join,
-    embed_kcenter_coreset, docs_lsh_tuning, multimodal_silence_trim), (3) every query whose
+    embed_kcenter_coreset, docs_lsh_tuning, multimodal_silence_trim,
+    embed_mmr_rerank), (3) every query whose
     results or oracle changed this round — embed_ann_lsh (promoted
     from rows-only to a full oracle), the MinHash shingle family
     (byte-window shingles now hex-rendered so the oracle is portable
     to non-ASCII text), and the two graph queries that now read the
     shared _copurchase_degrees kernel, (4) the seven anchors whose
-    only driver evidence is round 1, (5) a 21-query slice of the
+    only driver evidence is round 1, (5) a 20-query slice of the
     46-query r2-green block (preferring oracle-checked members over
     rows-only ones), and (6) the CC family — its distributed loop was
     reworked this round (per-plan repartition instead of session-conf
@@ -76,6 +77,7 @@ PRIORITY_ORDER = [
     "embed_kcenter_coreset",      # greedy farthest-point coreset selection
     "docs_lsh_tuning",            # banding-parameter sweep w/ exact recall
     "multimodal_silence_trim",    # audio VAD/trim through the WAV decoder
+    "embed_mmr_rerank",           # MMR diversified re-ranking after ANN
     # Results or oracle changed in round 6 (need fresh rows):
     "embed_ann_lsh",              # rows-only -> full deterministic oracle
     "docs_minhash_sigs",          # hex-rendered byte shingles (non-ASCII fix)
@@ -94,7 +96,7 @@ PRIORITY_ORDER = [
     "events_value_histogram",
     "lineitem_conditional_agg",
     "lineitem_moving_avg",
-    # 21-query slice of the r2-green block (last driver rows four
+    # 20-query slice of the r2-green block (last driver rows four
     # rounds old). lineitem_approx_percentiles (rows-only) yields its
     # slot to the oracle-checked docs_common_spans; the remaining 15
     # r2 queries (embed_*/multimodal_meta/multimodal_dedup/
@@ -117,7 +119,6 @@ PRIORITY_ORDER = [
     "docs_rolling_fingerprint",
     "docs_train_split",
     "docs_stratified_sample",
-    "docs_repetition_filter",
     # Positions 49-50: the CC family — distributed loop reworked this
     # round (per-plan repartition); expensive recursive-CTE oracles
     # last in the window so a driver timeout there still leaves
@@ -128,9 +129,9 @@ PRIORITY_ORDER = [
     # The remaining r2-green block members (evidence ages to five
     # rounds; first in line for the r7 window). docs_common_spans /
     # docs_boilerplate_ngrams / docs_chunks / docs_pack_bins /
-    # docs_source_mix / token_tfidf / docs_contamination yielded their
-    # window slots to the
-    # new round-6 queries (never-driver-checked outranks freshness):
+    # docs_source_mix / token_tfidf / docs_contamination /
+    # docs_repetition_filter yielded their window slots to the new
+    # round-6 queries (never-driver-checked outranks freshness):
     "docs_common_spans",
     "docs_boilerplate_ngrams",
     "docs_chunks",
@@ -138,6 +139,7 @@ PRIORITY_ORDER = [
     "docs_source_mix",
     "token_tfidf",
     "docs_contamination",
+    "docs_repetition_filter",
     "lineitem_approx_percentiles",
     "docs_pipeline_e2e",
     "embed_quantize",

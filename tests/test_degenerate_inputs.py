@@ -124,6 +124,7 @@ def single_emb_dir(spark, tmp_path_factory):
 
 _EMB_QUERIES = [
     "embed_kcenter_coreset",
+    "embed_mmr_rerank",
     "embed_kmeans",
     "embed_ivf_assign",
     "embed_semdedup",
@@ -160,6 +161,11 @@ def test_single_embedding_is_sane(name, spark, single_emb_dir):
         # eigenvalue (the NULLIF guard), never inf or a crash
         assert len(rows) == 4
         assert all(r.loading is None and r.eigenvalue is None for r in rows)
+        return
+    if name == "embed_mmr_rerank":
+        # the sole vector IS the query; the candidate pool is empty, so
+        # every greedy pick is empty — well-formed zero-row result
+        assert rows == []
         return
     if name == "embed_kcenter_coreset":
         # n < k: greedy farthest-point legitimately re-picks the sole

@@ -471,6 +471,7 @@ _BNLJ_ALLOWED = {
     "docs_bm25_search",  # 1-row corpus stats + 3-row idf crossJoins (r6)
     "embed_kcenter_coreset",  # 1-row center crossJoin per greedy step (r6)
     "docs_lsh_tuning",  # 1-row count-aggregate crossJoins per config (r6)
+    "embed_mmr_rerank",  # 1-row query-vector + per-pick crossJoins (r6)
 }
 
 
