@@ -413,3 +413,26 @@ def test_triangle_degree_orientation(spark, monkeypatch):
         and a == 100
     ]
     assert hub_out == []  # rank(100) is maximal: never a wedge source
+
+
+def test_interval_join_invariant_to_bin_width(spark, sf_dir):
+    """The time-bin width is PHYSICAL tuning only: rerunning the binned
+    interval join with a 4x finer bin must produce the identical result
+    relation (the exact overlap predicate decides membership; bins only
+    route candidates)."""
+    import postgres_cdc_plugin_spark.operators.analytics as A
+
+    base = sorted(
+        A.events_interval_join(spark, sf_dir).collect(),
+        key=lambda r: (r.user_id, r.session_id),
+    )
+    orig = A._IJ_BIN_US
+    try:
+        A._IJ_BIN_US = orig // 4
+        fine = sorted(
+            A.events_interval_join(spark, sf_dir).collect(),
+            key=lambda r: (r.user_id, r.session_id),
+        )
+    finally:
+        A._IJ_BIN_US = orig
+    assert base == fine

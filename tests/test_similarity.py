@@ -264,3 +264,44 @@ def test_pca_power_invariants_and_gapped_convergence(spark, sf_dir):
     evals, evecs = np.linalg.eigh(Xgc.T @ Xgc / (n - 1))
     assert abs(float(wg @ evecs[:, -1])) > 0.999
     assert math.isclose(got[0].eigenvalue, evals[-1], rel_tol=1e-3)
+
+
+def test_kcenter_radius_is_nonincreasing_and_covering(spark, sf_dir):
+    """Greedy farthest-point invariants: the selection distances
+    (coverage radii) are non-increasing in rank — each pick is the
+    farthest remaining point, so later picks can never be farther than
+    earlier ones — and all picks are distinct corpus vectors when
+    n >= k."""
+    import postgres_cdc_plugin_spark.operators.similarity as S
+
+    rows = sorted(
+        S.embed_kcenter_coreset(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, 9))
+    assert rows[0].sel_dist is None
+    dists = [r.sel_dist for r in rows[1:]]
+    assert all(b <= a for a, b in zip(dists, dists[1:])), dists
+    assert all(d > 0 for d in dists)
+    assert len({r.vec_id for r in rows}) == 8
+
+
+def test_mmr_scores_nonincreasing_and_diversify(spark, sf_dir):
+    """MMR invariants: greedy marginal scores are non-increasing in
+    rank (the argmax over a shrinking pool with growing redundancy can
+    only fall), picks are distinct pool members, and the diversified
+    set is NOT simply the relevance top-k — some pick must trade
+    relevance for coverage on this corpus."""
+    import postgres_cdc_plugin_spark.operators.similarity as S
+
+    rows = sorted(
+        S.embed_mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, 9))
+    scores = [r.mmr_score for r in rows]
+    assert all(b <= a + 1e-12 for a, b in zip(scores, scores[1:])), scores
+    assert len({r.vec_id for r in rows}) == 8
+    topk_relevance = {
+        r.vec_id
+        for r in S.embed_knn(spark, sf_dir).limit(8).collect()
+    }
+    assert {r.vec_id for r in rows} != topk_relevance
