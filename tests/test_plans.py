@@ -556,6 +556,42 @@ def test_salted_join_handles_nested_map_and_spreads_map_only_diffs(spark):
     assert n_salts_used > 1  # map-only row diffs fan the hot key out
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a date-partitioned fact with
+    a FILTERED dim on the partition column must inject a runtime
+    dynamicpruning subquery into the fact scan's PartitionFilters — at
+    100 TB this is what keeps a quarter-scoped star join from reading
+    the whole fact table's partitions. The fixture writes orders
+    partitioned by order month (the layout a real deployment uses) and
+    pins that THIS Spark build plans the rewrite."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.session import load
+
+    fact_dir = str(tmp_path / "orders_by_month")
+    load(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    ).write.partitionBy("o_month").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    months = (
+        fact.select("o_month")
+        .distinct()
+        .withColumn("q", F.substring("o_month", 6, 2).cast("int"))
+    )
+    dim = months.filter(F.col("q") <= 3)  # one quarter of the months
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # broadcast keeps the dim on the build side, the DPP shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        j = fact.join(dim, "o_month").groupBy("o_month").agg(
+            F.sum("o_totalprice").alias("rev")
+        )
+        plan = inspect.physical_plan(j)
+        assert "dynamicpruning" in plan.lower(), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Runtime semi-join reduction: on a shuffle fact-fact join with a
     selective build side, Catalyst injects a bloom-filter
