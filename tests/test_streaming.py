@@ -1545,6 +1545,34 @@ def test_streaming_postings_index_matches_batch_bm25(spark, tmp_path, sf_dir):
     )
     assert replayed == batch
 
+    # incremental append: NEW documents arrive; a further drain on the
+    # ORIGINAL checkpoint indexes only them, corpus stats fold forward,
+    # and search equals the batch kernel over the UNION corpus — the
+    # live index answers exactly what a full rebuild would
+    from postgres_cdc_plugin_spark.operators.text import bm25_search
+
+    extra = spark.createDataFrame(
+        [
+            (100000 + i, "spark vector join" + " spark" * i, "en", "srcX", 17)
+            for i in range(3)
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    extra.withColumn(
+        "ts", F.lit("2024-01-02 10:00:00").cast("timestamp")
+    ).select(*cols).coalesce(1).write.parquet(str(feed / "chunk_c"))
+    drain("ck1")
+    assert idx.stats(spark).collect()[0].n_docs == docs.count() + 3
+    expected = sorted(
+        bm25_search(docs.unionByName(extra), _BM25_TERMS).collect(),
+        key=lambda r: r.doc_id,
+    )
+    grown = sorted(
+        idx.search(spark, _BM25_TERMS).collect(), key=lambda r: r.doc_id
+    )
+    assert grown == expected
+    assert grown != batch  # the new heavy-match docs must surface
+
 
 def test_schema_on_read_payload_preserves_json_types(spark, tmp_path):
     """Schema-on-read envelopes carry the ORIGINAL feed JSON: numbers,
