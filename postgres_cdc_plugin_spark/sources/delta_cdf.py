@@ -1,15 +1,17 @@
 """Delta Change Data Feed transport -> canonical change relation.
 
 SURVEY §1.4 source list: file changefeed / Delta CDF / Kafka+Debezium.
-Since r6 the BATCH leg is live end-to-end WITHOUT delta-spark:
+Since r6 BOTH legs are live end-to-end WITHOUT delta-spark:
 read_cdf_log implements the public Delta log protocol directly
 (driver-side commit-JSON parse, distributed parquet reads of the
-cdc/add/remove files) and cdf_batch chains it into from_cdf —
-exercised in tests/test_sources.py against a hand-built on-disk Delta
-table. Only the STREAMING leg (delta_cdf_stream) still needs the
-delta-spark streaming source and remains a thin documented seam; the
-row-shape transformation — the actual semantics — is the same pure
-from_cdf both legs share.
+cdc/add/remove files), cdf_batch chains it into from_cdf for
+backfill/replay, and CdfTailer tails the log as an at-least-once
+micro-batch stream with a durable progress marker — all exercised in
+tests/test_sources.py against hand-built on-disk Delta tables.
+delta_cdf_stream remains as optional plumbing for clusters that DO
+ship delta-spark's native streaming source; the row-shape
+transformation — the actual semantics — is the same pure from_cdf
+every leg shares.
 
 Delta CDF shape (public Delta Lake protocol): the table's data columns
 plus `_change_type` ('insert' | 'update_preimage' | 'update_postimage'
@@ -43,6 +45,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CDF_META = ("_change_type", "_commit_version", "_commit_timestamp")
+
+# raise-message prefix shared by read_cdf_log and CdfTailer's
+# metadata-only-commit handling (same module, single source of truth)
+_NO_DATA_MSG = "no data-changing commits"
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
@@ -190,7 +196,7 @@ def read_cdf_log(
             )
     if not parts:
         raise ValueError(
-            f"no data-changing commits in [{starting_version}, "
+            f"{_NO_DATA_MSG} in [{starting_version}, "
             f"{ending_version}] under {table_path}"
         )
     out = parts[0]
@@ -311,3 +317,108 @@ def cdf_batch(
         key_field=key_field,
         **kwargs,
     )
+
+
+class CdfTailer:
+    """NATIVE streaming leg of the Delta CDF transport — closes the
+    last SURVEY §1.4 seam without delta-spark: a micro-batch poller
+    that tails `_delta_log` for commit versions beyond its durable
+    progress marker and feeds each newly-available range through the
+    SAME read_cdf_log -> from_cdf path the batch leg uses. One
+    transport contract covers backfill (cdf_batch) and live tailing.
+
+    Delivery contract mirrors the queue poller (S4,
+    src/cdc_webhook_worker.c:36-79 analog): at-least-once. The marker
+    (`<checkpoint>/version`, written atomically via tmp+rename)
+    advances only AFTER the consumer callback returns, so a crash
+    between delivery and the marker write replays that commit range on
+    restart; versions are the Delta log's total order, so a replay is
+    an exact re-read (consumers follow the engine-wide batch-overwrite
+    idempotence discipline). Metadata-only commits advance the marker
+    without a delivery.
+
+    Scale: each poll is one driver-side listing of commit JSONs — the
+    same metadata walk every Delta client performs; change DATA flows
+    distributed through read_cdf_log. The callback receives one
+    DataFrame per poll covering all newly-available commits
+    (micro-batching by availability, Trigger.AvailableNow-style).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        checkpoint_dir: str,
+        key_field: str = "id",
+        table_schema: str = "public",
+        table_name: str = "employees",
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.checkpoint_dir = checkpoint_dir
+        self.key_field = key_field
+        self.table_schema = table_schema
+        self.table_name = table_name
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    @property
+    def _marker_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "version")
+
+    def last_delivered(self) -> int:
+        """Highest commit version whose delivery completed; -1 before
+        the first."""
+        try:
+            with open(self._marker_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _advance(self, version: int) -> None:
+        tmp = self._marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._marker_path)
+
+    def process_available(self, callback) -> int:
+        """Deliver every commit version beyond the marker as ONE
+        canonical-change DataFrame via `callback(df, end_version)`;
+        returns the number of newly-consumed commits (0 = idle poll).
+        The marker advances only after the callback returns."""
+        last = self.last_delivered()
+        commits = _commit_files(self.table_path)
+        new = sorted(v for v in commits if v > last)
+        if not new:
+            return 0
+        try:
+            batch = cdf_batch(
+                self.spark,
+                self.table_path,
+                key_field=self.key_field,
+                starting_version=new[0],
+                ending_version=new[-1],
+                table_schema=self.table_schema,
+                table_name=self.table_name,
+            )
+        except ValueError as exc:
+            if _NO_DATA_MSG not in str(exc):
+                raise
+            batch = None  # metadata-only commits: nothing to deliver
+        if batch is not None:
+            callback(batch, new[-1])
+        self._advance(new[-1])
+        return len(new)
+
+    def run(self, callback, poll_interval: float = 1.0, max_polls: int | None = None) -> int:
+        """Poll loop at the S4 worker cadence. `max_polls` bounds the
+        loop (backfill/test mode); returns total commits consumed."""
+        import time
+
+        consumed = 0
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            consumed += self.process_available(callback)
+            polls += 1
+            if max_polls is None or polls < max_polls:
+                time.sleep(poll_interval)
+        return consumed

@@ -752,3 +752,119 @@ def test_delta_cdf_native_reader_fails_loud(spark, tmp_path):
     # (c) not a Delta table
     with pytest.raises(ValueError, match="_delta_log"):
         delta_cdf.read_cdf_log(spark, str(tmp_path / "nope"))
+
+
+def test_delta_cdf_tailer_streams_new_commits(spark, tmp_path):
+    """CdfTailer: the NATIVE streaming leg of the Delta CDF transport —
+    an initial drain delivers the full backlog through the batch path,
+    idle polls deliver nothing, a freshly-landed commit is picked up
+    alone, a crashing consumer leaves the marker untouched so the
+    range replays (at-least-once), and metadata-only commits advance
+    the marker without a delivery."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from postgres_cdc_plugin_spark.sources import delta_cdf
+
+    root = str(tmp_path / "dtable")
+    _build_delta_cdf_fixture(root)
+    tailer = delta_cdf.CdfTailer(
+        spark, root, str(tmp_path / "ckpt"), key_field="id"
+    )
+    seen = []
+
+    def consume(df, end_version):
+        seen.append(
+            (end_version, {(r.seq, r.key, r.op) for r in df.collect()})
+        )
+
+    # initial drain: the whole backlog (commits 0..2) in one micro-batch
+    assert tailer.process_available(consume) == 3
+    assert tailer.last_delivered() == 2
+    assert seen[0] == (
+        2,
+        {
+            (0, "1", "INSERT"),
+            (0, "2", "INSERT"),
+            (1, "1", "UPDATE"),
+            (2, "1", "DELETE"),
+            (2, "2", "DELETE"),
+        },
+    )
+
+    # idle poll: no new commits, no delivery
+    assert tailer.process_available(consume) == 0
+    assert len(seen) == 1
+
+    # a new commit lands: only it is delivered
+    pq.write_table(
+        pa.table({"id": pa.array([9], pa.int64()), "name": ["Z"]}),
+        os.path.join(root, "part-9.parquet"),
+    )
+    _write_delta_commit(
+        root,
+        3,
+        [
+            {
+                "add": {
+                    "path": "part-9.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+            {"commitInfo": {"timestamp": 1704500000000}},
+        ],
+    )
+    assert tailer.run(consume, poll_interval=0.0, max_polls=2) == 1
+    assert seen[1] == (3, {(3, "9", "INSERT")})
+
+    # crash between delivery and marker: the range replays verbatim
+    pq.write_table(
+        pa.table({"id": pa.array([10], pa.int64()), "name": ["Y"]}),
+        os.path.join(root, "part-10.parquet"),
+    )
+    _write_delta_commit(
+        root,
+        4,
+        [
+            {
+                "add": {
+                    "path": "part-10.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+            {"commitInfo": {"timestamp": 1704600000000}},
+        ],
+    )
+
+    def boom(df, end_version):
+        raise RuntimeError("consumer crash")
+
+    with pytest.raises(RuntimeError, match="consumer crash"):
+        tailer.process_available(boom)
+    assert tailer.last_delivered() == 3  # marker NOT advanced
+    assert tailer.process_available(consume) == 1  # replayed
+    assert seen[2] == (4, {(4, "10", "INSERT")})
+
+    # metadata-only commit: marker advances, nothing delivered
+    _write_delta_commit(
+        root, 5, [{"commitInfo": {"timestamp": 1704700000000}}]
+    )
+    assert tailer.process_available(consume) == 1
+    assert tailer.last_delivered() == 5
+    assert len(seen) == 3
+
+    # a fresh tailer on the SAME checkpoint resumes, not replays
+    resumed = delta_cdf.CdfTailer(
+        spark, root, str(tmp_path / "ckpt"), key_field="id"
+    )
+    assert resumed.last_delivered() == 5
+    assert resumed.process_available(consume) == 0
