@@ -130,5 +130,33 @@ class CdcEngine:
             cfg, cadence_seconds=cadence_seconds, resolver=_resolve_tick
         )
 
+    def drain_delta(self, cfg: SubscriptionConfig, tailer) -> int:
+        """SURVEY §1.4 Delta leg wired end-to-end: drain the CDF
+        tailer's newly-available commits through this subscription's
+        capture pipeline into its sink (SYNC webhook or ASYNC queue) —
+        the reference's trigger-to-webhook path with a lakehouse table
+        as the monitored source, no delta-spark. At-least-once by the
+        tailer's marker contract; the sink's batch id is the range's
+        end version, so a replayed range overwrites (queue) or
+        re-attempts (webhook) instead of silently duplicating state.
+        Returns the number of commits consumed (0 = idle poll)."""
+        key = self._key(cfg)
+        if cfg.mode == "ASYNC":
+            sink = self.queue.enqueue_sink(cfg)
+        else:
+            sink = self._sinks.get(key)
+            if sink is None:
+                url, headers = self._resolve(cfg)
+                sink = WebhookSink(
+                    cfg, url, headers,
+                    attempts_path=os.path.join(self.workdir, "attempts", key),
+                )
+                self._sinks[key] = sink
+
+        def _deliver(changes: DataFrame, end_version: int) -> None:
+            sink(capture_pipeline(changes, cfg), end_version)
+
+        return tailer.process_available(_deliver)
+
     def sink_of(self, cfg: SubscriptionConfig) -> WebhookSink:
         return self._sinks[self._key(cfg)]

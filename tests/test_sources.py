@@ -868,3 +868,76 @@ def test_delta_cdf_tailer_streams_new_commits(spark, tmp_path):
     )
     assert resumed.last_delivered() == 5
     assert resumed.process_available(consume) == 0
+
+
+def test_delta_table_to_webhook_end_to_end(spark, tmp_path):
+    """Flagship wiring of the Delta leg: a Delta table's committed
+    changes reach a LIVE webhook through register -> CdfTailer ->
+    capture pipeline -> SYNC sink — the reference's trigger-to-webhook
+    behavior (cdc_webhook--1.0.sql:355-366 + src/cdc_webhook.c:153-237)
+    with a lakehouse table as the monitored source and no delta-spark.
+    A second drain after a fresh commit delivers only that commit."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from postgres_cdc_plugin_spark.config import SubscriptionConfig
+    from postgres_cdc_plugin_spark.engine import CdcEngine
+    from postgres_cdc_plugin_spark.sources import delta_cdf
+
+    from .webhook_server import CaptureServer
+
+    root = str(tmp_path / "dtable")
+    _build_delta_cdf_fixture(root)
+    with CaptureServer() as srv:
+        engine = CdcEngine(spark, str(tmp_path / "wd"))
+        cfg = engine.register(
+            SubscriptionConfig(
+                name="dl",
+                table_name="employees",
+                webhook_url=srv.url,
+                # P2 semantics: the empty default suppresses ALL
+                # UPDATE events — subscribe to the changing column
+                update_columns=["name"],
+            )
+        )
+        tailer = delta_cdf.CdfTailer(
+            spark, root, str(tmp_path / "ck"), key_field="id"
+        )
+        assert engine.drain_delta(cfg, tailer) == 3
+        payloads = srv.wait_for(5)
+        ops = sorted(p["event"]["op"] for p in payloads)
+        assert ops == ["DELETE", "DELETE", "INSERT", "INSERT", "UPDATE"]
+        upd = next(p for p in payloads if p["event"]["op"] == "UPDATE")
+        assert _json.loads(upd["event"]["data"]["old"])["name"] == "A"
+        assert _json.loads(upd["event"]["data"]["new"])["name"] == "B"
+        assert upd["table"]["name"] == "employees"
+
+        # a fresh commit lands; the next drain ships ONLY it
+        pq.write_table(
+            pa.table({"id": pa.array([9], pa.int64()), "name": ["Z"]}),
+            os.path.join(root, "part-9.parquet"),
+        )
+        _write_delta_commit(
+            root,
+            3,
+            [
+                {
+                    "add": {
+                        "path": "part-9.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                },
+                {"commitInfo": {"timestamp": 1704500000000}},
+            ],
+        )
+        assert engine.drain_delta(cfg, tailer) == 1
+        payloads = srv.wait_for(6)
+    latest = payloads[-1]
+    assert latest["event"]["op"] == "INSERT"
+    assert _json.loads(latest["event"]["data"]["new"])["id"] == 9
