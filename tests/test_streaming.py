@@ -1805,3 +1805,71 @@ def test_queue_state_machine_fixture_covers_all_statuses(spark, sf_dir):
         for r in out.select("retry_backoff").distinct().collect()
     }
     assert backoffs == {"LINEAR", "EXPONENTIAL"}
+
+
+def test_streaming_postings_index_crash_recovery(spark, tmp_path, sf_dir):
+    """A maintainer crash between the postings write and the stats
+    write leaves a torn batch (postings present, stats missing — the
+    index visibly under-counts); replaying the feed re-derives the
+    same batch ids and the batch-overwrite discipline restores the
+    EXACT pre-crash search results. The LexicalPostingsIndex analog of
+    the queue/materializer crash-recovery cases."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.text import _BM25_TERMS
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming import lexical
+
+    docs = load(spark, sf_dir, "documents")
+    feed = tmp_path / "doc_feed_cr"
+    feed.mkdir()
+    with_ts = docs.withColumn("ts", F.lit("2024-01-01 10:00:00").cast("timestamp"))
+    cols = ["doc_id", "text", "lang", "source", "n_chars", "ts"]
+    with_ts.filter("doc_id % 2 = 0").select(*cols).coalesce(1).write.parquet(
+        str(feed / "chunk_a")
+    )
+    with_ts.filter("doc_id % 2 = 1").select(*cols).coalesce(1).write.parquet(
+        str(feed / "chunk_b")
+    )
+    idx = lexical.LexicalPostingsIndex(str(tmp_path / "lex_cr"))
+
+    def drain(ckpt):
+        src = (
+            spark.readStream.schema(lexical.DOC_STREAM_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(feed))
+        )
+        q = idx.attach(src, checkpoint=str(tmp_path / ckpt), available_now=True)
+        q.awaitTermination(60)
+
+    drain("ck1")
+    healthy = sorted(
+        idx.search(spark, _BM25_TERMS).collect(), key=lambda r: r.doc_id
+    )
+    n_docs = idx.stats(spark).collect()[0].n_docs
+
+    # tear one batch: stats gone (crash before the stats write), a
+    # postings data file gone (partial overwrite in flight)
+    torn = sorted(os.listdir(idx.stats_dir))[-1]
+    shutil.rmtree(os.path.join(idx.stats_dir, torn))
+    post_dir = os.path.join(idx.postings_dir, torn)
+    part = next(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(post_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    os.remove(part)
+    torn_stats = idx.stats(spark)  # None when the only batch was torn
+    assert torn_stats is None or torn_stats.collect()[0].n_docs < n_docs
+
+    # replay from scratch: same files -> same batch ids -> overwrite
+    drain("ck2")
+    assert idx.stats(spark).collect()[0].n_docs == n_docs
+    recovered = sorted(
+        idx.search(spark, _BM25_TERMS).collect(), key=lambda r: r.doc_id
+    )
+    assert recovered == healthy
