@@ -941,3 +941,41 @@ def test_delta_table_to_webhook_end_to_end(spark, tmp_path):
     latest = payloads[-1]
     assert latest["event"]["op"] == "INSERT"
     assert _json.loads(latest["event"]["data"]["new"])["id"] == 9
+
+
+def test_delta_table_to_async_queue(spark, tmp_path):
+    """drain_delta's ASYNC branch: a Delta table's commits land in the
+    durable delivery queue as PENDING events (enqueue sink keyed by the
+    commit end-version, so a tailer replay overwrites rather than
+    double-enqueues)."""
+    from postgres_cdc_plugin_spark.config import SubscriptionConfig
+    from postgres_cdc_plugin_spark.engine import CdcEngine
+    from postgres_cdc_plugin_spark.sources import delta_cdf
+
+    root = str(tmp_path / "dtable")
+    _build_delta_cdf_fixture(root)
+    engine = CdcEngine(spark, str(tmp_path / "wd"))
+    cfg = engine.register(
+        SubscriptionConfig(
+            name="dlq",
+            table_name="employees",
+            webhook_url="http://sink.invalid/webhook",
+            update_columns=["name"],
+            mode="ASYNC",
+        )
+    )
+    tailer = delta_cdf.CdfTailer(
+        spark, root, str(tmp_path / "ck"), key_field="id"
+    )
+    assert engine.drain_delta(cfg, tailer) == 3
+    state = engine.queue.state().collect()
+    assert len(state) == 5
+    assert all(r.status == "PENDING" for r in state)
+
+    # marker rollback (crash before marker write) -> replay: the
+    # version-keyed enqueue overwrites, the queue does not double up
+    import os
+
+    os.remove(os.path.join(str(tmp_path / "ck"), "version"))
+    assert engine.drain_delta(cfg, tailer) == 3
+    assert len(engine.queue.state().collect()) == 5
