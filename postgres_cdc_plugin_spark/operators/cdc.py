@@ -332,6 +332,39 @@ def queue_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.queue import queue_state_fold
 
     ev = load(spark, sf_dir, "events")
+    state = queue_state_fold(*_queue_fixture(ev))
+    return state.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "retry_backoff",
+        "attempt_count",
+        "status",
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    "attempts",
+                    lambda s: F.concat_ws(
+                        ":",
+                        s.attempt.cast("string"),
+                        s.http_status.cast("string"),
+                    ),
+                ),
+                ",",
+            ),
+            F.lit(""),
+        ).alias("attempt_log"),
+        F.floor(F.col("next_attempt").cast("timestamp_ltz").cast("double"))
+        .cast("bigint")
+        .alias("next_attempt_epoch"),
+    )
+
+
+def _queue_fixture(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic queue fixture shared by queue_state_machine and
+    queue_latency_profile (one construction, zero drift): event_id%6
+    attempts per event at one-minute spacing, attempt a succeeding iff
+    (event_id + a) % 7 == 0, retry budget event_id%4 + 1, LINEAR
+    backoff for click/view else EXPONENTIAL (the retry_schedule
+    convention)."""
     n_att = (F.col("event_id") % 6).cast("int")
     qevents = ev.select(
         F.col("event_id").cast("string").alias("event_id"),
@@ -375,29 +408,53 @@ def queue_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("response"),
         )
     )
-    state = queue_state_fold(qevents, qattempts)
-    return state.select(
-        F.col("event_id").cast("bigint").alias("event_id"),
-        "retry_backoff",
-        "attempt_count",
-        "status",
-        F.coalesce(
-            F.array_join(
-                F.transform(
-                    "attempts",
-                    lambda s: F.concat_ws(
-                        ":",
-                        s.attempt.cast("string"),
-                        s.http_status.cast("string"),
-                    ),
-                ),
-                ",",
-            ),
-            F.lit(""),
-        ).alias("attempt_log"),
-        F.floor(F.col("next_attempt").cast("timestamp_ltz").cast("double"))
-        .cast("bigint")
-        .alias("next_attempt_epoch"),
+    return qevents, qattempts
+
+
+def queue_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-latency SLO profile over the queue state (ST5/ST6
+    observability — the readout an operator of the reference's async
+    mode watches): per (retry_backoff, status) — event count, exact
+    mean attempts consumed, and p50/p90 time-to-first-success seconds
+    for delivered events (enqueue to the FIRST 2xx attempt, the
+    user-facing delivery latency). Derives from the SAME
+    queue_state_fold + _queue_fixture as queue_state_machine, so the
+    SLO numbers can never drift from the state machine they profile;
+    Spark `percentile` / DuckDB `quantile_cont` share the exact
+    continuous-interpolation definition (lineitem_percentiles pair).
+
+    Scale: the fold's own shape plus one (backoff, status) rollup with
+    map-side partials; groups are O(#backoffs x #statuses), so exact
+    percentile is the right audit choice at this grain —
+    approx_percentile remains the documented per-key 100 TB path
+    (lineitem_approx_percentiles)."""
+    from ..streaming.queue import queue_state_fold
+
+    ev = load(spark, sf_dir, "events")
+    state = queue_state_fold(*_queue_fixture(ev))
+    enq = F.floor(F.col("enqueued_at").cast("timestamp_ltz").cast("double"))
+    first_ok = F.element_at(
+        F.filter("attempts", lambda s: s.http_status == 200), 1
+    )
+    latency = F.when(
+        F.col("status") == "DELIVERED", first_ok.attempted_at - enq
+    )
+    return (
+        state.select(
+            "retry_backoff",
+            "status",
+            "attempt_count",
+            latency.alias("latency_s"),
+        )
+        .groupBy("retry_backoff", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum("attempt_count") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_attempts"),
+            F.expr("percentile(latency_s, 0.5)").alias("latency_p50"),
+            F.expr("percentile(latency_s, 0.9)").alias("latency_p90"),
+        )
     )
 
 
@@ -608,12 +665,70 @@ QUERIES = {
     "retry_schedule": retry_schedule,
     "attempt_history_agg": attempt_history_agg,
     "queue_state_machine": queue_state_machine,
+    "queue_latency_profile": queue_latency_profile,
     "status_counts": status_counts,
     "fanout_union": fanout_union,
     "headers_explode": headers_explode,
 }
 
+# The deterministic queue fixture + attempt rollup as shared CTEs — the
+# SQL mirror of _queue_fixture + queue_state_fold's attempt aggregation,
+# consumed by the queue_state_machine AND queue_latency_profile oracles
+# so the two can never drift.
+_QUEUE_FIXTURE_SQL = """base AS (
+            SELECT event_id,
+                   CAST(event_id % 4 AS INT) AS retry_number,
+                   2 AS retry_interval,
+                   CASE WHEN event_type IN ('click', 'view') THEN 'LINEAR'
+                        ELSE 'EXPONENTIAL' END AS retry_backoff,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS enq_epoch,
+                   CAST(event_id % 6 AS INT) AS n_att
+            FROM events
+        ),
+        att AS (
+            SELECT b.event_id, a.attempt,
+                   ((b.event_id + a.attempt) % 7) = 0 AS ok,
+                   CASE WHEN ((b.event_id + a.attempt) % 7) = 0
+                        THEN 200 ELSE 500 END AS http_status,
+                   CAST(b.enq_epoch + 60 * a.attempt AS DOUBLE)
+                       AS attempted_at
+            FROM base b,
+                 LATERAL unnest(generate_series(1, b.n_att)) AS a(attempt)
+        ),
+        agg AS (
+            SELECT event_id,
+                   CAST(count(*) AS INT) AS attempt_count,
+                   max(CASE WHEN ok THEN 1 ELSE 0 END) AS any_ok,
+                   min(CASE WHEN ok THEN attempted_at END) AS first_ok_at,
+                   string_agg(attempt || ':' || http_status, ','
+                              ORDER BY attempt) AS attempt_log
+            FROM att
+            GROUP BY event_id
+        )"""
+
 ORACLE_SQL = {
+    "queue_latency_profile": f"""
+        WITH {_QUEUE_FIXTURE_SQL},
+        state AS (
+            SELECT b.retry_backoff,
+                   CASE WHEN COALESCE(g.any_ok, 0) = 1 THEN 'DELIVERED'
+                        WHEN COALESCE(g.attempt_count, 0)
+                             >= b.retry_number + 1 THEN 'FAILED'
+                        ELSE 'PENDING' END AS status,
+                   COALESCE(g.attempt_count, 0) AS attempt_count,
+                   CASE WHEN COALESCE(g.any_ok, 0) = 1
+                        THEN g.first_ok_at - b.enq_epoch END AS latency_s
+            FROM base b LEFT JOIN agg g USING (event_id)
+        )
+        SELECT retry_backoff, status,
+               count(*) AS n_events,
+               CAST(sum(attempt_count) AS BIGINT)
+                   / CAST(count(*) AS DOUBLE) AS avg_attempts,
+               quantile_cont(latency_s, 0.5) AS latency_p50,
+               quantile_cont(latency_s, 0.9) AS latency_p90
+        FROM state
+        GROUP BY retry_backoff, status
+    """,
     "cdc_delta_agg": f"""
         WITH d AS (
             SELECT user_id, {_OP_SQL} AS op, value,
@@ -801,34 +916,8 @@ ORACLE_SQL = {
         WHERE event_type = 'error'
         GROUP BY user_id
     """,
-    "queue_state_machine": """
-        WITH base AS (
-            SELECT event_id,
-                   CAST(event_id % 4 AS INT) AS retry_number,
-                   2 AS retry_interval,
-                   CASE WHEN event_type IN ('click', 'view') THEN 'LINEAR'
-                        ELSE 'EXPONENTIAL' END AS retry_backoff,
-                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS enq_epoch,
-                   CAST(event_id % 6 AS INT) AS n_att
-            FROM events
-        ),
-        att AS (
-            SELECT b.event_id, a.attempt,
-                   ((b.event_id + a.attempt) % 7) = 0 AS ok,
-                   CASE WHEN ((b.event_id + a.attempt) % 7) = 0
-                        THEN 200 ELSE 500 END AS http_status
-            FROM base b,
-                 LATERAL unnest(generate_series(1, b.n_att)) AS a(attempt)
-        ),
-        agg AS (
-            SELECT event_id,
-                   CAST(count(*) AS INT) AS attempt_count,
-                   max(CASE WHEN ok THEN 1 ELSE 0 END) AS any_ok,
-                   string_agg(attempt || ':' || http_status, ','
-                              ORDER BY attempt) AS attempt_log
-            FROM att
-            GROUP BY event_id
-        )
+    "queue_state_machine": f"""
+        WITH {_QUEUE_FIXTURE_SQL}
         SELECT b.event_id,
                b.retry_backoff,
                COALESCE(g.attempt_count, 0) AS attempt_count,

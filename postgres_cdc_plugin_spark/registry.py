@@ -11,17 +11,17 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     each round rotates unproven/reworked queries to the front and the
     most-recently-green family to the tail. Round-6 window (the r5
     rotation never ran — zero-commit round): (1) the four queries that
-    have NEVER had a driver row, (2) the ten new round-6 queries
+    have NEVER had a driver row, (2) the eleven new round-6 queries
     (queue_state_machine, events_salted_enrich, orders_bucketed_join,
     docs_weighted_sample, docs_bm25_search, events_interval_join,
     embed_kcenter_coreset, docs_lsh_tuning, multimodal_silence_trim,
-    embed_mmr_rerank), (3) every query whose
+    embed_mmr_rerank, queue_latency_profile), (3) every query whose
     results or oracle changed this round — embed_ann_lsh (promoted
     from rows-only to a full oracle), the MinHash shingle family
     (byte-window shingles now hex-rendered so the oracle is portable
     to non-ASCII text), and the two graph queries that now read the
     shared _copurchase_degrees kernel, (4) the seven anchors whose
-    only driver evidence is round 1, (5) a 20-query slice of the
+    only driver evidence is round 1, (5) a 19-query slice of the
     46-query r2-green block (preferring oracle-checked members over
     rows-only ones), and (6) the CC family — its distributed loop was
     reworked this round (per-plan repartition instead of session-conf
@@ -69,6 +69,7 @@ PRIORITY_ORDER = [
     "embed_cell_balance_audit",
     # New round-6 queries:
     "queue_state_machine",        # streaming fold, first driver-visible check
+    "queue_latency_profile",      # delivery-latency SLO over the same fold
     "events_salted_enrich",       # salted hot-key join, plain-join oracle
     "orders_bucketed_join",       # exchange-free bucketed fact-fact join
     "docs_weighted_sample",       # A-Res weighted sampling w/o replacement
@@ -96,7 +97,7 @@ PRIORITY_ORDER = [
     "events_value_histogram",
     "lineitem_conditional_agg",
     "lineitem_moving_avg",
-    # 20-query slice of the r2-green block (last driver rows four
+    # 19-query slice of the r2-green block (last driver rows four
     # rounds old). lineitem_approx_percentiles (rows-only) yields its
     # slot to the oracle-checked docs_common_spans; the remaining 15
     # r2 queries (embed_*/multimodal_meta/multimodal_dedup/
@@ -118,7 +119,6 @@ PRIORITY_ORDER = [
     "token_frequencies",
     "docs_rolling_fingerprint",
     "docs_train_split",
-    "docs_stratified_sample",
     # Positions 49-50: the CC family — distributed loop reworked this
     # round (per-plan repartition); expensive recursive-CTE oracles
     # last in the window so a driver timeout there still leaves
@@ -130,8 +130,8 @@ PRIORITY_ORDER = [
     # rounds; first in line for the r7 window). docs_common_spans /
     # docs_boilerplate_ngrams / docs_chunks / docs_pack_bins /
     # docs_source_mix / token_tfidf / docs_contamination /
-    # docs_repetition_filter yielded their window slots to the new
-    # round-6 queries (never-driver-checked outranks freshness):
+    # docs_repetition_filter / docs_stratified_sample yielded their
+    # window slots to the new round-6 queries (never-driver-checked outranks freshness):
     "docs_common_spans",
     "docs_boilerplate_ngrams",
     "docs_chunks",
@@ -140,6 +140,7 @@ PRIORITY_ORDER = [
     "token_tfidf",
     "docs_contamination",
     "docs_repetition_filter",
+    "docs_stratified_sample",
     "lineitem_approx_percentiles",
     "docs_pipeline_e2e",
     "embed_quantize",
