@@ -1337,6 +1337,71 @@ def embed_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60  # reciprocal-rank-fusion damping constant (Cormack et al. 2009)
+
+
+def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-k fused with exact cosine
+    top-k by reciprocal-rank fusion — the two-leg search the reference's
+    similarity mandate implies (BASELINE lexical + vector legs), joined
+    the way production retrieval stacks combine them:
+    rrf(d) = Σ_legs 1 / (K + rank_leg(d)), K = 60 (Cormack, Clarke &
+    Buettcher 2009, public literature). A document missing from a leg
+    contributes 0 for that leg.
+
+    Reuses both production kernels verbatim — text.bm25_search (the
+    streaming postings index shares it) and embed_knn — so the fused
+    ranking can never drift from the per-leg queries. doc_id = vec_id
+    is the cross-modal key (same convention as docs_embed_join).
+
+    Determinism: each leg's rank is an int from its already-pinned
+    deterministic order (score DESC, id ASC); 1/(K+rank) and the 2-term
+    sum are exact IEEE double ops on integer-derived values, so
+    rrf_score needs NO rounding to be engine-identical. Ties between a
+    lex-only and a sem-only doc at the same rank are real (equal rrf)
+    and break on doc_id.
+
+    Scale: both legs are already top-k relations (k = 20 and 10), so
+    the fusion is a full-outer join of two k-row relations — free at
+    any corpus size; the corpus-sized work is each leg's own
+    (independently audited) retrieval plan. At 100 TB the legs run as
+    one corpus scan each (BM25: query-term-filtered explode; kNN:
+    broadcast query vector, TakeOrderedAndProject) and the fusion cost
+    stays O(k)."""
+    from .text import _BM25_TERMS, bm25_search
+
+    docs = load(spark, sf_dir, "documents")
+    wl = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    lex = bm25_search(docs, _BM25_TERMS).select(
+        "doc_id",
+        "bm25_score",
+        F.row_number().over(wl).cast("int").alias("lex_rank"),
+    )
+    ws = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    sem = embed_knn(spark, sf_dir).select(
+        "vec_id",
+        "cosine_sim",
+        F.row_number().over(ws).cast("int").alias("sem_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("sem_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, lex.doc_id == sem.vec_id, "full")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            "lex_rank",
+            "bm25_score",
+            "sem_rank",
+            "cosine_sim",
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    )
+
+
 QUERIES = {
     "embed_quantize": embed_quantize,
     "embed_pq_codes": embed_pq_codes,
@@ -1359,6 +1424,7 @@ QUERIES = {
     "embed_recall_audit": embed_recall_audit,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
+    "docs_hybrid_search": docs_hybrid_search,
 }
 
 _COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
@@ -2032,4 +2098,35 @@ ORACLE_SQL["embed_recall_audit"] = f"""
            CAST(count(*) AS BIGINT) AS n_overlap,
            count(*) * 1.0 / {_TOP_K} AS recall
     FROM exact JOIN appr USING (vec_id)
+"""
+
+# hybrid RRF fusion: wraps the BM25 oracle (text._bm25_sql — the same
+# parametrized mirror the non-ASCII gate drives) and the exact-kNN
+# oracle verbatim as the two leg subqueries, so the fused oracle can
+# never drift from the per-leg oracles. 1/(K+rank) and the 2-term sum
+# are exact IEEE double ops on integers — no rounding needed.
+from .text import _BM25_TERMS as _HYBRID_TERMS  # noqa: E402
+from .text import _bm25_sql as _hybrid_bm25_sql  # noqa: E402
+
+ORACLE_SQL["docs_hybrid_search"] = f"""
+    WITH lex AS (
+        SELECT doc_id, bm25_score,
+               CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC)
+                    AS INT) AS lex_rank
+        FROM ({_hybrid_bm25_sql(_HYBRID_TERMS)})
+    ),
+    sem AS (
+        SELECT vec_id, cosine_sim,
+               CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id ASC)
+                    AS INT) AS sem_rank
+        FROM ({ORACLE_SQL["embed_knn"]})
+    )
+    SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+           l.lex_rank, l.bm25_score, s.sem_rank, s.cosine_sim,
+           coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lex_rank),
+                    CAST(0.0 AS DOUBLE))
+             + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.sem_rank),
+                        CAST(0.0 AS DOUBLE)) AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+    ORDER BY rrf_score DESC, doc_id ASC
 """

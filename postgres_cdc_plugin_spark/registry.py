@@ -156,6 +156,10 @@ PRIORITY_ORDER = [
     "docs_embed_join",
     "multimodal_meta",
     "multimodal_dedup",
+    # Registered after the round-6 window was frozen (same situation as
+    # the late-r4 four): never driver-checked yet, local parity only —
+    # FIRST in line for the r7 window front, ahead of staleness rotation:
+    "docs_hybrid_search",
     # r3-green and r5-green blocks append in module order below.
 ]
 

@@ -472,6 +472,7 @@ _BNLJ_ALLOWED = {
     "embed_kcenter_coreset",  # 1-row center crossJoin per greedy step (r6)
     "docs_lsh_tuning",  # 1-row count-aggregate crossJoins per config (r6)
     "embed_mmr_rerank",  # 1-row query-vector + per-pick crossJoins (r6)
+    "docs_hybrid_search",  # composes docs_bm25_search + embed_knn legs (r6)
 }
 
 

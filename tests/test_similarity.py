@@ -305,3 +305,71 @@ def test_mmr_scores_nonincreasing_and_diversify(spark, sf_dir):
         for r in S.embed_knn(spark, sf_dir).limit(8).collect()
     }
     assert {r.vec_id for r in rows} != topk_relevance
+
+
+def test_hybrid_search_matches_per_leg_fusion(spark, sf_dir):
+    """docs_hybrid_search must equal RRF fusion recomputed in Python
+    from its two leg queries run standalone — full-outer semantics,
+    rank assignment, and the exact 1/(K+rank) arithmetic."""
+    from postgres_cdc_plugin_spark.operators.text import (
+        _BM25_TERMS,
+        bm25_search,
+    )
+
+    lex = sorted(
+        bm25_search(load(spark, sf_dir, "documents"), _BM25_TERMS).collect(),
+        key=lambda r: (-r.bm25_score, r.doc_id),
+    )
+    sem = sorted(
+        S.embed_knn(spark, sf_dir).collect(),
+        key=lambda r: (-r.cosine_sim, r.vec_id),
+    )
+    lex_rank = {r.doc_id: i + 1 for i, r in enumerate(lex)}
+    sem_rank = {r.vec_id: i + 1 for i, r in enumerate(sem)}
+    expected = {
+        d: (1.0 / (S._RRF_K + lex_rank[d]) if d in lex_rank else 0.0)
+        + (1.0 / (S._RRF_K + sem_rank[d]) if d in sem_rank else 0.0)
+        for d in set(lex_rank) | set(sem_rank)
+    }
+    rows = S.docs_hybrid_search(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(expected)
+    for r in rows:
+        assert r.rrf_score == expected[r.doc_id], r
+        assert r.lex_rank == lex_rank.get(r.doc_id), r
+        assert r.sem_rank == sem_rank.get(r.doc_id), r
+    # output order is the fused ranking: rrf DESC, doc_id tiebreak
+    assert [r.doc_id for r in rows] == [
+        d for d, _ in sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+
+
+def test_hybrid_search_overlap_sums_both_legs(spark, monkeypatch):
+    """A doc present in BOTH legs gets ONE fused row carrying both
+    ranks and the two-term rrf sum (the sf corpora have disjoint legs,
+    so this path needs a corpus where the legs provably intersect)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark vector join spark", "en", "web", 23),
+            (2, "spark join filler filler", "en", "web", 24),
+            (3, "vector filler filler filler", "en", "web", 27),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.1, 0.9], 0),
+         (3, [0.5, 0.5], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+
+    def fake_load(sp, sf_dir, table):
+        return {"documents": docs, "embeddings": emb}[table]
+
+    monkeypatch.setattr(S, "load", fake_load)
+    rows = {r.doc_id: r for r in S.docs_hybrid_search(spark, "ignored").collect()}
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2, 3):  # every doc is in both legs on this corpus
+        r = rows[d]
+        assert r.lex_rank is not None and r.sem_rank is not None, r
+        assert r.rrf_score == 1.0 / (S._RRF_K + r.lex_rank) + 1.0 / (
+            S._RRF_K + r.sem_rank
+        ), r
