@@ -160,6 +160,7 @@ PRIORITY_ORDER = [
     # the late-r4 four): never driver-checked yet, local parity only —
     # FIRST in line for the r7 window front, ahead of staleness rotation:
     "docs_hybrid_search",
+    "lineitem_column_profile",
     # r3-green and r5-green blocks append in module order below.
 ]
 

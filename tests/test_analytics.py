@@ -436,3 +436,41 @@ def test_interval_join_invariant_to_bin_width(spark, sf_dir):
     finally:
         A._IJ_BIN_US = orig
     assert base == fine
+
+
+def test_column_profile_null_and_distinct_accounting(spark):
+    """column_profile on a corpus WITH nulls (the sf tables have none):
+    null rows leave n_rows, join n_null, and stay out of n_distinct and
+    min/max; an all-null column profiles as 0-distinct with NULL
+    bounds."""
+    import postgres_cdc_plugin_spark.operators.analytics as A
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, None)],
+        "k int, s string",
+    )
+    rows = {r.col_name: r for r in A.column_profile(df, ("k", "s")).collect()}
+    k, s = rows["k"], rows["s"]
+    assert (k.n_rows, k.n_null, k.n_distinct) == (4, 1, 2)
+    assert (k.min_val, k.max_val) == ("1", "2")
+    assert (s.n_rows, s.n_null, s.n_distinct) == (4, 2, 2)
+    assert (s.min_val, s.max_val) == ("a", "b")
+    allnull = spark.createDataFrame([(None,), (None,)], "x string")
+    r = A.column_profile(allnull, ("x",)).collect()[0]
+    assert (r.n_rows, r.n_null, r.n_distinct) == (2, 2, 0)
+    assert r.min_val is None and r.max_val is None
+
+
+def test_column_profile_is_two_scans(spark, sf_dir):
+    """The whole 11-column profile reads lineitem exactly TWICE — the
+    no-distinct stats pass plus the one Expand-based multi-distinct
+    pass — never the per-column scan union the UNION ALL oracle
+    spelling would cost (11 scans), and never the fused single
+    aggregate (a measured 5.8x regression: every cheap aggregate
+    re-evaluated over the expanded relation)."""
+    import postgres_cdc_plugin_spark.operators.analytics as A
+    from postgres_cdc_plugin_spark.plans import inspect
+
+    plan = inspect.physical_plan(A.lineitem_column_profile(spark, sf_dir))
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Expand") == 1, plan

@@ -473,6 +473,7 @@ _BNLJ_ALLOWED = {
     "docs_lsh_tuning",  # 1-row count-aggregate crossJoins per config (r6)
     "embed_mmr_rerank",  # 1-row query-vector + per-pick crossJoins (r6)
     "docs_hybrid_search",  # composes docs_bm25_search + embed_knn legs (r6)
+    "lineitem_column_profile",  # two 1-row stats relations crossJoined (r6)
 }
 
 
