@@ -1337,6 +1337,57 @@ def embed_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIM = _DIM // 2  # truncated-prefix dims for the matryoshka audit
+
+
+def embed_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@k of cosine search over the
+    FIRST _MRL_DIM embedding dims against the full-dim exact top-k —
+    the serving decision behind prefix-truncatable representations
+    (Kusupati et al. 2022, public literature): halving stored dims
+    halves index memory and doubles scan throughput IF recall holds,
+    and this 1-row relation is the measurement a pipeline gates that
+    rollout on.
+
+    Same deterministic conventions as embed_recall_audit (round-6
+    cosine, vec_id tiebreaks), so the overlap count is engine-exact;
+    the truncated ranking reuses the embed_knn plan shape verbatim
+    (broadcast 1-row query slice, narrow per-row cosine,
+    TakeOrderedAndProject top-k). Cost: two corpus-linear top-k scans
+    + a k-row join — the cheaper truncated scan is the one a rollout
+    would keep."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_DIM).alias("qv")
+    )
+    cand = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_DIM).alias("v"),
+    )
+    trunc = (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_t"),
+        )
+        .orderBy(F.desc("cos_t"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id")
+    )
+    exact = embed_knn(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(trunc, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(_TOP_K).alias("k"),
+            F.lit(_DIM).alias("dim_full"),
+            F.lit(_MRL_DIM).alias("dim_trunc"),
+            "n_overlap",
+            (F.col("n_overlap") / _TOP_K).alias("recall"),
+        )
+    )
+
+
 _RRF_K = 60  # reciprocal-rank-fusion damping constant (Cormack et al. 2009)
 
 
@@ -1425,6 +1476,7 @@ QUERIES = {
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
     "docs_hybrid_search": docs_hybrid_search,
+    "embed_matryoshka_audit": embed_matryoshka_audit,
 }
 
 _COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
@@ -2129,4 +2181,29 @@ ORACLE_SQL["docs_hybrid_search"] = f"""
                         CAST(0.0 AS DOUBLE)) AS rrf_score
     FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
     ORDER BY rrf_score DESC, doc_id ASC
+"""
+
+# matryoshka audit oracle: the truncated leg is the kNN oracle with the
+# embedding sliced to its first _MRL_DIM dims (DuckDB list slice on the
+# DOUBLE-cast list so both engines fold identical IEEE values); the
+# full-dim leg wraps ORACLE_SQL["embed_knn"] verbatim.
+ORACLE_SQL["embed_matryoshka_audit"] = f"""
+    WITH exact AS (SELECT vec_id FROM ({ORACLE_SQL["embed_knn"]})),
+    trunc AS (
+        SELECT a.vec_id
+        FROM embeddings a
+        WHERE a.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY round(list_cosine_similarity(
+                     (a.embedding::DOUBLE[])[1:{_MRL_DIM}],
+                     (SELECT (embedding::DOUBLE[])[1:{_MRL_DIM}]
+                      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+                 ), 6) DESC, a.vec_id ASC
+        LIMIT {_TOP_K}
+    )
+    SELECT {_TOP_K} AS k,
+           {_DIM} AS dim_full,
+           {_MRL_DIM} AS dim_trunc,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           count(*) * 1.0 / {_TOP_K} AS recall
+    FROM exact JOIN trunc USING (vec_id)
 """

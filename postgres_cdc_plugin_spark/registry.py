@@ -161,6 +161,7 @@ PRIORITY_ORDER = [
     # FIRST in line for the r7 window front, ahead of staleness rotation:
     "docs_hybrid_search",
     "lineitem_column_profile",
+    "embed_matryoshka_audit",
     # r3-green and r5-green blocks append in module order below.
 ]
 

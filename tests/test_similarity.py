@@ -373,3 +373,14 @@ def test_hybrid_search_overlap_sums_both_legs(spark, monkeypatch):
         assert r.rrf_score == 1.0 / (S._RRF_K + r.lex_rank) + 1.0 / (
             S._RRF_K + r.sem_rank
         ), r
+
+
+def test_matryoshka_audit_identity_at_full_dim(spark, sf_dir, monkeypatch):
+    """With the truncation width set to the FULL dimensionality the
+    truncated leg must reproduce embed_knn exactly — recall 1.0 — which
+    pins that the audit's truncated scan is the same kernel, differing
+    only in the slice width."""
+    monkeypatch.setattr(S, "_MRL_DIM", S._DIM)
+    r = S.embed_matryoshka_audit(spark, sf_dir).collect()[0]
+    assert (r.n_overlap, r.recall) == (S._TOP_K, 1.0)
+    assert r.dim_trunc == r.dim_full == S._DIM
