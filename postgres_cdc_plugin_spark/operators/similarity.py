@@ -1418,18 +1418,29 @@ def docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (independently audited) retrieval plan. At 100 TB the legs run as
     one corpus scan each (BM25: query-term-filtered explode; kNN:
     broadcast query vector, TakeOrderedAndProject) and the fusion cost
-    stays O(k)."""
+    stays O(k). The fusion itself is the standalone rrf_fuse kernel, so
+    a serving path fusing the STREAMING postings index's search with
+    the same kNN leg produces bit-identical output
+    (tests/test_streaming.py pins it)."""
     from .text import _BM25_TERMS, bm25_search
 
     docs = load(spark, sf_dir, "documents")
+    return rrf_fuse(bm25_search(docs, _BM25_TERMS), embed_knn(spark, sf_dir))
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """RRF fusion kernel over a (doc_id, bm25_score, ...) lexical top-k
+    and a (vec_id, cosine_sim, ...) semantic top-k — shared by the
+    batch docs_hybrid_search and the streaming-index serving path (one
+    formula, zero drift)."""
     wl = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
-    lex = bm25_search(docs, _BM25_TERMS).select(
+    lex = lex.select(
         "doc_id",
         "bm25_score",
         F.row_number().over(wl).cast("int").alias("lex_rank"),
     )
     ws = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-    sem = embed_knn(spark, sf_dir).select(
+    sem = sem.select(
         "vec_id",
         "cosine_sim",
         F.row_number().over(ws).cast("int").alias("sem_rank"),

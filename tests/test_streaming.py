@@ -1873,3 +1873,48 @@ def test_streaming_postings_index_crash_recovery(spark, tmp_path, sf_dir):
         idx.search(spark, _BM25_TERMS).collect(), key=lambda r: r.doc_id
     )
     assert recovered == healthy
+
+
+def test_streaming_hybrid_fusion_matches_batch(spark, tmp_path, sf_dir):
+    """Serving coherence for the two-leg retrieval stack: RRF-fusing
+    the STREAMED postings index's BM25 search with the batch kNN leg
+    (rrf_fuse — the exact kernel docs_hybrid_search uses) reproduces
+    the batch hybrid query bit-for-bit. With the index search already
+    pinned equal to docs_bm25_search, this closes the chain: live
+    index -> fused serving ranking == declared batch query."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.similarity import (
+        docs_hybrid_search,
+        embed_knn,
+        rrf_fuse,
+    )
+    from postgres_cdc_plugin_spark.operators.text import _BM25_TERMS
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming import lexical
+
+    docs = load(spark, sf_dir, "documents")
+    feed = tmp_path / "hyb_feed"
+    feed.mkdir()
+    with_ts = docs.withColumn(
+        "ts", F.lit("2024-01-01 10:00:00").cast("timestamp")
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_chars", "ts"]
+    with_ts.select(*cols).coalesce(1).write.parquet(str(feed / "chunk"))
+
+    idx = lexical.LexicalPostingsIndex(str(tmp_path / "hyb_index"))
+    src = (
+        spark.readStream.schema(lexical.DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(feed))
+    )
+    q = idx.attach(
+        src, checkpoint=str(tmp_path / "hyb_ck"), available_now=True
+    )
+    q.awaitTermination(60)
+
+    served = rrf_fuse(
+        idx.search(spark, _BM25_TERMS), embed_knn(spark, sf_dir)
+    ).collect()
+    batch = docs_hybrid_search(spark, sf_dir).collect()
+    assert served == batch
