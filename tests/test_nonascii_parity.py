@@ -26,13 +26,17 @@ from .conftest import assert_parity
 QUERIES = registry.queries()
 ORACLES = registry.oracle_sql()
 
-# Every documents-only oracle query (docs_embed_join also reads the
-# embeddings table; token_heavy_hitters is rows-only): asserted below
-# so a new text query is automatically pulled into this gate.
+# Every documents-only oracle query (token_heavy_hitters is rows-only):
+# asserted below so a new text query is automatically pulled into this
+# gate. Opt-outs are queries that ALSO read the embeddings table, which
+# this fixture doesn't carry: docs_embed_join, and docs_hybrid_search's
+# kNN leg (its text-touching BM25 leg is covered end-to-end on
+# multibyte terms by test_nonascii_bm25_multibyte_terms below).
+_EMBEDDINGS_JOINERS = {"docs_embed_join", "docs_hybrid_search"}
 NONASCII_NAMES = sorted(
     n
     for n in ORACLES
-    if n.startswith(("docs_", "token_")) and n != "docs_embed_join"
+    if n.startswith(("docs_", "token_")) and n not in _EMBEDDINGS_JOINERS
 )
 
 _POOLS = {
@@ -149,12 +153,11 @@ def nonascii_duck(nonascii_dir):
 
 
 def test_nonascii_surface_is_complete():
-    # docs_embed_join is the only documents query allowed to opt out
-    # (it joins the embeddings table, which this fixture doesn't carry)
+    # only embeddings-table joiners may opt out of this gate
     text_queries = {
         n for n in ORACLES if n.startswith(("docs_", "token_"))
     }
-    assert text_queries - set(NONASCII_NAMES) == {"docs_embed_join"}
+    assert text_queries - set(NONASCII_NAMES) == _EMBEDDINGS_JOINERS
 
 
 @pytest.mark.parametrize("name", NONASCII_NAMES)
