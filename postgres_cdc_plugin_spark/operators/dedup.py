@@ -1158,7 +1158,63 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOVELTY_COVERED_MAX = 0.1  # novelty at or below this => doc is covered
+
+
+def docs_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document gram novelty: the fraction of a doc's DISTINCT byte
+    shingles whose corpus-wide first occurrence (min doc_id) is this
+    doc — the incremental-crawl admission signal: a document whose
+    grams are all already owned by earlier documents (novelty ≈ 0,
+    `covered` = true) adds no new content and is skipped before the
+    expensive dedup families even run. Doc-id order stands in for
+    arrival order, the convention an append-only corpus gives for free.
+
+    Reuses the _shingles kernel verbatim (same byte-hex grams as the
+    whole MinHash family), so "novel" can never drift from what the
+    dedup passes consider identical content.
+
+    Scale: one gram-key aggregation (map-side combinable min) and one
+    gram-key self-join — both hash-partition on the SAME key, so AQE
+    reuses one exchange of the shingle relation; then a doc_id rollup.
+    No window, no collect, no pair blow-up: cost is linear in total
+    shingle volume regardless of duplication structure. The ratio is
+    rounded through the decimal hop; counts are exact integers.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs, distinct=True)
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novelty = (
+        F.round(
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+            novelty.alias("novelty_ratio"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            "novelty_ratio",
+            (F.col("novelty_ratio") <= _NOVELTY_COVERED_MAX).alias("covered"),
+        )
+    )
+
+
 QUERIES = {
+    "docs_gram_novelty": docs_gram_novelty,
     "docs_dedup_method_agreement": docs_dedup_method_agreement,
     "docs_suffix_dup_spans": docs_suffix_dup_spans,
     "docs_dup_span_filter": docs_dup_span_filter,
@@ -1321,6 +1377,25 @@ _SPAN_CTES = f"""
 """
 
 ORACLE_SQL = {
+    "docs_gram_novelty": f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        first AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE doc_id = first_doc)
+                        AS BIGINT) AS n_novel,
+                   CAST(CAST(round(
+                       count(*) FILTER (WHERE doc_id = first_doc)
+                           / CAST(count(*) AS DOUBLE), 6
+                   ) AS DECIMAL(38,6)) AS DOUBLE) AS novelty_ratio
+            FROM sh JOIN first USING (g)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_novel, novelty_ratio,
+               novelty_ratio <= {_NOVELTY_COVERED_MAX} AS covered
+        FROM per_doc
+    """,
     "docs_dedup_method_agreement": f"""
         WITH mhp AS (
             SELECT doc_a, doc_b FROM ({_VERIFIED_SQL})

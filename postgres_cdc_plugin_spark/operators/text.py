@@ -132,6 +132,84 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_BINS = 10  # fixed-width histogram bins over quality in [0, 1]
+_PSI_REF_SOURCE = "src0"  # drift is measured against this source
+
+
+def docs_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's quality-score
+    distribution against the reference source — the drift monitor a
+    pipeline runs between crawl snapshots before mixing a new source
+    into training data (PSI is the standard credit-scoring drift
+    statistic, public literature): psi = Σ_bins (p−q)·ln(p/q) over
+    fixed-width histogram bins, with Laplace smoothing
+    p_i = (cnt_i + 1)/(N + B) so empty bins stay finite and the
+    statistic is an exact rational function of the counts.
+
+    Reuses _quality_parts verbatim (the docs_quality_score formula), so
+    the monitored distribution can never drift from the score it
+    audits. Fixed-width bins (not quantiles) keep the bin assignment a
+    pure per-row projection — deterministic, oracle-exact, and free of
+    any sort.
+
+    Scale: ONE corpus scan feeding one (source, bin) count aggregation
+    — map-side combinable down to n_sources × 10 rows; everything after
+    (dense bin grid via explode, reference join, PSI fold) operates on
+    that broadcast-sized relation. No window, no collect; at 100 TB
+    the cost is exactly one pass over the text column. The final sum
+    is rounded through the decimal hop: ln may differ by an ulp
+    between libm and the JVM.
+    """
+    docs = load(spark, sf_dir, "documents")
+    len_score, uniq_ratio = _quality_parts()
+    quality = len_score * 0.5 + uniq_ratio * 0.5
+    binned = docs.select(
+        "source",
+        F.least(
+            F.floor(quality * _PSI_BINS).cast("int"), F.lit(_PSI_BINS - 1)
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # dense grid: every (source, bin) cell, so empty bins smooth to 1/(N+B)
+    grid = (
+        binned.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))
+            ).alias("bin"),
+        )
+    )
+    filled = grid.join(counts, ["source", "bin"], "left").select(
+        "source",
+        "bin",
+        "n_docs",
+        (
+            (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+            / (F.col("n_docs") + _PSI_BINS).cast("double")
+        ).alias("p"),
+    )
+    ref = filled.filter(F.col("source") == _PSI_REF_SOURCE).select(
+        "bin", F.col("p").alias("p_ref")
+    )
+    term = (F.col("p") - F.col("p_ref")) * F.log(F.col("p") / F.col("p_ref"))
+    return (
+        filled.join(F.broadcast(ref), "bin")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.sum(term), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("psi"),
+        )
+    )
+
+
 def docs_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint + 256-way routing prefix.
 
@@ -1049,10 +1127,10 @@ _SURPRISAL_LO = 4.9  # bits/token
 _SURPRISAL_HI = 5.2
 
 
-def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality signal: mean per-token surprisal under
-    the corpus unigram model, with a keep verdict for the middle band
-    (too-low = boilerplate, too-high = noise).
+def _doc_surprisal(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, surprisal) under the corpus unigram model —
+    the kernel shared by docs_unigram_surprisal's keep-band verdict and
+    docs_ccnet_buckets' per-language terciles (one formula, zero drift).
 
     Plan shape: one (doc, token) count aggregation and one vocabulary
     aggregation (both map-side combinable), a token-key join of counts
@@ -1063,7 +1141,6 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     between libm and the JVM, and partial-sum order is
     nondeterministic — the hop washes both.
     """
-    docs = load(spark, sf_dir, "documents")
     tok = docs.repartition("doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
@@ -1086,14 +1163,70 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n_tokens"),
             mean_surprisal.alias("surprisal"),
         )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "surprisal",
-            (
-                (F.col("surprisal") >= _SURPRISAL_LO)
-                & (F.col("surprisal") <= _SURPRISAL_HI)
-            ).alias("keep"),
+    )
+
+
+def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: mean per-token surprisal under
+    the corpus unigram model (_doc_surprisal kernel), with a keep
+    verdict for the middle band (too-low = boilerplate, too-high =
+    noise)."""
+    docs = load(spark, sf_dir, "documents")
+    return _doc_surprisal(docs).select(
+        "doc_id",
+        "n_tokens",
+        "surprisal",
+        (
+            (F.col("surprisal") >= _SURPRISAL_LO)
+            & (F.col("surprisal") <= _SURPRISAL_HI)
+        ).alias("keep"),
+    )
+
+
+_CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: per LANGUAGE, rank documents by
+    unigram surprisal and cut into equal-size head/middle/tail terciles
+    (Wenzek et al. 2020, public literature — CCNet splits each Common
+    Crawl language shard into perplexity terciles; 'head' is the
+    lowest-perplexity slice that pretraining keeps first). Output is
+    the audit relation a pipeline gates the split on: per (lang,
+    bucket) doc count, token volume, and surprisal range.
+
+    Reuses the _doc_surprisal kernel verbatim, so the bucketing can
+    never drift from the docs_unigram_surprisal signal it partitions.
+
+    Determinism: surprisal is already rounded through the decimal hop
+    in the kernel; the tercile is ntile(3) over (surprisal ASC, doc_id
+    ASC) — a total order, and ntile's equal-size-with-earlier-extras
+    semantics is SQL-standard in both engines.
+
+    Scale: the kernel's aggregations dominate (corpus-linear, map-side
+    combinable). The ntile window shuffles by lang — a ~30-partition
+    exchange whose skew ceiling is the largest language. At 100 TB the
+    production cut swaps ntile for two-pass approx-percentile
+    thresholds (no per-language sort, same keep decision within the
+    sketch's rank error); the declared query keeps exact ntile so the
+    tercile boundary itself is oracle-checkable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    s = _doc_surprisal(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    tile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.asc("surprisal"), F.asc("doc_id"))
+    )
+    bucket = F.element_at(
+        F.array(*[F.lit(b) for b in _CCNET_BUCKETS]), F.col("tile")
+    )
+    return (
+        s.withColumn("tile", tile)
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("surprisal").alias("min_surprisal"),
+            F.max("surprisal").alias("max_surprisal"),
         )
     )
 
@@ -1774,6 +1907,8 @@ QUERIES = {
     "token_bpe_encode": token_bpe_encode,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
+    "docs_ccnet_buckets": docs_ccnet_buckets,
+    "docs_quality_psi_drift": docs_quality_psi_drift,
     "token_bigram_surprisal": token_bigram_surprisal,
     "docs_word_pmi": docs_word_pmi,
     "docs_lang_confusion": docs_lang_confusion,
@@ -1942,6 +2077,30 @@ _BPE_ENCODE_SQL = (
     """
 )
 
+# DuckDB mirror of the _doc_surprisal kernel — shared by the
+# docs_unigram_surprisal and docs_ccnet_buckets oracles exactly as the
+# Spark kernel is shared by both queries (one formula, zero drift).
+_DOC_SURPRISAL_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+    ),
+    vocab AS (
+        SELECT w, count(*) AS cf FROM tok GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS tot FROM vocab)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(CAST(round(
+               sum(c * -log2(cf / tot)) / CAST(sum(c) AS DOUBLE), 6
+           ) AS DECIMAL(38,6)) AS DOUBLE) AS surprisal
+    FROM counts JOIN vocab USING (w), tot
+    GROUP BY doc_id
+"""
+
 ORACLE_SQL = {
     "token_bpe_merges": _BPE_SQL,
     "token_bpe_encode": _BPE_ENCODE_SQL,
@@ -2034,28 +2193,69 @@ ORACLE_SQL = {
         WHERE i <= n_grams - {_WINNOW_W - 1}
     """,
     "docs_unigram_surprisal": f"""
-        WITH tok AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        SELECT doc_id, n_tokens, surprisal,
+               surprisal BETWEEN {_SURPRISAL_LO} AND {_SURPRISAL_HI} AS keep
+        FROM ({_DOC_SURPRISAL_SQL})
+    """,
+    "docs_ccnet_buckets": f"""
+        WITH s AS ({_DOC_SURPRISAL_SQL}),
+        t AS (
+            SELECT d.lang, s.n_tokens, s.surprisal,
+                   ntile(3) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.surprisal ASC, s.doc_id ASC
+                   ) AS tile
+            FROM s JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(surprisal) AS min_surprisal,
+               max(surprisal) AS max_surprisal
+        FROM t
+        GROUP BY lang, bucket
+    """,
+    "docs_quality_psi_drift": f"""
+        WITH binned AS (
+            SELECT source,
+                   least(CAST(floor((
+                       least(1.0, length(text) / 500.0) * 0.5
+                       + len(list_distinct(string_split(text, ' ')))
+                         / CAST(length(text) - length(replace(text, ' ', ''))
+                                + 1 AS DOUBLE) * 0.5
+                   ) * {_PSI_BINS}) AS INT), {_PSI_BINS - 1}) AS bin
             FROM documents
         ),
         counts AS (
-            SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+            SELECT source, bin, count(*) AS cnt
+            FROM binned GROUP BY source, bin
         ),
-        vocab AS (
-            SELECT w, count(*) AS cf FROM tok GROUP BY w
+        grid AS (
+            SELECT source, n_docs, t.b AS bin
+            FROM (SELECT source, count(*) AS n_docs
+                  FROM binned GROUP BY source),
+                 unnest(range(0, {_PSI_BINS})) AS t(b)
         ),
-        tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS tot FROM vocab)
-        SELECT doc_id,
-               CAST(sum(c) AS BIGINT) AS n_tokens,
+        filled AS (
+            SELECT g.source, g.bin, g.n_docs,
+                   (COALESCE(c.cnt, 0) + 1)
+                       / CAST(g.n_docs + {_PSI_BINS} AS DOUBLE) AS p
+            FROM grid g
+            LEFT JOIN counts c ON g.source = c.source AND g.bin = c.bin
+        ),
+        ref AS (
+            SELECT bin, p AS p_ref FROM filled
+            WHERE source = '{_PSI_REF_SOURCE}'
+        )
+        SELECT f.source,
+               CAST(max(f.n_docs) AS BIGINT) AS n_docs,
                CAST(CAST(round(
-                   sum(c * -log2(cf / tot)) / CAST(sum(c) AS DOUBLE), 6
-               ) AS DECIMAL(38,6)) AS DOUBLE) AS surprisal,
-               CAST(CAST(round(
-                   sum(c * -log2(cf / tot)) / CAST(sum(c) AS DOUBLE), 6
-               ) AS DECIMAL(38,6)) AS DOUBLE)
-                   BETWEEN {_SURPRISAL_LO} AND {_SURPRISAL_HI} AS keep
-        FROM counts JOIN vocab USING (w), tot
-        GROUP BY doc_id
+                   sum((f.p - r.p_ref) * ln(f.p / r.p_ref)), 6
+               ) AS DECIMAL(38,6)) AS DOUBLE) AS psi
+        FROM filled f JOIN ref r USING (bin)
+        GROUP BY f.source
     """,
     "token_bigram_surprisal": f"""
         WITH tok AS (

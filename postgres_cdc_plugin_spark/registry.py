@@ -162,6 +162,9 @@ PRIORITY_ORDER = [
     "docs_hybrid_search",
     "lineitem_column_profile",
     "embed_matryoshka_audit",
+    "docs_ccnet_buckets",
+    "docs_quality_psi_drift",
+    "docs_gram_novelty",
     # r3-green and r5-green blocks append in module order below.
 ]
 

@@ -457,6 +457,7 @@ _BNLJ_ALLOWED = {
     "embed_semdedup",  # k-row centroid codebook (equi pair join pinned above)
     "orders_price_band_join",  # intentional inequality band join
     "docs_unigram_surprisal",  # scalar corpus-token total
+    "docs_ccnet_buckets",  # same scalar total via the shared surprisal kernel (r6)
     "token_bigram_surprisal",  # scalar corpus-token total (r4)
     "docs_dsir_weights",  # 1-row corpus stats (vocab size + totals, r4)
     "docs_word_pmi",  # 1-row doc-count scalar crossJoins (r4)
