@@ -1504,6 +1504,65 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) query: parts minimizing
+    (p_retailprice, p_size) jointly — every part no OTHER part beats on
+    both dimensions at once (strictly on at least one). The classic
+    multi-criteria operator (Borzsony, Kossmann & Stocker 2001, public
+    literature) the reference's ordered-analytics family implies but no
+    single SQL aggregate expresses.
+
+    Spark-first decomposition instead of the naive quadratic self-join:
+    (1) collapse to one (price, min size) pair per distinct price — a
+    map-side-combinable aggregation whose output cardinality is the
+    PRICE DOMAIN, not the row count; (2) a running strict-min window
+    over that tiny grouped relation marks the Pareto-frontier pairs
+    (a pair survives iff its size beats every strictly-cheaper pair's
+    best size; within a price group only the min-size pair can
+    survive); (3) one equi-join back fans the frontier out to all
+    part rows carrying a frontier (price, size) — duplicates of a
+    skyline point are skyline points (identical points never dominate
+    each other).
+
+    Determinism: pure integer/stored-double comparisons, no arithmetic
+    — the result is a subset of input rows.
+
+    Scale: the window runs over the GROUPED relation (|distinct
+    prices| rows — bounded by the price domain at any corpus size), so
+    the single-partition sort the plan shows is a constant-size merge,
+    not a data-sized one; the corpus-sized work is one aggregation and
+    one equi-join. For high-cardinality continuous dimensions where
+    the group-by collapse buys nothing, skyline is distributive over
+    ARBITRARY partitions (skyline(S) = skyline(∪ skyline(part_i))),
+    so the fallback is a per-partition local skyline (mapInPandas)
+    followed by this same merge over the small survivor union.
+
+    Oracle: the brute-force NOT EXISTS dominance predicate — an
+    algorithmically independent quadratic check, so the decomposition
+    and the definition cannot both be wrong the same way.
+    """
+    part = load(spark, sf_dir, "part")
+    pairs = part.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("p_size")
+    )
+    prev_best = F.min("p_size").over(
+        Window.orderBy("p_retailprice").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    frontier = (
+        pairs.withColumn("prev_best", prev_best)
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("p_size") < F.col("prev_best"))
+        )
+        .select("p_retailprice", "p_size")
+    )
+    return part.join(
+        F.broadcast(frontier), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_name", "p_brand", "p_retailprice", "p_size")
+
+
 def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification of parts by revenue (§2.5: ordered
     cumulative-share windows as a real inventory-analytics workload).
@@ -2338,6 +2397,7 @@ QUERIES = {
     "orders_yoy_growth": orders_yoy_growth,
     "events_user_ewma": events_user_ewma,
     "part_abc_pareto": part_abc_pareto,
+    "part_skyline": part_skyline,
     "orders_market_basket": orders_market_basket,
     "events_ab_test": events_ab_test,
     "part_copurchase_pagerank": part_copurchase_pagerank,
@@ -2365,6 +2425,17 @@ _PROFILE_SQL = "\n        UNION ALL\n".join(
 )
 
 ORACLE_SQL = {
+    "part_skyline": """
+        SELECT p.p_partkey, p.p_name, p.p_brand, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size <= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size < p.p_size)
+        )
+    """,
     "lineitem_column_profile": _PROFILE_SQL,
     "orders_cohort_ltv": """
         WITH first AS (

@@ -165,6 +165,7 @@ PRIORITY_ORDER = [
     "docs_ccnet_buckets",
     "docs_quality_psi_drift",
     "docs_gram_novelty",
+    "part_skyline",
     # r3-green and r5-green blocks append in module order below.
 ]
 

@@ -23,6 +23,39 @@ def test_enrich_join_all_broadcast(spark, sf_dir):
     assert inspect.exchange_count(df) <= 1, inspect.physical_plan(df)
 
 
+def test_skyline_frontier_join_is_broadcast(spark, sf_dir):
+    """part_skyline's fan-out join must broadcast the frontier (bounded
+    by the price domain, never data-sized) — and the plan must carry no
+    quadratic self-join: exactly one join, hash-equi, broadcast."""
+    df = analytics.part_skyline(spark, sf_dir)
+    kinds = inspect.join_kinds(df)
+    assert kinds == ["BroadcastHashJoin"], kinds
+
+
+def test_skyline_is_distributive_over_partitions():
+    """skyline(S) == skyline(∪ skyline(part_i)) for an arbitrary split —
+    the identity behind part_skyline's documented high-cardinality
+    fallback (per-partition local skyline, then merge)."""
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(400)]
+
+    def skyline(points):
+        return {
+            p
+            for p in points
+            if not any(
+                q[0] <= p[0] and q[1] <= p[1] and q != p for q in points
+            )
+        }
+
+    for n_parts in (2, 3, 7):
+        chunks = [pts[i::n_parts] for i in range(n_parts)]
+        merged = set().union(*(skyline(c) for c in chunks))
+        assert skyline(merged) == skyline(pts)
+
+
 def test_creds_lookup_is_broadcast(spark, sf_dir):
     df = cdc.creds_lookup_join(spark, sf_dir)
     assert "BroadcastHashJoin" in inspect.join_kinds(df)
