@@ -2199,6 +2199,86 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship — the step after fuzzy matching that record
+    linkage exists for: connected components over the verified fuzzy
+    pairs form entity clusters; each cluster elects ONE golden record
+    (highest account balance, lowest custkey on ties — the
+    most-trusted-source rule of survivorship) and reports the merge
+    audit a steward reviews (member count, conflicting segment /
+    nation values). Singletons are their own cluster, so the output IS
+    the master entity table: one row per real-world entity.
+
+    Reuses both production kernels verbatim — customer_fuzzy_match's
+    lossless PassJoin pair generation and dedup._cc_labels'
+    scale-adaptive component labeling (single-task union-find below
+    the edge cap, Pregel min-label + pointer doubling above) — so the
+    golden table can never drift from the match/cluster queries it
+    composes. Mirrors docs_cluster_dedup's shape on the entity domain.
+
+    Scale: pair volume is bounded by the audited blocking; labeling is
+    the CC kernel's declared 100 TB path; election + merge stats are a
+    row_number window and a groupBy over the SAME cluster_id
+    partitioning (one exchange, reused), both at entity-cluster grain
+    (clusters are small by construction — they are real-world
+    entities). The DuckDB oracle recomputes everything from the naive
+    quadratic in-block pairs + WITH RECURSIVE closure, so the driver
+    hash also re-proves blocking losslessness end-to-end.
+    """
+    from .dedup import _cc_labels
+
+    pairs = (
+        customer_fuzzy_match(spark, sf_dir)
+        .select(
+            F.col("custkey_a").alias("doc_a"),
+            F.col("custkey_b").alias("doc_b"),
+        )
+        .localCheckpoint()
+    )
+    labels = _cc_labels(spark, pairs)
+    cust = load(spark, sf_dir, "customer")
+    members = (
+        cust.join(labels, cust.c_custkey == labels.doc_id, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "c_mktsegment",
+            "c_nationkey",
+            F.coalesce("cluster_id", "c_custkey").alias("cluster_id"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.desc("c_acctbal"), F.asc("c_custkey")
+        )
+    )
+    golden = (
+        members.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("c_custkey").alias("golden_custkey"),
+            F.col("c_name").alias("golden_name"),
+            F.col("c_acctbal").alias("golden_acctbal"),
+        )
+    )
+    stats = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+    )
+    return golden.join(stats, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_segments",
+        "n_nations",
+        "golden_custkey",
+        "golden_name",
+        "golden_acctbal",
+    )
+
+
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves (§2.4/§2.5 as revenue analytics):
     customers cohorted by first-order month; each (cohort, month
@@ -2405,6 +2485,7 @@ QUERIES = {
     "part_triangle_counts": part_triangle_counts,
     "lineitem_discount_regression": lineitem_discount_regression,
     "customer_fuzzy_match": customer_fuzzy_match,
+    "customer_golden_record": customer_golden_record,
     "orders_cohort_ltv": orders_cohort_ltv,
     "lineitem_column_profile": lineitem_column_profile,
 }
@@ -2423,6 +2504,20 @@ _PROFILE_SQL = "\n        UNION ALL\n".join(
         FROM lineitem"""
     for c in _PROFILE_COLS
 )
+
+# the naive in-block quadratic pair relation — the independent oracle
+# for customer_fuzzy_match (proving the PassJoin blocking lossless) AND
+# the base relation of customer_golden_record's recursive closure
+_FUZZY_PAIRS_SQL = f"""
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_mktsegment AS segment,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+    FROM customer a JOIN customer b
+      ON a.c_mktsegment = b.c_mktsegment
+     AND a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {_FUZZY_MAX_DIST}
+"""
 
 ORACLE_SQL = {
     "part_skyline": """
@@ -2482,14 +2577,48 @@ ORACLE_SQL = {
         FROM lineitem GROUP BY l_returnflag
     """,
     "customer_fuzzy_match": f"""
-        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
-               a.c_mktsegment AS segment,
-               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
-        FROM customer a JOIN customer b
-          ON a.c_mktsegment = b.c_mktsegment
-         AND a.c_nationkey = b.c_nationkey
-         AND a.c_custkey < b.c_custkey
-        WHERE levenshtein(a.c_name, b.c_name) <= {_FUZZY_MAX_DIST}
+        SELECT * FROM ({_FUZZY_PAIRS_SQL})
+    """,
+    "customer_golden_record": f"""
+        WITH RECURSIVE p AS ({_FUZZY_PAIRS_SQL}),
+        edges AS (
+            SELECT custkey_a AS s, custkey_b AS t FROM p
+            UNION ALL
+            SELECT custkey_b, custkey_a FROM p
+        ),
+        verts AS (SELECT DISTINCT s AS ck FROM edges),
+        reach(ck, r) AS (
+            SELECT ck, ck FROM verts
+            UNION
+            SELECT e.t, reach.r FROM edges e JOIN reach ON e.s = reach.ck
+        ),
+        lab AS (SELECT ck, min(r) AS cluster_id FROM reach GROUP BY ck),
+        members AS (
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+                   c.c_nationkey,
+                   COALESCE(l.cluster_id, c.c_custkey) AS cluster_id
+            FROM customer c LEFT JOIN lab l ON c.c_custkey = l.ck
+        ),
+        golden AS (
+            SELECT cluster_id, c_custkey AS golden_custkey,
+                   c_name AS golden_name, c_acctbal AS golden_acctbal,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY c_acctbal DESC, c_custkey ASC
+                   ) AS rk
+            FROM members
+        ),
+        stats AS (
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+                   CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+            FROM members GROUP BY cluster_id
+        )
+        SELECT g.cluster_id, s.n_members, s.n_segments, s.n_nations,
+               g.golden_custkey, g.golden_name, g.golden_acctbal
+        FROM golden g JOIN stats s USING (cluster_id)
+        WHERE g.rk = 1
     """,
     "part_triangle_counts": f"""
         WITH lp AS (

@@ -166,6 +166,7 @@ PRIORITY_ORDER = [
     "docs_quality_psi_drift",
     "docs_gram_novelty",
     "part_skyline",
+    "customer_golden_record",
     # r3-green and r5-green blocks append in module order below.
 ]
 
