@@ -2022,8 +2022,22 @@ def _fuzzy_segment_bounds(spark: SparkSession, names: DataFrame) -> DataFrame:
             cuts[j] = max(cuts[j], cuts[j - 1] + 1)
         for i in range(1, s + 1):
             rows.append((L, i, cuts[i - 1] + 1, cuts[i] - cuts[i - 1]))
-    return spark.createDataFrame(
-        rows, "L int, i int, seg_start int, seg_len int"
+    # VALUES literal, NOT createDataFrame: PySpark's createDataFrame
+    # wraps the rows in an RDD-backed LogicalRDD whose unique id defeats
+    # plan canonicalization, so the persisted pair relation downstream
+    # could never cache-match across calls (customer_golden_record would
+    # re-run the whole PassJoin build). An inline VALUES table analyzes
+    # to a plain LocalRelation that canonicalizes by VALUE, restoring
+    # cache-manager reuse for every consumer of the same corpus.
+    if not rows:
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) L, CAST(NULL AS INT) i, "
+            "CAST(NULL AS INT) seg_start, CAST(NULL AS INT) seg_len "
+            "WHERE FALSE"
+        )
+    values = ", ".join(f"({L}, {i}, {st}, {ln})" for L, i, st, ln in rows)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS t(L, i, seg_start, seg_len)"
     )
 
 
@@ -2196,6 +2210,12 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("edit_distance") <= k)
+        # persist: the verified pair relation is the entity-resolution
+        # family's shared kernel — customer_golden_record's clustering
+        # consumes the identical plan, so the cache manager gives the
+        # second consumer the built relation (pairs are entity-pair
+        # grain: tiny) instead of a second PassJoin candidate build
+        .persist()
     )
 
 
