@@ -160,6 +160,83 @@ def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection per event type: the day where the CUSUM
+    statistic S_i = Σ_{d<=i} (c_d − mean) over the zero-filled daily
+    count series peaks in magnitude (Page 1954, public literature) —
+    the volume-shift monitor a pipeline runs on an event feed before
+    trusting week-over-week comparisons.
+
+    Integer-exact formulation: S_i has denominator n_days, so the
+    query ranks the SCALED statistic s_i = n_days·cum_i − i·total —
+    pure bigint arithmetic, no floating intermediate anywhere; the
+    only division (the reported max_cusum = s/n_days) is a single
+    exact IEEE int/int op identical on both engines, so nothing is
+    rounded. Argmax tiebreak: earliest day.
+
+    Shape: one (event_type, day) count aggregation (map-side
+    combinable to types × days rows); the dense day grid comes from a
+    broadcast 1-row global range crossJoined onto the distinct-type
+    relation (types × days rows total). All three windows — ordered
+    cumsum, per-type totals, argmax rank — share ONE event_type
+    exchange at day grain (bounded by the calendar, not the corpus);
+    at 100 TB the corpus-sized work is exactly the first count
+    aggregation."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    scored = filled.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_days"),
+        (
+            F.count(F.lit(1)).over(wp) * F.sum("c").over(wo)
+            - F.row_number().over(wo) * F.sum("c").over(wp)
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("s_scaled")).desc(), F.asc("day")
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            "n_days",
+            "s_scaled",
+            (F.col("s_scaled") / F.col("n_days").cast("double")).alias(
+                "max_cusum"
+            ),
+        )
+    )
+
+
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (§2.4 absent-category): all grouping-set
     combinations of (event_type, day) in one pass — Spark expands the
@@ -2458,6 +2535,7 @@ QUERIES = {
     "orders_semi_anti": orders_semi_anti,
     "grouping_rollup": grouping_rollup,
     "events_cube": events_cube,
+    "events_cusum_changepoint": events_cusum_changepoint,
     "orders_grouping_sets": orders_grouping_sets,
     "lineitem_stats_agg": lineitem_stats_agg,
     "lineitem_percentiles": lineitem_percentiles,
@@ -3134,6 +3212,53 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+    "events_cusum_changepoint": """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS c
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        rng AS (
+            SELECT date_trunc('day', min(ts)) AS d0,
+                   date_trunc('day', max(ts)) AS d1
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, g.day
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 rng,
+                 unnest(generate_series(rng.d0, rng.d1, INTERVAL 1 DAY))
+                     AS g(day)
+        ),
+        filled AS (
+            SELECT g.event_type, g.day, COALESCE(d.c, 0) AS c
+            FROM grid g
+            LEFT JOIN daily d
+              ON g.event_type = d.event_type AND g.day = d.day
+        ),
+        scored AS (
+            SELECT event_type, day,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_days,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                          * sum(c) OVER (PARTITION BY event_type
+                                         ORDER BY day)
+                        - row_number() OVER (PARTITION BY event_type
+                                             ORDER BY day)
+                          * sum(c) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS s_scaled
+            FROM filled
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(s_scaled) DESC, day ASC) AS rk
+            FROM scored
+        )
+        SELECT event_type, day AS changepoint_day, n_days, s_scaled,
+               s_scaled / CAST(n_days AS DOUBLE) AS max_cusum
+        FROM ranked WHERE rk = 1
     """,
     "events_cube": """
         SELECT event_type, date_trunc('day', ts) AS day,

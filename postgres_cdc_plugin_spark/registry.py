@@ -167,6 +167,7 @@ PRIORITY_ORDER = [
     "docs_gram_novelty",
     "part_skyline",
     "customer_golden_record",
+    "events_cusum_changepoint",
     # r3-green and r5-green blocks append in module order below.
 ]
 
