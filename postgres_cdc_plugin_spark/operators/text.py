@@ -651,6 +651,80 @@ _BOILER_MAX_FRAC = 0.2  # shared-gram share above which a doc is dropped
 _COMMON_SPANS_K = 20  # how many top boilerplate spans to surface
 
 
+# Gopher structural-rule thresholds (Rae et al. 2021, public
+# literature, Table A1) — the repetition rules from the same paper live
+# in docs_repetition_filter; these are the document-shape rules.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MEAN_LEN_LO = 3.0
+_GOPHER_MEAN_LEN_HI = 10.0
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MIN_STOPWORDS = 2
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-shape quality rules (Rae et al. 2021 —
+    MassiveText's filter, the de-facto standard LLM corpus gate):
+    word-count bounds, mean word length in [3, 10], >= 80% of words
+    containing an alphabetic character, hash-symbol-to-word ratio
+    <= 0.1, and >= 2 occurrences of the paper's stopword set — each as
+    an auditable per-rule flag plus the conjunction keep verdict.
+    (The paper's repetition rules are docs_repetition_filter; between
+    the two, the full Gopher gate is declared.)
+
+    Every measure is a higher-order array expression over ONE
+    split(text) — size/filter/aggregate lambdas are JVM codegen
+    territory, so the whole query is a narrow projection: zero
+    shuffles, zero joins, no explode. At 100 TB this is a single scan
+    at full parallelism. Determinism: all ratios are exact int/int
+    IEEE divisions (never rounded, identical on both engines).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_len = F.aggregate(
+        words, F.lit(0), lambda a, w: a + F.length(w)
+    ) / n_words.cast("double")
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        / n_words.cast("double")
+    )
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    symbol_ratio = n_hash / n_words.cast("double")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*_GOPHER_STOPWORDS))
+    )
+    rule_words = (n_words >= _GOPHER_MIN_WORDS) & (
+        n_words <= _GOPHER_MAX_WORDS
+    )
+    rule_mean_len = (mean_len >= _GOPHER_MEAN_LEN_LO) & (
+        mean_len <= _GOPHER_MEAN_LEN_HI
+    )
+    rule_alpha = alpha_frac >= _GOPHER_MIN_ALPHA_FRAC
+    rule_symbol = symbol_ratio <= _GOPHER_MAX_SYMBOL_RATIO
+    rule_stop = n_stop >= _GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        rule_words.alias("rule_words"),
+        rule_mean_len.alias("rule_mean_len"),
+        rule_alpha.alias("rule_alpha"),
+        rule_symbol.alias("rule_symbol"),
+        rule_stop.alias("rule_stop"),
+        (
+            rule_words & rule_mean_len & rule_alpha & rule_symbol & rule_stop
+        ).alias("keep"),
+    )
+
+
 def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter: most-frequent-token share
     and duplicate-bigram share per document, plus the keep/drop verdict.
@@ -1927,6 +2001,7 @@ QUERIES = {
     "docs_weighted_sample": docs_weighted_sample,
     "docs_bm25_search": docs_bm25_search,
     "docs_repetition_filter": docs_repetition_filter,
+    "docs_gopher_rules": docs_gopher_rules,
     "docs_contamination": docs_contamination,
     "token_tfidf": token_tfidf,
     "docs_chunks": docs_chunks,
@@ -2631,6 +2706,45 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token ASC
         LIMIT 100
+    """,
+    "docs_gopher_rules": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   list_sum(list_transform(string_split(text, ' '),
+                                           w -> length(w)))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS mean_word_len,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> regexp_matches(w, '[a-z]')))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS alpha_frac,
+                   (length(text) - length(replace(text, '#', '')))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS symbol_ratio,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w IN {_GOPHER_STOPWORDS}))
+                       AS n_stopwords
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               mean_word_len, alpha_frac, symbol_ratio,
+               CAST(n_stopwords AS BIGINT) AS n_stopwords,
+               n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                   AS rule_words,
+               mean_word_len BETWEEN {_GOPHER_MEAN_LEN_LO}
+                   AND {_GOPHER_MEAN_LEN_HI} AS rule_mean_len,
+               alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC} AS rule_alpha,
+               symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO} AS rule_symbol,
+               n_stopwords >= {_GOPHER_MIN_STOPWORDS} AS rule_stop,
+               (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+                   AND (mean_word_len BETWEEN {_GOPHER_MEAN_LEN_LO}
+                        AND {_GOPHER_MEAN_LEN_HI})
+                   AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+                   AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+                   AND n_stopwords >= {_GOPHER_MIN_STOPWORDS} AS keep
+        FROM m
     """,
     "docs_repetition_filter": f"""
         WITH tok AS (

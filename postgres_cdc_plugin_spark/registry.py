@@ -168,6 +168,7 @@ PRIORITY_ORDER = [
     "part_skyline",
     "customer_golden_record",
     "events_cusum_changepoint",
+    "docs_gopher_rules",
     # r3-green and r5-green blocks append in module order below.
 ]
 
