@@ -3,11 +3,12 @@
 Images/audio/video are carried as `binary` columns with typed metadata,
 processed by Arrow-batched pandas functions over mapInPandas.
 
-Decoding is REAL for two container formats parseable with stdlib+numpy:
-WAV (RIFF/fmt/data chunk walk -> int16 PCM samples) and binary PPM
-(P6 header -> HxWx3 uint8 pixel array). Video decoding stays a
-documented NotImplementedError seam (no libav/opencv in this
-container); callers fall back per row. The driver testdata has no
+Decoding is REAL for three container formats parseable with
+stdlib+numpy: WAV (RIFF/fmt/data chunk walk -> int16 PCM samples),
+binary PPM (P6 header -> HxWx3 uint8 pixel array), and YUV4MPEG2 y4m
+video (header + raw C444 planes -> uint8[n, 3, h, w] frames, real
+since r4). The NotImplementedError branch remains only for future
+modalities with no decoder. The driver testdata has no
 binary column, so payloads are synthesized deterministically from
 `documents.text`: raw utf-8 bytes for the metadata/fingerprint queries
 (mirrored by the DuckDB oracles) and genuine WAV/PPM containers
@@ -27,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     FloatType,
     LongType,
@@ -793,8 +795,75 @@ def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCENE_CUT_MIN_SAD = 12_000  # sum-of-absolute-differences cut threshold
+_SCENE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("sad", LongType()),
+        StructField("is_cut", BooleanType()),
+    ]
+)
+
+
+def _scene_cut_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: consecutive-frame SAD through the REAL y4m
+    decoder. uint8 planes are widened to int32 BEFORE the subtraction —
+    uint8 arithmetic wraps mod 256 and would silently corrupt the SAD."""
+    for pdf in batches:
+        doc_ids, idxs, sads, cuts = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue
+            frames = decode_payload(
+                synth_y4m_payload(bytes(payload)), "video"
+            ).astype(np.int32)
+            for fi in range(1, frames.shape[0]):
+                sad = int(np.abs(frames[fi] - frames[fi - 1]).sum())
+                doc_ids.append(doc_id)
+                idxs.append(fi)
+                sads.append(sad)
+                cuts.append(sad >= _SCENE_CUT_MIN_SAD)
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "frame_idx": idxs,
+                "sad": sads,
+                "is_cut": cuts,
+            }
+        )
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over the video corpus: the
+    sum of absolute differences between each pair of CONSECUTIVE
+    decoded C444 frames, flagged as a cut when it crosses the
+    threshold — the temporal segmentation step a video training
+    pipeline runs before clip sampling (frame-difference shot detection
+    is the classical baseline, public literature).
+
+    Decodes through the REAL y4m parser (header + raw planes), same
+    path as multimodal_frame_sample/decoded_stats. Arrow-batched
+    mapInPandas, narrow: the binary payload never leaves the executor;
+    only (doc, frame, sad, flag) rows flow on — at 100 TB this is one
+    scan at full parallelism, no shuffle anywhere. Single-frame videos
+    emit no rows (no consecutive pair exists).
+
+    Oracle: the synth payload wraps the doc's utf-8 bytes zero-padded
+    into 192-byte frames, so DuckDB reproduces the SAD symbolically —
+    byte at position p vs p-192 via one lag window over the position
+    explode (the silence-trim technique on the temporal axis).
+    """
+    docs = load(spark, sf_dir, "documents")
+    vids = with_payload(docs).filter(F.col("modality") == "video")
+    return vids.repartition("doc_id").mapInPandas(
+        _scene_cut_rows, _SCENE_SCHEMA
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
+    "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_dedup": multimodal_dedup,
@@ -893,6 +962,36 @@ _PHASH_ANY_BLOCK_SQL = " OR ".join(
 )
 
 ORACLE_SQL = {
+    "multimodal_scene_cuts": f"""
+        WITH video AS (
+            SELECT doc_id, text FROM documents
+            WHERE CAST(doc_id % 3 AS INT) = 2
+        ),
+        nf AS (
+            SELECT doc_id, text,
+                   greatest(1, CAST(ceil(length(text) / {_VID_FRAME_UNITS}.0)
+                                    AS INT)) AS n_frames
+            FROM video
+        ),
+        b AS (
+            SELECT doc_id, t.p AS p,
+                   CASE WHEN t.p < length(text)
+                        THEN unicode(substr(text, CAST(t.p + 1 AS INT), 1))
+                        ELSE 0 END AS byte
+            FROM nf, unnest(range(0, n_frames * {_VID_FRAME_UNITS})) AS t(p)
+        ),
+        d AS (
+            SELECT doc_id, p // {_VID_FRAME_UNITS} AS f,
+                   abs(byte - lag(byte, {_VID_FRAME_UNITS})
+                       OVER (PARTITION BY doc_id ORDER BY p)) AS ad
+            FROM b
+        )
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(sum(ad) AS BIGINT) AS sad,
+               CAST(sum(ad) AS BIGINT) >= {_SCENE_CUT_MIN_SAD} AS is_cut
+        FROM d WHERE f >= 1
+        GROUP BY doc_id, f
+    """,
     "multimodal_silence_trim": f"""
         WITH audio AS (
             SELECT doc_id, text FROM documents

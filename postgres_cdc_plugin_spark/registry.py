@@ -169,6 +169,7 @@ PRIORITY_ORDER = [
     "customer_golden_record",
     "events_cusum_changepoint",
     "docs_gopher_rules",
+    "multimodal_scene_cuts",
     # r3-green and r5-green blocks append in module order below.
 ]
 
