@@ -550,6 +550,104 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction from the change log — the
+    time-travel question every CDC/changefeed consumer eventually asks
+    ("how many live rows, and what did value sum to, AS OF day d?") —
+    for every day in the log's range at once.
+
+    NOT an interval join of probes x versions (probes x versions pair
+    blow-up): each live SCD2 version becomes two DELTAS (+1/+value at
+    valid_from's day, -1/-value at valid_to's day; DELETE versions are
+    tombstones — the delete is already encoded as the prior version's
+    valid_to, so they contribute nothing), the deltas aggregate to DAY
+    grain (map-side combinable, calendar-bounded output), and one
+    cumulative window over the zero-filled day grid reconstructs the
+    end-of-day live count and value sum for every probe in a single
+    pass. A version opened and closed the same day nets to zero at day
+    grain — exactly its end-of-day visibility.
+
+    Reuses cdc_scd2_history verbatim, so the reconstruction can never
+    drift from the versioned dimension it summarizes.
+
+    Scale: the corpus-sized work is the SCD2 window (one key shuffle,
+    inherited) plus one day-grain aggregation; the grid fill and the
+    ordered cumsum run at calendar grain (bounded by the date range,
+    not the corpus — same posture as events_cusum_changepoint).
+    Determinism: counts are integers; the day-grain value sum is
+    rounded through the decimal hop (partial-sum order), then the
+    cumulative sum runs over identical rounded doubles in identical
+    day order on both engines.
+    """
+    v = cdc_scd2_history(spark, sf_dir).filter(F.col("op") != "DELETE")
+    # BOTH deltas of a version come out of one explode over one row —
+    # the union-of-two-selects spelling reads `v` twice, and Spark
+    # inlines it, so the whole SCD2 window would run twice (measured
+    # 2x at sf0.1). A still-open version's close delta has a NULL day
+    # and is filtered.
+    deltas = (
+        v.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.date_trunc("day", "valid_from").alias("day"),
+                        F.lit(1).alias("dn"),
+                        F.col("value").alias("dv"),
+                    ),
+                    F.struct(
+                        F.date_trunc("day", "valid_to").alias("day"),
+                        F.lit(-1).alias("dn"),
+                        (-F.col("value")).alias("dv"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.*")
+        .filter(F.col("day").isNotNull())
+    )
+    daily = (
+        deltas.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("dn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_created"),
+            F.sum(F.when(F.col("dn") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_closed"),
+            F.sum("dn").alias("net_n"),
+            F.round(F.sum("dv"), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("net_v"),
+        )
+    )
+    ev = load(spark, sf_dir, "events")
+    grid = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    ).select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    filled = grid.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_created", F.lit(0)).cast("bigint").alias("n_created"),
+        F.coalesce("n_closed", F.lit(0)).cast("bigint").alias("n_closed"),
+        F.coalesce("net_n", F.lit(0)).alias("net_n"),
+        F.coalesce("net_v", F.lit(0.0)).alias("net_v"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return filled.select(
+        "day",
+        "n_created",
+        "n_closed",
+        F.sum("net_n").over(w).cast("bigint").alias("n_active"),
+        F.round(F.sum("net_v").over(w), 2)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction over the props payload (§2.8 JSONB surface):
     get_json_object is the schema-on-read point lookup a consumer uses
@@ -655,6 +753,7 @@ QUERIES = {
     "creds_display_format": creds_display_format,
     "cdc_latest_state": cdc_latest_state,
     "cdc_scd2_history": cdc_scd2_history,
+    "cdc_time_travel_agg": cdc_time_travel_agg,
     "cdc_envelope": cdc_envelope,
     "cdc_envelope_json": cdc_envelope_json,
     "cdc_op_filter": cdc_op_filter,
@@ -789,6 +888,59 @@ ORACLE_SQL = {
             FROM events
         )
         WHERE rn = 1 AND op <> 'DELETE'
+    """,
+    "cdc_time_travel_agg": f"""
+        WITH v AS (
+            SELECT user_id, value, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to, {_OP_SQL} AS op
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        live AS (SELECT * FROM v WHERE op <> 'DELETE'),
+        deltas AS (
+            SELECT date_trunc('day', valid_from) AS day,
+                   1 AS dn, value AS dv
+            FROM live
+            UNION ALL
+            SELECT date_trunc('day', valid_to), -1, -value
+            FROM live WHERE valid_to IS NOT NULL
+        ),
+        daily AS (
+            SELECT day,
+                   CAST(sum(CASE WHEN dn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_created,
+                   CAST(sum(CASE WHEN dn = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_closed,
+                   sum(dn) AS net_n,
+                   CAST(CAST(round(sum(dv), 6) AS DECIMAL(38,6))
+                        AS DOUBLE) AS net_v
+            FROM deltas GROUP BY day
+        ),
+        grid AS (
+            SELECT g.day
+            FROM (SELECT date_trunc('day', min(ts)) AS d0,
+                         date_trunc('day', max(ts)) AS d1
+                  FROM events) r,
+                 unnest(generate_series(r.d0, r.d1, INTERVAL 1 DAY))
+                     AS g(day)
+        ),
+        filled AS (
+            SELECT g.day,
+                   COALESCE(d.n_created, 0) AS n_created,
+                   COALESCE(d.n_closed, 0) AS n_closed,
+                   COALESCE(d.net_n, 0) AS net_n,
+                   COALESCE(d.net_v, 0.0) AS net_v
+            FROM grid g LEFT JOIN daily d ON g.day = d.day
+        )
+        SELECT day,
+               CAST(n_created AS BIGINT) AS n_created,
+               CAST(n_closed AS BIGINT) AS n_closed,
+               CAST(sum(net_n) OVER cw AS BIGINT) AS n_active,
+               CAST(CAST(round(sum(net_v) OVER cw, 2) AS DECIMAL(38,2))
+                    AS DOUBLE) AS total_value
+        FROM filled
+        WINDOW cw AS (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "cdc_scd2_history": f"""
         SELECT user_id,

@@ -170,6 +170,7 @@ PRIORITY_ORDER = [
     "events_cusum_changepoint",
     "docs_gopher_rules",
     "multimodal_scene_cuts",
+    "cdc_time_travel_agg",
     # r3-green and r5-green blocks append in module order below.
 ]
 
