@@ -1388,6 +1388,84 @@ def embed_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BQ_RERANK_K = 50  # Hamming candidate pool fed to the exact rerank
+
+
+def _bq_half(v, lo_bit: int):
+    """Sign-bit pack of 32 embedding dims starting at lo_bit into one
+    bigint (bit i set iff component > 0). Two 32-bit halves instead of
+    one 64-bit word: bit 63 of an int64 is the sign bit, and 1<<63
+    overflow semantics differ between engines — halves keep every
+    packed value positive and the oracle exact. pow(2, i) is an exact
+    double for i <= 31."""
+    return (
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(v, i + F.lit(lo_bit + 1)) > 0.0, F.pow(2.0, i)
+            ).otherwise(F.lit(0.0)),
+        )
+    ).cast("bigint")
+
+
+def embed_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: 64-dim vectors compress 32x into two
+    sign-bit-packed bigints; candidates come from a Hamming-distance
+    scan over the codes (bit_count(xor) — pure integer codegen), then
+    the top-_BQ_RERANK_K pool is reranked by EXACT cosine — the
+    compress-then-rerank serving stack modern vector databases run
+    (binary quantization, public literature) and the cheapest ANN
+    variant in this family: the corpus scan touches 16 bytes per
+    vector instead of 256.
+
+    Determinism: the packed code is an exact integer function of the
+    stored signs; Hamming is integer; pool and final top-k both break
+    ties on vec_id; the rerank cosine reuses the _cosine kernel with
+    the round-6 convention (same as embed_knn).
+
+    Scale: one narrow pack projection (code columns persist with the
+    index at 100 TB — recomputing here keeps the query self-contained),
+    a broadcast 1-row query, TakeOrderedAndProject for the Hamming
+    top-K pool, and an O(K) exact rerank. Same plan family as
+    embed_knn but with the full-width arithmetic confined to K rows.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    codes = emb.select(
+        "vec_id",
+        v.alias("v"),
+        _bq_half(v, 0).alias("code_lo"),
+        _bq_half(v, 32).alias("code_hi"),
+    )
+    q = codes.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    hamming = (
+        F.bit_count(F.col("code_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("int")
+    pool = (
+        codes.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", "qv", hamming.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(_BQ_RERANK_K)
+    )
+    return (
+        pool.select(
+            "vec_id",
+            "hamming",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
 _RRF_K = 60  # reciprocal-rank-fusion damping constant (Cormack et al. 2009)
 
 
@@ -1487,6 +1565,7 @@ QUERIES = {
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
     "docs_hybrid_search": docs_hybrid_search,
+    "embed_bq_search": embed_bq_search,
     "embed_matryoshka_audit": embed_matryoshka_audit,
 }
 
@@ -2170,6 +2249,36 @@ ORACLE_SQL["embed_recall_audit"] = f"""
 # are exact IEEE double ops on integers — no rounding needed.
 from .text import _BM25_TERMS as _HYBRID_TERMS  # noqa: E402
 from .text import _bm25_sql as _hybrid_bm25_sql  # noqa: E402
+
+ORACLE_SQL["embed_bq_search"] = f"""
+    WITH codes AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               CAST(list_sum(list_transform(range(0, 32),
+                   i -> CASE WHEN embedding[i + 1] > 0
+                             THEN CAST(pow(2, i) AS BIGINT)
+                             ELSE 0 END)) AS BIGINT) AS code_lo,
+               CAST(list_sum(list_transform(range(0, 32),
+                   i -> CASE WHEN embedding[i + 33] > 0
+                             THEN CAST(pow(2, i) AS BIGINT)
+                             ELSE 0 END)) AS BIGINT) AS code_hi
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM codes WHERE vec_id = {_QUERY_VEC_ID}),
+    pool AS (
+        SELECT c.vec_id,
+               CAST(bit_count(xor(c.code_lo, q.code_lo))
+                    + bit_count(xor(c.code_hi, q.code_hi)) AS INT)
+                   AS hamming,
+               round(list_cosine_similarity(c.v, q.v), 6) AS cosine_sim
+        FROM codes c, q
+        WHERE c.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY hamming ASC, c.vec_id ASC
+        LIMIT {_BQ_RERANK_K}
+    )
+    SELECT vec_id, hamming, cosine_sim FROM pool
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT {_TOP_K}
+"""
 
 ORACLE_SQL["docs_hybrid_search"] = f"""
     WITH lex AS (

@@ -171,6 +171,7 @@ PRIORITY_ORDER = [
     "docs_gopher_rules",
     "multimodal_scene_cuts",
     "cdc_time_travel_agg",
+    "embed_bq_search",
     # r3-green and r5-green blocks append in module order below.
 ]
 
