@@ -384,3 +384,24 @@ def test_matryoshka_audit_identity_at_full_dim(spark, sf_dir, monkeypatch):
     r = S.embed_matryoshka_audit(spark, sf_dir).collect()[0]
     assert (r.n_overlap, r.recall) == (S._TOP_K, 1.0)
     assert r.dim_trunc == r.dim_full == S._DIM
+
+
+def test_bq_search_recall_and_code_width(spark, sf_dir):
+    """Binary quantization must (a) recover a nontrivial fraction of
+    the exact top-k through its Hamming pool + rerank, and (b) really
+    be 32x narrower: both packed halves fit in 32 bits (non-negative,
+    < 2^32 — the invariant that keeps the DuckDB oracle exact)."""
+    knn = S.embed_knn(spark, sf_dir)
+    bq = S.embed_bq_search(spark, sf_dir)
+    assert _recall(bq, knn) >= 0.2
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    codes = emb.select(
+        S._bq_half(v, 0).alias("lo"), S._bq_half(v, 32).alias("hi")
+    )
+    bounds = codes.agg(
+        F.min("lo"), F.max("lo"), F.min("hi"), F.max("hi")
+    ).collect()[0]
+    assert 0 <= bounds[0] and bounds[1] < 2**32
+    assert 0 <= bounds[2] and bounds[3] < 2**32
