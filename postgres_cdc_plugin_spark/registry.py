@@ -158,7 +158,10 @@ PRIORITY_ORDER = [
     "multimodal_dedup",
     # Registered after the round-6 window was frozen (same situation as
     # the late-r4 four): never driver-checked yet, local parity only —
-    # FIRST in line for the r7 window front, ahead of staleness rotation:
+    # FIRST in line for the r7 window front, ahead of staleness
+    # rotation. Thirteen late-r6 queries total; the expensive
+    # recursive-CTE oracle (customer_golden_record) should sit at the
+    # r7 window's tail per the CC-family convention:
     "docs_hybrid_search",
     "lineitem_column_profile",
     "embed_matryoshka_audit",
