@@ -107,7 +107,22 @@ def main() -> int:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 run_timings[name] = round(time.perf_counter() - start, 3)
             except Exception as exc:  # one broken query must not kill the run
-                errors[name] = str(exc).splitlines()[0][:200]
+                # Py4J wraps the real failure; str(exc)'s first line is
+                # just "An error occurred while calling oNNN.save" —
+                # record the first JVM cause line too, or the record is
+                # undiagnosable after the fact (r6 lesson)
+                lines = [ln.strip() for ln in str(exc).splitlines() if ln.strip()]
+                cause = next(
+                    (
+                        ln
+                        for ln in lines
+                        if ln.startswith(("Caused by", "org.apache", "java."))
+                        or "Exception" in ln
+                        or "Error" in ln
+                    ),
+                    "",
+                )
+                errors[name] = f"{lines[0][:160]} | {cause[:240]}"
                 print(f"bench error in {name}: {errors[name]}", file=sys.stderr)
         per_run.append(run_timings)
 

@@ -38,6 +38,16 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # local-mode driver == the only executor: the JVM default heap is
+        # 1g, which starves 32 task threads + session-level persisted
+        # kernels + 64MB broadcasts (the full-surface bench's warm pass
+        # deterministically failed broadcast builds at 1g, and every
+        # pass ran under constant cache-eviction GC). Only effective at
+        # JVM launch — harmless on an already-running session.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
     )
     return builder.getOrCreate()
 
