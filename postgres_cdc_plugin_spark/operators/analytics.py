@@ -237,6 +237,71 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonal anomaly screen per event type: each day's count
+    against the mean for its (event_type, weekday) cell — the
+    seasonality-aware companion to events_cusum_changepoint (CUSUM finds
+    level SHIFTS; this flags single days that break their weekly
+    pattern, the volume check a feed monitor alerts on).
+
+    Integer-exact flagging: with n_wd = occurrences of the weekday in
+    the range and tot = that cell's total count, "count deviates from
+    the cell mean by >= 50%" is 2·|n_wd·c − tot| >= tot — a PURE
+    integer comparison, no epsilon anywhere. The reported expected
+    value (tot/n_wd) and residual are single exact int-derived IEEE
+    ops, never rounded. Weekday comes from datediff to a fixed Monday
+    anchor mod 7 — engine-independent, unlike the engines' dayofweek
+    conventions (Spark is 1-based Sunday-first, DuckDB 0-based).
+
+    Shape: same as the CUSUM query — one corpus-sized (type, day)
+    count aggregation, dense grid from a broadcast 1-row range, then
+    per-(type, weekday) window stats at calendar grain.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    wd = F.pmod(
+        F.datediff(F.col("day").cast("date"), F.lit("1970-01-05").cast("date")),
+        F.lit(7),
+    ).cast("int")
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        wd.alias("weekday"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+    cell = Window.partitionBy("event_type", "weekday")
+    n_wd = F.count(F.lit(1)).over(cell)
+    tot = F.sum("n_events").over(cell)
+    return filled.select(
+        "event_type",
+        "day",
+        "weekday",
+        "n_events",
+        (tot / n_wd.cast("double")).alias("expected"),
+        (F.col("n_events") - tot / n_wd.cast("double")).alias("residual"),
+        (
+            2 * F.abs(n_wd * F.col("n_events") - tot) >= tot
+        ).alias("is_anomaly"),
+    )
+
+
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (§2.4 absent-category): all grouping-set
     combinations of (event_type, day) in one pass — Spark expands the
@@ -2536,6 +2601,7 @@ QUERIES = {
     "grouping_rollup": grouping_rollup,
     "events_cube": events_cube,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "events_seasonal_anomaly": events_seasonal_anomaly,
     "orders_grouping_sets": orders_grouping_sets,
     "lineitem_stats_agg": lineitem_stats_agg,
     "lineitem_percentiles": lineitem_percentiles,
@@ -3212,6 +3278,45 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+    "events_seasonal_anomaly": """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS c
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        rng AS (
+            SELECT date_trunc('day', min(ts)) AS d0,
+                   date_trunc('day', max(ts)) AS d1
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, g.day
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 rng,
+                 unnest(generate_series(rng.d0, rng.d1, INTERVAL 1 DAY))
+                     AS g(day)
+        ),
+        filled AS (
+            SELECT g.event_type, g.day,
+                   CAST(date_diff('day', DATE '1970-01-05',
+                                  CAST(g.day AS DATE)) % 7 AS INT)
+                       AS weekday,
+                   CAST(COALESCE(d.c, 0) AS BIGINT) AS n_events
+            FROM grid g
+            LEFT JOIN daily d
+              ON g.event_type = d.event_type AND g.day = d.day
+        )
+        SELECT event_type, day, weekday, n_events,
+               sum(n_events) OVER cell
+                   / CAST(count(*) OVER cell AS DOUBLE) AS expected,
+               n_events - sum(n_events) OVER cell
+                   / CAST(count(*) OVER cell AS DOUBLE) AS residual,
+               2 * abs(count(*) OVER cell * n_events
+                       - sum(n_events) OVER cell)
+                   >= sum(n_events) OVER cell AS is_anomaly
+        FROM filled
+        WINDOW cell AS (PARTITION BY event_type, weekday)
     """,
     "events_cusum_changepoint": """
         WITH daily AS (
