@@ -1466,6 +1466,66 @@ def embed_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dcg_1row(topk: DataFrame) -> DataFrame:
+    """1-row DCG of a (vec_id, cosine_sim) top-k relation, ranked by
+    (cosine_sim DESC, vec_id ASC) — graded relevance IS the reported
+    exact cosine (every audited method reranks/reports exact cosines).
+    The ≤k-term sum is rounded through the decimal hop: log2 may differ
+    by an ulp between engines and aggregation order is free."""
+    w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    ranked = topk.select(
+        "cosine_sim", F.row_number().over(w).alias("r")
+    )
+    return ranked.agg(
+        F.round(F.sum(F.col("cosine_sim") / F.log2(F.col("r") + 1)), 6)
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("dcg")
+    )
+
+
+def embed_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality audit of every ANN serving path against the
+    exact ranking: NDCG@k (Järvelin & Kekäläinen 2002, public
+    literature) for the LSH, IVF, and binary-quantization searches,
+    with graded relevance = the exact cosine each method reports —
+    recall (embed_recall_audit) counts WHICH true neighbors survive;
+    NDCG also scores WHERE they land, which is what a serving rollout
+    actually gates on.
+
+    Determinism: each method's top-k is already engine-exact
+    (oracle-checked queries, reused verbatim); ranks re-derive from
+    (cosine_sim DESC, vec_id) identically in both engines; DCG sums
+    round through the decimal hop and the final ndcg is one exact
+    division of two rounded doubles. Scale: each leg's own audited
+    plan does the corpus work; the audit itself folds k rows per
+    method — O(1) regardless of corpus size.
+    """
+    idcg = _dcg_1row(
+        embed_knn(spark, sf_dir).select("vec_id", "cosine_sim")
+    ).select(F.col("dcg").alias("idcg"))
+    methods = (
+        ("lsh", embed_ann_lsh),
+        ("ivf", embed_ann_ivf),
+        ("bq", embed_bq_search),
+    )
+    out: DataFrame | None = None
+    for name, fn in methods:
+        row = (
+            _dcg_1row(fn(spark, sf_dir).select("vec_id", "cosine_sim"))
+            .crossJoin(F.broadcast(idcg))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(_TOP_K).alias("k"),
+                "dcg",
+                "idcg",
+                (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 _RRF_K = 60  # reciprocal-rank-fusion damping constant (Cormack et al. 2009)
 
 
@@ -1566,6 +1626,7 @@ QUERIES = {
     "docs_embed_join": docs_embed_join,
     "docs_hybrid_search": docs_hybrid_search,
     "embed_bq_search": embed_bq_search,
+    "embed_ndcg_audit": embed_ndcg_audit,
     "embed_matryoshka_audit": embed_matryoshka_audit,
 }
 
@@ -2326,4 +2387,49 @@ ORACLE_SQL["embed_matryoshka_audit"] = f"""
            CAST(count(*) AS BIGINT) AS n_overlap,
            count(*) * 1.0 / {_TOP_K} AS recall
     FROM exact JOIN trunc USING (vec_id)
+"""
+
+
+# composed AFTER the per-method entries exist: NDCG reuses each audited
+# oracle verbatim as its candidate source (one formula, zero drift)
+ORACLE_SQL["embed_ndcg_audit"] = f"""
+    WITH idcg AS (
+        SELECT dcg AS idcg FROM (
+        SELECT CAST(CAST(round(sum(cosine_sim / log2(r + 1)), 6)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS dcg
+        FROM (SELECT cosine_sim,
+                     row_number() OVER (ORDER BY cosine_sim DESC,
+                                        vec_id ASC) AS r
+              FROM ({ORACLE_SQL["embed_knn"]}))
+    )
+    ),
+    m_lsh AS (SELECT 'lsh' AS method, dcg FROM (
+        SELECT CAST(CAST(round(sum(cosine_sim / log2(r + 1)), 6)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS dcg
+        FROM (SELECT cosine_sim,
+                     row_number() OVER (ORDER BY cosine_sim DESC,
+                                        vec_id ASC) AS r
+              FROM ({ORACLE_SQL["embed_ann_lsh"]}))
+    )),
+    m_ivf AS (SELECT 'ivf' AS method, dcg FROM (
+        SELECT CAST(CAST(round(sum(cosine_sim / log2(r + 1)), 6)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS dcg
+        FROM (SELECT cosine_sim,
+                     row_number() OVER (ORDER BY cosine_sim DESC,
+                                        vec_id ASC) AS r
+              FROM ({ORACLE_SQL["embed_ann_ivf"]}))
+    )),
+    m_bq AS (SELECT 'bq' AS method, dcg FROM (
+        SELECT CAST(CAST(round(sum(cosine_sim / log2(r + 1)), 6)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS dcg
+        FROM (SELECT cosine_sim,
+                     row_number() OVER (ORDER BY cosine_sim DESC,
+                                        vec_id ASC) AS r
+              FROM ({ORACLE_SQL["embed_bq_search"]}))
+    )),
+    m AS (SELECT * FROM m_lsh UNION ALL SELECT * FROM m_ivf
+          UNION ALL SELECT * FROM m_bq)
+    SELECT m.method, {_TOP_K} AS k, m.dcg, idcg.idcg,
+           m.dcg / idcg.idcg AS ndcg
+    FROM m, idcg
 """

@@ -485,6 +485,7 @@ _BNLJ_ALLOWED = {
     "embed_kmeans",  # k-row codebook per Lloyd pass
     "embed_knn",  # 1-row query vector
     "embed_bq_search",  # 1-row query code crossJoin, same family (r6)
+    "embed_ndcg_audit",  # composes knn/lsh/ivf/bq legs + 1-row idcg crossJoin (r6)
     "embed_pipeline_e2e",  # composite of the above
     "embed_recall_audit",  # composes embed_knn + embed_ann_ivf
     "embed_pq_codes",  # sub-codebooks
