@@ -405,3 +405,21 @@ def test_bq_search_recall_and_code_width(spark, sf_dir):
     ).collect()[0]
     assert 0 <= bounds[0] and bounds[1] < 2**32
     assert 0 <= bounds[2] and bounds[3] < 2**32
+
+
+def test_ndcg_identity_and_bounds(spark, sf_dir):
+    """DCG of the exact ranking against itself is the IDCG, so a method
+    that IS embed_knn must score ndcg == 1.0 exactly (dcg and idcg are
+    the same rounded double); and every audited method's ndcg lies in
+    (0, 1] — an approximate method can never out-rank the exact one."""
+    idcg = S._dcg_1row(
+        S.embed_knn(spark, sf_dir).select("vec_id", "cosine_sim")
+    ).collect()[0].dcg
+    exact_dcg = S._dcg_1row(
+        S.embed_knn(spark, sf_dir).select("vec_id", "cosine_sim")
+    ).collect()[0].dcg
+    assert exact_dcg == idcg
+    rows = S.embed_ndcg_audit(spark, sf_dir).collect()
+    assert {r.method for r in rows} == {"lsh", "ivf", "bq"}
+    for r in rows:
+        assert 0.0 < r.ndcg <= 1.0, r
