@@ -302,6 +302,98 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLT_ALPHA = 0.3  # level smoothing
+_HOLT_BETA = 0.2  # trend smoothing
+_HOLT_HORIZON = 7  # forecast days ahead
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of daily event volume per type
+    (Holt 1957, public literature — the double-exponential-smoothing
+    baseline every capacity planner runs before anything fancier):
+    level/trend fold over the zero-filled daily series, then the
+    h-day-ahead projection level + h·trend.
+
+    The fold is SEQUENTIAL by definition — exactly what a distributed
+    engine cannot shuffle — so it runs where sequential work belongs:
+    the per-type day series (calendar-bounded, zero-filled) collects
+    into ONE array per type via array_sort(collect_list(struct)), and
+    F.aggregate folds it in day order inside codegen. Per-type state is
+    2 doubles; array length is the date range, never the corpus.
+
+    Determinism: the fold is +/* on exact count-derived doubles in a
+    FIXED order — correctly-rounded IEEE on both engines, so level and
+    trend are bit-identical with NO rounding hop anywhere; the DuckDB
+    oracle runs the same recurrence as a bounded recursive CTE
+    (day-indexed), proving the vectorized fold against an
+    independently-shaped sequential implementation.
+
+    Init convention: level = c_1, trend = c_2 − c_1, fold starts at
+    the second day (standard Holt initialization).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rng = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("c", F.lit(0)).cast("double").alias("c"),
+    )
+    series = filled.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s.c,
+        ).alias("cs")
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    init = F.struct(
+        F.element_at("cs", 1).alias("level"),
+        (F.element_at("cs", 2) - F.element_at("cs", 1)).alias("trend"),
+    )
+    # new level appears in both fields; repeating the identical
+    # expression is exact (same IEEE ops), no temporary needed
+    new_level = (
+        lambda acc, c: F.lit(a) * c
+        + F.lit(1 - a) * (acc.level + acc.trend)
+    )
+    fold = F.aggregate(
+        F.slice("cs", 2, F.size("cs") - 1),
+        init,
+        lambda acc, c: F.struct(
+            new_level(acc, c).alias("level"),
+            (
+                F.lit(b) * (new_level(acc, c) - acc.level)
+                + F.lit(1 - b) * acc.trend
+            ).alias("trend"),
+        ),
+    )
+    return series.select(
+        "event_type",
+        F.size("cs").cast("bigint").alias("n_days"),
+        fold.level.alias("level"),
+        fold.trend.alias("trend"),
+        (fold.level + _HOLT_HORIZON * fold.trend).alias(
+            f"forecast_{_HOLT_HORIZON}d"
+        ),
+    )
+
+
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (§2.4 absent-category): all grouping-set
     combinations of (event_type, day) in one pass — Spark expands the
@@ -2602,6 +2694,7 @@ QUERIES = {
     "events_cube": events_cube,
     "events_cusum_changepoint": events_cusum_changepoint,
     "events_seasonal_anomaly": events_seasonal_anomaly,
+    "events_holt_forecast": events_holt_forecast,
     "orders_grouping_sets": orders_grouping_sets,
     "lineitem_stats_agg": lineitem_stats_agg,
     "lineitem_percentiles": lineitem_percentiles,
@@ -3278,6 +3371,62 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+    # constants via !r so the SQL literal parses to the SAME double the
+    # Spark fold uses (1 - 0.3 != literal 0.7 at the bit level)
+    "events_holt_forecast": f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS c
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        rng AS (
+            SELECT date_trunc('day', min(ts)) AS d0,
+                   date_trunc('day', max(ts)) AS d1
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, g.day
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 rng,
+                 unnest(generate_series(rng.d0, rng.d1, INTERVAL 1 DAY))
+                     AS g(day)
+        ),
+        idx AS (
+            SELECT g.event_type,
+                   row_number() OVER (PARTITION BY g.event_type
+                                      ORDER BY g.day) AS i,
+                   CAST(COALESCE(d.c, 0) AS DOUBLE) AS c
+            FROM grid g
+            LEFT JOIN daily d
+              ON g.event_type = d.event_type AND g.day = d.day
+        ),
+        n AS (SELECT event_type, max(i) AS n FROM idx GROUP BY event_type),
+        f AS (
+            SELECT i1.event_type, CAST(2 AS BIGINT) AS i,
+                   0.3 * i2.c + 0.7 * (i1.c + (i2.c - i1.c))
+                       AS level,
+                   0.2 * ((0.3 * i2.c + 0.7 * (i1.c + (i2.c - i1.c)))
+                            - i1.c)
+                       + 0.8 * (i2.c - i1.c) AS trend
+            FROM idx i1
+            JOIN idx i2 ON i1.event_type = i2.event_type
+                       AND i1.i = 1 AND i2.i = 2
+            UNION ALL
+            SELECT f.event_type, f.i + 1,
+                   0.3 * x.c + 0.7 * (f.level + f.trend),
+                   0.2 * ((0.3 * x.c + 0.7 * (f.level + f.trend))
+                            - f.level)
+                       + 0.8 * f.trend
+            FROM f JOIN idx x
+              ON x.event_type = f.event_type AND x.i = f.i + 1
+        )
+        SELECT f.event_type, CAST(n.n AS BIGINT) AS n_days,
+               f.level, f.trend,
+               f.level + {_HOLT_HORIZON} * f.trend
+                   AS forecast_{_HOLT_HORIZON}d
+        FROM f JOIN n USING (event_type)
+        WHERE f.i = n.n
     """,
     "events_seasonal_anomaly": """
         WITH daily AS (

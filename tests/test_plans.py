@@ -501,6 +501,7 @@ _BNLJ_ALLOWED = {
     "events_key_skew_audit",  # 1-row global-stats crossJoin (r4)
     "events_cusum_changepoint",  # 1-row global date-range crossJoin (r6)
     "events_seasonal_anomaly",  # same 1-row date-range crossJoin (r6)
+    "events_holt_forecast",  # same 1-row date-range crossJoin (r6)
     "embed_cell_balance_audit",  # codebook + 1-row stats crossJoins (r4)
     "token_bigram_stats",  # scalar corpus totals
     "token_bpe_merges",  # 1-row argmax merge rule per iteration
