@@ -579,7 +579,25 @@ def cdc_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum runs over identical rounded doubles in identical
     day order on both engines.
     """
-    v = cdc_scd2_history(spark, sf_dir).filter(F.col("op") != "DELETE")
+    versions = cdc_scd2_history(spark, sf_dir).select(
+        "op", "value", "valid_from", "valid_to"
+    )
+    ev = load(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    return time_travel_ledger(versions, rng)
+
+
+def time_travel_ledger(versions: DataFrame, rng: DataFrame) -> DataFrame:
+    """The delta-fold reconstruction kernel behind cdc_time_travel_agg,
+    shared verbatim by the STREAMING surface
+    (streaming/materialize.Scd2HistoryTable.ledger — bit-equality
+    pinned in tests/test_streaming.py): versions = (op, value,
+    valid_from, valid_to), rng = a 1-row (d0, d1) day-truncated range.
+    """
+    v = versions.filter(F.col("op") != "DELETE")
     # BOTH deltas of a version come out of one explode over one row —
     # the union-of-two-selects spelling reads `v` twice, and Spark
     # inlines it, so the whole SCD2 window would run twice (measured
@@ -621,11 +639,7 @@ def cdc_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("net_v"),
         )
     )
-    ev = load(spark, sf_dir, "events")
-    grid = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
-    ).select(
+    grid = rng.select(
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
     )
     filled = grid.join(daily, "day", "left").select(

@@ -175,6 +175,31 @@ class Scd2HistoryTable(LatestStateTable):
             return self.spark.createDataFrame([], SCD2_SCHEMA)
         return self.spark.read.schema(SCD2_SCHEMA).parquet(self.path)
 
+    def ledger(self, value_path: str = "$.value") -> DataFrame:
+        """Every-day point-in-time reconstruction (live row count +
+        value sum at end of each day) from the maintained history — the
+        operators.cdc.time_travel_ledger kernel VERBATIM, so this
+        streaming surface is bit-equal to the batch cdc_time_travel_agg
+        given the same change log (pinned in tests/test_streaming.py).
+        `value_path` reads the tracked numeric out of the schema-on-read
+        row image (row_to_json discipline — works across ALTER TABLE)."""
+        from ..operators.cdc import time_travel_ledger
+
+        hist = self.read()
+        versions = hist.select(
+            "op",
+            F.get_json_object("new", value_path)
+            .cast("double")
+            .alias("value"),
+            "valid_from",
+            "valid_to",
+        )
+        rng = hist.agg(
+            F.date_trunc("day", F.min("valid_from")).alias("d0"),
+            F.date_trunc("day", F.max("valid_from")).alias("d1"),
+        )
+        return time_travel_ledger(versions, rng)
+
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         changes = batch.select(
             "key", "seq", "op", "new", F.col("ts").alias("valid_from")

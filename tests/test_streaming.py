@@ -1918,3 +1918,59 @@ def test_streaming_hybrid_fusion_matches_batch(spark, tmp_path, sf_dir):
     ).collect()
     batch = docs_hybrid_search(spark, sf_dir).collect()
     assert served == batch
+
+
+def test_scd2_ledger_bit_equal_to_batch_time_travel(spark, tmp_path, sf_dir):
+    """Scd2HistoryTable.ledger (the streaming every-day point-in-time
+    reconstruction) must be BIT-EQUAL to the batch cdc_time_travel_agg
+    over the same change log — same delta-fold kernel, fed from a
+    multi-batch streamed history instead of one batch window. Streams
+    the whole events table as three capture chunks (so cross-batch
+    valid_to backfill is genuinely exercised), then compares every
+    (day, n_created, n_closed, n_active, total_value) row."""
+    import json as _json
+
+    from postgres_cdc_plugin_spark.operators.cdc import cdc_time_travel_agg
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.materialize import Scd2HistoryTable
+
+    _OP = {"signup": "INSERT", "error": "DELETE"}
+    rows = sorted(
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect(),
+        key=lambda r: r.event_id,
+    )
+
+    def ch(r):
+        op = _OP.get(r.event_type, "UPDATE")
+        return {
+            "seq": r.event_id,
+            "key": str(r.user_id),
+            "op": op,
+            "table_schema": "public",
+            "table_name": "events",
+            "old": None,
+            # json.dumps emits the shortest round-trip float literal, so
+            # get_json_object -> cast double recovers the EXACT double
+            "new": None if op == "DELETE" else _json.dumps({"value": r.value}),
+            "ts": r.ts.isoformat(),
+        }
+
+    feed = tmp_path / "ledger_feed"
+    t = Scd2HistoryTable(spark, str(tmp_path / "ledger_history"))
+    third = len(rows) // 3
+    for part in (rows[:third], rows[third : 2 * third], rows[2 * third :]):
+        changefeed.write_chunk(str(feed), [ch(r) for r in part])
+        q = (
+            changefeed.read_stream(spark, str(feed))
+            .writeStream.foreachBatch(t.sink())
+            .option("checkpointLocation", str(tmp_path / "ledger_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    led = sorted(map(tuple, t.ledger().collect()))
+    bat = sorted(map(tuple, cdc_time_travel_agg(spark, sf_dir).collect()))
+    assert led == bat
