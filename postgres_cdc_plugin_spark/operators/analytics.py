@@ -2123,6 +2123,80 @@ _Z_BITS = 8  # interleaved bits per dimension (coordinates mod 256)
 _Z_BUCKET_SHIFT = 10  # 16-bit z-value >> 10 = 64 quad-tree cells
 
 
+# orderings swept by the RLE layout audit: name -> explicit total-order
+# sort columns (each ends in the (orderkey, linenumber) unique tiebreak
+# so runs are well-defined, not an artifact of storage order)
+_RLE_TARGETS = ("l_returnflag", "l_linestatus")
+
+
+def lineitem_rle_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length layout audit — the measurement behind choosing a
+    table's sort order for encoding efficiency: for each candidate
+    ordering (ship-date clustered, part-key clustered, and the
+    unsorted-key baseline ordered by the primary key), the number of
+    VALUE RUNS and mean run length each low-cardinality column would
+    store under parquet RLE/dictionary encoding. Longer runs = fewer
+    RLE segments = smaller files and faster scans; the audit quantifies
+    what a re-sort buys BEFORE paying the rewrite (the same decision
+    z-ordering makes for two-dimensional pruning,
+    lineitem_zorder_layout).
+
+    Runs are defined under EXPLICIT total orders (unique tiebreak on
+    the primary key), never storage order — relation order is not a
+    SQL-observable property, which is also what makes the audit
+    oracle-checkable. One window per ordering counts run STARTS for
+    both target columns in a single pass (lag != current, null-safe);
+    avg_run_len = n_rows/n_runs is one exact int/int division.
+
+    Scale: each ordering is one global sort of the (keys + 2 target
+    columns) projection — the audit is run once per layout decision,
+    and at 100 TB on a SAMPLE or per-partition (run lengths compose
+    additively across partition boundaries up to one seam run each).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_partkey",
+        *_RLE_TARGETS,
+    )
+    orderings = {
+        "shipdate": ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "partkey": ["l_partkey", "l_orderkey", "l_linenumber"],
+        "pk": ["l_orderkey", "l_linenumber"],
+    }
+    out: DataFrame | None = None
+    for name, cols in orderings.items():
+        w = Window.orderBy(*[F.asc(c) for c in cols])
+        runs = li.select(
+            *[
+                (~F.col(t).eqNullSafe(F.lag(t).over(w)))
+                .cast("int")
+                .alias(f"start_{t}")
+                for t in _RLE_TARGETS
+            ]
+        )
+        agg = runs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            *[
+                F.sum(f"start_{t}").cast("bigint").alias(f"runs_{t}")
+                for t in _RLE_TARGETS
+            ],
+        )
+        for t in _RLE_TARGETS:
+            row = agg.select(
+                F.lit(name).alias("ordering"),
+                F.lit(t).alias("column"),
+                "n_rows",
+                F.col(f"runs_{t}").alias("n_runs"),
+                (F.col("n_rows") / F.col(f"runs_{t}").cast("double")).alias(
+                    "avg_run_len"
+                ),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
 def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit: bucket the fact table by the bit-interleaved
     Morton key of its (l_partkey, l_suppkey) low coordinates and report
@@ -3854,3 +3928,43 @@ ORACLE_SQL = {
         GROUP BY 1
     """,
 }
+
+
+def _rle_oracle_sql() -> str:
+    """DuckDB mirror of lineitem_rle_layout_audit, generated from the
+    SAME ordering/target tables the Spark query sweeps (one source of
+    truth for the sweep grid)."""
+    orderings = {
+        "shipdate": ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "partkey": ["l_partkey", "l_orderkey", "l_linenumber"],
+        "pk": ["l_orderkey", "l_linenumber"],
+    }
+    ctes, selects = [], []
+    for name, cols in orderings.items():
+        order = ", ".join(f"{c} ASC" for c in cols)
+        flags = ", ".join(
+            f"CASE WHEN {t} IS DISTINCT FROM lag({t}) OVER w "
+            f"THEN 1 ELSE 0 END AS start_{t}"
+            for t in _RLE_TARGETS
+        )
+        run_sums = ", ".join(
+            f"CAST(sum(start_{t}) AS BIGINT) AS runs_{t}"
+            for t in _RLE_TARGETS
+        )
+        ctes.append(
+            f"agg_{name} AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            f"{run_sums} FROM (SELECT {flags} FROM lineitem "
+            f"WINDOW w AS (ORDER BY {order})))"
+        )
+        for t in _RLE_TARGETS:
+            selects.append(
+                f"SELECT '{name}' AS ordering, '{t}' AS \"column\", "
+                f"n_rows, runs_{t} AS n_runs, "
+                f"n_rows / CAST(runs_{t} AS DOUBLE) AS avg_run_len "
+                f"FROM agg_{name}"
+            )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+ORACLE_SQL["lineitem_rle_layout_audit"] = _rle_oracle_sql()
+QUERIES["lineitem_rle_layout_audit"] = lineitem_rle_layout_audit
