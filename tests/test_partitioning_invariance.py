@@ -41,6 +41,18 @@ _SENSITIVE = [
     "embed_kcenter_coreset",
     "docs_bm25_search",
     "events_interval_join",
+    # late r6: sequential array fold (Holt), integer-scaled cumulative
+    # window (CUSUM), delta-fold cumulative ledger (time travel),
+    # union-find over fuzzy pairs + survivorship window (golden record),
+    # Hamming pool + rerank (BQ), DCG folds over method top-ks (NDCG),
+    # run-start windows under explicit orders (RLE audit)
+    "events_holt_forecast",
+    "events_cusum_changepoint",
+    "cdc_time_travel_agg",
+    "customer_golden_record",
+    "embed_bq_search",
+    "embed_ndcg_audit",
+    "lineitem_rle_layout_audit",
 ]
 
 
