@@ -36,6 +36,11 @@ _DOC_QUERIES = [
     (text, "docs_lang_confusion"),
     (text, "docs_weighted_sample"),
     (text, "docs_bm25_search"),
+    # late r6 documents operators
+    (text, "docs_ccnet_buckets"),
+    (text, "docs_quality_psi_drift"),
+    (text, "docs_gopher_rules"),
+    (dedup, "docs_gram_novelty"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
