@@ -2148,10 +2148,19 @@ def lineitem_rle_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     both target columns in a single pass (lag != current, null-safe);
     avg_run_len = n_rows/n_runs is one exact int/int division.
 
-    Scale: each ordering is one global sort of the (keys + 2 target
-    columns) projection — the audit is run once per layout decision,
-    and at 100 TB on a SAMPLE or per-partition (run lengths compose
-    additively across partition boundaries up to one seam run each).
+    Scale — the DISTRIBUTED run count, not a global window: a
+    Window.orderBy with no partition key funnels the table into ONE
+    task (the first cut of this query did; 5.4 s at sf0.1 and a
+    non-starter at 100 TB). Instead each ordering range-partitions on
+    its sort key, sorts WITHIN partitions (parallel), counts run
+    starts with a partition-LOCAL lag window, and applies an exact
+    seam correction: a partition's first row starts a run iff its
+    value differs from the previous non-empty partition's last value
+    (min_by/max_by on the sort-key struct). Run counts are exact for
+    ANY range-boundary placement, so the sampler inside
+    repartitionByRange can never affect the result — only the
+    balance. Seam state is one row per partition; everything
+    corpus-sized runs at full parallelism.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -2160,26 +2169,70 @@ def lineitem_rle_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         *_RLE_TARGETS,
     )
+    # every ordering ends with the audited columns themselves: the
+    # business keys COLLIDE in this data (duplicate (orderkey,
+    # linenumber) pairs with different flags), and runs under an
+    # ambiguous order are ill-defined — with the targets as final
+    # tiebreaks any remaining ties are rows identical in every sort
+    # and audited column, whose relative order cannot change a run
     orderings = {
-        "shipdate": ["l_shipdate", "l_orderkey", "l_linenumber"],
-        "partkey": ["l_partkey", "l_orderkey", "l_linenumber"],
-        "pk": ["l_orderkey", "l_linenumber"],
+        "shipdate": ["l_shipdate", "l_orderkey", "l_linenumber", *_RLE_TARGETS],
+        "partkey": ["l_partkey", "l_orderkey", "l_linenumber", *_RLE_TARGETS],
+        "pk": ["l_orderkey", "l_linenumber", *_RLE_TARGETS],
     }
     out: DataFrame | None = None
     for name, cols in orderings.items():
-        w = Window.orderBy(*[F.asc(c) for c in cols])
-        runs = li.select(
+        s = (
+            li.repartitionByRange(32, *[F.col(c) for c in cols])
+            .sortWithinPartitions(*cols)
+            .withColumn("pid", F.spark_partition_id())
+        )
+        wp = Window.partitionBy("pid").orderBy(*cols)
+        key = F.struct(*[F.col(c) for c in cols])
+        flags = s.select(
+            "pid",
+            key.alias("k"),
+            *_RLE_TARGETS,
             *[
-                (~F.col(t).eqNullSafe(F.lag(t).over(w)))
+                (~F.col(t).eqNullSafe(F.lag(t).over(wp)))
                 .cast("int")
                 .alias(f"start_{t}")
                 for t in _RLE_TARGETS
-            ]
+            ],
         )
-        agg = runs.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        per_pid = flags.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("n_rows"),
             *[
-                F.sum(f"start_{t}").cast("bigint").alias(f"runs_{t}")
+                f
+                for t in _RLE_TARGETS
+                for f in (
+                    # first row's lag is NULL -> always flagged; the
+                    # seam decides whether it really starts a run
+                    (F.sum(f"start_{t}") - 1).alias(f"internal_{t}"),
+                    F.min_by(t, F.col("k")).alias(f"first_{t}"),
+                    F.max_by(t, F.col("k")).alias(f"last_{t}"),
+                )
+            ],
+        )
+        ws = Window.orderBy("pid")  # one row per partition: tiny
+        seam = per_pid.select(
+            "n_rows",
+            *[
+                (
+                    F.col(f"internal_{t}")
+                    + (
+                        ~F.col(f"first_{t}").eqNullSafe(
+                            F.lag(f"last_{t}").over(ws)
+                        )
+                    ).cast("int")
+                ).alias(f"runs_{t}")
+                for t in _RLE_TARGETS
+            ],
+        )
+        agg = seam.agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            *[
+                F.sum(f"runs_{t}").cast("bigint").alias(f"runs_{t}")
                 for t in _RLE_TARGETS
             ],
         )
@@ -3935,9 +3988,9 @@ def _rle_oracle_sql() -> str:
     SAME ordering/target tables the Spark query sweeps (one source of
     truth for the sweep grid)."""
     orderings = {
-        "shipdate": ["l_shipdate", "l_orderkey", "l_linenumber"],
-        "partkey": ["l_partkey", "l_orderkey", "l_linenumber"],
-        "pk": ["l_orderkey", "l_linenumber"],
+        "shipdate": ["l_shipdate", "l_orderkey", "l_linenumber", *_RLE_TARGETS],
+        "partkey": ["l_partkey", "l_orderkey", "l_linenumber", *_RLE_TARGETS],
+        "pk": ["l_orderkey", "l_linenumber", *_RLE_TARGETS],
     }
     ctes, selects = [], []
     for name, cols in orderings.items():
