@@ -329,10 +329,7 @@ def queue_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     attempt) dedup/agg shuffle, one key join — the fold's own shape;
     nothing collects.
     """
-    from ..streaming.queue import queue_state_fold
-
-    ev = load(spark, sf_dir, "events")
-    state = queue_state_fold(*_queue_fixture(ev))
+    state = _queue_state(spark, sf_dir)
     return state.select(
         F.col("event_id").cast("bigint").alias("event_id"),
         "retry_backoff",
@@ -356,6 +353,19 @@ def queue_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("next_attempt_epoch"),
     )
+
+
+def _queue_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded queue state relation — the queue family's shared
+    kernel. Persisted: queue_state_machine and queue_latency_profile
+    consume the IDENTICAL plan (parquet-rooted, so it canonicalizes),
+    and the state is one row per event — the cache manager hands the
+    second consumer the built relation instead of a second
+    explode/fold."""
+    from ..streaming.queue import queue_state_fold
+
+    ev = load(spark, sf_dir, "events")
+    return queue_state_fold(*_queue_fixture(ev)).persist()
 
 
 def _queue_fixture(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -428,10 +438,7 @@ def queue_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile is the right audit choice at this grain —
     approx_percentile remains the documented per-key 100 TB path
     (lineitem_approx_percentiles)."""
-    from ..streaming.queue import queue_state_fold
-
-    ev = load(spark, sf_dir, "events")
-    state = queue_state_fold(*_queue_fixture(ev))
+    state = _queue_state(spark, sf_dir)
     enq = F.floor(F.col("enqueued_at").cast("timestamp_ltz").cast("double"))
     first_ok = F.element_at(
         F.filter("attempts", lambda s: s.http_status == 200), 1
