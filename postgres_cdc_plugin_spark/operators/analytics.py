@@ -21,6 +21,62 @@ from ..plans.zorder import zorder_key_sql
 from ..session import load
 
 
+def orders_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation audit — the accuracy check behind every
+    cost-based join reorder (the §4 optimizer-statistics family, with
+    lineitem_column_profile as the stats-collection side): for the
+    orders ⨝ lineitem equi-join on orderkey, the textbook CBO estimate
+    |R|·|S| / max(ndv_R, ndv_S) (uniform-frequency assumption, Selinger
+    1979, public literature) against the TRUE join cardinality, plus
+    the estimate/truth ratio a planner's quality dashboard tracks.
+
+    The true size is computed WITHOUT materializing the join:
+    Σ_k n_R(k)·n_S(k) over per-key count aggregations — two map-side
+    combinable groupBys and a count-to-count join at key grain, never
+    the row-level product. All quantities are exact integers; the two
+    reported estimates are single exact int-derived IEEE divisions
+    (never rounded).
+
+    Scale: per-key count relations are bounded by key cardinality, not
+    row count; the audit costs two aggregations + one key-grain join
+    at any fact size.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    oc = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_o"))
+    lc = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_l"))
+    true_rows = (
+        oc.join(lc, oc.o_orderkey == lc.l_orderkey)
+        .agg(F.sum(F.col("n_o") * F.col("n_l")).alias("true_rows"))
+    )
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n_left"),
+        F.countDistinct("o_orderkey").alias("ndv_left"),
+    ).crossJoin(
+        li.agg(
+            F.count(F.lit(1)).alias("n_right"),
+            F.countDistinct("l_orderkey").alias("ndv_right"),
+        )
+    )
+    est = (
+        F.col("n_left")
+        * F.col("n_right")
+        / F.greatest("ndv_left", "ndv_right").cast("double")
+    )
+    return (
+        stats.crossJoin(true_rows)
+        .select(
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.col("ndv_left").cast("bigint").alias("ndv_left"),
+            F.col("ndv_right").cast("bigint").alias("ndv_right"),
+            est.alias("est_rows"),
+            F.col("true_rows").cast("bigint").alias("true_rows"),
+            (est / F.col("true_rows").cast("double")).alias("est_ratio"),
+        )
+    )
+
+
 def orders_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema enrichment join (J1 generalized).
 
@@ -2813,6 +2869,7 @@ QUERIES = {
     "customer_balance_outliers": customer_balance_outliers,
     "customer_pii_anonymize": customer_pii_anonymize,
     "orders_enrich_join": orders_enrich_join,
+    "orders_join_cardinality_audit": orders_join_cardinality_audit,
     "orders_shipping_priority": orders_shipping_priority,
     "supplier_part_volume": supplier_part_volume,
     "lineitem_pricing_agg": lineitem_pricing_agg,
@@ -4020,4 +4077,33 @@ def _rle_oracle_sql() -> str:
 
 
 ORACLE_SQL["lineitem_rle_layout_audit"] = _rle_oracle_sql()
+
+ORACLE_SQL["orders_join_cardinality_audit"] = """
+    WITH oc AS (
+        SELECT o_orderkey, count(*) AS n_o FROM orders GROUP BY o_orderkey
+    ),
+    lc AS (
+        SELECT l_orderkey, count(*) AS n_l FROM lineitem GROUP BY l_orderkey
+    ),
+    tr AS (
+        SELECT CAST(sum(n_o * n_l) AS BIGINT) AS true_rows
+        FROM oc JOIN lc ON oc.o_orderkey = lc.l_orderkey
+    ),
+    st AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+               (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                FROM orders) AS ndv_left,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
+               (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                FROM lineitem) AS ndv_right
+    )
+    SELECT n_left, n_right, ndv_left, ndv_right,
+           n_left * n_right
+               / CAST(greatest(ndv_left, ndv_right) AS DOUBLE) AS est_rows,
+           true_rows,
+           (n_left * n_right
+               / CAST(greatest(ndv_left, ndv_right) AS DOUBLE))
+               / CAST(true_rows AS DOUBLE) AS est_ratio
+    FROM st, tr
+"""
 QUERIES["lineitem_rle_layout_audit"] = lineitem_rle_layout_audit

@@ -513,6 +513,7 @@ _BNLJ_ALLOWED = {
     "embed_mmr_rerank",  # 1-row query-vector + per-pick crossJoins (r6)
     "docs_hybrid_search",  # composes docs_bm25_search + embed_knn legs (r6)
     "lineitem_column_profile",  # two 1-row stats relations crossJoined (r6)
+    "orders_join_cardinality_audit",  # 1-row stats + 1-row true-size crossJoins (r6)
     "embed_matryoshka_audit",  # 1-row query-slice crossJoin + embed_knn leg (r6)
 }
 
