@@ -1158,6 +1158,66 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash index-health audit: the fraction of documents with each
+    of the 64 signature bits set. A well-mixed hash keeps every bit
+    near 0.5; a bit pinned toward 0 or 1 carries no discriminating
+    information, silently widening every 16-bit LSH block bucket — the
+    audit a dedup pipeline runs before trusting its near-dup recall.
+    `balanced` (within ±0.125 of fair) is evaluated as the PURE integer
+    comparison 3·n_docs <= 8·n_ones <= 5·n_docs; ones_frac is one exact
+    int/int division.
+
+    Reuses the production signature relation verbatim (docs_simhash's
+    4x16-bit blocks); the bit explode is a narrow 64x projection of the
+    (already Zipf-bounded) signature relation, then one 64-group
+    aggregation — map-side combinable, O(1) output at any corpus size.
+    """
+    sig = docs_simhash(spark, sf_dir).select("blk1", "blk2", "blk3", "blk4")
+    blocks = F.array("blk1", "blk2", "blk3", "blk4")
+    return (
+        sig.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias(
+                "bit"
+            ),
+            blocks.alias("blks"),
+        )
+        .select(
+            "bit",
+            # variable-distance shift via integer division by 2^k (the
+            # shiftright builtin takes only a literal distance); blocks
+            # are 16-bit non-negative ints, so pow(2, k<=15) is exact
+            (
+                F.floor(
+                    F.element_at(
+                        "blks",
+                        (F.col("bit") / _BITS_PER_BLOCK).cast("int") + 1,
+                    )
+                    / F.pow(F.lit(2.0), F.col("bit") % _BITS_PER_BLOCK)
+                ).cast("int")
+                % 2
+            ).alias("is_set"),
+        )
+        .groupBy("bit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_set").cast("bigint").alias("n_ones"),
+        )
+        .select(
+            F.col("bit").cast("int").alias("bit"),
+            "n_docs",
+            "n_ones",
+            (F.col("n_ones") / F.col("n_docs").cast("double")).alias(
+                "ones_frac"
+            ),
+            (
+                (8 * F.col("n_ones") >= 3 * F.col("n_docs"))
+                & (8 * F.col("n_ones") <= 5 * F.col("n_docs"))
+            ).alias("balanced"),
+        )
+    )
+
+
 _NOVELTY_COVERED_MAX = 0.1  # novelty at or below this => doc is covered
 
 
@@ -1233,6 +1293,7 @@ QUERIES = {
     "docs_simhash": docs_simhash,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_simhash_dedup": docs_simhash_dedup,
+    "docs_simhash_bit_balance": docs_simhash_bit_balance,
 }
 
 # byte shingles as hex (see _shingles: the engine-portable rendition of
@@ -1460,6 +1521,26 @@ ORACLE_SQL = {
         FROM ({_SIMHASH_BASE_SQL})
     """,
     "docs_simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "docs_simhash_bit_balance": f"""
+        WITH sig AS (SELECT * FROM ({_SIMHASH_BASE_SQL})),
+        bits AS (
+            SELECT t.b AS bit,
+                   (CASE t.b // {_BITS_PER_BLOCK}
+                        WHEN 0 THEN blk1 WHEN 1 THEN blk2
+                        WHEN 2 THEN blk3 ELSE blk4 END
+                    // CAST(pow(2, t.b % {_BITS_PER_BLOCK}) AS INT)) % 2
+                       AS is_set
+            FROM sig, unnest(range(0, {_SIMHASH_BITS})) AS t(b)
+        )
+        SELECT CAST(bit AS INT) AS bit,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_set) AS BIGINT) AS n_ones,
+               sum(is_set) / CAST(count(*) AS DOUBLE) AS ones_frac,
+               8 * sum(is_set) >= 3 * count(*)
+                   AND 8 * sum(is_set) <= 5 * count(*) AS balanced
+        FROM bits
+        GROUP BY bit
+    """,
     "docs_simhash_dedup": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents d
