@@ -216,6 +216,68 @@ def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACTIVE_WINDOWS = {"dau": 1, "wau": 7, "mau": 30}  # trailing days
+
+
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU — exact distinct active users per day over trailing
+    1/7/30-day windows, the canonical product-analytics engagement
+    surface this family (funnel/retention/paths) was missing.
+
+    Exact rolling DISTINCT doesn't fit a window frame (COUNT(DISTINCT)
+    is not a legal window aggregate in either engine); the relational
+    decomposition: collapse to the DISTINCT (user, active-day) relation
+    first — the only corpus-sized shuffle, map-side combinable — then
+    each user-day CONTRIBUTES to the w trailing target days via a
+    bounded sequence explode (x7/x30 of the already user-day-grain
+    relation, not the event stream), and one (target-day, user)
+    distinct count per window closes it. Counts are exact integers;
+    days outside the observed range are clipped so every reported day
+    aggregates a full window of available history.
+
+    Scale: the event stream is touched once (the user-day distinct);
+    everything after runs at user-day x window grain. At extreme MAU
+    windows the documented degrade is approx_count_distinct (HLL
+    sketches merge across days, making the rolling union a sketch
+    merge — the approx_distinct_users path).
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        ).distinct()
+    ).persist()
+    rng = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = rng.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    out = grid
+    for name, w in _ACTIVE_WINDOWS.items():
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(day, day + interval {w - 1} day,"
+                    " interval 1 day)"
+                )
+            ).alias("day"),
+        )
+        counts = contrib.groupBy("day").agg(
+            F.countDistinct("user_id").cast("bigint").alias(name)
+        )
+        out = out.join(counts, "day", "left")
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(n), F.lit(0)).cast("bigint").alias(n)
+            for n in _ACTIVE_WINDOWS
+        ],
+    )
+
+
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-point detection per event type: the day where the CUSUM
     statistic S_i = Σ_{d<=i} (c_d − mean) over the zero-filled daily
@@ -2877,6 +2939,7 @@ QUERIES = {
     "grouping_rollup": grouping_rollup,
     "events_cube": events_cube,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "events_dau_wau_mau": events_dau_wau_mau,
     "events_seasonal_anomaly": events_seasonal_anomaly,
     "events_holt_forecast": events_holt_forecast,
     "orders_grouping_sets": orders_grouping_sets,
@@ -4077,6 +4140,51 @@ def _rle_oracle_sql() -> str:
 
 
 ORACLE_SQL["lineitem_rle_layout_audit"] = _rle_oracle_sql()
+
+ORACLE_SQL["events_dau_wau_mau"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    rng AS (
+        SELECT date_trunc('day', min(ts)) AS d0,
+               date_trunc('day', max(ts)) AS d1
+        FROM events
+    ),
+    grid AS (
+        SELECT g.day
+        FROM rng, unnest(generate_series(rng.d0, rng.d1, INTERVAL 1 DAY))
+            AS g(day)
+    ),
+    dau AS (
+        SELECT t.day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ud,
+             unnest(generate_series(ud.day, ud.day, INTERVAL 1 DAY))
+                 AS t(day)
+        GROUP BY t.day
+    ),
+    wau AS (
+        SELECT t.day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM ud,
+             unnest(generate_series(ud.day, ud.day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS t(day)
+        GROUP BY t.day
+    ),
+    mau AS (
+        SELECT t.day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM ud,
+             unnest(generate_series(ud.day, ud.day + INTERVAL 29 DAY,
+                                    INTERVAL 1 DAY)) AS t(day)
+        GROUP BY t.day
+    )
+    SELECT g.day,
+           CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(COALESCE(wau.wau, 0) AS BIGINT) AS wau,
+           CAST(COALESCE(mau.mau, 0) AS BIGINT) AS mau
+    FROM grid g
+    LEFT JOIN dau ON g.day = dau.day
+    LEFT JOIN wau ON g.day = wau.day
+    LEFT JOIN mau ON g.day = mau.day
+"""
 
 ORACLE_SQL["orders_join_cardinality_audit"] = """
     WITH oc AS (

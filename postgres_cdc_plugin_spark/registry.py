@@ -159,7 +159,7 @@ PRIORITY_ORDER = [
     # Registered after the round-6 window was frozen (same situation as
     # the late-r4 four): never driver-checked yet, local parity only —
     # FIRST in line for the r7 window front, ahead of staleness
-    # rotation. Twenty late-r6 queries total; the expensive
+    # rotation. Twenty-one late-r6 queries total; the expensive
     # recursive-CTE oracle (customer_golden_record) should sit at the
     # r7 window's tail per the CC-family convention:
     "docs_hybrid_search",
@@ -182,6 +182,7 @@ PRIORITY_ORDER = [
     "orders_join_cardinality_audit",
     "docs_simhash_bit_balance",
     "docs_minhash_calibration",
+    "events_dau_wau_mau",
     # r3-green and r5-green blocks append in module order below.
 ]
 
