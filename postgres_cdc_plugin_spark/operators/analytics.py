@@ -242,15 +242,23 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge — the approx_distinct_users path).
     """
     ev = load(spark, sf_dir, "events")
-    ud = (
-        ev.select(
-            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-        ).distinct()
-    ).persist()
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
     rng = ev.agg(
         F.date_trunc("day", F.min("ts")).alias("d0"),
         F.date_trunc("day", F.max("ts")).alias("d1"),
     )
+    return active_users_rolling(ud, rng)
+
+
+def active_users_rolling(ud: DataFrame, rng: DataFrame) -> DataFrame:
+    """The rolling-distinct kernel behind events_dau_wau_mau, shared
+    verbatim by the STREAMING ledger
+    (streaming/engagement.ActiveUsersLedger.rolling — bit-equality
+    pinned in tests/test_streaming.py): ud = the DISTINCT (user_id,
+    day) relation, rng = a 1-row (d0, d1) day range."""
+    ud = ud.persist()
     grid = rng.select(
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
     )
