@@ -474,3 +474,28 @@ def test_column_profile_is_two_scans(spark, sf_dir):
     plan = inspect.physical_plan(A.lineitem_column_profile(spark, sf_dir))
     assert plan.count("Scan parquet") == 2, plan
     assert plan.count("Expand") == 1, plan
+
+
+def test_hll_sketches_merge_losslessly(spark, sf_dir):
+    """The documented 100 TB degrade for exact rolling/global distincts
+    (events_dau_wau_mau, lineitem_column_profile, approx_distinct_users)
+    is HLL sketch merging — valid because sketch union is register-wise
+    max, associative and commutative: the union of per-day sketches must
+    estimate EXACTLY what one single-pass sketch over the whole log
+    estimates, not approximately."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.session import load
+
+    ev = load(spark, sf_dir, "events")
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0].est
+    merged = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert whole == merged
