@@ -9,26 +9,23 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-6 window (the r5
-    rotation never ran — zero-commit round): (1) the four queries that
-    have NEVER had a driver row, (2) the eleven new round-6 queries
-    (queue_state_machine, events_salted_enrich, orders_bucketed_join,
-    docs_weighted_sample, docs_bm25_search, events_interval_join,
-    embed_kcenter_coreset, docs_lsh_tuning, multimodal_silence_trim,
-    embed_mmr_rerank, queue_latency_profile), (3) every query whose
-    results or oracle changed this round — embed_ann_lsh (promoted
-    from rows-only to a full oracle), the MinHash shingle family
-    (byte-window shingles now hex-rendered so the oracle is portable
-    to non-ASCII text), and the two graph queries that now read the
-    shared _copurchase_degrees kernel, (4) the seven anchors whose
-    only driver evidence is round 1, (5) a 19-query slice of the
-    46-query r2-green block (preferring oracle-checked members over
-    rows-only ones), and (6) the CC family — its distributed loop was
-    reworked this round (per-plan repartition instead of session-conf
-    mutation) and its expensive recursive-CTE oracles sit LAST in the
-    window so a driver timeout there still leaves CORRECTNESS rows for
-    everything before them. The r3/r5-green blocks and the remaining
-    15 r2 queries append after the window in module order.
+    most-recently-green family to the tail. Round-7 window, exactly as
+    the r6 verdict staged it (asks #1–#3): (1) the 21 queries
+    registered after the r6 window froze — never driver-checked, local
+    parity only — with the one expensive recursive-CTE oracle
+    (customer_golden_record) moved to the window TAIL per the
+    CC-family convention so a driver timeout there still leaves rows
+    for everything before it, (2) genuinely new round-7 queries
+    appended BEHIND those 21 (verdict ask #1: new work never displaces
+    the staged front; verdict ask #2: they are registered at window
+    positions BEFORE the window freezes, not after), (3) the full
+    24-query r2-stale block (evidence five rounds old:
+    docs_common_spans … multimodal_dedup), and (4) the remaining
+    slots filled from the r3-stale block oldest-first (alphabetical
+    within equal age: cdc_column_diff, cdc_delta_agg). After the r7
+    run no query's evidence is older than round 3. The 38 remaining
+    r3-green queries are staged at 51+ for the r8 window; r5/r6-green
+    blocks append after them in module order.
 """
 
 from __future__ import annotations
@@ -61,77 +58,34 @@ ROWS_ONLY = {
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # ---- round-6 window (first 50) ----
-    # Never had ANY driver row (registered late in r4 at 51+):
-    "docs_lang_confusion",
-    "events_touch_attribution",
-    "docs_dedup_rate_by_source",
-    "embed_cell_balance_audit",
-    # New round-6 queries:
-    "queue_state_machine",        # streaming fold, first driver-visible check
-    "queue_latency_profile",      # delivery-latency SLO over the same fold
-    "events_salted_enrich",       # salted hot-key join, plain-join oracle
-    "orders_bucketed_join",       # exchange-free bucketed fact-fact join
-    "docs_weighted_sample",       # A-Res weighted sampling w/o replacement
-    "docs_bm25_search",           # Okapi BM25 lexical top-k retrieval
-    "events_interval_join",       # binned interval-overlap range join
-    "embed_kcenter_coreset",      # greedy farthest-point coreset selection
-    "docs_lsh_tuning",            # banding-parameter sweep w/ exact recall
-    "multimodal_silence_trim",    # audio VAD/trim through the WAV decoder
-    "embed_mmr_rerank",           # MMR diversified re-ranking after ANN
-    # Results or oracle changed in round 6 (need fresh rows):
-    "embed_ann_lsh",              # rows-only -> full deterministic oracle
-    "docs_minhash_sigs",          # hex-rendered byte shingles (non-ASCII fix)
-    "docs_minhash_pairs",
-    "docs_minhash_dedup",
-    "docs_ngram_jaccard",
-    "docs_ngram_containment",
-    "docs_dedup_method_agreement",
-    "part_triangle_counts",       # shared _copurchase_degrees kernel
-    "part_copurchase_pagerank",   # shared _copurchase_degrees kernel
-    # The seven anchors whose only driver evidence is round 1:
-    "approx_distinct_users",      # rows-only; error bounds pinned locally
-    "props_json_extract",
-    "headers_explode",
-    "grouping_rollup",
-    "events_value_histogram",
-    "lineitem_conditional_agg",
-    "lineitem_moving_avg",
-    # 19-query slice of the r2-green block (last driver rows four
-    # rounds old). lineitem_approx_percentiles (rows-only) yields its
-    # slot to the oracle-checked docs_common_spans; the remaining 15
-    # r2 queries (embed_*/multimodal_meta/multimodal_dedup/
-    # docs_pipeline_e2e/docs_embed_join) rotate in next round.
-    "lineitem_stats_agg",
-    "events_sessionize",
-    "docs_exact_dedup",
-    "docs_fingerprint_groups",
-    "docs_simhash",
-    "docs_simhash_pairs",
-    "docs_simhash_dedup",
-    "docs_text_stats",
-    "token_bigram_stats",
-    "token_zipf_audit",
-    "docs_lang_id",
-    "docs_quality_score",
-    "docs_content_fingerprint",
-    "docs_token_counts",
-    "token_frequencies",
-    "docs_rolling_fingerprint",
-    "docs_train_split",
-    # Positions 49-50: the CC family — distributed loop reworked this
-    # round (per-plan repartition); expensive recursive-CTE oracles
-    # last in the window so a driver timeout there still leaves
-    # CORRECTNESS rows for everything before it.
-    "docs_dup_clusters",
-    "docs_cluster_dedup",
-    # ---- position 51+ ----
-    # The remaining r2-green block members (evidence ages to five
-    # rounds; first in line for the r7 window). docs_common_spans /
-    # docs_boilerplate_ngrams / docs_chunks / docs_pack_bins /
-    # docs_source_mix / token_tfidf / docs_contamination /
-    # docs_repetition_filter / docs_stratified_sample yielded their
-    # window slots to the new round-6 queries (never-driver-checked outranks freshness):
+    # ---- round-7 window (first 50) ----
+    # (1) The 21 late-r6 registrations, never driver-checked; the
+    # recursive-CTE golden-record oracle is pulled to position 50:
+    "docs_hybrid_search",
+    "lineitem_column_profile",
+    "embed_matryoshka_audit",
+    "docs_ccnet_buckets",
+    "docs_quality_psi_drift",
+    "docs_gram_novelty",
+    "part_skyline",
+    "events_cusum_changepoint",
+    "docs_gopher_rules",
+    "multimodal_scene_cuts",
+    "cdc_time_travel_agg",
+    "embed_bq_search",
+    "events_seasonal_anomaly",
+    "embed_ndcg_audit",
+    "events_holt_forecast",
+    "lineitem_rle_layout_audit",
+    "orders_join_cardinality_audit",
+    "docs_simhash_bit_balance",
+    "docs_minhash_calibration",
+    "events_dau_wau_mau",
+    # (2) New round-7 queries — registered before the window froze:
+    "docs_strip_self_repetition",  # intra-doc repeated-gram removal
+    "docs_url_canonicalize",       # crawl-URL canonical form per doc
+    "docs_url_host_stats",         # host-level dedup bookkeeping
+    # (3) The 24-query r2-stale block (last driver rows: round 2):
     "docs_common_spans",
     "docs_boilerplate_ngrams",
     "docs_chunks",
@@ -156,34 +110,53 @@ PRIORITY_ORDER = [
     "docs_embed_join",
     "multimodal_meta",
     "multimodal_dedup",
-    # Registered after the round-6 window was frozen (same situation as
-    # the late-r4 four): never driver-checked yet, local parity only —
-    # FIRST in line for the r7 window front, ahead of staleness
-    # rotation. Twenty-one late-r6 queries total; the expensive
-    # recursive-CTE oracle (customer_golden_record) should sit at the
-    # r7 window's tail per the CC-family convention:
-    "docs_hybrid_search",
-    "lineitem_column_profile",
-    "embed_matryoshka_audit",
-    "docs_ccnet_buckets",
-    "docs_quality_psi_drift",
-    "docs_gram_novelty",
-    "part_skyline",
+    # (4) Oldest r3-stale fillers (slots 48–49):
+    "cdc_column_diff",
+    "cdc_delta_agg",
+    # Position 50 — expensive recursive-CTE oracle at the window tail:
     "customer_golden_record",
-    "events_cusum_changepoint",
-    "docs_gopher_rules",
-    "multimodal_scene_cuts",
-    "cdc_time_travel_agg",
-    "embed_bq_search",
-    "events_seasonal_anomaly",
-    "embed_ndcg_audit",
-    "events_holt_forecast",
-    "lineitem_rle_layout_audit",
-    "orders_join_cardinality_audit",
-    "docs_simhash_bit_balance",
-    "docs_minhash_calibration",
-    "events_dau_wau_mau",
-    # r3-green and r5-green blocks append in module order below.
+    # ---- position 51+ ----
+    # The 38 remaining r3-stale queries, staged for the r8 window
+    # (alphabetical; evidence will be four rounds old by then):
+    "cdc_envelope",
+    "cdc_envelope_json",
+    "cdc_latest_state",
+    "cdc_op_filter",
+    "cdc_scd2_history",
+    "creds_display_format",
+    "creds_lookup_join",
+    "customer_balance_outliers",
+    "customer_pii_anonymize",
+    "docs_linear_classifier",
+    "docs_pii_scan",
+    "docs_token_entropy",
+    "docs_unigram_surprisal",
+    "embed_ann_ivfpq",
+    "embed_kmeans",
+    "embed_recall_audit",
+    "embed_semdedup",
+    "events_anomaly_mad",
+    "events_retention_cohorts",
+    "events_session_window",
+    "events_user_ewma",
+    "events_user_paths",
+    "lineitem_discount_regression",
+    "lineitem_pricing_agg",
+    "lineitem_small_qty_parts",
+    "lineitem_zorder_layout",
+    "multimodal_features",
+    "multimodal_neardup",
+    "orders_cohort_ltv",
+    "orders_enrich_join",
+    "orders_market_basket",
+    "orders_rfm_segments",
+    "orders_shipping_priority",
+    "orders_yoy_growth",
+    "part_abc_pareto",
+    "receiver_replay_dedup",
+    "token_bpe_merges",
+    "token_count_min",
+    # r5/r6-green blocks append in module order below.
 ]
 
 
