@@ -122,7 +122,8 @@ def main() -> int:
                     ),
                     "",
                 )
-                errors[name] = f"{lines[0][:160]} | {cause[:240]}"
+                head = lines[0][:160] if lines else repr(exc)[:160]
+                errors[name] = f"{head} | {cause[:240]}"
                 print(f"bench error in {name}: {errors[name]}", file=sys.stderr)
         per_run.append(run_timings)
 

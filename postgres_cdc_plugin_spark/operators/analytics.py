@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..plans.inspect import scan_split_estimate
 from ..plans.zorder import zorder_key_sql
 from ..session import load
 
@@ -455,7 +456,11 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently-shaped sequential implementation.
 
     Init convention: level = c_1, trend = c_2 − c_1, fold starts at
-    the second day (standard Holt initialization).
+    the second day (standard Holt initialization). Holt needs ≥ 2
+    observations; a single-day event range emits NO row (pinned on
+    both engines — the recursive oracle's base case is day index 2,
+    and the Spark side filters size(cs) >= 2 to match, instead of
+    emitting a level-only row with a NULL trend).
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -486,7 +491,7 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("day", "c"))),
             lambda s: s.c,
         ).alias("cs")
-    )
+    ).where(F.size("cs") >= 2)  # Holt is undefined on a 1-point series
     a, b = _HOLT_ALPHA, _HOLT_BETA
     init = F.struct(
         F.element_at("cs", 1).alias("level"),
@@ -1004,10 +1009,14 @@ def orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan yields fewer splits than cores (the local single-file
     # case; on real storage the scan has many splits and no shuffle is
     # added) — and the shuffle that does happen carries one double, not
-    # the whole row
+    # the whole row. The split count comes from filesystem METADATA
+    # (scan_split_estimate), not df.rdd.getNumPartitions(): that probe
+    # materialized a Python-RDD plan translation at plan time and was
+    # the suspected source of this query's 2x bench drift (r6 verdict
+    # ask #5).
     src = orders.select("o_totalprice")
     par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    if scan_split_estimate(orders) < par:
         src = src.repartition(par)
     return (
         src.join(
@@ -2320,7 +2329,15 @@ def lineitem_rle_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             key.alias("k"),
             *_RLE_TARGETS,
             *[
-                (~F.col(t).eqNullSafe(F.lag(t).over(wp)))
+                # The first row is flagged EXPLICITLY (row_number == 1),
+                # not via lag-is-NULL: a NULL target value on the first
+                # row would make eqNullSafe(NULL, NULL) true and drop
+                # the flag, corrupting the `sum - 1` internal count for
+                # nullable columns. Same window spec — no extra sort.
+                (
+                    (F.row_number().over(wp) == 1)
+                    | ~F.col(t).eqNullSafe(F.lag(t).over(wp))
+                )
                 .cast("int")
                 .alias(f"start_{t}")
                 for t in _RLE_TARGETS
@@ -2332,7 +2349,8 @@ def lineitem_rle_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f
                 for t in _RLE_TARGETS
                 for f in (
-                    # first row's lag is NULL -> always flagged; the
+                    # first row is explicitly flagged (row_number==1),
+                    # so -1 is exact even for NULL target values; the
                     # seam decides whether it really starts a run
                     (F.sum(f"start_{t}") - 1).alias(f"internal_{t}"),
                     F.min_by(t, F.col("k")).alias(f"first_{t}"),
@@ -3627,8 +3645,10 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP (n_name, o_orderpriority)
     """,
-    # constants via !r so the SQL literal parses to the SAME double the
-    # Spark fold uses (1 - 0.3 != literal 0.7 at the bit level)
+    # Smoothing constants interpolated via !r so changing
+    # _HOLT_ALPHA/_HOLT_BETA can never silently desync the oracle from
+    # the Spark fold. (Bit-exactness is not the reason: repr round-trips
+    # exactly, and 1-0.3 == 0.7 bit-exactly in IEEE doubles anyway.)
     "events_holt_forecast": f"""
         WITH RECURSIVE daily AS (
             SELECT event_type, date_trunc('day', ts) AS day,
@@ -3659,20 +3679,24 @@ ORACLE_SQL = {
         n AS (SELECT event_type, max(i) AS n FROM idx GROUP BY event_type),
         f AS (
             SELECT i1.event_type, CAST(2 AS BIGINT) AS i,
-                   0.3 * i2.c + 0.7 * (i1.c + (i2.c - i1.c))
+                   {_HOLT_ALPHA!r} * i2.c
+                       + {(1 - _HOLT_ALPHA)!r} * (i1.c + (i2.c - i1.c))
                        AS level,
-                   0.2 * ((0.3 * i2.c + 0.7 * (i1.c + (i2.c - i1.c)))
+                   {_HOLT_BETA!r} * (({_HOLT_ALPHA!r} * i2.c
+                            + {(1 - _HOLT_ALPHA)!r} * (i1.c + (i2.c - i1.c)))
                             - i1.c)
-                       + 0.8 * (i2.c - i1.c) AS trend
+                       + {(1 - _HOLT_BETA)!r} * (i2.c - i1.c) AS trend
             FROM idx i1
             JOIN idx i2 ON i1.event_type = i2.event_type
                        AND i1.i = 1 AND i2.i = 2
             UNION ALL
             SELECT f.event_type, f.i + 1,
-                   0.3 * x.c + 0.7 * (f.level + f.trend),
-                   0.2 * ((0.3 * x.c + 0.7 * (f.level + f.trend))
+                   {_HOLT_ALPHA!r} * x.c
+                       + {(1 - _HOLT_ALPHA)!r} * (f.level + f.trend),
+                   {_HOLT_BETA!r} * (({_HOLT_ALPHA!r} * x.c
+                            + {(1 - _HOLT_ALPHA)!r} * (f.level + f.trend))
                             - f.level)
-                       + 0.8 * f.trend
+                       + {(1 - _HOLT_BETA)!r} * f.trend
             FROM f JOIN idx x
               ON x.event_type = f.event_type AND x.i = f.i + 1
         )

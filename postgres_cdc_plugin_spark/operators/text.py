@@ -668,7 +668,10 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher document-shape quality rules (Rae et al. 2021 —
     MassiveText's filter, the de-facto standard LLM corpus gate):
     word-count bounds, mean word length in [3, 10], >= 80% of words
-    containing an alphabetic character, hash-symbol-to-word ratio
+    containing an alphabetic character (ASCII letter class, either
+    case — matching the paper's rule for Latin-script corpora; a
+    non-Latin corpus would widen the class to \\p{L} on both engines),
+    hash-symbol-to-word ratio
     <= 0.1, and >= 2 occurrences of the paper's stopword set — each as
     an auditable per-rule flag plus the conjunction keep verdict.
     (The paper's repetition rules are docs_repetition_filter; between
@@ -688,7 +691,7 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         words, F.lit(0), lambda a, w: a + F.length(w)
     ) / n_words.cast("double")
     alpha_frac = (
-        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
         / n_words.cast("double")
     )
     n_hash = F.length("text") - F.length(
@@ -2716,7 +2719,7 @@ ORACLE_SQL = {
                        / CAST(len(string_split(text, ' ')) AS DOUBLE)
                        AS mean_word_len,
                    len(list_filter(string_split(text, ' '),
-                                   w -> regexp_matches(w, '[a-z]')))
+                                   w -> regexp_matches(w, '[a-zA-Z]')))
                        / CAST(len(string_split(text, ' ')) AS DOUBLE)
                        AS alpha_frac,
                    (length(text) - length(replace(text, '#', '')))

@@ -36,6 +36,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS); see load() below
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
         # local-mode driver == the only executor: the JVM default heap is
@@ -68,6 +70,12 @@ def load(spark: SparkSession, sf_dir: str, name: str):
     are exact microseconds, so this is lossless.
     """
     if name == "events":
+        # Idempotent CONSTANT, not a session-conf flip: always the same
+        # value, never restored/toggled, and required here because the
+        # correctness driver calls queries with a session it owns (one
+        # get_spark never built). There is no per-read DataFrameReader
+        # option for this legacy conf; get_spark() also pins it at
+        # build time for sessions we create.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":

@@ -249,6 +249,72 @@ def test_interval_join_empty_events(spark, empty_ev_dir):
     assert len(df.schema.fields) > 0
 
 
+def test_rle_audit_nullable_flag_columns(spark, tmp_path_factory):
+    """The RLE audit's distributed run count must stay exact when the
+    audited columns contain NULLs (round-7 fix: the partition-first row
+    is now flagged explicitly via row_number()==1 instead of relying on
+    lag-is-NULL, which eqNullSafe(NULL, NULL) silently un-flagged for a
+    NULL first value). Proven by exact parity against the recursive
+    IS-DISTINCT-FROM oracle on a NULL-bearing fixture, including NULL
+    as the globally-first value under every swept ordering."""
+    import duckdb
+    import pandas as pd
+
+    from postgres_cdc_plugin_spark.operators import analytics
+    from postgres_cdc_plugin_spark.registry import oracle_sql
+
+    from .conftest import normalize
+
+    d = tmp_path_factory.mktemp("null_flags")
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,  # l_orderkey: pk order puts the NULL-flag row first
+                1,  # l_linenumber
+                f"1994-{1 + i % 12:02d}-01",  # l_shipdate (string is fine)
+                200 - i,  # l_partkey: reversed so orderings differ
+                None if i % 7 == 0 else "RNA"[i % 3],  # l_returnflag
+                None if i < 3 else "OF"[i % 2],  # l_linestatus
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_shipdate string, "
+        "l_partkey long, l_returnflag string, l_linestatus string",
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    got = analytics.lineitem_rle_layout_audit(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    want = con.sql(oracle_sql()["lineitem_rle_layout_audit"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(normalize(got), normalize(want))
+
+
+def test_holt_forecast_single_day_emits_nothing(spark, single_error_dir):
+    """Holt needs >= 2 observations: a single-day event range must emit
+    NO row on BOTH engines (pinned in round 7 — the Spark side used to
+    emit a level-only row with a NULL trend while the recursive oracle,
+    whose base case is day index 2, emitted nothing)."""
+    import duckdb
+
+    from postgres_cdc_plugin_spark.operators import analytics
+    from postgres_cdc_plugin_spark.registry import oracle_sql
+
+    assert analytics.events_holt_forecast(spark, single_error_dir).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{single_error_dir}/events.parquet/*.parquet')"
+    )
+    assert con.sql(oracle_sql()["events_holt_forecast"]).df().shape[0] == 0
+    con.close()
+
+
 def test_interval_join_excludes_own_bursts(spark, single_error_dir):
     """A user's session trivially overlaps their OWN error burst; the
     self-exclusion predicate must drop it — one lone error event yields
