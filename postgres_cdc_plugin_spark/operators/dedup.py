@@ -1334,8 +1334,245 @@ def docs_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SELF_REP_K = 3  # word width of the intra-doc repetition grams
+# crawl-URL canonicalization: tracking params dropped before host dedup
+_TRACKING_PREFIX = "utm_"
+_TRACKING_KEYS = ("fbclid", "gclid", "ref")
+
+
+def docs_strip_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-gram REMOVAL — the intra-doc complement
+    of docs_strip_dup_spans (Rae et al. 2021 §A1.2 measure dup-line /
+    dup-paragraph fractions; docs_repetition_filter approximates the
+    *gate*, this is the *transform*): every word position covered by a
+    {_SELF_REP_K}-gram whose identical gram already occurred EARLIER in
+    the same document is dropped; the first occurrence always survives.
+
+    Exact semantics (pinned, both engines): with 0-based word
+    positions, start i is a repeat iff some j < i has gram_j == gram_i;
+    covered = union of [i, i+K-1] over repeat starts; kept_text is the
+    uncovered words in original order. Overlapping repeats compose by
+    plain set union, so the result is order- and engine-independent.
+
+    Scale: the entire transform is higher-order array expressions over
+    ONE split(text) — a narrow zero-shuffle projection at full
+    parallelism; per-row cost is O(n_words * n_covered) with document
+    length bounded by upstream chunking, never corpus-sized state. At
+    100 TB this is a single scan, the cheapest possible shape for a
+    rewrite-every-document transform.
+    """
+    k = _SELF_REP_K
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    # grams must be guarded: Spark's sequence(0, n-k) DESCENDS when
+    # n < k instead of returning an empty array
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(words, i + 1, F.lit(k)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", words.alias("ws"), grams.alias("gs"))
+    repeat_starts = F.filter(
+        F.sequence(F.lit(0), F.size("gs") - 1),
+        lambda i: (F.array_position(F.col("gs"), F.get(F.col("gs"), i)) - 1) < i,
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(repeat_starts, lambda s: F.sequence(s, s + (k - 1)))
+        )
+    )
+    staged = base.select(
+        "doc_id",
+        "ws",
+        F.when(F.size("gs") > 0, covered)
+        .otherwise(F.array().cast("array<int>"))
+        .alias("cov"),
+    )
+    kept = F.array_join(
+        F.filter("ws", lambda w, i: ~F.array_contains("cov", i)), " "
+    )
+    return staged.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.size("cov").cast("bigint").alias("n_removed"),
+        kept.alias("kept_text"),
+    )
+
+
+def _url_parts(docs: DataFrame) -> DataFrame:
+    """Shared URL kernel: derive each document's (deterministic
+    synthetic) crawl URL, then canonicalize it — lowercase scheme/host,
+    strip a leading www., strip the scheme's DEFAULT port (keep
+    explicit non-default ports), drop the fragment, drop tracking
+    params (utm_*, fbclid, gclid, ref), sort the surviving query params
+    and strip a trailing path slash. The messy-URL construction is
+    mirrored verbatim in the oracle (_URL_RAW_SQL) so the
+    CANONICALIZATION rules are what the oracle actually checks.
+
+    Everything is per-row regexp/array expressions: zero shuffles.
+    """
+    i = F.col("doc_id")
+    scheme_raw = (
+        F.when(i % 3 == 0, F.lit("http"))
+        .when(i % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    www = (
+        F.when(i % 4 == 0, F.lit("www."))
+        .when(i % 4 == 1, F.lit("WWW."))
+        .otherwise(F.lit(""))
+    )
+    port_raw = (
+        F.when(
+            i % 5 == 0,
+            F.when(F.lower(scheme_raw) == "http", F.lit(":80")).otherwise(
+                F.lit(":443")
+            ),
+        )
+        .when(i % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path_raw = F.concat(
+        F.lit("/articles/"),
+        (i % 50).cast("string"),
+        F.when(i % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query_raw = (
+        F.when(
+            i % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (i % 25).cast("string")),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit("?id="), (i % 25).cast("string"), F.lit("&utm_campaign=x&b=2")
+            ),
+        )
+        .when(i % 4 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 6 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme_raw,
+        F.lit("://"),
+        www,
+        F.col("source"),
+        F.lit(".Example.COM"),
+        port_raw,
+        path_raw,
+        query_raw,
+        frag,
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    no_frag = F.regexp_replace("url", "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, "^([^:]+)://", 1))
+    rest = F.regexp_replace(no_frag, "^[^:]+://", "")
+    hostport = F.regexp_extract(rest, "^([^/?]+)", 1)
+    pathq = F.regexp_replace(rest, "^[^/?]+", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, "^([^:]+)", 1)), "^www\\.", ""
+    )
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path0 = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path1 = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    path = F.when(path1 == "/", path1).otherwise(
+        F.regexp_replace(path1, "/$", "")
+    )
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    is_tracking = lambda p: F.substring_index(p, "=", 1).startswith(  # noqa: E731
+        _TRACKING_PREFIX
+    ) | F.substring_index(p, "=", 1).isin(*_TRACKING_KEYS)
+    kept_params = F.array_sort(F.filter(params, lambda p: ~is_tracking(p)))
+    qcanon = F.array_join(kept_params, "&")
+    staged = raw.select(
+        "doc_id",
+        "url",
+        scheme.alias("scheme"),
+        host.alias("host"),
+        F.when(keep_port, F.concat(F.lit(":"), port))
+        .otherwise(F.lit(""))
+        .alias("portpart"),
+        path1.alias("path1"),
+        (F.size(params) - F.size(kept_params))
+        .cast("bigint")
+        .alias("n_params_dropped"),
+        qcanon.alias("qcanon"),
+    ).select(
+        "doc_id",
+        "url",
+        "host",
+        "n_params_dropped",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("portpart"),
+            path,
+            F.when(F.col("qcanon") != "", F.concat(F.lit("?"), F.col("qcanon")))
+            .otherwise(F.lit("")),
+        ).alias("canon_url"),
+    )
+    return staged
+
+
+def docs_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization (pairs with docs_dedup_rate_by_source
+    — the URL-keyed half of crawl-corpus dedup bookkeeping): per
+    document, the raw URL, its canonical form, the canonical host and
+    the number of tracking params dropped. See _url_parts for the rule
+    set. Zero-shuffle narrow projection at any corpus size.
+    """
+    return _url_parts(load(spark, sf_dir, "documents")).select(
+        "doc_id", "url", "canon_url", "host", "n_params_dropped"
+    )
+
+
+def docs_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level dedup bookkeeping over canonical URLs: per canonical
+    host, the crawl volume, how many DISTINCT canonical URLs it
+    contributes and the duplicate rate — the per-host signal a crawler
+    uses to budget refetches and a dedup pipeline uses to find mirror
+    hosts. dup_rate is an exact int/int IEEE division (never rounded).
+
+    Scale: one hash aggregation on host (map-side combinable count +
+    distinct via a two-level agg Spark plans automatically); host
+    cardinality is web-scale-small relative to page count, and AQE
+    splits skewed mega-hosts.
+    """
+    u = _url_parts(load(spark, sf_dir, "documents"))
+    return (
+        u.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("canon_url").cast("bigint").alias("n_unique_urls"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_unique_urls",
+            (F.col("n_docs") - F.col("n_unique_urls")).alias("n_dup_docs"),
+            (
+                (F.col("n_docs") - F.col("n_unique_urls"))
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
 QUERIES = {
     "docs_gram_novelty": docs_gram_novelty,
+    "docs_strip_self_repetition": docs_strip_self_repetition,
+    "docs_url_canonicalize": docs_url_canonicalize,
+    "docs_url_host_stats": docs_url_host_stats,
     "docs_dedup_method_agreement": docs_dedup_method_agreement,
     "docs_suffix_dup_spans": docs_suffix_dup_spans,
     "docs_dup_span_filter": docs_dup_span_filter,
@@ -1499,7 +1736,149 @@ _SPAN_CTES = f"""
         )
 """
 
+# Messy-URL construction mirrored VERBATIM from _url_parts (the
+# canonicalization rules are what the oracle checks, not the synthesis).
+_URL_RAW_SQL = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'http'
+                 WHEN doc_id % 3 = 1 THEN 'https'
+                 ELSE 'HTTPS' END)
+           || '://'
+           || (CASE WHEN doc_id % 4 = 0 THEN 'www.'
+                    WHEN doc_id % 4 = 1 THEN 'WWW.'
+                    ELSE '' END)
+           || source || '.Example.COM'
+           || (CASE WHEN doc_id % 5 = 0 THEN
+                        (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+                    WHEN doc_id % 5 = 1 THEN ':8080'
+                    ELSE '' END)
+           || '/articles/' || CAST(doc_id % 50 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 0
+                        THEN '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR)
+                    WHEN doc_id % 4 = 1
+                        THEN '?id=' || CAST(doc_id % 25 AS VARCHAR)
+                             || '&utm_campaign=x&b=2'
+                    WHEN doc_id % 4 = 2 THEN '?b=2&a=1'
+                    ELSE '' END)
+           || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+               AS url
+    FROM documents
+"""
+
+_URL_CANON_SQL = f"""
+    WITH raw AS ({_URL_RAW_SQL}),
+    s1 AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '#.*$', '') AS no_frag
+        FROM raw
+    ),
+    s2 AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(no_frag, '^([^:]+)://', 1)) AS scheme,
+               regexp_replace(no_frag, '^[^:]+://', '') AS rest
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, url, scheme,
+               regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+               regexp_replace(rest, '^[^/?]+', '') AS pathq
+        FROM s2
+    ),
+    s4 AS (
+        SELECT doc_id, url, scheme,
+               regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)),
+                              '^www\\.', '') AS host,
+               regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+               regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+               regexp_extract(pathq, '\\?(.*)$', 1) AS query
+        FROM s3
+    ),
+    s5 AS (
+        SELECT doc_id, url, scheme, host, port,
+               CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path1,
+               list_filter(string_split(query, '&'), p -> p <> '') AS params
+        FROM s4
+    ),
+    s6 AS (
+        SELECT doc_id, url, scheme, host, port,
+               CASE WHEN path1 = '/' THEN path1
+                    ELSE regexp_replace(path1, '/$', '') END AS path,
+               params,
+               list_sort(list_filter(params,
+                   p -> NOT (starts_with(split_part(p, '=', 1),
+                                         '{_TRACKING_PREFIX}')
+                             OR list_contains(
+                                    {list(_TRACKING_KEYS)!r},
+                                    split_part(p, '=', 1))))) AS kept
+        FROM s5
+    )
+    SELECT doc_id, url, host,
+           CAST(len(params) - len(kept) AS BIGINT) AS n_params_dropped,
+           scheme || '://' || host
+           || (CASE WHEN port <> ''
+                         AND NOT (scheme = 'http' AND port = '80')
+                         AND NOT (scheme = 'https' AND port = '443')
+                    THEN ':' || port ELSE '' END)
+           || path
+           || (CASE WHEN array_to_string(kept, '&') <> ''
+                    THEN '?' || array_to_string(kept, '&') ELSE '' END)
+               AS canon_url
+    FROM s6
+"""
+
 ORACLE_SQL = {
+    "docs_strip_self_repetition": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, words, n,
+                   CASE WHEN n >= {_SELF_REP_K} THEN
+                       list_transform(range(0, n - {_SELF_REP_K} + 1),
+                           i -> array_to_string(
+                               list_slice(words, i + 1, i + {_SELF_REP_K}),
+                               ' '))
+                   ELSE [] END AS grams
+            FROM base
+        ),
+        c AS (
+            SELECT doc_id, words, n,
+                   list_distinct(flatten(list_transform(
+                       list_filter(range(0, len(grams)),
+                           i -> list_position(grams, grams[i + 1]) - 1 < i),
+                       s -> range(s, s + {_SELF_REP_K})))) AS covered
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_words,
+               CAST(len(covered) AS BIGINT) AS n_removed,
+               array_to_string(
+                   list_transform(
+                       list_filter(range(0, n),
+                           i -> NOT list_contains(covered, i)),
+                       i -> words[i + 1]),
+                   ' ') AS kept_text
+        FROM c
+    """,
+    "docs_url_canonicalize": f"""
+        SELECT doc_id, url, canon_url, host, n_params_dropped
+        FROM ({_URL_CANON_SQL})
+    """,
+    "docs_url_host_stats": f"""
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT canon_url) AS BIGINT) AS n_unique_urls,
+               CAST(count(*) - count(DISTINCT canon_url) AS BIGINT)
+                   AS n_dup_docs,
+               (count(*) - count(DISTINCT canon_url))
+                   / CAST(count(*) AS DOUBLE) AS dup_rate
+        FROM ({_URL_CANON_SQL})
+        GROUP BY host
+    """,
     "docs_gram_novelty": f"""
         WITH sh AS ({_SHINGLE_SQL}),
         first AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),

@@ -66,3 +66,76 @@ def test_cc_distributed_on_long_chain(spark):
     }
     uf = D._cc_labels_single_task(pairs).collect()
     assert {(r.doc_id, r.cluster_id) for r in uf} == {(i, 0) for i in range(41)}
+
+
+def _strip_self_rep_rows(spark, tmp_path, texts):
+    d = tmp_path / "self_rep"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        docs_strip_self_repetition,
+    )
+
+    return {
+        r.doc_id: r
+        for r in docs_strip_self_repetition(spark, str(d)).collect()
+    }
+
+
+def test_strip_self_repetition_semantics(spark, tmp_path):
+    """Pinned removal semantics (K=3, 0-based positions): a start i is a
+    repeat iff an identical gram starts at some j < i; covered = union
+    of [i, i+2]; the FIRST occurrence always survives; overlapping
+    repeats compose by set union."""
+    rows = _strip_self_rep_rows(
+        spark,
+        tmp_path,
+        [
+            # exact tandem repeat: "x y z x y z q" -> gram at 3 repeats
+            # gram at 0 -> positions 3..5 drop, first copy + tail stay
+            "x y z x y z q",
+            # all-same run "a a a a a": starts 1,2 repeat start 0 ->
+            # covered 1..4, only position 0 survives
+            "a a a a a",
+            # no intra-doc repeat -> lossless passthrough
+            "p q r s t u",
+            # repeat appears twice more: both later starts covered
+            "m n o m n o m n o",
+        ],
+    )
+    assert rows[0].kept_text == "x y z q" and rows[0].n_removed == 3
+    assert rows[1].kept_text == "a" and rows[1].n_removed == 4
+    assert rows[2].kept_text == "p q r s t u" and rows[2].n_removed == 0
+    assert rows[3].kept_text == "m n o" and rows[3].n_removed == 6
+    assert all(r.n_words - r.n_removed == len(r.kept_text.split(" ")) for r in rows.values() if r.kept_text)
+
+
+def test_url_canonicalize_rules(spark, tmp_path):
+    """Each canonicalization rule observed on a crafted doc_id: scheme/
+    host lowercased, www stripped, default port stripped, non-default
+    port kept, tracking params dropped, survivors sorted, fragment and
+    trailing slash removed."""
+    d = tmp_path / "urls"
+    spark.createDataFrame(
+        # doc_id 0: http (0%3), www. (0%4), :80 (0%5), trailing / (0%2),
+        # utm_source+id query (0%4), #fragment (0%6)
+        # doc_id 30: http (30%3=0), '' www (30%4=2), :8080 kept (30%5=0
+        # -> :80... careful) -- use 31: 31%3=1 https, 31%4=3 no www,
+        # 31%5=1 :8080, 31%2=1 no slash, 31%4=3 no query, 31%6=1 no frag
+        [(0, "t", "en", "srcA", 1), (31, "t", "en", "srcB", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    from postgres_cdc_plugin_spark.operators.dedup import docs_url_canonicalize
+
+    rows = {r.doc_id: r for r in docs_url_canonicalize(spark, str(d)).collect()}
+    r0 = rows[0]
+    assert r0.url == "http://www.srcA.Example.COM:80/articles/0/?utm_source=feed&id=0#section-2"
+    assert r0.canon_url == "http://srca.example.com/articles/0?id=0"
+    assert r0.host == "srca.example.com"
+    assert r0.n_params_dropped == 1
+    r31 = rows[31]
+    assert r31.url == "https://srcB.Example.COM:8080/articles/31"
+    assert r31.canon_url == "https://srcb.example.com:8080/articles/31"
+    assert r31.n_params_dropped == 0

@@ -41,6 +41,10 @@ _DOC_QUERIES = [
     (text, "docs_quality_psi_drift"),
     (text, "docs_gopher_rules"),
     (dedup, "docs_gram_novelty"),
+    # round-7 operators
+    (dedup, "docs_strip_self_repetition"),
+    (dedup, "docs_url_canonicalize"),
+    (dedup, "docs_url_host_stats"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -99,6 +103,16 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         # the single doc contains none of the fixed query terms, so the
         # inverted-index probe legitimately retrieves nothing
         assert rows == []
+    elif name == "docs_strip_self_repetition":
+        # no repeated 3-gram in the fixture text -> lossless passthrough
+        assert len(rows) == 1
+        assert rows[0].n_removed == 0
+        assert rows[0].kept_text == "lonely document with a few tokens"
+    elif name in ("docs_url_canonicalize", "docs_url_host_stats"):
+        # one doc -> one URL -> one host with zero duplicate URLs
+        assert len(rows) == 1
+        if name == "docs_url_host_stats":
+            assert rows[0].n_dup_docs == 0 and rows[0].dup_rate == 0.0
     elif name == "docs_word_pmi":
         # N = 1: every pair of the doc's distinct words co-occurs with
         # df_a = df_b = n_pair_docs = 1, so pmi = log2(1*1/1) = 0 exactly

@@ -708,3 +708,39 @@ def test_pca_power_plan_has_no_covariance_blowup(spark, sf_dir):
         ):
             keys = line.split("keys=[", 1)[1].split("]", 1)[0]
             assert keys.count(",") == 0, line
+
+
+def test_self_repetition_strip_is_shuffle_free(spark, sf_dir):
+    """docs_strip_self_repetition's scale claim: the whole rewrite is
+    higher-order array expressions over one split(text) — a narrow
+    zero-shuffle projection at any corpus size."""
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        docs_strip_self_repetition,
+    )
+
+    df = docs_strip_self_repetition(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.physical_plan(df)
+
+
+def test_url_canonicalize_is_shuffle_free_and_pruned(spark, sf_dir):
+    """docs_url_canonicalize is per-row regexp/array work (zero
+    exchanges) and reads only the two columns it needs — a scan
+    fetching `text` for a URL rewrite would be wrong."""
+    from postgres_cdc_plugin_spark.operators.dedup import docs_url_canonicalize
+
+    df = docs_url_canonicalize(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.physical_plan(df)
+    schemas = inspect.read_schemas(df)
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_url_host_stats_single_aggregation(spark, sf_dir):
+    """docs_url_host_stats: one host-keyed aggregation chain. Spark
+    plans count+countDistinct as a two-level expand/agg — still a
+    bounded number of host-keyed exchanges, never a join or a
+    corpus-sized sort."""
+    from postgres_cdc_plugin_spark.operators.dedup import docs_url_host_stats
+
+    df = docs_url_host_stats(spark, sf_dir)
+    assert inspect.exchange_count(df) <= 2, inspect.physical_plan(df)
+    assert "Join" not in inspect.physical_plan(df)
