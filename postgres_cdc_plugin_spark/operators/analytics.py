@@ -4247,3 +4247,22 @@ ORACLE_SQL["orders_join_cardinality_audit"] = """
     FROM st, tr
 """
 QUERIES["lineitem_rle_layout_audit"] = lineitem_rle_layout_audit
+
+# Shared persisted kernels for explicit family_build:* bench rows (see
+# operators/dedup.py FAMILY_BUILDS for the convention): queries then pay
+# only MARGINAL cost in the per-query bench table.
+FAMILY_BUILDS = {
+    # co-purchase edge list + degree relation: consumed by
+    # orders_market_basket, part_copurchase_pagerank, part_triangle_counts
+    "copurchase_graph": lambda spark, sf_dir: [
+        _copurchase_pairs(spark, sf_dir),
+        _copurchase_degrees(spark, sf_dir),
+    ],
+    # PassJoin-blocked + verified fuzzy pair relation: consumed by
+    # customer_fuzzy_match and customer_golden_record (the pair kernel
+    # persists inside customer_fuzzy_match; materializing the query
+    # builds it)
+    "fuzzy_pairs": lambda spark, sf_dir: [
+        customer_fuzzy_match(spark, sf_dir)
+    ],
+}

@@ -1129,3 +1129,11 @@ ORACLE_SQL = {
         )
     """,
 }
+
+# Shared persisted kernels for explicit family_build:* bench rows (see
+# operators/dedup.py FAMILY_BUILDS for the convention).
+FAMILY_BUILDS = {
+    # folded queue-state relation: consumed by queue_state_machine and
+    # queue_latency_profile
+    "queue_state": lambda spark, sf_dir: [_queue_state(spark, sf_dir)],
+}

@@ -1294,3 +1294,13 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
 }
+
+# Shared persisted kernels for explicit family_build:* bench rows (see
+# operators/dedup.py FAMILY_BUILDS for the convention).
+FAMILY_BUILDS = {
+    # perceptual-hash signature relation: multimodal_phash's output,
+    # persisted and reused by multimodal_neardup's block-LSH pass
+    "phash_sigs": lambda spark, sf_dir: [
+        multimodal_phash(spark, sf_dir).persist()
+    ],
+}

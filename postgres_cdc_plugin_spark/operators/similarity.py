@@ -2433,3 +2433,21 @@ ORACLE_SQL["embed_ndcg_audit"] = f"""
            m.dcg / idcg.idcg AS ndcg
     FROM m, idcg
 """
+
+# Shared persisted kernels for explicit family_build:* bench rows (see
+# operators/dedup.py FAMILY_BUILDS for the convention).
+FAMILY_BUILDS = {
+    # deterministic IVF coarse-quantizer centroids: consumed by
+    # embed_ann_ivf, embed_ivf_assign, embed_cell_balance_audit,
+    # embed_recall_audit, embed_pq_codes, embed_ann_ivfpq,
+    # embed_pipeline_e2e
+    "ivf_centroids": lambda spark, sf_dir: [
+        _centroid_vecs(
+            load(spark, sf_dir, "embeddings").select(
+                "vec_id",
+                "label",
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+        )
+    ],
+}

@@ -971,6 +971,74 @@ def docs_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPE_MIN_QUALITY = 0.5  # composite quality floor for the e2e pipeline
 
 
+# Invisible characters stripped by unicode normalization: zero-width
+# space/joiners, BOM, soft hyphen. Written once; the Spark regex and the
+# DuckDB RE2 class are both generated from this tuple.
+_INVISIBLE_CODEPOINTS = (0x200B, 0x200C, 0x200D, 0xFEFF, 0x00AD)
+
+
+def docs_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization — the canonicalization pass every
+    multilingual corpus runs before tokenization/dedup so that visually
+    identical strings hash identically: (1) NFC canonical composition
+    (é as one codepoint, never e+combining-accent), (2) strip invisible
+    characters (zero-width space/joiners, BOM, soft hyphen), (3)
+    collapse ASCII whitespace runs to single spaces, (4) trim. Reports
+    the normalized text plus before/after char counts and a changed
+    flag, so the pipeline can audit how much the corpus actually moved.
+
+    NFC is the ONE step Spark has no JVM-side expression for, so it
+    runs as an Arrow-batched mapInPandas over (doc_id, text) — the
+    declared slow-path pattern (multimodal.py's decoders), never a
+    row-at-a-time UDF; steps 2-4 ride in the same pandas batch (two
+    compiled regex subs). The DuckDB oracle uses its native
+    nfc_normalize + RE2 classes, proving the Python and DuckDB Unicode
+    tables agree on real multibyte input (also re-proven on the
+    CJK/Cyrillic corpus by tests/test_nonascii_parity.py).
+
+    Whitespace is the EXPLICIT ASCII class [ \\t\\n\\r\\f] on both
+    engines — Python's \\s is Unicode-aware while RE2's is ASCII-only,
+    exactly the kind of silent divergence normalization exists to kill.
+
+    Scale: narrow zero-shuffle projection; the corpus streams through
+    the Python workers in Arrow batches once, with only (doc_id, text)
+    crossing the boundary.
+    """
+    import re as _re
+
+    docs = load(spark, sf_dir, "documents")
+    invisible = _re.compile(
+        "[" + "".join(chr(c) for c in _INVISIBLE_CODEPOINTS) + "]"
+    )
+    spaces = _re.compile(r"[ \t\n\r\f]+")
+
+    def _normalize(batches):
+        import unicodedata
+
+        for pdf in batches:
+            # strip(" ") not strip(): Python's bare strip removes
+            # Unicode whitespace (NBSP, line sep) that DuckDB's
+            # space-only trim() keeps — after the ASCII-run collapse
+            # the only strippable edge chars are plain spaces anyway
+            norm = pdf["text"].map(
+                lambda t: spaces.sub(
+                    " ", invisible.sub("", unicodedata.normalize("NFC", t))
+                ).strip(" ")
+            )
+            yield pdf.assign(norm_text=norm)
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        _normalize, "doc_id long, text string, norm_text string"
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_before"),
+        F.length("norm_text").cast("bigint").alias("n_chars_after"),
+        (F.col("norm_text") != F.col("text")).alias("changed"),
+        "norm_text",
+    )
+
+
 def docs_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data prep chain end-to-end, one logical plan:
     quality gate → exact dedup → cross-doc boilerplate filter →
@@ -2013,6 +2081,7 @@ QUERIES = {
     "docs_boilerplate_ngrams": docs_boilerplate_ngrams,
     "docs_common_spans": docs_common_spans,
     "docs_pipeline_e2e": docs_pipeline_e2e,
+    "docs_unicode_normalize": docs_unicode_normalize,
 }
 
 def _bm25_sql(terms: tuple[str, ...]) -> str:
@@ -2179,9 +2248,35 @@ _DOC_SURPRISAL_SQL = """
     GROUP BY doc_id
 """
 
+# RE2 character class for the invisible-codepoint strip, generated from
+# the same tuple the Spark-side compiled regex uses
+_INVISIBLE_RE2 = (
+    "[" + "".join(f"\\x{{{c:x}}}" for c in _INVISIBLE_CODEPOINTS) + "]"
+)
+
 ORACLE_SQL = {
     "token_bpe_merges": _BPE_SQL,
     "token_bpe_encode": _BPE_ENCODE_SQL,
+    "docs_unicode_normalize": f"""
+        WITH n AS (
+            -- edge trim is the anchored ASCII-space regex, NOT trim():
+            -- DuckDB's trim strips Unicode spaces (NBSP) that the
+            -- pinned space-only semantics keep
+            SELECT doc_id, text,
+                   regexp_replace(regexp_replace(
+                       regexp_replace(nfc_normalize(text),
+                                      '{_INVISIBLE_RE2}', '', 'g'),
+                       '[ \\t\\n\\r\\f]+', ' ', 'g'),
+                       '^ +| +$', '', 'g') AS norm_text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_before,
+               CAST(length(norm_text) AS BIGINT) AS n_chars_after,
+               norm_text <> text AS changed,
+               norm_text
+        FROM n
+    """,
     "docs_token_entropy": """
         WITH counts AS (
             SELECT doc_id, w, count(*) AS c

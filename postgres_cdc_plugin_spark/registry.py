@@ -20,12 +20,12 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     the staged front; verdict ask #2: they are registered at window
     positions BEFORE the window freezes, not after), (3) the full
     24-query r2-stale block (evidence five rounds old:
-    docs_common_spans … multimodal_dedup), and (4) the remaining
-    slots filled from the r3-stale block oldest-first (alphabetical
-    within equal age: cdc_column_diff, cdc_delta_agg). After the r7
-    run no query's evidence is older than round 3. The 38 remaining
-    r3-green queries are staged at 51+ for the r8 window; r5/r6-green
-    blocks append after them in module order.
+    docs_common_spans … multimodal_dedup), and (4) the remaining slot
+    filled from the r3-stale block oldest-first (alphabetical within
+    equal age: cdc_column_diff). After the r7 run no query's evidence
+    is older than round 3. The 39 remaining r3-green queries are
+    staged at 51+ for the r8 window; r5/r6-green blocks append after
+    them in module order.
 """
 
 from __future__ import annotations
@@ -85,6 +85,7 @@ PRIORITY_ORDER = [
     "docs_strip_self_repetition",  # intra-doc repeated-gram removal
     "docs_url_canonicalize",       # crawl-URL canonical form per doc
     "docs_url_host_stats",         # host-level dedup bookkeeping
+    "docs_unicode_normalize",      # NFC + invisible-strip + ws collapse
     # (3) The 24-query r2-stale block (last driver rows: round 2):
     "docs_common_spans",
     "docs_boilerplate_ngrams",
@@ -110,14 +111,16 @@ PRIORITY_ORDER = [
     "docs_embed_join",
     "multimodal_meta",
     "multimodal_dedup",
-    # (4) Oldest r3-stale fillers (slots 48–49):
+    # (4) Oldest r3-stale filler (slot 49):
     "cdc_column_diff",
-    "cdc_delta_agg",
     # Position 50 — expensive recursive-CTE oracle at the window tail:
     "customer_golden_record",
     # ---- position 51+ ----
-    # The 38 remaining r3-stale queries, staged for the r8 window
-    # (alphabetical; evidence will be four rounds old by then):
+    # The 39 remaining r3-stale queries, staged for the r8 window
+    # (alphabetical; evidence will be four rounds old by then —
+    # cdc_delta_agg yielded its slot-50 window place to the fourth new
+    # r7 query, docs_unicode_normalize):
+    "cdc_delta_agg",
     "cdc_envelope",
     "cdc_envelope_json",
     "cdc_latest_state",
@@ -172,6 +175,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in merged:
             out[name] = merged.pop(name)
     out.update(merged)
+    return out
+
+
+def family_builds() -> dict[str, object]:
+    """Shared persisted-kernel builders, namespaced `family_build:<mod>.
+    <name>`. The bench materializes these FIRST in each pass and records
+    each as its own row, so every per-query number is marginal cost and
+    family first-consumers stop absorbing their family's one-time build
+    (r6 verdict ask #4). Each value is (spark, sf_dir) -> list[DataFrame]
+    to materialize."""
+    out: dict[str, object] = {}
+    for mod in _MODULES:
+        for name, fn in getattr(mod, "FAMILY_BUILDS", {}).items():
+            key = f"family_build:{mod.__name__.rsplit('.', 1)[-1]}.{name}"
+            if key in out:
+                raise ValueError(f"duplicate family build: {key}")
+            out[key] = fn
     return out
 
 

@@ -45,6 +45,7 @@ _DOC_QUERIES = [
     (dedup, "docs_strip_self_repetition"),
     (dedup, "docs_url_canonicalize"),
     (dedup, "docs_url_host_stats"),
+    (text, "docs_unicode_normalize"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -108,6 +109,11 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         assert len(rows) == 1
         assert rows[0].n_removed == 0
         assert rows[0].kept_text == "lonely document with a few tokens"
+    elif name == "docs_unicode_normalize":
+        # already NFC-normal, single-spaced ASCII -> unchanged
+        assert len(rows) == 1
+        assert not rows[0].changed
+        assert rows[0].norm_text == "lonely document with a few tokens"
     elif name in ("docs_url_canonicalize", "docs_url_host_stats"):
         # one doc -> one URL -> one host with zero duplicate URLs
         assert len(rows) == 1

@@ -185,3 +185,53 @@ def test_nonascii_bm25_multibyte_terms(spark, nonascii_dir, nonascii_duck):
     assert_parity(
         spark_df, nonascii_duck.sql(_bm25_sql(terms)), "nonascii:bm25_terms"
     )
+
+
+def test_unicode_normalize_edge_cases(spark, tmp_path_factory):
+    """docs_unicode_normalize on inputs the synthetic corpora never
+    carry: NFD-decomposed accents (e + combining acute), zero-width
+    chars inside words, BOM prefix, soft hyphen, tab/newline runs, and
+    a leading/trailing NBSP (which must SURVIVE — the collapse class is
+    explicitly ASCII-only). Proven semantically and by exact oracle
+    parity."""
+    import duckdb
+
+    from postgres_cdc_plugin_spark.operators.text import docs_unicode_normalize
+    from postgres_cdc_plugin_spark.registry import oracle_sql
+
+    from .conftest import assert_parity
+
+    texts = [
+        "Café du  monde",          # NFD -> NFC composes é
+        "zero​width ﻿bom",     # invisibles stripped
+        "tab\tand\nnewline\r\frun",      # ASCII runs collapse
+        " edge nbsp ",          # NBSP kept (not ASCII space)
+        " plain  spaces  ",               # collapse + trim
+        "soft­hyphen",               # soft hyphen stripped
+    ]
+    d = tmp_path_factory.mktemp("nfc_edge")
+    spark.createDataFrame(
+        [(i, t, "xx", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in docs_unicode_normalize(spark, str(d)).collect()}
+    assert rows[0].norm_text == "Café du monde" and rows[0].changed
+    assert rows[1].norm_text == "zerowidth bom"
+    assert rows[2].norm_text == "tab and newline run"
+    assert rows[3].norm_text == " edge nbsp "  # NBSP survives
+    assert rows[4].norm_text == "plain spaces"
+    assert rows[5].norm_text == "softhyphen"
+    assert all(r.n_chars_after == len(r.norm_text) for r in rows.values())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_parity(
+        docs_unicode_normalize(spark, str(d)),
+        con.sql(oracle_sql()["docs_unicode_normalize"]),
+        "docs_unicode_normalize",
+    )
+    con.close()
