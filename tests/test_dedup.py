@@ -139,3 +139,87 @@ def test_url_canonicalize_rules(spark, tmp_path):
     assert r31.url == "https://srcB.Example.COM:8080/articles/31"
     assert r31.canon_url == "https://srcb.example.com:8080/articles/31"
     assert r31.n_params_dropped == 0
+
+
+def test_strip_self_repetition_matches_python_reference(spark, tmp_path):
+    """Third-implementation check: 300 seeded random docs over a 4-word
+    alphabet (dense with accidental repeats) must match a direct
+    pure-Python transcription of the pinned semantics — independent of
+    both the Spark array-lambda formulation and the DuckDB oracle."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 26)))
+        for _ in range(300)
+    ]
+
+    def ref(words, k=3):
+        grams = (
+            [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            if len(words) >= k
+            else []
+        )
+        seen: set[str] = set()
+        covered: set[int] = set()
+        for i, g in enumerate(grams):
+            if g in seen:
+                covered.update(range(i, i + k))
+            else:
+                seen.add(g)
+        kept = [w for i, w in enumerate(words) if i not in covered]
+        return " ".join(kept), len(covered)
+
+    rows = _strip_self_rep_rows(spark, tmp_path, texts)
+    assert len(rows) == 300
+    for i, t in enumerate(texts):
+        want_text, want_removed = ref(t.split(" "))
+        assert rows[i].kept_text == want_text, (i, t)
+        assert rows[i].n_removed == want_removed, (i, t)
+
+
+def test_url_canonicalize_matches_urllib_reference(spark, tmp_path):
+    """Third-implementation check: the canonicalization rules replayed
+    through stdlib urllib.parse (independent URL grammar) over every
+    doc_id residue class must equal the regexp formulation."""
+    from urllib.parse import urlsplit
+
+    d = tmp_path / "urls_prop"
+    n = 120  # covers all (3,4,5,2,6,25,50)-residue combinations' lcm slice
+    spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 7}", 1) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    from postgres_cdc_plugin_spark.operators.dedup import docs_url_canonicalize
+
+    def ref_canon(url: str) -> str:
+        u = urlsplit(url)
+        scheme = u.scheme.lower()
+        host = u.hostname or ""
+        if host.startswith("www."):
+            host = host[4:]
+        keep = u.port is not None and not (
+            (scheme == "http" and u.port == 80)
+            or (scheme == "https" and u.port == 443)
+        )
+        path = u.path or "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        tracked = ("fbclid", "gclid", "ref")
+        kept = sorted(
+            p
+            for p in u.query.split("&")
+            if p
+            and not p.split("=")[0].startswith("utm_")
+            and p.split("=")[0] not in tracked
+        )
+        return (
+            f"{scheme}://{host}"
+            + (f":{u.port}" if keep else "")
+            + path
+            + (("?" + "&".join(kept)) if kept else "")
+        )
+
+    for r in docs_url_canonicalize(spark, str(d)).collect():
+        assert r.canon_url == ref_canon(r.url), (r.doc_id, r.url)
