@@ -1560,7 +1560,15 @@ def docs_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is web-scale-small relative to page count, and AQE
     splits skewed mega-hosts.
     """
-    u = _url_parts(load(spark, sf_dir, "documents"))
+    return host_stats_from_urls(_url_parts(load(spark, sf_dir, "documents")))
+
+
+def host_stats_from_urls(u: DataFrame) -> DataFrame:
+    """The host-grain aggregation kernel over a doc-grain canonical-URL
+    relation (host, canon_url per document row) — shared VERBATIM by
+    docs_url_host_stats and the streaming UrlHostLedger read-back
+    (streaming/urls.py), so the streaming surface is bit-equal to the
+    batch query by construction."""
     return (
         u.groupBy("host")
         .agg(

@@ -2020,3 +2020,42 @@ def test_active_users_ledger_bit_equal_to_batch(spark, tmp_path, sf_dir):
     led.process_batch(ev, 99)
     again = sorted(map(tuple, led.rolling(spark).collect()))
     assert again == want
+
+
+def test_url_host_ledger_bit_equal_to_batch(spark, tmp_path, sf_dir):
+    """UrlHostLedger.host_stats must be BIT-EQUAL to the batch
+    docs_url_host_stats over the same corpus: the documents table
+    streams in three micro-batches, each batch canonicalizes through
+    the shared _url_parts kernel and lands doc-grain rows in its own
+    replay-safe dir; the read-back dedups doc redelivery and runs the
+    shared host_stats_from_urls kernel. Also pins replay idempotence
+    and redelivery collapse: re-landing the ENTIRE corpus as one more
+    batch (twice) does not move the stats."""
+    from postgres_cdc_plugin_spark.operators.dedup import docs_url_host_stats
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.urls import (
+        DOC_STREAM_SCHEMA,
+        UrlHostLedger,
+    )
+
+    feed = str(tmp_path / "url_feed")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs.repartition(3).write.parquet(feed)
+
+    led = UrlHostLedger(str(tmp_path / "url_ledger"))
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = led.attach(stream, str(tmp_path / "url_ck"), available_now=True)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, led.host_stats(spark).collect()))
+    want = sorted(map(tuple, docs_url_host_stats(spark, sf_dir).collect()))
+    assert got == want
+
+    led.process_batch(docs, 99)
+    led.process_batch(docs, 99)
+    again = sorted(map(tuple, led.host_stats(spark).collect()))
+    assert again == want
