@@ -1640,9 +1640,18 @@ FAMILY_BUILDS = {
         _simhash_pairs_df(load(spark, sf_dir, "documents"))
     ],
     # positional 20-gram duplicated-span relation: consumed by
-    # docs_suffix_dup_spans, docs_dup_span_filter, docs_strip_dup_spans
+    # docs_suffix_dup_spans, docs_dup_span_filter, docs_strip_dup_spans.
+    # The input projection must MATCH the consumers' (doc_id, text,
+    # n_chars) exactly — cache-manager matching is on the canonical
+    # plan, and a full-table-rooted build would persist a relation the
+    # projected consumers never hit (r7 bench showed dup_span_filter
+    # still paying the 3 s build until this was aligned).
     "dup_spans": lambda spark, sf_dir: [
-        _dup_spans(load(spark, sf_dir, "documents"))
+        _dup_spans(
+            load(spark, sf_dir, "documents").select(
+                "doc_id", "text", "n_chars"
+            )
+        )
     ],
 }
 
