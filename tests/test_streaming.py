@@ -2059,3 +2059,61 @@ def test_url_host_ledger_bit_equal_to_batch(spark, tmp_path, sf_dir):
     led.process_batch(docs, 99)
     again = sorted(map(tuple, led.host_stats(spark).collect()))
     assert again == want
+
+
+def test_url_host_ledger_incremental_checkpoint_resume(spark, tmp_path, sf_dir):
+    """Incremental maintenance across stream restarts: drain wave 1,
+    stop, land more feed files, re-attach on the SAME checkpoint — the
+    resumed stream must process only the new files, and after each wave
+    the ledger equals the batch kernel over exactly the documents seen
+    so far."""
+    import os
+
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        _url_parts,
+        host_stats_from_urls,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.urls import (
+        DOC_STREAM_SCHEMA,
+        UrlHostLedger,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+    feed = str(tmp_path / "url_feed_inc")
+    wave1.coalesce(1).write.parquet(feed)
+
+    led = UrlHostLedger(str(tmp_path / "url_ledger_inc"))
+    ck = str(tmp_path / "url_ck_inc")
+
+    def drain():
+        stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(feed)
+        q = led.attach(stream, ck, available_now=True)
+        q.awaitTermination(120)
+
+    def batch_over(subset):
+        return sorted(
+            map(tuple, host_stats_from_urls(_url_parts(subset)).collect())
+        )
+
+    drain()
+    assert sorted(map(tuple, led.host_stats(spark).collect())) == batch_over(
+        wave1
+    )
+
+    n_batch_dirs = len(
+        [d for d in os.listdir(led.out_dir) if d.startswith("batch=")]
+    )
+    wave2.coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    assert sorted(map(tuple, led.host_stats(spark).collect())) == batch_over(
+        docs
+    )
+    # the resumed stream added new batch dirs rather than reprocessing
+    # wave 1 (checkpoint carries the file-source progress)
+    assert (
+        len([d for d in os.listdir(led.out_dir) if d.startswith("batch=")])
+        > n_batch_dirs
+    )
