@@ -1588,8 +1588,144 @@ def host_stats_from_urls(u: DataFrame) -> DataFrame:
     )
 
 
+_BLOOM_M = 1 << 14  # filter size in bits (256 packed 64-bit words)
+_BLOOM_K = 3  # hash functions per fingerprint
+
+
+def docs_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-dedup audit (Bloom 1970, public literature) —
+    the measurement behind using a Bloom pre-filter to skip exact-dedup
+    work at 100 TB: the corpus splits into a build half (even doc_ids)
+    and a probe half (odd); the build half's distinct fingerprints are
+    folded into an m=16384-bit / k=3-hash Bloom filter (_BLOOM_M /
+    _BLOOM_K),
+    and the audit reports how many probe-side fingerprints the filter
+    flags that exact membership refutes (the false-positive rate a
+    pipeline must budget for), plus the filter's fill ratio.
+
+    The filter is REAL packed bits, built distributively: positions
+    hash via md5 windows (bit-identical in DuckDB), pack into 32-bit
+    words as (word_index, bit_or(mask)) — 32 bits per word, not 64,
+    because a set bit 63 is a negative BIGINT that DuckDB's checked
+    left-shift refuses to build; 512 always-positive words behave
+    identically on both engines — the mergeable-sketch shape (map-side partial bit_or, same
+    scale posture as Count-Min). Membership probes equi-join on word
+    index and test (bits & mask) != 0; a probe fingerprint is flagged
+    iff ALL k of its masks hit. Every output quantity is an exact
+    integer; the two rates are exact int/int IEEE divisions.
+
+    Scale: distinct-fingerprint relations are hash aggs; the sketch is
+    256 words regardless of corpus size; probes are word-grain joins
+    against a broadcast-sized sketch. Nothing is quadratic and nothing
+    collects.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sides = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_build"),
+        _fingerprint().alias("fp"),
+    ).distinct()
+    build = sides.filter("is_build").select("fp")
+    probe = sides.filter(~F.col("is_build")).select("fp")
+
+    def positions(rel: DataFrame) -> DataFrame:
+        return rel.select(
+            "fp",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(F.lit(f"b{i}:"), F.col("fp"))
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % _BLOOM_M
+                        )
+                        for i in range(1, _BLOOM_K + 1)
+                    ]
+                )
+            ).alias("p"),
+        ).select(
+            "fp",
+            F.shiftright("p", 5).alias("wi"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").alias(
+                "mask"
+            ),
+        )
+
+    sketch = (
+        positions(build)
+        .groupBy("wi")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probed = (
+        positions(probe)
+        .join(sketch, "wi", "left")
+        .select(
+            "fp",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy("fp")
+        .agg((F.sum("hit") == _BLOOM_K).alias("bloom_member"))
+    )
+    exact = probe.join(
+        build.select(F.col("fp").alias("bfp")),
+        F.col("fp") == F.col("bfp"),
+        "left_semi",
+    )
+    nb = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    np_ = probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+    ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_dup"))
+    nh = probed.filter("bloom_member").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits")
+    )
+    fill = sketch.agg(
+        F.sum(F.expr("bit_count(bits)")).cast("bigint").alias("bits_set")
+    )
+    return (
+        nb.crossJoin(np_)
+        .crossJoin(ne)
+        .crossJoin(nh)
+        .crossJoin(fill)
+        .select(
+            F.lit(_BLOOM_M).cast("bigint").alias("m_bits"),
+            F.lit(_BLOOM_K).cast("int").alias("k_hashes"),
+            "n_build",
+            "n_probe",
+            "n_exact_dup",
+            "n_bloom_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_dup")).alias(
+                "n_false_pos"
+            ),
+            (
+                (F.col("n_bloom_hits") - F.col("n_exact_dup"))
+                / F.expr(
+                    "CAST(nullif(n_probe - n_exact_dup, 0) AS DOUBLE)"
+                )
+            ).alias("fp_rate"),
+            F.coalesce("bits_set", F.lit(0)).cast("bigint").alias("bits_set"),
+            (
+                F.coalesce("bits_set", F.lit(0))
+                / F.lit(float(_BLOOM_M))
+            ).alias("fill_ratio"),
+        )
+    )
+
+
 QUERIES = {
     "docs_gram_novelty": docs_gram_novelty,
+    "docs_bloom_dedup_audit": docs_bloom_dedup_audit,
     "docs_strip_self_repetition": docs_strip_self_repetition,
     "docs_url_canonicalize": docs_url_canonicalize,
     "docs_url_host_stats": docs_url_host_stats,
@@ -1888,6 +2024,68 @@ _URL_CANON_SQL = f"""
 """
 
 ORACLE_SQL = {
+    "docs_bloom_dedup_audit": f"""
+        WITH sides AS (
+            SELECT DISTINCT doc_id % 2 = 0 AS is_build,
+                   md5(lower(trim(text))) AS fp
+            FROM documents
+        ),
+        build AS (SELECT fp FROM sides WHERE is_build),
+        probe AS (SELECT fp FROM sides WHERE NOT is_build),
+        ks AS (SELECT unnest(range(1, {_BLOOM_K + 1})) AS i),
+        bpos AS (
+            SELECT fp,
+                   CAST(('0x' || substr(md5('b' || i || ':' || fp), 1, 8))
+                        AS BIGINT) % {_BLOOM_M} AS p
+            FROM build, ks
+        ),
+        sketch AS (
+            SELECT p >> 5 AS wi,
+                   bit_or(1::BIGINT << CAST(p & 31 AS INT)) AS bits
+            FROM bpos GROUP BY p >> 5
+        ),
+        ppos AS (
+            SELECT fp,
+                   CAST(('0x' || substr(md5('b' || i || ':' || fp), 1, 8))
+                        AS BIGINT) % {_BLOOM_M} AS p
+            FROM probe, ks
+        ),
+        hits AS (
+            SELECT pp.fp,
+                   CASE WHEN (COALESCE(s.bits, 0)
+                              & (1::BIGINT << CAST(pp.p & 31 AS INT))) <> 0
+                        THEN 1 ELSE 0 END AS hit
+            FROM ppos pp LEFT JOIN sketch s ON pp.p >> 5 = s.wi
+        ),
+        member AS (
+            SELECT fp FROM hits GROUP BY fp
+            HAVING sum(hit) = {_BLOOM_K}
+        ),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM build),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM probe),
+        ne AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_dup
+            FROM probe WHERE fp IN (SELECT fp FROM build)
+        ),
+        nh AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_bloom_hits FROM member
+        ),
+        fill AS (
+            SELECT CAST(COALESCE(sum(bit_count(bits)), 0) AS BIGINT)
+                       AS bits_set
+            FROM sketch
+        )
+        SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+               CAST({_BLOOM_K} AS INT) AS k_hashes,
+               n_build, n_probe, n_exact_dup, n_bloom_hits,
+               n_bloom_hits - n_exact_dup AS n_false_pos,
+               (n_bloom_hits - n_exact_dup)
+                   / CAST(nullif(n_probe - n_exact_dup, 0) AS DOUBLE)
+                   AS fp_rate,
+               bits_set,
+               bits_set / CAST({_BLOOM_M} AS DOUBLE) AS fill_ratio
+        FROM nb, np, ne, nh, fill
+    """,
     "docs_strip_self_repetition": f"""
         WITH base AS (
             SELECT doc_id,

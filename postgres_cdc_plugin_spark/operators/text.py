@@ -971,6 +971,77 @@ def docs_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPE_MIN_QUALITY = 0.5  # composite quality floor for the e2e pipeline
 
 
+_VOCAB_TOPK = 16  # vocabulary size for the coverage audit
+
+
+def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV audit — the check run before freezing a
+    tokenizer or filter vocabulary: with the vocabulary defined as the
+    corpus's top-16 tokens by frequency (_VOCAB_TOPK; ties broken
+    lexicographically), report per document the token count, how many
+    token OCCURRENCES fall outside the vocabulary, how many DISTINCT
+    out-of-vocabulary types the doc carries, and the OOV rate. A doc
+    whose OOV rate is high is either foreign to the corpus register or
+    noise — the same signal tokenizer-fertility dashboards track.
+
+    Shape: one token-count aggregation (Zipf-small output), a
+    TakeOrderedAndProject top-k for the vocabulary (never a full sort),
+    then ONE pass over the token stream with a broadcast left join
+    against the 16-row vocabulary and a doc-grain rollup; zero-token
+    documents are kept via a final left join against the doc list
+    (n_tokens = 0, rates NULL). All ratios are exact int/int IEEE
+    divisions.
+
+    Scale: the vocabulary is constant-size and broadcast; the token
+    stream is touched once; the doc-grain aggregation is map-side
+    combinable. Nothing depends on corpus size except the two linear
+    passes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(_VOCAB_TOPK)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum((F.col("in_vocab").isNull()).cast("int"))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("w"))
+            )
+            .cast("bigint")
+            .alias("n_distinct_oov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.coalesce("n_distinct_oov", F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_oov"),
+            (
+                F.coalesce("n_oov", F.lit(0))
+                / F.expr("CAST(nullif(n_tokens, 0) AS DOUBLE)")
+            ).alias("oov_rate"),
+        )
+    )
+
+
 # Invisible characters stripped by unicode normalization: zero-width
 # space/joiners, BOM, soft hyphen. Written once; the Spark regex and the
 # DuckDB RE2 class are both generated from this tuple.
@@ -2082,6 +2153,7 @@ QUERIES = {
     "docs_common_spans": docs_common_spans,
     "docs_pipeline_e2e": docs_pipeline_e2e,
     "docs_unicode_normalize": docs_unicode_normalize,
+    "token_vocab_coverage": token_vocab_coverage,
 }
 
 def _bm25_sql(terms: tuple[str, ...]) -> str:
@@ -2257,6 +2329,36 @@ _INVISIBLE_RE2 = (
 ORACLE_SQL = {
     "token_bpe_merges": _BPE_SQL,
     "token_bpe_encode": _BPE_ENCODE_SQL,
+    "token_vocab_coverage": f"""
+        WITH tok AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+        ),
+        vocab AS (
+            SELECT w FROM (
+                SELECT w, count(*) AS cnt FROM tok GROUP BY w
+            ) ORDER BY cnt DESC, w ASC LIMIT {_VOCAB_TOPK}
+        ),
+        per_doc AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT)
+                       AS n_oov,
+                   CAST(count(DISTINCT CASE WHEN v.w IS NULL THEN t.w END)
+                        AS BIGINT) AS n_distinct_oov
+            FROM tok t LEFT JOIN vocab v ON t.w = v.w
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_oov, 0) AS n_oov,
+               COALESCE(p.n_distinct_oov, 0) AS n_distinct_oov,
+               COALESCE(p.n_oov, 0)
+                   / CAST(nullif(p.n_tokens, 0) AS DOUBLE) AS oov_rate
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "docs_unicode_normalize": f"""
         WITH n AS (
             -- edge trim is the anchored ASCII-space regex, NOT trim():

@@ -116,6 +116,12 @@ PRIORITY_ORDER = [
     # Position 50 — expensive recursive-CTE oracle at the window tail:
     "customer_golden_record",
     # ---- position 51+ ----
+    # Round-7 post-window additions (the window was already exactly 50
+    # when these landed): never driver-checked, local sf0.001+sf0.01
+    # parity only — FIRST in line for the r8 window front per the
+    # late-addition convention:
+    "docs_bloom_dedup_audit",
+    "token_vocab_coverage",
     # The 39 remaining r3-stale queries, staged for the r8 window
     # (alphabetical; evidence will be four rounds old by then —
     # cdc_delta_agg yielded its slot-50 window place to the fourth new

@@ -46,6 +46,8 @@ _DOC_QUERIES = [
     (dedup, "docs_url_canonicalize"),
     (dedup, "docs_url_host_stats"),
     (text, "docs_unicode_normalize"),
+    (dedup, "docs_bloom_dedup_audit"),
+    (text, "token_vocab_coverage"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -70,6 +72,15 @@ def single_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("mod,name", _DOC_QUERIES, ids=[n for _, n in _DOC_QUERIES])
 def test_empty_corpus_returns_empty(mod, name, spark, empty_dir):
     df = getattr(mod, name)(spark, empty_dir)
+    if name == "docs_bloom_dedup_audit":
+        # corpus-level audit: always exactly one row; an empty corpus
+        # reads as an empty filter with zero probes, never a crash
+        rows = df.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_build == 0 and r.n_probe == 0 and r.bits_set == 0
+        assert r.fp_rate is None and r.fill_ratio == 0.0
+        return
     assert df.count() == 0
     assert len(df.schema.fields) > 0
 
@@ -109,6 +120,18 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         assert len(rows) == 1
         assert rows[0].n_removed == 0
         assert rows[0].kept_text == "lonely document with a few tokens"
+    elif name == "docs_bloom_dedup_audit":
+        # doc_id=1 is probe-side: empty filter, one probe fingerprint,
+        # zero hits of any kind, fp_rate = 0/1 exactly
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_build == 0 and r.n_probe == 1
+        assert r.n_bloom_hits == 0 and r.n_false_pos == 0
+        assert r.fp_rate == 0.0 and r.bits_set == 0
+    elif name == "token_vocab_coverage":
+        # the single doc's tokens ARE the top-16 vocabulary
+        assert len(rows) == 1
+        assert rows[0].n_oov == 0 and rows[0].oov_rate == 0.0
     elif name == "docs_unicode_normalize":
         # already NFC-normal, single-spaced ASCII -> unchanged
         assert len(rows) == 1

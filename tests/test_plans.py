@@ -744,3 +744,27 @@ def test_url_host_stats_single_aggregation(spark, sf_dir):
     df = docs_url_host_stats(spark, sf_dir)
     assert inspect.exchange_count(df) <= 2, inspect.physical_plan(df)
     assert "Join" not in inspect.physical_plan(df)
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark, sf_dir):
+    """token_vocab_coverage's vocabulary must come from a
+    TakeOrderedAndProject (top-k), never a full sort of the count
+    relation, and the vocabulary join must broadcast."""
+    from postgres_cdc_plugin_spark.operators.text import token_vocab_coverage
+
+    plan = inspect.physical_plan(token_vocab_coverage(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_audit_has_no_pair_blowup(spark, sf_dir):
+    """docs_bloom_dedup_audit: the membership probe is a word-grain
+    join against the 512-word sketch — no CartesianProduct and no
+    fingerprint-pair join anywhere in the plan."""
+    from postgres_cdc_plugin_spark.operators.dedup import docs_bloom_dedup_audit
+
+    df = docs_bloom_dedup_audit(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # sanity: the audit is one row
+    assert df.count() == 1
