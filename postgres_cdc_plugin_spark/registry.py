@@ -20,12 +20,14 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     the staged front; verdict ask #2: they are registered at window
     positions BEFORE the window freezes, not after), (3) the full
     24-query r2-stale block (evidence five rounds old:
-    docs_common_spans … multimodal_dedup), and (4) the remaining slot
-    filled from the r3-stale block oldest-first (alphabetical within
-    equal age: cdc_column_diff). After the r7 run no query's evidence
-    is older than round 3. The 39 remaining r3-green queries are
-    staged at 51+ for the r8 window; r5/r6-green blocks append after
-    them in module order.
+    docs_common_spans … multimodal_dedup), and (4) slot 49 holds the
+    fifth new query (docs_bloom_dedup_audit — a genuinely-new query in
+    the window beats re-proving an r3 anchor one round early; no
+    r2-stale member lost its slot). After the r7 run no query's
+    evidence is older than round 3. The sixth new query
+    (token_vocab_coverage, landed after the window was full) plus the
+    40 r3-green queries are staged at 51+ as the r8 window front;
+    r5/r6-green blocks append after them in module order.
 """
 
 from __future__ import annotations
@@ -111,17 +113,19 @@ PRIORITY_ORDER = [
     "docs_embed_join",
     "multimodal_meta",
     "multimodal_dedup",
-    # (4) Oldest r3-stale filler (slot 49):
-    "cdc_column_diff",
+    # (4) Slot 49: the fifth new r7 query (it displaced the r3-stale
+    # cdc_column_diff, which the r8 staging below covers anyway —
+    # a genuinely-new query in the window beats re-proving an r3
+    # anchor one round early, and no r2-stale member lost its slot):
+    "docs_bloom_dedup_audit",
     # Position 50 — expensive recursive-CTE oracle at the window tail:
     "customer_golden_record",
     # ---- position 51+ ----
-    # Round-7 post-window additions (the window was already exactly 50
-    # when these landed): never driver-checked, local sf0.001+sf0.01
-    # parity only — FIRST in line for the r8 window front per the
-    # late-addition convention:
-    "docs_bloom_dedup_audit",
+    # Round-7 post-window addition (the window was already exactly 50):
+    # never driver-checked, local sf0.001+sf0.01 parity only — FIRST in
+    # line for the r8 window front per the late-addition convention:
     "token_vocab_coverage",
+    "cdc_column_diff",
     # The 39 remaining r3-stale queries, staged for the r8 window
     # (alphabetical; evidence will be four rounds old by then —
     # cdc_delta_agg yielded its slot-50 window place to the fourth new
