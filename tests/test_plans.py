@@ -515,6 +515,7 @@ _BNLJ_ALLOWED = {
     "lineitem_column_profile",  # two 1-row stats relations crossJoined (r6)
     "orders_join_cardinality_audit",  # 1-row stats + 1-row true-size crossJoins (r6)
     "embed_matryoshka_audit",  # 1-row query-slice crossJoin + embed_knn leg (r6)
+    "docs_bloom_dedup_audit",  # five 1-row count/fill aggregates crossJoined (r7)
 }
 
 
