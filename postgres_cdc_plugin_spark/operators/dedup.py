@@ -1588,7 +1588,7 @@ def host_stats_from_urls(u: DataFrame) -> DataFrame:
     )
 
 
-_BLOOM_M = 1 << 14  # filter size in bits (256 packed 64-bit words)
+_BLOOM_M = 1 << 14  # filter size in bits (512 packed 32-bit words)
 _BLOOM_K = 3  # hash functions per fingerprint
 
 
@@ -1615,7 +1615,7 @@ def docs_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer; the two rates are exact int/int IEEE divisions.
 
     Scale: distinct-fingerprint relations are hash aggs; the sketch is
-    256 words regardless of corpus size; probes are word-grain joins
+    512 packed 32-bit words regardless of corpus size; probes are word-grain joins
     against a broadcast-sized sketch. Nothing is quadratic and nothing
     collects.
     """

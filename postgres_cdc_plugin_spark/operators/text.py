@@ -1090,11 +1090,15 @@ def docs_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             # strip(" ") not strip(): Python's bare strip removes
             # Unicode whitespace (NBSP, line sep) that DuckDB's
             # space-only trim() keeps — after the ASCII-run collapse
-            # the only strippable edge chars are plain spaces anyway
+            # the only strippable edge chars are plain spaces anyway.
+            # na_action='ignore' maps NULL text to NULL norm_text,
+            # matching the oracle's nfc_normalize(NULL) (r7 advice —
+            # the default would hand None to unicodedata and crash).
             norm = pdf["text"].map(
                 lambda t: spaces.sub(
                     " ", invisible.sub("", unicodedata.normalize("NFC", t))
-                ).strip(" ")
+                ).strip(" "),
+                na_action="ignore",
             )
             yield pdf.assign(norm_text=norm)
 

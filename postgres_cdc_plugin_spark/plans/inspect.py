@@ -95,19 +95,36 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*>)", physical_plan(df, "formatted"))
 
 
+_INSPECT_SESSIONS: dict[int, object] = {}
+
+
+def _inspection_session(spark):
+    """One reused AQE-off cloned session per SparkContext. newSession
+    shares the SparkContext/catalog but owns its SQLConf, so the
+    AQE-off write never touches the caller's session; memoizing the
+    clone (keyed on the parent context's id) keeps repeated plan
+    inspections in a long-lived session from accumulating session
+    state against the shared context (r7 advice)."""
+    key = id(spark.sparkContext)
+    insp = _INSPECT_SESSIONS.get(key)
+    if insp is None:
+        insp = spark.newSession()
+        insp.conf.set("spark.sql.adaptive.enabled", "false")
+        _INSPECT_SESSIONS[key] = insp
+    return insp
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (fewer/wider is better — the
     relational core should stay inside generated JVM code).
 
     AQE leaves the initial plan uncompiled, so the plan is re-derived
-    once in a THROWAWAY cloned session with AQE off (newSession shares
-    the SparkContext/catalog but owns its SQLConf, so the write never
-    touches the caller's session — the last session-global conf flip in
-    the package was removed in round 7 per the r6 verdict ask #6).
+    in a memoized AQE-off cloned session (_inspection_session) — the
+    no-conf-flip guarantee of round 7's throwaway newSession, without
+    registering a fresh session per call against the shared
+    SparkContext.
     """
-    spark = df.sparkSession
-    insp = spark.newSession()
-    insp.conf.set("spark.sql.adaptive.enabled", "false")
+    insp = _inspection_session(df.sparkSession)
     jdf = insp._jvm.org.apache.spark.sql.classic.Dataset.ofRows(  # type: ignore[union-attr]
         insp._jsparkSession, df._jdf.logicalPlan()
     )

@@ -208,10 +208,11 @@ def test_unicode_normalize_edge_cases(spark, tmp_path_factory):
         " edge nbsp ",          # NBSP kept (not ASCII space)
         " plain  spaces  ",               # collapse + trim
         "soft­hyphen",               # soft hyphen stripped
+        None,                        # NULL text -> NULL norm_text (r7 advice)
     ]
     d = tmp_path_factory.mktemp("nfc_edge")
     spark.createDataFrame(
-        [(i, t, "xx", "s", len(t)) for i, t in enumerate(texts)],
+        [(i, t, "xx", "s", len(t) if t else 0) for i, t in enumerate(texts)],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.parquet(str(d / "documents.parquet"))
 
@@ -222,7 +223,12 @@ def test_unicode_normalize_edge_cases(spark, tmp_path_factory):
     assert rows[3].norm_text == " edge nbsp "  # NBSP survives
     assert rows[4].norm_text == "plain spaces"
     assert rows[5].norm_text == "softhyphen"
-    assert all(r.n_chars_after == len(r.norm_text) for r in rows.values())
+    assert rows[6].norm_text is None and rows[6].changed is None
+    assert all(
+        r.n_chars_after == len(r.norm_text)
+        for r in rows.values()
+        if r.norm_text is not None
+    )
 
     con = duckdb.connect()
     con.execute(
