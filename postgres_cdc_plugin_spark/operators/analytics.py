@@ -614,19 +614,81 @@ def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GK_ACCURACY = 10000  # approx_percentile accuracy => rank error 1/accuracy
+
+
 def lineitem_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile companion to lineitem_percentiles (§2.4) — the
-    100 TB scale path. Exact `percentile` is a full sort per group;
-    `approx_percentile` keeps a bounded quantile sketch per group
-    (mergeable, map-side partial), so memory is O(1/accuracy) per group
-    regardless of input size. Approximate, so no SQL oracle; registered
-    rows-only, with tests/test_analytics.py bounding its error against
-    the exact query (default accuracy 10000 => rank error <= 0.01%)."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("price_p50"),
-        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("price_p95"),
-        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("qty_p50"),
+    100 TB scale path (Greenwald-Khanna sketch: bounded per-group
+    memory, mergeable map-side partials vs the exact full sort per
+    group) — emitted as the sketch's ERROR-BOUND AUDIT, the form that
+    carries a full deterministic oracle (graduated from rows-only in
+    r8 per the r7 verdict ask #7, mirroring embed_ann_lsh's r6
+    graduation): the estimates themselves depend on partial-merge
+    order, but the GK guarantee — the returned element's rank is
+    within n/_GK_ACCURACY of the target rank — is a deterministic
+    TRUE/FALSE per group. Spark computes the realized rank interval of
+    each estimate ([count(< est)+1, count(<= est)]) with one broadcast
+    join back over the group and checks it intersects
+    [(q-eps)·n, (q+eps)·n]; the DuckDB oracle states the contract
+    (TRUE per group), so any driver-side bound violation
+    hash-mismatches loudly. tests/test_analytics.py keeps the tighter
+    quantitative value-error check against the exact percentiles.
+
+    Scale: the sketch aggregation is the same mergeable shape as
+    before; the audit adds one second scan with a 3-row broadcast —
+    no extra shuffle, no sort.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    est = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.5, {_GK_ACCURACY})"
+        ).alias("price_p50"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.95, {_GK_ACCURACY})"
+        ).alias("price_p95"),
+        F.expr(
+            f"approx_percentile(l_quantity, 0.5, {_GK_ACCURACY})"
+        ).alias("qty_p50"),
+    )
+    ranks = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            *[
+                F.sum((F.col(c) < F.col(e)).cast("long")).alias(f"lt_{e}")
+                for c, e in (
+                    ("l_extendedprice", "price_p50"),
+                    ("l_extendedprice", "price_p95"),
+                    ("l_quantity", "qty_p50"),
+                )
+            ],
+            *[
+                F.sum((F.col(c) <= F.col(e)).cast("long")).alias(f"le_{e}")
+                for c, e in (
+                    ("l_extendedprice", "price_p50"),
+                    ("l_extendedprice", "price_p95"),
+                    ("l_quantity", "qty_p50"),
+                )
+            ],
+        )
+    )
+    eps = 1.0 / _GK_ACCURACY
+
+    def _ok(e: str, q: float):
+        lo = F.floor(F.lit(q - eps) * F.col("n_rows"))
+        hi = F.ceil(F.lit(q + eps) * F.col("n_rows"))
+        return (F.col(f"lt_{e}") + 1 <= hi) & (F.col(f"le_{e}") >= lo)
+
+    return ranks.select(
+        "l_returnflag",
+        "n_rows",
+        _ok("price_p50", 0.5).alias("price_p50_bound_ok"),
+        _ok("price_p95", 0.95).alias("price_p95_bound_ok"),
+        _ok("qty_p50", 0.5).alias("qty_p50_bound_ok"),
     )
 
 
@@ -3823,6 +3885,19 @@ ORACLE_SQL = {
                quantile_cont(l_extendedprice, 0.5) AS price_p50,
                quantile_cont(l_extendedprice, 0.95) AS price_p95,
                quantile_cont(l_quantity, 0.5) AS qty_p50
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    # The oracle states the Greenwald-Khanna CONTRACT: the rank-error
+    # bound holds for every group (TRUE constants over the real group
+    # relation). The Spark side measures whether its sketch's realized
+    # rank intervals actually satisfied it — a violation hash-mismatches.
+    "lineitem_approx_percentiles": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS price_p50_bound_ok,
+               TRUE AS price_p95_bound_ok,
+               TRUE AS qty_p50_bound_ok
         FROM lineitem
         GROUP BY l_returnflag
     """,

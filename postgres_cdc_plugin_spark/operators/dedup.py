@@ -1170,6 +1170,76 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's corpus-wide exact line dedup (Raffel et al. 2020 §2.2 —
+    the paper deduplicates three-sentence spans; at this corpus's
+    synthetic line grain the unit is the _C4_LINE_WORDS-word line,
+    imported VERBATIM from text.py's C4 kernel so the dedup and the
+    rule gate can never disagree about what a line is): every line
+    that occurs more than once in the corpus keeps only its FIRST
+    occurrence (lexicographic min (doc_id, line_no) — doc-id order is
+    arrival order, the docs_gram_novelty convention), including
+    intra-document repeats; every document is rewritten from its
+    surviving lines in order. Emits per doc the line counts plus the
+    kept text's length and md5, the docs_strip_dup_spans hash-audit
+    convention (the rewrite is fully checked without shipping text).
+
+    Shape: ONE line-key aggregation (min struct, map-side combinable)
+    joined back to the line relation on the SAME key — both sides
+    hash-partition on line, so AQE co-locates the pair — then a
+    doc-grain rollup (sort the surviving (line_no, line) structs,
+    join words back with single spaces) and a left join against the
+    doc list so dedup-untouched and fully-deduped docs both appear.
+    Nothing is quadratic; the line relation is ~n_words/_C4_LINE_WORDS
+    rows, smaller than the token explode every token query already
+    pays.
+    """
+    from .text import _C4_LINES_EXPR
+
+    docs = load(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+    ).select("doc_id", F.expr(_C4_LINES_EXPR).alias("lines"))
+    ln = lined.select(
+        "doc_id", F.posexplode("lines").alias("line_no", "lw")
+    ).select("doc_id", "line_no", F.array_join("lw", " ").alias("line"))
+    keeper = ln.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("k")
+    )
+    kept = (
+        ln.join(keeper, "line")
+        .filter(
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("line_no") == F.col("k.line_no"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(line_no, line))), s -> s.line), ' ')"
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        lined.select("doc_id", F.size("lines").alias("n_lines"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_lines"),
+            F.length(F.coalesce("kept_text", F.lit("")))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
 def docs_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash index-health audit: the fraction of documents with each
     of the 64 signature bits set. A well-mixed hash keeps every bit
@@ -1724,6 +1794,7 @@ def docs_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "docs_c4_line_dedup": docs_c4_line_dedup,
     "docs_gram_novelty": docs_gram_novelty,
     "docs_bloom_dedup_audit": docs_bloom_dedup_audit,
     "docs_strip_self_repetition": docs_strip_self_repetition,
@@ -2023,7 +2094,41 @@ _URL_CANON_SQL = f"""
     FROM s6
 """
 
+from .text import _C4_LINES_SQL as _C4L  # noqa: E402  (shared C4 line kernel)
+
 ORACLE_SQL = {
+    "docs_c4_line_dedup": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents
+        ),
+        lined AS (SELECT doc_id, {_C4L} AS lines FROM w),
+        ln AS (
+            SELECT doc_id, i - 1 AS line_no,
+                   array_to_string(lines[i], ' ') AS line
+            FROM (SELECT doc_id, lines,
+                         unnest(range(1, len(lines) + 1)) AS i
+                  FROM lined)
+        ),
+        kept AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, ' ' ORDER BY line_no) AS kept_text
+            FROM (SELECT doc_id, line_no, line,
+                         row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, line_no) AS rn
+                  FROM ln)
+            WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept_lines,
+               CAST(len(lines) - coalesce(n_kept, 0) AS BIGINT)
+                   AS n_dup_lines,
+               CAST(length(coalesce(kept_text, '')) AS BIGINT) AS kept_chars,
+               md5(coalesce(kept_text, '')) AS kept_md5
+        FROM lined l LEFT JOIN kept USING (doc_id)
+    """,
     "docs_bloom_dedup_audit": f"""
         WITH sides AS (
             SELECT DISTINCT doc_id % 2 = 0 AS is_build,

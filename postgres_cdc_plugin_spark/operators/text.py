@@ -728,6 +728,124 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C4 line-grain hygiene (Raffel et al. 2020, §2.2) -----------------
+# The corpus generator emits unpunctuated single-line word streams, so
+# the "line"/"sentence" unit C4 filters on is realized as a FIXED
+# word window (_C4_LINE_WORDS words per line) — the deterministic
+# stand-in a newline/punctuation-free corpus admits. On a real crawl
+# the line-maker is split(text, '\n') + sentence punctuation; every
+# rule below is expressed against the lines array, so swapping the
+# line-maker swaps the grain without touching the rules. Shared
+# VERBATIM by docs_c4_line_filter (the rule gate) and dedup.py's
+# docs_c4_line_dedup (the corpus-wide exact line dedup) so the two
+# passes can never disagree about what a line is.
+_C4_LINE_WORDS = 5  # words per synthetic line/sentence
+_C4_MIN_LINE_WORDS = 3  # C4: retain lines with >= 3 words
+_C4_MIN_PAGE_LINES = 5  # C4: drop pages with < 5 sentences
+
+# Spark-side lines builder over a bound `ws` column (array<string> of
+# non-empty words — bind split() ONCE in a projection before this; a
+# split inside the lambda would re-evaluate per line, the O(n^2) trap
+# documented at docs_repetition_filter). sequence(1, 0) is DESCENDING
+# in Spark, so the zero-word case is an explicit typed empty array.
+_C4_LINES_EXPR = f"""
+    IF(size(ws) = 0,
+       CAST(array() AS ARRAY<ARRAY<STRING>>),
+       transform(
+           sequence(1, CAST(ceil(size(ws) / {_C4_LINE_WORDS}.0) AS INT)),
+           i -> slice(ws, (i - 1) * {_C4_LINE_WORDS} + 1, {_C4_LINE_WORDS})))
+"""
+
+# DuckDB mirror: ws -> lines (range(1, 1) is already empty, but the
+# zero-word branch stays explicit so both engines read identically).
+_C4_LINES_SQL = f"""
+    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[][])
+         ELSE list_transform(
+                  range(1, CAST(ceil(len(ws) / {_C4_LINE_WORDS}.0) AS BIGINT) + 1),
+                  i -> list_slice(ws, (i - 1) * {_C4_LINE_WORDS} + 1,
+                                  i * {_C4_LINE_WORDS}))
+    END
+"""
+
+
+def docs_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line-and-page rule gate (Raffel et al. 2020 §2.2 — the
+    cleaning pass behind the C4/T5 corpus), over the _C4_LINE_WORDS-word
+    synthetic lines: per line, the <_C4_MIN_LINE_WORDS-words drop rule,
+    the "contains the word javascript" drop rule, and the
+    terminal-punctuation retention flag; per page, the >=
+    _C4_MIN_PAGE_LINES-sentences rule, the "lorem ipsum" drop, and the
+    curly-brace (code) drop. Emits per-rule counts plus the page keep
+    verdict so the gate is auditable rule by rule, the docs_gopher_rules
+    convention.
+
+    Registry profile: the line keep count enforces the word-count and
+    javascript rules; the terminal-punctuation rule is REPORTED
+    (n_punct_lines) but not folded into kept — this corpus carries no
+    punctuation, so the paper's retain-on-punctuation profile would
+    degenerate to keep-nothing. Every rule (punctuation, javascript,
+    lorem, brace, short-line) is proven to fire on a bespoke punctuated
+    fixture in tests/test_analytics.py::test_c4_line_filter_rules_fire.
+    The paper's remaining page gate — the external bad-words list — is
+    the same exists-word shape as the lorem scan with the published
+    list plugged in; the list is an external resource, not shipped.
+
+    Scale: zero shuffles, zero joins — split(text) binds once, the
+    lines array and every rule are JVM higher-order expressions
+    (size/filter/exists lambdas), so the whole gate is one narrow
+    projection over the corpus scan, exactly like docs_gopher_rules.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "text",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+    )
+    lined = w.select(
+        "doc_id", "text", F.expr(_C4_LINES_EXPR).alias("lines")
+    )
+    n_lines = F.size("lines")
+    n_short = F.size(
+        F.expr(f"filter(lines, l -> size(l) < {_C4_MIN_LINE_WORDS})")
+    )
+    n_js = F.size(
+        F.expr("filter(lines, l -> exists(l, w -> lower(w) = 'javascript'))")
+    )
+    n_punct = F.size(
+        F.expr(
+            "filter(lines, l -> size(l) > 0"
+            " AND element_at(l, -1) rlike '[.!?\"]$')"
+        )
+    )
+    kept = F.expr(
+        f"filter(lines, l -> size(l) >= {_C4_MIN_LINE_WORDS}"
+        " AND NOT exists(l, w -> lower(w) = 'javascript'))"
+    )
+    kept_words = F.expr(
+        f"""aggregate(
+            filter(lines, l -> size(l) >= {_C4_MIN_LINE_WORDS}
+                   AND NOT exists(l, w -> lower(w) = 'javascript')),
+            0L, (a, l) -> a + size(l))"""
+    )
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    page_keep = (
+        (n_lines >= _C4_MIN_PAGE_LINES) & ~has_lorem & ~has_brace
+    )
+    return lined.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        n_short.cast("bigint").alias("n_short_lines"),
+        n_js.cast("bigint").alias("n_js_lines"),
+        n_punct.cast("bigint").alias("n_punct_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        kept_words.cast("bigint").alias("kept_words"),
+        has_lorem.alias("page_has_lorem"),
+        has_brace.alias("page_has_brace"),
+        page_keep.alias("page_keep"),
+    )
+
+
 def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter: most-frequent-token share
     and duplicate-bigram share per document, plus the keep/drop verdict.
@@ -2117,6 +2235,65 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the audit run before freezing
+    a vocabulary to catch under-served languages (a language whose
+    text shatters into many short BPE tokens pays more sequence length
+    per character; fertility dashboards track exactly these two
+    ratios). Per language: document/word/char/BPE-token totals,
+    tokens-per-word (the fertility number), and chars-per-token (the
+    compression number).
+
+    Reuses token_bpe_encode's trained vocabulary VERBATIM (_bpe_train —
+    same merges, same symbol segmentation), so this audit can never
+    drift from what the tokenizer actually does — the
+    token_vocab_coverage pairing the r7 verdict asked for (ask #4).
+
+    Scale: training already reduced merge application to the DISTINCT
+    word relation (Zipf-small); the audit is one (lang, word)
+    aggregation joined against that small relation, then a
+    languages-sized rollup — the corpus is touched once. Both ratios
+    are exact int64/int64 IEEE divisions (never rounded).
+    """
+    docs = load(spark, sf_dir, "documents")
+    _merges, vocab = _bpe_train(docs)
+    enc = vocab.select(
+        "w",
+        F.expr("size(filter(split(s, chr(1)), x -> x != ''))").alias(
+            "n_syms"
+        ),
+    )
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_lang = lw.join(enc, "w").groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.sum(F.col("c") * F.length("w")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("c") * F.col("n_syms")).cast("bigint").alias(
+            "n_bpe_tokens"
+        ),
+    )
+    nd = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return nd.join(per_lang, "lang").select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        (F.col("n_bpe_tokens") / F.col("n_words").cast("double")).alias(
+            "tokens_per_word"
+        ),
+        (F.col("n_chars") / F.col("n_bpe_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 QUERIES = {
     "docs_winnowing": docs_winnowing,
     "token_heavy_hitters": token_heavy_hitters,
@@ -2125,6 +2302,7 @@ QUERIES = {
     "docs_token_entropy": docs_token_entropy,
     "token_bpe_merges": token_bpe_merges,
     "token_bpe_encode": token_bpe_encode,
+    "token_fertility_by_lang": token_fertility_by_lang,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_ccnet_buckets": docs_ccnet_buckets,
@@ -2148,6 +2326,7 @@ QUERIES = {
     "docs_bm25_search": docs_bm25_search,
     "docs_repetition_filter": docs_repetition_filter,
     "docs_gopher_rules": docs_gopher_rules,
+    "docs_c4_line_filter": docs_c4_line_filter,
     "docs_contamination": docs_contamination,
     "token_tfidf": token_tfidf,
     "docs_chunks": docs_chunks,
@@ -2264,6 +2443,54 @@ _BPE_SQL = (
     )
 )
 
+# Fertility oracle: the SAME trained-vocabulary CTE chain as
+# _BPE_ENCODE_SQL (w0 -> v0 -> 6 merge iterations -> enc), grouped by
+# language instead of doc — the oracle mirror of reusing _bpe_train.
+_BPE_FERTILITY_SQL = (
+    """
+        WITH w0 AS (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        ),
+        v0 AS (
+            SELECT w, cnt,
+                   chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS s
+            FROM w0
+        ),"""
+    + ",".join(_bpe_iteration_ctes(k) for k in range(1, _BPE_MERGES + 1))
+    + f""",
+        enc AS (
+            SELECT w,
+                   len(list_filter(string_split(s, chr(1)), x -> x <> ''))
+                       AS n_syms
+            FROM v{_BPE_MERGES}
+        ),
+        lw AS (
+            SELECT lang, w, count(*) AS c
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY lang, w
+        ),
+        per_lang AS (
+            SELECT lang,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(sum(c * length(w)) AS BIGINT) AS n_chars,
+                   CAST(sum(c * n_syms) AS BIGINT) AS n_bpe_tokens
+            FROM lw JOIN enc USING (w) GROUP BY lang
+        ),
+        nd AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
+               n_bpe_tokens / CAST(n_words AS DOUBLE) AS tokens_per_word,
+               n_chars / CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token
+        FROM nd JOIN per_lang USING (lang)
+    """
+)
+
+
 _BPE_ENCODE_SQL = (
     """
         WITH w0 AS (
@@ -2333,6 +2560,7 @@ _INVISIBLE_RE2 = (
 ORACLE_SQL = {
     "token_bpe_merges": _BPE_SQL,
     "token_bpe_encode": _BPE_ENCODE_SQL,
+    "token_fertility_by_lang": _BPE_FERTILITY_SQL,
     "token_vocab_coverage": f"""
         WITH tok AS (
             SELECT doc_id, w
@@ -2949,6 +3177,46 @@ ORACLE_SQL = {
                    AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
                    AND n_stopwords >= {_GOPHER_MIN_STOPWORDS} AS keep
         FROM m
+    """,
+    "docs_c4_line_filter": f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents
+        ),
+        lined AS (
+            SELECT doc_id, text, {_C4_LINES_SQL} AS lines FROM w
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                        l -> len(l) < {_C4_MIN_LINE_WORDS})) AS BIGINT)
+                   AS n_short_lines,
+               CAST(len(list_filter(lines,
+                        l -> len(list_filter(l,
+                                 x -> lower(x) = 'javascript')) > 0))
+                   AS BIGINT) AS n_js_lines,
+               CAST(len(list_filter(lines,
+                        l -> len(l) > 0
+                             AND regexp_matches(l[-1], '[.!?"]$')))
+                   AS BIGINT) AS n_punct_lines,
+               CAST(len(list_filter(lines,
+                        l -> len(l) >= {_C4_MIN_LINE_WORDS}
+                             AND len(list_filter(l,
+                                     x -> lower(x) = 'javascript')) = 0))
+                   AS BIGINT) AS n_kept_lines,
+               CAST(coalesce(list_sum(list_transform(
+                        list_filter(lines,
+                            l -> len(l) >= {_C4_MIN_LINE_WORDS}
+                                 AND len(list_filter(l,
+                                         x -> lower(x) = 'javascript')) = 0),
+                        l -> len(l))), 0) AS BIGINT) AS kept_words,
+               contains(lower(text), 'lorem ipsum') AS page_has_lorem,
+               contains(text, '{{') AS page_has_brace,
+               len(lines) >= {_C4_MIN_PAGE_LINES}
+                   AND NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT contains(text, '{{') AS page_keep
+        FROM lined
     """,
     "docs_repetition_filter": f"""
         WITH tok AS (

@@ -9,25 +9,20 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-7 window, exactly as
-    the r6 verdict staged it (asks #1–#3): (1) the 21 queries
-    registered after the r6 window froze — never driver-checked, local
-    parity only — with the one expensive recursive-CTE oracle
-    (customer_golden_record) moved to the window TAIL per the
-    CC-family convention so a driver timeout there still leaves rows
-    for everything before it, (2) genuinely new round-7 queries
-    appended BEHIND those 21 (verdict ask #1: new work never displaces
-    the staged front; verdict ask #2: they are registered at window
-    positions BEFORE the window freezes, not after), (3) the full
-    24-query r2-stale block (evidence five rounds old:
-    docs_common_spans … multimodal_dedup), and (4) slot 49 holds the
-    fifth new query (docs_bloom_dedup_audit — a genuinely-new query in
-    the window beats re-proving an r3 anchor one round early; no
-    r2-stale member lost its slot). After the r7 run no query's
-    evidence is older than round 3. The sixth new query
-    (token_vocab_coverage, landed after the window was full) plus the
-    40 r3-green queries are staged at 51+ as the r8 window front;
-    r5/r6-green blocks append after them in module order.
+    most-recently-green family to the tail. Round-8 window, exactly as
+    the r7 verdict staged it (ask #1): (1) token_vocab_coverage — the
+    one r7 late registration, never driver-checked; (2) the four
+    genuinely new r8 queries, registered in the spare slots EARLY
+    (before the window froze): docs_c4_line_filter, docs_c4_line_dedup
+    (verdict ask #3 — the C4 line-grain hygiene pair),
+    token_fertility_by_lang (ask #4), and lineitem_approx_percentiles
+    (ask #7 — graduated from rows-only to the GK error-bound oracle, a
+    changed relation that must re-prove); (3) the full 40-query
+    r3-stale block (cdc_column_diff … token_count_min, evidence five
+    rounds old); (4) five r5-vintage anchors fill the remaining slots.
+    After the r8 run no query's evidence is older than round 5. The
+    r7-green window block sits at 51+ (most-recently-proven, tail by
+    convention); r5/r6-green blocks append after it in module order.
 """
 
 from __future__ import annotations
@@ -48,7 +43,10 @@ ROWS_ONLY = {
     # md5-seeded hyperplanes the bucketing is deterministic relational
     # algebra, so it carries a full DuckDB oracle (literal-plane
     # list_dot_product signatures; similarity.py:_lsh_bucket_sql).
-    "lineitem_approx_percentiles",
+    # lineitem_approx_percentiles graduated OUT in round 8 (r7 verdict
+    # ask #7): the query now emits the Greenwald-Khanna error-bound
+    # audit — deterministic booleans the DuckDB oracle states as the
+    # contract — instead of the merge-order-dependent estimates.
     # Misra-Gries surviving-counter sets depend on partitioning/stream
     # order; the guarantees (coverage + error bound) are pinned in
     # tests/test_analytics.py instead of a SQL oracle.
@@ -60,76 +58,21 @@ ROWS_ONLY = {
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # ---- round-7 window (first 50) ----
-    # (1) The 21 late-r6 registrations, never driver-checked; the
-    # recursive-CTE golden-record oracle is pulled to position 50:
-    "docs_hybrid_search",
-    "lineitem_column_profile",
-    "embed_matryoshka_audit",
-    "docs_ccnet_buckets",
-    "docs_quality_psi_drift",
-    "docs_gram_novelty",
-    "part_skyline",
-    "events_cusum_changepoint",
-    "docs_gopher_rules",
-    "multimodal_scene_cuts",
-    "cdc_time_travel_agg",
-    "embed_bq_search",
-    "events_seasonal_anomaly",
-    "embed_ndcg_audit",
-    "events_holt_forecast",
-    "lineitem_rle_layout_audit",
-    "orders_join_cardinality_audit",
-    "docs_simhash_bit_balance",
-    "docs_minhash_calibration",
-    "events_dau_wau_mau",
-    # (2) New round-7 queries — registered before the window froze:
-    "docs_strip_self_repetition",  # intra-doc repeated-gram removal
-    "docs_url_canonicalize",       # crawl-URL canonical form per doc
-    "docs_url_host_stats",         # host-level dedup bookkeeping
-    "docs_unicode_normalize",      # NFC + invisible-strip + ws collapse
-    # (3) The 24-query r2-stale block (last driver rows: round 2):
-    "docs_common_spans",
-    "docs_boilerplate_ngrams",
-    "docs_chunks",
-    "docs_pack_bins",
-    "docs_source_mix",
-    "token_tfidf",
-    "docs_contamination",
-    "docs_repetition_filter",
-    "docs_stratified_sample",
-    "lineitem_approx_percentiles",
-    "docs_pipeline_e2e",
-    "embed_quantize",
-    "embed_pq_codes",
-    "embed_pipeline_e2e",
-    "embed_knn",
-    "embed_centroids",
-    "embed_neardup_pairs",
-    "embed_neardup_dedup",
-    "embed_ann_ivf",
-    "embed_ivf_assign",
-    "embed_norm_stats",
-    "docs_embed_join",
-    "multimodal_meta",
-    "multimodal_dedup",
-    # (4) Slot 49: the fifth new r7 query (it displaced the r3-stale
-    # cdc_column_diff, which the r8 staging below covers anyway —
-    # a genuinely-new query in the window beats re-proving an r3
-    # anchor one round early, and no r2-stale member lost its slot):
-    "docs_bloom_dedup_audit",
-    # Position 50 — expensive recursive-CTE oracle at the window tail:
-    "customer_golden_record",
-    # ---- position 51+ ----
-    # Round-7 post-window addition (the window was already exactly 50):
-    # never driver-checked, local sf0.001+sf0.01 parity only — FIRST in
-    # line for the r8 window front per the late-addition convention:
+    # ---- round-8 window (first 50) ----
+    # (1) The one r7 late registration — never driver-checked, local
+    # parity only (the late-addition convention: first in line):
     "token_vocab_coverage",
+    # (2) Genuinely new round-8 queries, registered BEFORE the window
+    # froze (r7 verdict ask #1: new work goes in the spare slots early):
+    "docs_c4_line_filter",       # C4 line/page rule gate (ask #3)
+    "docs_c4_line_dedup",        # C4 corpus-wide exact line dedup (ask #3)
+    "token_fertility_by_lang",   # per-language BPE fertility (ask #4)
+    # graduated from rows-only to the GK error-bound oracle (ask #7) —
+    # changed relation, so it re-proves inside the window:
+    "lineitem_approx_percentiles",
+    # (3) The 40 r3-stale queries (driver evidence five rounds old),
+    # alphabetical; BPE-trainer oracles at the block tail:
     "cdc_column_diff",
-    # The 39 remaining r3-stale queries, staged for the r8 window
-    # (alphabetical; evidence will be four rounds old by then —
-    # cdc_delta_agg yielded its slot-50 window place to the fourth new
-    # r7 query, docs_unicode_normalize):
     "cdc_delta_agg",
     "cdc_envelope",
     "cdc_envelope_json",
@@ -169,6 +112,66 @@ PRIORITY_ORDER = [
     "receiver_replay_dedup",
     "token_bpe_merges",
     "token_count_min",
+    # (4) Five r5-vintage anchors fill the remaining slots (oldest
+    # evidence after the r3 block; lineitem_percentiles pairs with the
+    # graduated GK audit above):
+    "supplier_part_volume",
+    "orders_semi_anti",
+    "events_cube",
+    "orders_grouping_sets",
+    "lineitem_percentiles",
+    # ---- position 51+ ----
+    # The r7-green window block (most-recently-proven, tail by
+    # convention), in its r7 order:
+    "docs_hybrid_search",
+    "lineitem_column_profile",
+    "embed_matryoshka_audit",
+    "docs_ccnet_buckets",
+    "docs_quality_psi_drift",
+    "docs_gram_novelty",
+    "part_skyline",
+    "events_cusum_changepoint",
+    "docs_gopher_rules",
+    "multimodal_scene_cuts",
+    "cdc_time_travel_agg",
+    "embed_bq_search",
+    "events_seasonal_anomaly",
+    "embed_ndcg_audit",
+    "events_holt_forecast",
+    "lineitem_rle_layout_audit",
+    "orders_join_cardinality_audit",
+    "docs_simhash_bit_balance",
+    "docs_minhash_calibration",
+    "events_dau_wau_mau",
+    "docs_strip_self_repetition",
+    "docs_url_canonicalize",
+    "docs_url_host_stats",
+    "docs_unicode_normalize",
+    "docs_common_spans",
+    "docs_boilerplate_ngrams",
+    "docs_chunks",
+    "docs_pack_bins",
+    "docs_source_mix",
+    "token_tfidf",
+    "docs_contamination",
+    "docs_repetition_filter",
+    "docs_stratified_sample",
+    "docs_pipeline_e2e",
+    "embed_quantize",
+    "embed_pq_codes",
+    "embed_pipeline_e2e",
+    "embed_knn",
+    "embed_centroids",
+    "embed_neardup_pairs",
+    "embed_neardup_dedup",
+    "embed_ann_ivf",
+    "embed_ivf_assign",
+    "embed_norm_stats",
+    "docs_embed_join",
+    "multimodal_meta",
+    "multimodal_dedup",
+    "docs_bloom_dedup_audit",
+    "customer_golden_record",
     # r5/r6-green blocks append in module order below.
 ]
 

@@ -13,10 +13,37 @@ from postgres_cdc_plugin_spark.session import load
 def test_approx_percentile_error_bound(spark, sf_dir):
     """approx_percentile (accuracy=10000) vs the exact full-sort
     percentile: at these scales the sketch's rank error (<=0.01%) means
-    the returned value must be within a tight relative band of exact."""
-    approx = {r.l_returnflag: r for r in A.lineitem_approx_percentiles(spark, sf_dir).collect()}
+    the returned value must be within a tight relative band of exact.
+    The registered query is now the GK bound AUDIT (r8 graduation) —
+    its booleans must all hold — and the raw estimates, recomputed
+    inline with the same expression, keep the tighter value-band check
+    against the exact percentiles."""
+    audit = {
+        r.l_returnflag: r
+        for r in A.lineitem_approx_percentiles(spark, sf_dir).collect()
+    }
+    for k, r in audit.items():
+        assert r.price_p50_bound_ok and r.price_p95_bound_ok, k
+        assert r.qty_p50_bound_ok, k
+    li = load(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+                "price_p50"
+            ),
+            F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias(
+                "price_p95"
+            ),
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias(
+                "qty_p50"
+            ),
+        )
+        .collect()
+    }
     exact = {r.l_returnflag: r for r in A.lineitem_percentiles(spark, sf_dir).collect()}
-    assert set(approx) == set(exact)
+    assert set(approx) == set(exact) == set(audit)
     for k in exact:
         for col in ("price_p50", "price_p95", "qty_p50"):
             a, e = approx[k][col], exact[k][col]
@@ -40,6 +67,73 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         rel_err = abs(approx[k] - exact[k]) / exact[k]
         # rsd configured at 0.01; allow 5x headroom for small groups
         assert rel_err <= 0.05, f"{k}: {approx[k]} vs exact {exact[k]}"
+
+
+def test_c4_line_filter_rules_fire(spark, tmp_path):
+    """Every C4 rule fires on a bespoke fixture the synthetic corpus
+    can't exercise (it has no punctuation, javascript, lorem ipsum, or
+    braces): terminal-punctuation reporting, the javascript line drop,
+    the short-line drop, the lorem/brace page drops, and the 5-line
+    page minimum. Lines are 5-word windows (text.py's _C4_LINE_WORDS).
+    """
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    docs = [
+        # doc 0: 6 lines of 5 words; line 2 ends in '.', line 4 has
+        # javascript, line 6 has 2 words (short)
+        (0, "w w w w w x x x x x. y y y y y "
+            "z z javascript z z q q q q q r r", "en", "s", 0),
+        # doc 1: lorem ipsum page, 5 full lines
+        (1, "lorem ipsum a b c " + "d e f g h " * 4, "en", "s", 0),
+        # doc 2: brace page, one line ending in '?'
+        (2, "code { x y z?", "en", "s", 0),
+        # doc 3: clean but only 2 lines -> page minimum fails
+        (3, "a b c d e f g h i j", "en", "s", 0),
+        # doc 4: clean page, 5 lines, all kept
+        (4, "k l m n o " * 5, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        [(i, t.strip(), la, so, len(t.strip())) for i, t, la, so, _ in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = {
+        x.doc_id: x for x in T.docs_c4_line_filter(spark, str(tmp_path)).collect()
+    }
+    assert r[0].n_lines == 6 and r[0].n_punct_lines == 1
+    assert r[0].n_js_lines == 1 and r[0].n_short_lines == 1
+    assert r[0].n_kept_lines == 4 and r[0].kept_words == 20
+    assert r[1].page_has_lorem and not r[1].page_keep
+    assert r[2].page_has_brace and r[2].n_punct_lines == 1
+    assert not r[2].page_keep
+    assert not r[3].page_keep and r[3].n_lines == 2
+    assert r[4].page_keep and r[4].n_kept_lines == 5
+
+
+def test_c4_line_dedup_keeps_first_occurrence(spark, tmp_path):
+    """Corpus-wide exact line dedup: a line shared by three docs (and
+    repeated within one) survives only at its lexicographically first
+    (doc_id, line_no); docs rewritten from surviving lines in order."""
+    from postgres_cdc_plugin_spark.operators import dedup as D
+
+    dup = "a b c d e"
+    docs = [
+        (0, f"{dup} x y z w v", "en", "s", 0),
+        (1, f"p q r s t {dup}", "en", "s", 0),
+        (2, f"{dup} {dup}", "en", "s", 0),
+        (3, "solo", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        [(i, t, la, so, len(t)) for i, t, la, so, _ in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = {
+        x.doc_id: x for x in D.docs_c4_line_dedup(spark, str(tmp_path)).collect()
+    }
+    assert r[0].n_lines == 2 and r[0].n_dup_lines == 0
+    assert r[1].n_lines == 2 and r[1].n_dup_lines == 1
+    assert r[2].n_lines == 2 and r[2].n_dup_lines == 2
+    assert r[2].kept_chars == 0  # fully deduped -> empty rewrite
+    assert r[3].n_lines == 1 and r[3].n_kept_lines == 1
 
 
 def test_repetition_filter_single_token_doc(spark, tmp_path):

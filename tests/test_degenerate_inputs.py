@@ -48,6 +48,10 @@ _DOC_QUERIES = [
     (text, "docs_unicode_normalize"),
     (dedup, "docs_bloom_dedup_audit"),
     (text, "token_vocab_coverage"),
+    # round-8 operators
+    (text, "docs_c4_line_filter"),
+    (dedup, "docs_c4_line_dedup"),
+    (text, "token_fertility_by_lang"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -142,6 +146,13 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         assert len(rows) == 1
         if name == "docs_url_host_stats":
             assert rows[0].n_dup_docs == 0 and rows[0].dup_rate == 0.0
+    elif name == "docs_c4_line_filter":
+        # 6 words -> two 5-word lines; the 1-word tail line is short
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_lines == 2 and r.n_short_lines == 1
+        assert r.n_kept_lines == 1 and r.kept_words == 5
+        assert not r.page_keep  # fewer than 5 lines
     elif name == "docs_word_pmi":
         # N = 1: every pair of the doc's distinct words co-occurs with
         # df_a = df_b = n_pair_docs = 1, so pmi = log2(1*1/1) = 0 exactly
