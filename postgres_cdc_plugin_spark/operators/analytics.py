@@ -4326,6 +4326,15 @@ QUERIES["lineitem_rle_layout_audit"] = lineitem_rle_layout_audit
 # Shared persisted kernels for explicit family_build:* bench rows (see
 # operators/dedup.py FAMILY_BUILDS for the convention): queries then pay
 # only MARGINAL cost in the per-query bench table.
+FAMILY_CONSUMERS = {
+    "copurchase_graph": (
+        "orders_market_basket",
+        "part_copurchase_pagerank",
+        "part_triangle_counts",
+    ),
+    "fuzzy_pairs": ("customer_fuzzy_match", "customer_golden_record"),
+}
+
 FAMILY_BUILDS = {
     # co-purchase edge list + degree relation: consumed by
     # orders_market_basket, part_copurchase_pagerank, part_triangle_counts

@@ -1132,6 +1132,10 @@ ORACLE_SQL = {
 
 # Shared persisted kernels for explicit family_build:* bench rows (see
 # operators/dedup.py FAMILY_BUILDS for the convention).
+FAMILY_CONSUMERS = {
+    "queue_state": ("queue_state_machine", "queue_latency_profile"),
+}
+
 FAMILY_BUILDS = {
     # folded queue-state relation: consumed by queue_state_machine and
     # queue_latency_profile

@@ -166,8 +166,11 @@ def _minhash_sigs(docs: DataFrame, shingles: DataFrame | None = None) -> DataFra
     relation (the Jaccard verify path) share it: min() is duplicate-
     insensitive, so signatures over the DISTINCT shingle set are
     identical to signatures over the occurrence stream — and the corpus
-    is shingled once, not twice. Standalone callers skip the distinct
-    (one shuffle cheaper).
+    is shingled once, not twice. Registered queries ALWAYS pass the
+    distinct relation (via _lsh_candidates or directly): a
+    distinct=False caller computes the same values on a different
+    canonical plan, which silently opts out of the family build's
+    cache (the r7 docs_minhash_pairs drift).
     """
     sh = (shingles if shingles is not None else _shingles(docs, distinct=False)).select(
         "doc_id", F.md5("g").alias("hg")
@@ -237,13 +240,28 @@ def _candidate_pairs(
     )
 
 
-def _verified_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate pairs + exact shingle-set Jaccard (the verify step)."""
+def _lsh_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared banded-LSH candidate kernel: distinct shingles ->
+    signatures -> candidate pairs, each persisted. EVERY consumer must
+    come through here (not through private _shingles/_minhash_sigs
+    combinations) so the plans are canonically identical and the
+    family build's cache entries always match — docs_minhash_pairs
+    previously built its signatures from the occurrence-stream
+    shingles (distinct=False), an identical RESULT on a different
+    PLAN, so it silently rebuilt the whole signature pipeline next to
+    the family's cached one (the r7 bench's 2.5x cold-vs-marginal
+    drift, verdict ask #2)."""
     sh = _shingles(docs, distinct=True).persist()
     # pairs fan out twice (the intersection chain AND the doc_b
     # prefilter inside _exact_jaccard) — persist so the band join runs
     # once
     pairs = _candidate_pairs(_minhash_sigs(docs, shingles=sh).persist()).persist()
+    return sh, pairs
+
+
+def _verified_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate pairs + exact shingle-set Jaccard (the verify step)."""
+    sh, pairs = _lsh_candidates(docs)
     return (
         _exact_jaccard(pairs, sh)
         # the verified-pair relation is pair-set sized (tiny) but costs
@@ -309,17 +327,21 @@ def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 def docs_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature table: the persisted artifact of a corpus-dedup
     pipeline (signatures computed once, reused by every later LSH pass).
-    One groupBy(doc_id) with map-side partial min()."""
-    return _minhash_sigs(load(spark, sf_dir, "documents"))
+    One groupBy(doc_id) with map-side partial min(), over the SAME
+    distinct-shingle plan as the family kernel (min is duplicate-
+    insensitive, so the values are identical; the shared plan is what
+    lets this query read the family build's cache entry instead of
+    re-shingling the corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    return _minhash_sigs(docs, shingles=_shingles(docs, distinct=True))
 
 
 def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded-LSH candidate pairs with band-agreement counts."""
+    """MinHash + banded-LSH candidate pairs with band-agreement counts.
+    Reads the shared candidate kernel (_lsh_candidates) VERBATIM so its
+    plan matches the family build's persisted pair relation."""
     docs = load(spark, sf_dir, "documents")
-    # persist: the band explode self-joins the signature relation (two
-    # scans of the same plan), and other minhash queries in the session
-    # share the cache entry
-    return _candidate_pairs(_minhash_sigs(docs).persist())
+    return _lsh_candidates(docs)[1]
 
 
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1828,6 +1850,35 @@ QUERIES = {
 # ask #4). Each callable returns the kernel DataFrame(s) to
 # materialize; queries then reuse them through cache-manager canonical
 # plan matching, so every per-query bench number is MARGINAL cost.
+# Declared consumers per family build — the bench self-check
+# (tests/test_plans.py::test_family_builds_feed_their_consumers)
+# asserts each one's physical plan actually reads the family's
+# persisted kernel, so plan drift fails loudly (r7 verdict ask #6).
+FAMILY_CONSUMERS = {
+    "minhash_verified_pairs": (
+        "docs_minhash_sigs",
+        "docs_minhash_pairs",
+        "docs_minhash_dedup",
+        "docs_ngram_jaccard",
+        "docs_ngram_containment",
+        "docs_dedup_method_agreement",
+        "docs_minhash_calibration",
+    ),
+    "lsh_sweep": ("docs_lsh_tuning",),
+    "simhash_pairs": (
+        "docs_simhash_pairs",
+        "docs_simhash_dedup",
+        "docs_dup_clusters",
+        "docs_cluster_dedup",
+        "docs_dedup_method_agreement",
+    ),
+    "dup_spans": (
+        "docs_suffix_dup_spans",
+        "docs_dup_span_filter",
+        "docs_strip_dup_spans",
+    ),
+}
+
 FAMILY_BUILDS = {
     # shingles -> signatures -> band pairs -> exact-Jaccard verify:
     # consumed by docs_minhash_pairs/dedup, docs_ngram_jaccard/

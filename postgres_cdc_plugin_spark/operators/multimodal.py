@@ -1297,6 +1297,10 @@ ORACLE_SQL = {
 
 # Shared persisted kernels for explicit family_build:* bench rows (see
 # operators/dedup.py FAMILY_BUILDS for the convention).
+FAMILY_CONSUMERS = {
+    "phash_sigs": ("multimodal_neardup",),
+}
+
 FAMILY_BUILDS = {
     # perceptual-hash signature relation: multimodal_phash's output,
     # persisted and reused by multimodal_neardup's block-LSH pass

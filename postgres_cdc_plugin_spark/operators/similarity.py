@@ -332,17 +332,12 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    # centroid array per label, ordered by dimension
-    cvec = (
-        emb.select("label", F.posexplode("v").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("s")
-        )
-        .select("label", F.transform("s", lambda t: t.cx).alias("cv"))
-    )
+    # centroid array per label: the FAMILY kernel verbatim (rounded
+    # per-dim means, (cell, cv)) — an inline unrounded rebuild computed
+    # the same cells on a different canonical plan, silently opting out
+    # of the family build's cache (caught by the r8 family-consumer
+    # plan self-check)
+    cvec = _centroid_vecs(emb).select(F.col("cell").alias("label"), "cv")
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qv"))
     best_cells = (
         cvec.crossJoin(F.broadcast(q))
@@ -1916,26 +1911,15 @@ ORACLE_SQL = {
     """,
     "embed_ann_ivf": f"""
         WITH cent AS (
-            SELECT label, list(cx ORDER BY dim) AS cv
-            FROM (
-                SELECT label, dim, avg(x) AS cx
-                FROM (
-                    SELECT label,
-                           unnest(embedding::DOUBLE[]) AS x,
-                           unnest(range(1, len(embedding) + 1)) AS dim
-                    FROM embeddings
-                )
-                GROUP BY label, dim
-            )
-            GROUP BY label
+{_cent_cte_sql("embeddings")}
         ),
         q AS (
             SELECT embedding::DOUBLE[] AS qv FROM embeddings
             WHERE vec_id = {_QUERY_VEC_ID}
         ),
         best AS (
-            SELECT label FROM cent, q
-            ORDER BY list_cosine_similarity(cv, qv) DESC, label ASC
+            SELECT cell AS label FROM cent, q
+            ORDER BY list_cosine_similarity(cv, qv) DESC, cell ASC
             LIMIT {_N_PROBE}
         )
         SELECT e.vec_id, e.label,
@@ -2436,6 +2420,18 @@ ORACLE_SQL["embed_ndcg_audit"] = f"""
 
 # Shared persisted kernels for explicit family_build:* bench rows (see
 # operators/dedup.py FAMILY_BUILDS for the convention).
+FAMILY_CONSUMERS = {
+    "ivf_centroids": (
+        "embed_ann_ivf",
+        "embed_ivf_assign",
+        "embed_cell_balance_audit",
+        "embed_recall_audit",
+        "embed_pq_codes",
+        "embed_ann_ivfpq",
+        "embed_pipeline_e2e",
+    ),
+}
+
 FAMILY_BUILDS = {
     # deterministic IVF coarse-quantizer centroids: consumed by
     # embed_ann_ivf, embed_ivf_assign, embed_cell_balance_audit,

@@ -208,6 +208,23 @@ def family_builds() -> dict[str, object]:
     return out
 
 
+def family_consumers() -> dict[str, tuple[str, ...]]:
+    """Declared consumer queries per family build, same key namespace
+    as family_builds(). The bench self-check
+    (tests/test_plans.py::test_family_builds_feed_their_consumers)
+    asserts each consumer's physical plan actually reads the family's
+    persisted kernel (InMemoryTableScan witness), so a build whose
+    projection drifts away from its consumers fails a test instead of
+    surfacing as a silent per-query bench regression (r7 verdict
+    ask #6)."""
+    out: dict[str, tuple[str, ...]] = {}
+    for mod in _MODULES:
+        for name, consumers in getattr(mod, "FAMILY_CONSUMERS", {}).items():
+            key = f"family_build:{mod.__name__.rsplit('.', 1)[-1]}.{name}"
+            out[key] = tuple(consumers)
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     merged: dict[str, str] = {}
     for mod in _MODULES:

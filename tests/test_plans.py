@@ -769,3 +769,46 @@ def test_bloom_audit_has_no_pair_blowup(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # sanity: the audit is one row
     assert df.count() == 1
+
+
+def test_family_builds_feed_their_consumers(spark, sf_dir):
+    """The bench attribution self-check (r7 verdict ask #6): every
+    family_build kernel must actually be READ by each of its declared
+    consumers — the consumer's physical plan re-derives the same
+    canonical plan and picks up the persisted kernel
+    (InMemoryTableScan / cached-stage witness). A build whose input
+    projection drifts away from a consumer (the r7 docs_minhash_pairs
+    2.5x cold-vs-marginal drift: identical values, different canonical
+    plan) fails HERE instead of surfacing as a silent per-query bench
+    regression. Plan-only: the persist marks register at construction,
+    so no kernel needs materializing. localCheckpoint is patched to a
+    no-op for the duration — eager checkpoints (part_triangle_counts'
+    oriented-edge relation, the iterative loops) would otherwise
+    replace the upstream plan with an opaque RDD scan AND execute the
+    pipeline during construction; without them the full logical plan
+    (and the cache lookup in it) is visible."""
+    # patch the CLASSIC subclass — pyspark 4 resolves localCheckpoint
+    # there, so a base-class patch never fires
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from postgres_cdc_plugin_spark import registry
+
+    builds = registry.family_builds()
+    consumers = registry.family_consumers()
+    assert set(consumers) == set(builds)
+    q = registry.queries()
+    real_ckpt = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+    try:
+        for fn in builds.values():
+            fn(spark, sf_dir)  # registers the kernel persist marks
+        for key, names in consumers.items():
+            for name in names:
+                plan = inspect.physical_plan(q[name](spark, sf_dir))
+                assert (
+                    "InMemoryTableScan" in plan
+                    or "TableCacheQueryStage" in plan
+                ), f"{name} does not read {key}'s cached kernel:\n{plan}"
+    finally:
+        _DF.localCheckpoint = real_ckpt  # type: ignore[method-assign]
+        spark.catalog.clearCache()
