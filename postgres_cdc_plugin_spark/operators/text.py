@@ -684,7 +684,14 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     at full parallelism. Determinism: all ratios are exact int/int
     IEEE divisions (never rounded, identical on both engines).
     """
-    docs = load(spark, sf_dir, "documents")
+    return gopher_rules_df(load(spark, sf_dir, "documents"))
+
+
+def gopher_rules_df(docs: DataFrame) -> DataFrame:
+    """The Gopher gate as a DataFrame kernel — shared VERBATIM by the
+    batch query above and streaming/quality.py's GopherQualityLedger
+    (per-micro-batch gate verdicts), so the streaming gate can never
+    drift from the batch gate. Input needs (doc_id, text)."""
     words = F.split("text", " ")
     n_words = F.size(words)
     mean_len = F.aggregate(

@@ -2117,3 +2117,104 @@ def test_url_host_ledger_incremental_checkpoint_resume(spark, tmp_path, sf_dir):
         len([d for d in os.listdir(led.out_dir) if d.startswith("batch=")])
         > n_batch_dirs
     )
+
+
+def test_gopher_quality_ledger_bit_equal_to_batch(spark, tmp_path, sf_dir):
+    """GopherQualityLedger.verdicts must be BIT-EQUAL to the batch
+    docs_gopher_rules over the same corpus (ST-family: the quality
+    gate joins the incrementally-maintained ledgers, r7 verdict ask
+    #5): the documents table streams in three micro-batches, each
+    gated through the shared gopher_rules_df kernel into its own
+    replay-safe dir. Also pins replay idempotence and redelivery
+    collapse: re-landing the ENTIRE corpus as one more batch (twice)
+    does not move the verdicts."""
+    from postgres_cdc_plugin_spark.operators.text import docs_gopher_rules
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.quality import (
+        GATE_STREAM_SCHEMA,
+        GopherQualityLedger,
+    )
+
+    feed = str(tmp_path / "gate_feed")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(3).write.parquet(feed)
+
+    led = GopherQualityLedger(str(tmp_path / "gate_ledger"))
+    stream = (
+        spark.readStream.schema(GATE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = led.attach(stream, str(tmp_path / "gate_ck"), available_now=True)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, led.verdicts(spark).collect()))
+    want = sorted(map(tuple, docs_gopher_rules(spark, sf_dir).collect()))
+    assert got == want
+    # the admitted set is exactly the batch gate's keep set
+    kept = sorted(r.doc_id for r in led.kept_docs(spark).collect())
+    want_kept = sorted(
+        r.doc_id
+        for r in docs_gopher_rules(spark, sf_dir).filter("keep").collect()
+    )
+    assert kept == want_kept
+
+    led.process_batch(docs, 99)
+    led.process_batch(docs, 99)
+    again = sorted(map(tuple, led.verdicts(spark).collect()))
+    assert again == want
+
+
+def test_gopher_quality_ledger_incremental_checkpoint_resume(
+    spark, tmp_path, sf_dir
+):
+    """Incremental gating across stream restarts: drain wave 1, stop,
+    land more feed files, re-attach on the SAME checkpoint — the
+    resumed stream must gate only the new files, and after each wave
+    the ledger equals the batch kernel over exactly the documents
+    seen so far."""
+    import os
+
+    from postgres_cdc_plugin_spark.operators.text import gopher_rules_df
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.quality import (
+        GATE_STREAM_SCHEMA,
+        GopherQualityLedger,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+    feed = str(tmp_path / "gate_feed_inc")
+    wave1.coalesce(1).write.parquet(feed)
+
+    led = GopherQualityLedger(str(tmp_path / "gate_ledger_inc"))
+    ck = str(tmp_path / "gate_ck_inc")
+
+    def drain():
+        stream = spark.readStream.schema(GATE_STREAM_SCHEMA).parquet(feed)
+        q = led.attach(stream, ck, available_now=True)
+        q.awaitTermination(120)
+
+    def batch_over(subset):
+        return sorted(map(tuple, gopher_rules_df(subset).collect()))
+
+    drain()
+    assert sorted(map(tuple, led.verdicts(spark).collect())) == batch_over(
+        wave1
+    )
+
+    n_batch_dirs = len(
+        [d for d in os.listdir(led.out_dir) if d.startswith("batch=")]
+    )
+    wave2.coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    assert sorted(map(tuple, led.verdicts(spark).collect())) == batch_over(
+        docs
+    )
+    # the resumed stream added new batch dirs rather than re-gating
+    # wave 1 (checkpoint carries the file-source progress)
+    assert (
+        len([d for d in os.listdir(led.out_dir) if d.startswith("batch=")])
+        > n_batch_dirs
+    )
