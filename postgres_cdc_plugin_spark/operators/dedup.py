@@ -1192,6 +1192,79 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QDI_BINS = 10  # fixed-width quality bins, the docs_quality_psi_drift grid
+
+
+def docs_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality x duplication interaction — the measured correlation a
+    pipeline checks before ordering its stages (low-quality strata
+    usually duplicate more, which is why the cheap quality gate runs
+    BEFORE the dedup shuffle; this query replaces that folklore with
+    numbers for THIS corpus): per fixed-width quality bin, document
+    count, exact-duplicate membership count (docs whose normalized-text
+    fingerprint appears more than once), the would-be-dropped count
+    (non-canonical copies), and both rates.
+
+    Reuses text.py's _quality_parts and this module's _fingerprint
+    VERBATIM (the same score docs_quality_score reports and the same
+    fingerprint docs_exact_dedup drops on — zero drift from the stages
+    it audits). Fixed-width bins, not quantiles: the bin is a pure
+    per-row projection (the docs_quality_psi_drift convention), so the
+    plan has no sort — one fingerprint-key aggregation joined back on
+    the same key (co-partitioned), then a 10-row rollup. avg_quality
+    crosses the decimal hop (partial-sum order); the rates are exact
+    int/int divisions.
+    """
+    from .text import _quality_parts
+
+    len_score, uniq_ratio = _quality_parts()
+    quality = len_score * 0.5 + uniq_ratio * 0.5
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality.alias("q"),
+        _fingerprint().alias("fp"),
+        F.least(
+            F.floor(quality * _QDI_BINS).cast("int"), F.lit(_QDI_BINS - 1)
+        ).alias("bin"),
+    )
+    grp = d.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_fp"), F.min("doc_id").alias("keeper")
+    )
+    return (
+        d.join(grp, "fp")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("q") / F.count(F.lit(1)).cast("double"), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("avg_quality"),
+            F.sum((F.col("n_fp") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(
+                ((F.col("n_fp") > 1) & (F.col("doc_id") != F.col("keeper")))
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("n_dup_losers"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "avg_quality",
+            "n_dup_docs",
+            "n_dup_losers",
+            (F.col("n_dup_docs") / F.col("n_docs").cast("double")).alias(
+                "dup_rate"
+            ),
+            (F.col("n_dup_losers") / F.col("n_docs").cast("double")).alias(
+                "loser_rate"
+            ),
+        )
+    )
+
+
 def docs_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4's corpus-wide exact line dedup (Raffel et al. 2020 §2.2 —
     the paper deduplicates three-sentence spans; at this corpus's
@@ -1817,6 +1890,7 @@ def docs_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "docs_c4_line_dedup": docs_c4_line_dedup,
+    "docs_quality_dup_interaction": docs_quality_dup_interaction,
     "docs_gram_novelty": docs_gram_novelty,
     "docs_bloom_dedup_audit": docs_bloom_dedup_audit,
     "docs_strip_self_repetition": docs_strip_self_repetition,
@@ -2148,6 +2222,40 @@ _URL_CANON_SQL = f"""
 from .text import _C4_LINES_SQL as _C4L  # noqa: E402  (shared C4 line kernel)
 
 ORACLE_SQL = {
+    "docs_quality_dup_interaction": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   least(1.0, length(text) / 500.0) * 0.5
+                   + len(list_distinct(string_split(text, ' ')))
+                     / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS DOUBLE) * 0.5 AS q,
+                   md5(lower(trim(text))) AS fp,
+                   least(CAST(floor((least(1.0, length(text) / 500.0) * 0.5
+                   + len(list_distinct(string_split(text, ' ')))
+                     / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS DOUBLE) * 0.5) * {_QDI_BINS}) AS INT),
+                         {_QDI_BINS - 1}) AS bin
+            FROM documents
+        ),
+        g AS (
+            SELECT fp, count(*) AS n_fp, min(doc_id) AS keeper
+            FROM d GROUP BY fp
+        ),
+        j AS (SELECT d.*, g.n_fp, g.keeper FROM d JOIN g USING (fp))
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(CAST(round(sum(q) / CAST(count(*) AS DOUBLE), 6)
+                         AS DECIMAL(38,6)) AS DOUBLE) AS avg_quality,
+               CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               CAST(sum(CASE WHEN n_fp > 1 AND doc_id <> keeper
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_losers,
+               sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE) AS dup_rate,
+               sum(CASE WHEN n_fp > 1 AND doc_id <> keeper THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE) AS loser_rate
+        FROM j GROUP BY bin
+    """,
     "docs_c4_line_dedup": f"""
         WITH w AS (
             SELECT doc_id,

@@ -1091,6 +1091,51 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MODALITY near-dup agreement: the text-side verified
+    MinHash pairs (exact shingle Jaccard >= threshold, the relation
+    docs_minhash_dedup drops on) full-outer-joined against the
+    embedding-side cosine near-dup pairs (doc_id = vec_id, the
+    docs_embed_join alignment) — the audit a pipeline runs before
+    trusting EITHER dedup family alone: a pair flagged by text but not
+    embeddings is boilerplate-style near-dup (shared surface form,
+    different gist); flagged by embeddings only is a paraphrase
+    (SemDeDup's target); flagged by both is a hard duplicate. The
+    intra-text-modality version of this audit is dedup.py's
+    docs_dedup_method_agreement (MinHash vs SimHash).
+
+    Reuses BOTH persisted family kernels verbatim (_verified_pairs —
+    the dedup family build; the tiled-BLAS embed_neardup_pairs), so
+    the audit is a join of two already-built pair relations: marginal
+    cost is two broadcast-sized scans at any corpus size where the
+    families themselves are maintainable.
+    """
+    from .dedup import _JACCARD_THRESHOLD, _verified_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    tp = (
+        _verified_pairs(docs)
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    ep = embed_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        "cosine_sim",
+    )
+    return tp.join(ep, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "cosine_sim",
+        F.col("jaccard").isNotNull().alias("text_dup"),
+        F.col("cosine_sim").isNotNull().alias("embed_dup"),
+        (F.col("jaccard").isNotNull() & F.col("cosine_sim").isNotNull()).alias(
+            "both_dup"
+        ),
+    )
+
+
 def docs_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal join: text documents x their embedding rows
     (doc_id = vec_id), profiled per (lang, label) cell — the alignment
@@ -1619,6 +1664,7 @@ QUERIES = {
     "embed_recall_audit": embed_recall_audit,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
+    "docs_dedup_modality_agreement": docs_dedup_modality_agreement,
     "docs_hybrid_search": docs_hybrid_search,
     "embed_bq_search": embed_bq_search,
     "embed_ndcg_audit": embed_ndcg_audit,
@@ -2292,6 +2338,8 @@ ORACLE_SQL["embed_recall_audit"] = f"""
 # oracle verbatim as the two leg subqueries, so the fused oracle can
 # never drift from the per-leg oracles. 1/(K+rank) and the 2-term sum
 # are exact IEEE double ops on integers — no rounding needed.
+from .dedup import _JACCARD_THRESHOLD as _AGREE_JACCARD  # noqa: E402
+from .dedup import _VERIFIED_SQL as _AGREE_VERIFIED_SQL  # noqa: E402
 from .text import _BM25_TERMS as _HYBRID_TERMS  # noqa: E402
 from .text import _bm25_sql as _hybrid_bm25_sql  # noqa: E402
 
@@ -2447,3 +2495,28 @@ FAMILY_BUILDS = {
         )
     ],
 }
+
+# Cross-modality agreement oracle: the dedup module's verified-pair SQL
+# and this module's cosine-pair SQL, joined exactly as the query joins
+# the two persisted kernels (imports above — one formula per modality,
+# zero drift from the per-modality oracles).
+ORACLE_SQL["docs_dedup_modality_agreement"] = f"""
+    WITH tp AS (
+        SELECT doc_a, doc_b, jaccard FROM ({_AGREE_VERIFIED_SQL})
+        WHERE jaccard >= {_AGREE_JACCARD}
+    ),
+    ep AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round({_COS_SQL}, 6) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+    )
+    SELECT coalesce(tp.doc_a, ep.doc_a) AS doc_a,
+           coalesce(tp.doc_b, ep.doc_b) AS doc_b,
+           tp.jaccard, ep.cosine_sim,
+           tp.doc_a IS NOT NULL AS text_dup,
+           ep.doc_a IS NOT NULL AS embed_dup,
+           tp.doc_a IS NOT NULL AND ep.doc_a IS NOT NULL AS both_dup
+    FROM tp FULL OUTER JOIN ep
+      ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+"""

@@ -2253,6 +2253,66 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TEMPERATURE = 0.3  # multilingual sampling exponent (share^alpha)
+
+
+def docs_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling mix (Conneau & Lample
+    2019 / the mBERT-family exponent rule, public literature): resample
+    languages proportional to share^alpha (alpha = _MIX_TEMPERATURE)
+    so low-resource languages are upsampled without letting any single
+    language dominate — the standard knob a multilingual pretraining
+    run sets before tokenizer training and data packing. Per language:
+    token counts, the raw token share, the temperature-adjusted target
+    share, and the resulting up/down-sampling factor.
+
+    Shares are exact int/int divisions; the pow() values go through
+    the round-6 DECIMAL hop (the docs_unigram_surprisal convention —
+    canonical representation on both engines, washing the final-ulp
+    libm difference between Java's and DuckDB's pow).
+
+    Scale: one token-count aggregation rolled up to the languages-sized
+    relation, then a 1-row total broadcast back — O(languages) output
+    at any corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select(
+            "lang",
+            F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+                "nt"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+    )
+    shared = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("tot")).alias("share"),
+        F.pow(F.col("n_tokens") / F.col("tot"), _MIX_TEMPERATURE).alias("p"),
+    )
+    ptot = shared.agg(F.sum("p").alias("ptot"))
+    dec6 = lambda c: F.round(c, 6).cast("decimal(38,6)").cast("double")  # noqa: E731
+    return shared.crossJoin(F.broadcast(ptot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "share",
+        dec6(F.col("p") / F.col("ptot")).alias("temp_share"),
+        dec6((F.col("p") / F.col("ptot")) / F.col("share")).alias(
+            "sample_factor"
+        ),
+    )
+
+
 def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language — the audit run before freezing
     a vocabulary to catch under-served languages (a language whose
@@ -2337,6 +2397,7 @@ QUERIES = {
     "token_bpe_merges": token_bpe_merges,
     "token_bpe_encode": token_bpe_encode,
     "token_fertility_by_lang": token_fertility_by_lang,
+    "docs_lang_temperature_mix": docs_lang_temperature_mix,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_ccnet_buckets": docs_ccnet_buckets,
@@ -2595,6 +2656,28 @@ ORACLE_SQL = {
     "token_bpe_merges": _BPE_SQL,
     "token_bpe_encode": _BPE_ENCODE_SQL,
     "token_fertility_by_lang": _BPE_FERTILITY_SQL,
+    "docs_lang_temperature_mix": f"""
+        WITH per_lang AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per_lang),
+        shared AS (
+            SELECT lang, n_docs, n_tokens, n_tokens / tot AS share,
+                   pow(n_tokens / tot, {_MIX_TEMPERATURE}) AS p
+            FROM per_lang, tot
+        ),
+        ptot AS (SELECT sum(p) AS ptot FROM shared)
+        SELECT lang, n_docs, n_tokens, share,
+               CAST(CAST(round(p / ptot, 6) AS DECIMAL(38,6)) AS DOUBLE)
+                   AS temp_share,
+               CAST(CAST(round((p / ptot) / share, 6) AS DECIMAL(38,6))
+                    AS DOUBLE) AS sample_factor
+        FROM shared, ptot
+    """,
     "token_vocab_coverage": f"""
         WITH tok AS (
             SELECT doc_id, w

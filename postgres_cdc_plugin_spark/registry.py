@@ -19,7 +19,11 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     (ask #7 — graduated from rows-only to the GK error-bound oracle, a
     changed relation that must re-prove); (3) the full 40-query
     r3-stale block (cdc_column_diff … token_count_min, evidence five
-    rounds old); (4) five r5-vintage anchors fill the remaining slots.
+    rounds old); (4) three more new r8 queries
+    (docs_lang_temperature_mix, docs_quality_dup_interaction,
+    docs_dedup_modality_agreement — the last at the window tail, its
+    oracle being the expensive verified-pairs SQL) plus two r5-vintage
+    anchors in the remaining slots.
     After the r8 run no query's evidence is older than round 5. The
     r7-green window block sits at 51+ (most-recently-proven, tail by
     convention); r5/r6-green blocks append after it in module order.
@@ -112,14 +116,17 @@ PRIORITY_ORDER = [
     "receiver_replay_dedup",
     "token_bpe_merges",
     "token_count_min",
-    # (4) Five r5-vintage anchors fill the remaining slots (oldest
-    # evidence after the r3 block; lineitem_percentiles pairs with the
-    # graduated GK audit above):
+    # (4) Three more genuinely new r8 queries (they displace three of
+    # the r5-vintage fills — the r7 slot-49 precedent: a new query in
+    # the window beats re-proving a green anchor one round early), the
+    # remaining two r5 anchors, and the expensive
+    # verified-pairs-oracle audit at the window tail per the
+    # golden-record convention:
+    "docs_lang_temperature_mix",     # multilingual sampling temperature
+    "docs_quality_dup_interaction",  # quality-stratum dup rates
     "supplier_part_volume",
-    "orders_semi_anti",
-    "events_cube",
-    "orders_grouping_sets",
-    "lineitem_percentiles",
+    "lineitem_percentiles",          # pairs with the graduated GK audit
+    "docs_dedup_modality_agreement",  # text-vs-embedding near-dup audit
     # ---- position 51+ ----
     # The r7-green window block (most-recently-proven, tail by
     # convention), in its r7 order:

@@ -52,6 +52,8 @@ _DOC_QUERIES = [
     (text, "docs_c4_line_filter"),
     (dedup, "docs_c4_line_dedup"),
     (text, "token_fertility_by_lang"),
+    (text, "docs_lang_temperature_mix"),
+    (dedup, "docs_quality_dup_interaction"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -146,6 +148,17 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         assert len(rows) == 1
         if name == "docs_url_host_stats":
             assert rows[0].n_dup_docs == 0 and rows[0].dup_rate == 0.0
+    elif name == "docs_lang_temperature_mix":
+        # one language owns the whole corpus: share = temp share = 1,
+        # sampling factor exactly 1.0
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.share == 1.0 and r.temp_share == 1.0
+        assert r.sample_factor == 1.0
+    elif name == "docs_quality_dup_interaction":
+        # a single doc can't duplicate anything: one bin, zero dups
+        assert len(rows) == 1
+        assert rows[0].n_dup_docs == 0 and rows[0].dup_rate == 0.0
     elif name == "docs_c4_line_filter":
         # 6 words -> two 5-word lines; the 1-word tail line is short
         assert len(rows) == 1
