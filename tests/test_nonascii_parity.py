@@ -32,7 +32,11 @@ ORACLES = registry.oracle_sql()
 # this fixture doesn't carry: docs_embed_join, and docs_hybrid_search's
 # kNN leg (its text-touching BM25 leg is covered end-to-end on
 # multibyte terms by test_nonascii_bm25_multibyte_terms below).
-_EMBEDDINGS_JOINERS = {"docs_embed_join", "docs_hybrid_search"}
+_EMBEDDINGS_JOINERS = {
+    "docs_embed_join",
+    "docs_hybrid_search",
+    "docs_dedup_modality_agreement",
+}
 NONASCII_NAMES = sorted(
     n
     for n in ORACLES

@@ -516,6 +516,7 @@ _BNLJ_ALLOWED = {
     "orders_join_cardinality_audit",  # 1-row stats + 1-row true-size crossJoins (r6)
     "embed_matryoshka_audit",  # 1-row query-slice crossJoin + embed_knn leg (r6)
     "docs_bloom_dedup_audit",  # five 1-row count/fill aggregates crossJoined (r7)
+    "docs_lang_temperature_mix",  # two 1-row total crossJoins (r8)
 }
 
 
