@@ -593,3 +593,52 @@ def test_hll_sketches_merge_losslessly(spark, sf_dir):
         .est
     )
     assert whole == merged
+
+
+def test_fertility_reconciles_with_bpe_encode(spark, sf_dir):
+    """Cross-query consistency: token_fertility_by_lang's per-language
+    word/BPE-token totals must equal token_bpe_encode's per-doc totals
+    rolled up by the doc's language — both ride the same trained
+    vocabulary, so any divergence is a kernel drift."""
+    from postgres_cdc_plugin_spark.operators import text as T
+    from postgres_cdc_plugin_spark.session import load
+
+    fert = {
+        r.lang: r for r in T.token_fertility_by_lang(spark, sf_dir).collect()
+    }
+    enc = T.token_bpe_encode(spark, sf_dir)
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    rolled = {
+        r.lang: r
+        for r in enc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")
+        )
+        .collect()
+    }
+    assert set(fert) == set(rolled)
+    for lang in fert:
+        assert fert[lang].n_words == rolled[lang].w, lang
+        assert fert[lang].n_bpe_tokens == rolled[lang].t, lang
+
+
+def test_temperature_mix_properties(spark, sf_dir):
+    """The temperature-mix algebra: raw shares sum to 1 exactly (they
+    partition the token total), temperature shares sum to 1 within
+    rounding, factors are anti-monotone in share (alpha < 1 compresses
+    the distribution), and because sum(factor_i * share_i) = 1 the
+    smallest-share language is never downsampled and the largest never
+    upsampled."""
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    rows = sorted(
+        T.docs_lang_temperature_mix(spark, sf_dir).collect(),
+        key=lambda r: r.share,
+    )
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-5
+    for a, b in zip(rows, rows[1:]):
+        assert a.sample_factor >= b.sample_factor  # anti-monotone
+    assert rows[0].sample_factor >= 1.0  # rarest language upsampled
+    assert rows[-1].sample_factor <= 1.0  # dominant language downsampled

@@ -223,3 +223,133 @@ def test_url_canonicalize_matches_urllib_reference(spark, tmp_path):
 
     for r in docs_url_canonicalize(spark, str(d)).collect():
         assert r.canon_url == ref_canon(r.url), (r.doc_id, r.url)
+
+
+def test_c4_line_dedup_matches_python_reference(spark, tmp_path):
+    """Third-implementation check (the r7 strip_self_repetition
+    convention): 200 seeded random docs over a 3-word alphabet (dense
+    with accidental duplicate 5-word lines, intra- and cross-doc) must
+    match a direct pure-Python transcription of the pinned semantics —
+    independent of both the Spark formulation and the DuckDB oracle."""
+    import hashlib
+    import random
+
+    from postgres_cdc_plugin_spark.operators.dedup import docs_c4_line_dedup
+
+    rng = random.Random(11)
+    alphabet = ["x", "y", "z"]
+    texts = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 23)))
+        for _ in range(200)
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    W = 5
+    first: dict[str, tuple[int, int]] = {}
+    doc_lines: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        lines = [
+            " ".join(ws[j * W : (j + 1) * W])
+            for j in range(-(-len(ws) // W))
+        ]
+        doc_lines[i] = lines
+        for ln_no, ln in enumerate(lines):
+            first.setdefault(ln, (i, ln_no))
+    rows = {
+        r.doc_id: r for r in docs_c4_line_dedup(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 200
+    for i in range(200):
+        kept = [
+            ln
+            for ln_no, ln in enumerate(doc_lines[i])
+            if first[ln] == (i, ln_no)
+        ]
+        kept_text = " ".join(kept)
+        r = rows[i]
+        assert r.n_lines == len(doc_lines[i]), i
+        assert r.n_kept_lines == len(kept), i
+        assert r.kept_chars == len(kept_text), i
+        assert r.kept_md5 == hashlib.md5(kept_text.encode()).hexdigest(), i
+
+
+def test_quality_dup_interaction_sums_match_exact_dedup(spark, sf_dir):
+    """Cross-query consistency: the interaction audit's totals must
+    reconcile exactly with the corpus and the exact-dedup pass it
+    audits — sum(n_docs) = corpus size, and sum(n_dup_losers) = docs
+    the fingerprint dedup would drop (corpus - distinct fingerprints)."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        _fingerprint,
+        docs_quality_dup_interaction,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    agg = (
+        docs_quality_dup_interaction(spark, sf_dir)
+        .agg(
+            F.sum("n_docs").alias("docs"),
+            F.sum("n_dup_losers").alias("losers"),
+            F.sum("n_dup_docs").alias("dups"),
+        )
+        .collect()[0]
+    )
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    n_fp = docs.select(_fingerprint().alias("fp")).distinct().count()
+    assert agg.docs == n
+    assert agg.losers == n - n_fp
+    assert agg.dups >= agg.losers  # every loser group also counts its keeper
+
+
+def test_modality_agreement_reconciles_with_both_families(spark, sf_dir):
+    """Cross-query consistency: the agreement relation's per-modality
+    pair sets must equal the relations of the families it audits — the
+    text side is exactly the verified pairs at the dedup threshold, the
+    embedding side exactly embed_neardup_pairs."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _verified_pairs,
+    )
+    from postgres_cdc_plugin_spark.operators.similarity import (
+        docs_dedup_modality_agreement,
+        embed_neardup_pairs,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    agree = docs_dedup_modality_agreement(spark, sf_dir)
+    text_pairs = sorted(
+        (r.doc_a, r.doc_b)
+        for r in agree.filter("text_dup").select("doc_a", "doc_b").collect()
+    )
+    want_text = sorted(
+        (r.doc_a, r.doc_b)
+        for r in _verified_pairs(load(spark, sf_dir, "documents"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    assert text_pairs == want_text
+    emb_pairs = sorted(
+        (r.doc_a, r.doc_b)
+        for r in agree.filter("embed_dup").select("doc_a", "doc_b").collect()
+    )
+    want_emb = sorted(
+        (r.vec_a, r.vec_b)
+        for r in embed_neardup_pairs(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .collect()
+    )
+    assert emb_pairs == want_emb
+    both = sorted(
+        (r.doc_a, r.doc_b)
+        for r in agree.filter("both_dup").select("doc_a", "doc_b").collect()
+    )
+    assert set(both) == set(text_pairs) & set(emb_pairs)
