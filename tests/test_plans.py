@@ -813,3 +813,26 @@ def test_family_builds_feed_their_consumers(spark, sf_dir):
     finally:
         _DF.localCheckpoint = real_ckpt  # type: ignore[method-assign]
         spark.catalog.clearCache()
+
+
+def test_c4_line_filter_is_zero_shuffle(spark, sf_dir):
+    """docs_c4_line_filter must stay one narrow projection — split
+    binds once, lines and rules are higher-order lambdas: zero
+    exchanges, no joins (the docs_gopher_rules bar)."""
+    from postgres_cdc_plugin_spark.operators.text import docs_c4_line_filter
+
+    df = docs_c4_line_filter(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.physical_plan(df)
+    assert "Join" not in inspect.physical_plan(df)
+
+
+def test_c4_line_dedup_exchange_budget(spark, sf_dir):
+    """docs_c4_line_dedup: one line-key aggregation + same-key
+    join-back + doc rollup + doc-list join — the exchange budget is
+    bounded and the plan never degenerates to a product."""
+    from postgres_cdc_plugin_spark.operators.dedup import docs_c4_line_dedup
+
+    df = docs_c4_line_dedup(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.exchange_count(df) <= 6, plan
+    assert "CartesianProduct" not in plan
