@@ -1279,12 +1279,18 @@ def docs_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept text's length and md5, the docs_strip_dup_spans hash-audit
     convention (the rewrite is fully checked without shipping text).
 
-    Shape: ONE line-key aggregation (min struct, map-side combinable)
-    joined back to the line relation on the SAME key — both sides
-    hash-partition on line, so AQE co-locates the pair — then a
-    doc-grain rollup (sort the surviving (line_no, line) structs,
-    join words back with single spaces) and a left join against the
-    doc list so dedup-untouched and fully-deduped docs both appear.
+    Shape: ONE line-key aggregation — min(struct(doc_id, line_no,
+    line)), map-side combinable, so a boilerplate line duplicated
+    across millions of pages partial-aggregates to one row per map
+    task instead of skewing a single reducer (the reason this is NOT a
+    row_number window over the line key) — whose output IS the kept
+    relation (the keeper tuple of every distinct line; no join back,
+    the r8 rework: the first formulation re-joined the line relation
+    on line to filter to keepers, a second full-relation shuffle that
+    carried no information the min-struct didn't already have), then a
+    doc-grain rollup (sort the surviving (line_no, line) structs, join
+    words back with single spaces) and a left join against the doc
+    list so dedup-untouched and fully-deduped docs both appear.
     Nothing is quadratic; the line relation is ~n_words/_C4_LINE_WORDS
     rows, smaller than the token explode every token query already
     pays.
@@ -1299,15 +1305,10 @@ def docs_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln = lined.select(
         "doc_id", F.posexplode("lines").alias("line_no", "lw")
     ).select("doc_id", "line_no", F.array_join("lw", " ").alias("line"))
-    keeper = ln.groupBy("line").agg(
-        F.min(F.struct("doc_id", "line_no")).alias("k")
-    )
     kept = (
-        ln.join(keeper, "line")
-        .filter(
-            (F.col("doc_id") == F.col("k.doc_id"))
-            & (F.col("line_no") == F.col("k.line_no"))
-        )
+        ln.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no", "line")).alias("k"))
+        .select("k.doc_id", "k.line_no", "k.line")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

@@ -827,12 +827,14 @@ def test_c4_line_filter_is_zero_shuffle(spark, sf_dir):
 
 
 def test_c4_line_dedup_exchange_budget(spark, sf_dir):
-    """docs_c4_line_dedup: one line-key aggregation + same-key
-    join-back + doc rollup + doc-list join — the exchange budget is
-    bounded and the plan never degenerates to a product."""
+    """docs_c4_line_dedup: exactly the line-key min-struct aggregation
+    and the doc-grain rollup shuffle — the keeper relation IS the kept
+    relation, so there must be NO join-back of the line relation (the
+    r8 rework); the doc-list join broadcasts."""
     from postgres_cdc_plugin_spark.operators.dedup import docs_c4_line_dedup
 
     df = docs_c4_line_dedup(spark, sf_dir)
     plan = inspect.physical_plan(df)
-    assert inspect.exchange_count(df) <= 6, plan
+    assert inspect.exchange_count(df) <= 2, plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
