@@ -1336,6 +1336,102 @@ def docs_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's dedup at its EXACT published grain (Raffel et al. 2020
+    §2.2: "we removed all but one of any three-sentence span occurring
+    more than once") — the span-grain companion of docs_c4_line_dedup
+    (registered r8, staged for the r9 window): every 3-consecutive-line
+    span (lines = the shared _C4_LINES_EXPR kernel, chr(1)-joined so
+    the key is unambiguous) keeps its first occurrence (lexicographic
+    min (doc_id, start)); every OTHER occurrence marks its three lines
+    covered, overlapping removals union per doc (the islands-merge
+    semantics of docs_strip_dup_spans at line grain), and each document
+    is rewritten from its surviving lines with a length+md5 hash audit.
+
+    Shape: one span-key min-struct aggregation (map-side combinable —
+    a boilerplate span duplicated across millions of pages partial-
+    aggregates per map task) re-joined to the span relation on the
+    SAME key to identify non-keepers (both sides hash-partition on the
+    key; unlike line dedup the non-keeper set is relative to the
+    keeper, so this join is load-bearing), a 3x position explode +
+    distinct for the covered set, a doc-keyed anti join, and the
+    doc-grain rollup. Everything keys on span/doc — nothing quadratic,
+    no window over a skewable key.
+    """
+    from .text import _C4_LINES_EXPR
+
+    docs = load(spark, sf_dir, "documents")
+    lined = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+        )
+        .select("doc_id", F.expr(_C4_LINES_EXPR).alias("lines"))
+        .select(
+            "doc_id",
+            F.expr("transform(lines, l -> array_join(l, ' '))").alias("ls"),
+        )
+    )
+    spans = (
+        lined.filter(F.size("ls") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                """explode(transform(sequence(1, size(ls) - 2),
+                    i -> struct(CAST(i AS INT) AS s,
+                                concat_ws(chr(1),
+                                          element_at(ls, CAST(i AS INT)),
+                                          element_at(ls, CAST(i + 1 AS INT)),
+                                          element_at(ls, CAST(i + 2 AS INT)))
+                                    AS k)))"""
+            ).alias("sp"),
+        )
+        .select("doc_id", F.col("sp.s").alias("s"), F.col("sp.k").alias("k"))
+    )
+    keeper = spans.groupBy("k").agg(F.min(F.struct("doc_id", "s")).alias("kp"))
+    covered = (
+        spans.join(keeper, "k")
+        .filter(
+            (F.col("doc_id") != F.col("kp.doc_id"))
+            | (F.col("s") != F.col("kp.s"))
+        )
+        .select(
+            "doc_id", F.explode(F.expr("sequence(s, s + 2)")).alias("line_no")
+        )
+        .distinct()
+    )
+    ln = lined.select(
+        "doc_id", F.posexplode("ls").alias("p", "line")
+    ).select("doc_id", (F.col("p") + 1).cast("int").alias("line_no"), "line")
+    kept = (
+        ln.join(covered, ["doc_id", "line_no"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(line_no, line))), s -> s.line), ' ')"
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        lined.select("doc_id", F.size("ls").alias("n_lines"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_covered_lines"),
+            F.length(F.coalesce("kept_text", F.lit("")))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
 def docs_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash index-health audit: the fraction of documents with each
     of the 64 signature bits set. A well-mixed hash keeps every bit
@@ -1892,6 +1988,7 @@ def docs_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "docs_c4_line_dedup": docs_c4_line_dedup,
     "docs_quality_dup_interaction": docs_quality_dup_interaction,
+    "docs_c4_span_dedup": docs_c4_span_dedup,
     "docs_gram_novelty": docs_gram_novelty,
     "docs_bloom_dedup_audit": docs_bloom_dedup_audit,
     "docs_strip_self_repetition": docs_strip_self_repetition,
@@ -2288,6 +2385,57 @@ ORACLE_SQL = {
                CAST(length(coalesce(kept_text, '')) AS BIGINT) AS kept_chars,
                md5(coalesce(kept_text, '')) AS kept_md5
         FROM lined l LEFT JOIN kept USING (doc_id)
+    """,
+    "docs_c4_span_dedup": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents
+        ),
+        lined AS (SELECT doc_id, {_C4L} AS lines FROM w),
+        lstr AS (
+            SELECT doc_id,
+                   list_transform(lines, l -> array_to_string(l, ' ')) AS ls
+            FROM lined
+        ),
+        spans AS (
+            SELECT doc_id, i AS s,
+                   ls[i] || chr(1) || ls[i + 1] || chr(1) || ls[i + 2] AS k
+            FROM (SELECT doc_id, ls, unnest(range(1, len(ls) - 1)) AS i
+                  FROM lstr)
+        ),
+        ranked AS (
+            SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY k ORDER BY doc_id, s)
+                       AS rn
+            FROM spans
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, s + j AS line_no
+            FROM ranked, unnest(range(0, 3)) AS t(j)
+            WHERE rn > 1
+        ),
+        ln AS (
+            SELECT doc_id, i AS line_no, ls[i] AS line
+            FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+                  FROM lstr)
+        ),
+        kept AS (
+            SELECT l.doc_id, count(*) AS n_kept,
+                   string_agg(l.line, ' ' ORDER BY l.line_no) AS kept_text
+            FROM ln l LEFT JOIN covered c
+              ON l.doc_id = c.doc_id AND l.line_no = c.line_no
+            WHERE c.doc_id IS NULL
+            GROUP BY l.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept_lines,
+               CAST(len(ls) - coalesce(n_kept, 0) AS BIGINT)
+                   AS n_covered_lines,
+               CAST(length(coalesce(kept_text, '')) AS BIGINT) AS kept_chars,
+               md5(coalesce(kept_text, '')) AS kept_md5
+        FROM lstr d LEFT JOIN kept USING (doc_id)
     """,
     "docs_bloom_dedup_audit": f"""
         WITH sides AS (

@@ -353,3 +353,55 @@ def test_modality_agreement_reconciles_with_both_families(spark, sf_dir):
         for r in agree.filter("both_dup").select("doc_a", "doc_b").collect()
     )
     assert set(both) == set(text_pairs) & set(emb_pairs)
+
+
+def test_c4_span_dedup_matches_python_reference(spark, tmp_path):
+    """Third-implementation check for the span-grain C4 dedup: 150
+    seeded docs whose lines are sampled from a 6-line pool (dense
+    duplicate 3-line spans, overlapping within and across docs) must
+    match a pure-Python transcription of keep-first / cover-the-rest /
+    islands-union semantics."""
+    import hashlib
+    import random
+
+    from postgres_cdc_plugin_spark.operators.dedup import docs_c4_span_dedup
+
+    rng = random.Random(29)
+    pool = [
+        " ".join(ws)
+        for ws in (
+            ["a"] * 5, ["b"] * 5, ["c"] * 5,
+            ["a", "b", "a", "b", "a"],
+            ["c", "a", "c", "a", "c"],
+            ["b", "c", "b", "c", "b"],
+        )
+    ]
+    doc_lines = [
+        [rng.choice(pool) for _ in range(rng.randrange(1, 9))]
+        for _ in range(150)
+    ]
+    texts = [" ".join(lines) for lines in doc_lines]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    first: dict[tuple[str, str, str], tuple[int, int]] = {}
+    for i, lines in enumerate(doc_lines):
+        for s in range(len(lines) - 2):
+            first.setdefault(tuple(lines[s : s + 3]), (i, s))
+    rows = {
+        r.doc_id: r for r in docs_c4_span_dedup(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 150
+    for i, lines in enumerate(doc_lines):
+        covered: set[int] = set()
+        for s in range(len(lines) - 2):
+            if first[tuple(lines[s : s + 3])] != (i, s):
+                covered.update(range(s, s + 3))
+        kept = [ln for j, ln in enumerate(lines) if j not in covered]
+        kept_text = " ".join(kept)
+        r = rows[i]
+        assert r.n_lines == len(lines), i
+        assert r.n_covered_lines == len(covered), i
+        assert r.kept_md5 == hashlib.md5(kept_text.encode()).hexdigest(), i

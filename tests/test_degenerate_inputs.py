@@ -54,6 +54,7 @@ _DOC_QUERIES = [
     (text, "token_fertility_by_lang"),
     (text, "docs_lang_temperature_mix"),
     (dedup, "docs_quality_dup_interaction"),
+    (dedup, "docs_c4_span_dedup"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
