@@ -838,3 +838,15 @@ def test_c4_line_dedup_exchange_budget(spark, sf_dir):
     assert inspect.exchange_count(df) <= 2, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_c4_span_dedup_no_product_and_bounded_exchanges(spark, sf_dir):
+    """docs_c4_span_dedup: span-key agg + same-key join-back + covered
+    distinct + doc-keyed anti join + rollup — bounded exchanges, no
+    product, no full-relation sort."""
+    from postgres_cdc_plugin_spark.operators.dedup import docs_c4_span_dedup
+
+    df = docs_c4_span_dedup(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert inspect.exchange_count(df) <= 7, plan
+    assert "CartesianProduct" not in plan
