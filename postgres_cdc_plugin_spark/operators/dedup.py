@@ -1302,9 +1302,27 @@ def docs_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
     ).select("doc_id", F.expr(_C4_LINES_EXPR).alias("lines"))
-    ln = lined.select(
+    return c4_line_dedup_from(
+        lined.select("doc_id", F.size("lines").alias("n_lines")),
+        c4_lines_of(lined),
+    )
+
+
+def c4_lines_of(lined: DataFrame) -> DataFrame:
+    """(doc_id, lines-array) -> the (doc_id, line_no, line) relation —
+    the C4 line grain, shared by the batch dedup and streaming/lines.py
+    so the two can never disagree about what a line is."""
+    return lined.select(
         "doc_id", F.posexplode("lines").alias("line_no", "lw")
     ).select("doc_id", "line_no", F.array_join("lw", " ").alias("line"))
+
+
+def c4_line_dedup_from(doc_counts: DataFrame, ln: DataFrame) -> DataFrame:
+    """The keep-first line-dedup rollup over a (doc_id, n_lines) doc
+    relation and a (doc_id, line_no, line) line relation — the kernel
+    docs_c4_line_dedup and the streaming C4LineLedger share VERBATIM
+    (the ledger maintains both relations incrementally and calls this
+    at read time, so the streaming surface is bit-equal to batch)."""
     kept = (
         ln.groupBy("line")
         .agg(F.min(F.struct("doc_id", "line_no", "line")).alias("k"))
@@ -1319,8 +1337,7 @@ def docs_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        lined.select("doc_id", F.size("lines").alias("n_lines"))
-        .join(kept, "doc_id", "left")
+        doc_counts.join(kept, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_lines").cast("bigint").alias("n_lines"),

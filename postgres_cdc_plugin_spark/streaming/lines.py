@@ -1,0 +1,108 @@
+"""Streaming C4 line-dedup ledger: the corpus-wide keep-first line
+dedup (operators/dedup.docs_c4_line_dedup) maintained incrementally —
+ST17, the dedup member of the ledger family (URLs, engagement,
+postings, IVF, time-travel, quality gate).
+
+A crawl admits documents continuously; corpus-wide exact line dedup is
+a GLOBAL keep-first decision, so no per-batch transform can emit final
+verdicts (a later batch can never steal "first occurrence" from an
+earlier one, but an earlier batch's doc must win against anything that
+arrives later — and doc_id order, not arrival order, is the house
+tie-break). C4LineLedger therefore maintains the INPUTS incrementally
+and makes the decision at read time: each micro-batch lands its
+(doc_id, line_no, line) relation and its (doc_id, n_lines) doc list —
+both through the batch query's own c4_lines_of kernel — into a
+`batch=<id>` directory (overwritten on replay: exactly-once output
+from at-least-once foreachBatch, the house discipline). The read-back
+dedups cross-batch doc redelivery (the line relation is deterministic
+per document, so DISTINCT over full rows is exact) and runs
+operators/dedup.c4_line_dedup_from VERBATIM, so the streaming surface
+is bit-equal to the batch query over the same document set (pinned in
+tests/test_streaming.py).
+
+Scale shape per batch: the line build is the narrow higher-order
+projection the batch query pays; the stored relation is
+~n_words/_C4_LINE_WORDS rows with three short columns. The read-back
+costs what the batch dedup costs — one map-side-combinable line-key
+aggregation + one doc rollup — on an always-current corpus; nothing
+global is updated in place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+LINES_STREAM_SCHEMA = "doc_id bigint, text string"
+
+
+class C4LineLedger:
+    """Maintains the C4 line relation under `out_dir` from a streaming
+    document feed; `dedup()` is the docs_c4_line_dedup relation over
+    every document seen so far."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- read-back surfaces -------------------------------------------
+    def _parts(self, sub: str) -> list[str]:
+        return sorted(
+            os.path.join(self.out_dir, d, sub)
+            for d in os.listdir(self.out_dir)
+            if d.startswith("batch=")
+        )
+
+    def _read(self, spark, sub: str) -> DataFrame | None:
+        parts = self._parts(sub)
+        if not parts:
+            return None
+        spark.catalog.refreshByPath(self.out_dir)
+        return spark.read.parquet(*parts).distinct()
+
+    def dedup(self, spark) -> DataFrame | None:
+        """Corpus-wide keep-first line dedup over the maintained
+        relation — operators/dedup.c4_line_dedup_from verbatim."""
+        from ..operators.dedup import c4_line_dedup_from
+
+        docs = self._read(spark, "docs")
+        if docs is None:
+            return None
+        ln = self._read(spark, "lines")
+        return c4_line_dedup_from(docs, ln)
+
+    # -- the per-batch step -------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import c4_lines_of
+        from ..operators.text import _C4_LINES_EXPR
+
+        lined = batch.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+        ).select("doc_id", F.expr(_C4_LINES_EXPR).alias("lines"))
+        base = os.path.join(self.out_dir, f"batch={batch_id}")
+        lined.select("doc_id", F.size("lines").alias("n_lines")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "docs"))
+        c4_lines_of(lined).write.mode("overwrite").parquet(
+            os.path.join(base, "lines")
+        )
+
+    def attach(
+        self,
+        doc_stream: DataFrame,
+        checkpoint: str,
+        available_now: bool = False,
+    ):
+        """Run the ledger over a streaming document feed; returns the
+        StreamingQuery. `available_now=True` drains the current source
+        contents and terminates (backfill/test mode)."""
+        writer = (
+            doc_stream.writeStream.outputMode("append")
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -2218,3 +2218,105 @@ def test_gopher_quality_ledger_incremental_checkpoint_resume(
         len([d for d in os.listdir(led.out_dir) if d.startswith("batch=")])
         > n_batch_dirs
     )
+
+
+def test_c4_line_ledger_bit_equal_to_batch(spark, tmp_path, sf_dir):
+    """C4LineLedger.dedup must be BIT-EQUAL to the batch
+    docs_c4_line_dedup over the same corpus (ST17): the documents table
+    streams in three micro-batches, each landing its line relation
+    through the shared c4_lines_of kernel; the read-back dedups doc
+    redelivery and runs c4_line_dedup_from verbatim — the keep-first
+    decision is made at read time over the full maintained relation,
+    so cross-batch duplicates resolve exactly like batch. Also pins
+    replay idempotence: re-landing the ENTIRE corpus as one more batch
+    (twice) does not move the result."""
+    from postgres_cdc_plugin_spark.operators.dedup import docs_c4_line_dedup
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.lines import (
+        LINES_STREAM_SCHEMA,
+        C4LineLedger,
+    )
+
+    feed = str(tmp_path / "lines_feed")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(3).write.parquet(feed)
+
+    led = C4LineLedger(str(tmp_path / "lines_ledger"))
+    stream = (
+        spark.readStream.schema(LINES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = led.attach(stream, str(tmp_path / "lines_ck"), available_now=True)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, led.dedup(spark).collect()))
+    want = sorted(map(tuple, docs_c4_line_dedup(spark, sf_dir).collect()))
+    assert got == want
+
+    led.process_batch(docs, 99)
+    led.process_batch(docs, 99)
+    again = sorted(map(tuple, led.dedup(spark).collect()))
+    assert again == want
+
+
+def test_c4_line_ledger_incremental_checkpoint_resume(spark, tmp_path, sf_dir):
+    """Incremental maintenance across stream restarts: drain wave 1,
+    stop, land more feed files, re-attach on the SAME checkpoint — the
+    resumed stream processes only new files, and after each wave the
+    ledger equals the batch kernel over exactly the documents seen so
+    far (including keep-first flips: a line first seen in wave 2 can
+    still lose to a LOWER doc_id arriving in wave 2, but never steals
+    a keeper already owned by wave 1's lower doc_ids)."""
+    import os
+
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        c4_line_dedup_from,
+        c4_lines_of,
+    )
+    from postgres_cdc_plugin_spark.operators.text import _C4_LINES_EXPR
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.lines import (
+        LINES_STREAM_SCHEMA,
+        C4LineLedger,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+    feed = str(tmp_path / "lines_feed_inc")
+    wave1.coalesce(1).write.parquet(feed)
+
+    led = C4LineLedger(str(tmp_path / "lines_ledger_inc"))
+    ck = str(tmp_path / "lines_ck_inc")
+
+    def drain():
+        stream = spark.readStream.schema(LINES_STREAM_SCHEMA).parquet(feed)
+        q = led.attach(stream, ck, available_now=True)
+        q.awaitTermination(120)
+
+    def batch_over(subset):
+        lined = subset.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+        ).select("doc_id", F.expr(_C4_LINES_EXPR).alias("lines"))
+        out = c4_line_dedup_from(
+            lined.select("doc_id", F.size("lines").alias("n_lines")),
+            c4_lines_of(lined),
+        )
+        return sorted(map(tuple, out.collect()))
+
+    drain()
+    assert sorted(map(tuple, led.dedup(spark).collect())) == batch_over(wave1)
+
+    n_batch_dirs = len(
+        [d for d in os.listdir(led.out_dir) if d.startswith("batch=")]
+    )
+    wave2.coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    assert sorted(map(tuple, led.dedup(spark).collect())) == batch_over(docs)
+    assert (
+        len([d for d in os.listdir(led.out_dir) if d.startswith("batch=")])
+        > n_batch_dirs
+    )
