@@ -53,6 +53,14 @@ _SENSITIVE = [
     "embed_bq_search",
     "embed_ndcg_audit",
     "lineitem_rle_layout_audit",
+    # r8: keep-first min-struct aggregations (line + span grain), the
+    # GK sketch's bound audit (merge-order-dependent estimates must
+    # still satisfy the deterministic bound at any width), and the
+    # cross-modality full-outer pair join
+    "docs_c4_line_dedup",
+    "docs_c4_span_dedup",
+    "lineitem_approx_percentiles",
+    "docs_dedup_modality_agreement",
 ]
 
 
