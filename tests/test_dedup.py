@@ -405,3 +405,49 @@ def test_c4_span_dedup_matches_python_reference(spark, tmp_path):
         assert r.n_lines == len(lines), i
         assert r.n_covered_lines == len(covered), i
         assert r.kept_md5 == hashlib.md5(kept_text.encode()).hexdigest(), i
+
+
+def test_c4_line_dedup_is_idempotent(spark, tmp_path):
+    """Fixed point: after one keep-first pass every distinct line
+    occurs exactly once corpus-wide, so a SECOND pass over the
+    rewritten corpus (rebuilt by the independent python reference)
+    must remove nothing. Also pins the re-lining stability that makes
+    the property hold: every kept line is 5 words except possibly a
+    doc's final line, so rejoining and re-splitting reproduces the
+    kept lines exactly."""
+    import random
+
+    from postgres_cdc_plugin_spark.operators.dedup import docs_c4_line_dedup
+
+    rng = random.Random(13)
+    alphabet = ["p", "q"]
+    texts = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 28)))
+        for _ in range(120)
+    ]
+    W = 5
+    first: dict[str, tuple[int, int]] = {}
+    doc_lines: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        lines = [
+            " ".join(ws[j * W : (j + 1) * W]) for j in range(-(-len(ws) // W))
+        ]
+        doc_lines[i] = lines
+        for ln_no, ln in enumerate(lines):
+            first.setdefault(ln, (i, ln_no))
+    rewritten = []
+    for i, lines in enumerate(doc_lines.values()):
+        kept = [
+            ln for ln_no, ln in enumerate(lines) if first[ln] == (i, ln_no)
+        ]
+        if kept:  # fully-deduped docs leave the corpus
+            rewritten.append((i, " ".join(kept)))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rewritten],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = docs_c4_line_dedup(spark, str(tmp_path)).collect()
+    assert len(rows) == len(rewritten)
+    assert all(r.n_dup_lines == 0 for r in rows)
+    assert all(r.n_kept_lines == r.n_lines for r in rows)
