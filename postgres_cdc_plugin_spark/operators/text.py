@@ -3322,12 +3322,15 @@ ORACLE_SQL = {
                              AND len(list_filter(l,
                                      x -> lower(x) = 'javascript')) = 0))
                    AS BIGINT) AS n_kept_lines,
-               CAST(coalesce(list_sum(list_transform(
-                        list_filter(lines,
-                            l -> len(l) >= {_C4_MIN_LINE_WORDS}
-                                 AND len(list_filter(l,
-                                         x -> lower(x) = 'javascript')) = 0),
-                        l -> len(l))), 0) AS BIGINT) AS kept_words,
+               CAST(CASE WHEN lines IS NULL THEN NULL
+                         ELSE coalesce(list_sum(list_transform(
+                                  list_filter(lines,
+                                      l -> len(l) >= {_C4_MIN_LINE_WORDS}
+                                           AND len(list_filter(l,
+                                                   x -> lower(x)
+                                                        = 'javascript')) = 0),
+                                  l -> len(l))), 0)
+                    END AS BIGINT) AS kept_words,
                contains(lower(text), 'lorem ipsum') AS page_has_lorem,
                contains(text, '{{') AS page_has_brace,
                len(lines) >= {_C4_MIN_PAGE_LINES}

@@ -642,3 +642,44 @@ def test_temperature_mix_properties(spark, sf_dir):
         assert a.sample_factor >= b.sample_factor  # anti-monotone
     assert rows[0].sample_factor >= 1.0  # rarest language upsampled
     assert rows[-1].sample_factor <= 1.0  # dominant language downsampled
+
+
+def test_c4_ops_null_text_parity(spark, tmp_path):
+    """NULL text must degrade to NULL measures IDENTICALLY on both
+    engines for the whole C4/fertility/mix family (the r7 advice class:
+    the synthetic corpora never carry NULL text, so the edge needs its
+    own fixture — an over-broad oracle coalesce turned Spark's NULL
+    kept_words into a 0 here before this pin)."""
+    import duckdb
+
+    from postgres_cdc_plugin_spark.registry import oracle_sql, queries
+
+    from .conftest import assert_parity
+
+    spark.createDataFrame(
+        [
+            (0, "a b c d e f g", "en", "s", 13),
+            (1, None, "fr", "s", 0),
+            (2, "a b c d e f g", "de", "s", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "docs_c4_line_filter",
+        "docs_c4_line_dedup",
+        "docs_c4_span_dedup",
+        "docs_lang_temperature_mix",
+        "docs_quality_dup_interaction",
+        "token_fertility_by_lang",
+    ):
+        assert_parity(
+            queries()[name](spark, str(tmp_path)),
+            con.sql(oracle_sql()[name]),
+            f"null_text:{name}",
+        )
+    con.close()
