@@ -3504,7 +3504,8 @@ ORACLE_SQL = {
         SELECT doc_id, roll_hash, CAST(roll_hash % 256 AS INT) AS roll_bucket, n_chars
         FROM (
             SELECT doc_id, n_chars,
-                   CASE WHEN length(text) = 0 THEN 0
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN length(text) = 0 THEN 0
                         ELSE list_reduce(
                             list_prepend(CAST(0 AS BIGINT),
                                 list_transform(range(1, length(text) + 1),

@@ -676,6 +676,8 @@ def test_c4_ops_null_text_parity(spark, tmp_path):
         "docs_lang_temperature_mix",
         "docs_quality_dup_interaction",
         "token_fertility_by_lang",
+        # r8 sweep find: the fold seed leaked 0 for NULL text here
+        "docs_rolling_fingerprint",
     ):
         assert_parity(
             queries()[name](spark, str(tmp_path)),
