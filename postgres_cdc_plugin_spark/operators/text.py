@@ -2306,10 +2306,15 @@ def docs_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         "share",
-        dec6(F.col("p") / F.col("ptot")).alias("temp_share"),
-        dec6((F.col("p") / F.col("ptot")) / F.col("share")).alias(
-            "sample_factor"
-        ),
+        dec6(F.col("p") / F.expr("nullif(ptot, 0.0d)")).alias("temp_share"),
+        # a language whose only documents are empty has share 0 — its
+        # factor is undefined (NULL via nullif; a bare division crashes
+        # under ANSI and yields inf in DuckDB, neither of which is a
+        # sampling rate)
+        dec6(
+            (F.col("p") / F.expr("nullif(ptot, 0.0d)"))
+            / F.expr("nullif(share, 0.0d)")
+        ).alias("sample_factor"),
     )
 
 
@@ -2672,10 +2677,10 @@ ORACLE_SQL = {
         ),
         ptot AS (SELECT sum(p) AS ptot FROM shared)
         SELECT lang, n_docs, n_tokens, share,
-               CAST(CAST(round(p / ptot, 6) AS DECIMAL(38,6)) AS DOUBLE)
-                   AS temp_share,
-               CAST(CAST(round((p / ptot) / share, 6) AS DECIMAL(38,6))
-                    AS DOUBLE) AS sample_factor
+               CAST(CAST(round(p / nullif(ptot, 0), 6) AS DECIMAL(38,6))
+                    AS DOUBLE) AS temp_share,
+               CAST(CAST(round((p / nullif(ptot, 0)) / nullif(share, 0), 6)
+                         AS DECIMAL(38,6)) AS DOUBLE) AS sample_factor
         FROM shared, ptot
     """,
     "token_vocab_coverage": f"""

@@ -645,11 +645,12 @@ def test_temperature_mix_properties(spark, sf_dir):
 
 
 def test_c4_ops_null_text_parity(spark, tmp_path):
-    """NULL text must degrade to NULL measures IDENTICALLY on both
-    engines for the whole C4/fertility/mix family (the r7 advice class:
-    the synthetic corpora never carry NULL text, so the edge needs its
-    own fixture — an over-broad oracle coalesce turned Spark's NULL
-    kept_words into a 0 here before this pin)."""
+    """NULL and EMPTY text must degrade IDENTICALLY on both engines for
+    the whole C4/fertility/mix family (the r7 advice class: the
+    synthetic corpora never carry NULL/empty text, so the edge needs
+    its own fixture — an over-broad oracle coalesce turned Spark's NULL
+    kept_words into a 0, and a zero-token language's undefined sampling
+    factor crashed ANSI division before these pins)."""
     import duckdb
 
     from postgres_cdc_plugin_spark.registry import oracle_sql, queries
@@ -661,6 +662,7 @@ def test_c4_ops_null_text_parity(spark, tmp_path):
             (0, "a b c d e f g", "en", "s", 13),
             (1, None, "fr", "s", 0),
             (2, "a b c d e f g", "de", "s", 13),
+            (3, "", "el", "s", 0),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
