@@ -2318,6 +2318,81 @@ def docs_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGET_DIV = 2  # sample budget = total corpus tokens // this
+
+
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mix: deterministic per-language
+    token-quota selection — the step that turns
+    docs_lang_temperature_mix's TARGET shares into an actual document
+    subset under a token budget (half the corpus, _MIX_BUDGET_DIV).
+    Each language gets quota = floor(temp_share x budget) tokens;
+    within a language, documents are admitted in md5(doc_id) priority
+    order (the docs_train_split hash convention — reproducible across
+    engines, runs, and repartitions) until the cumulative token count
+    passes the quota. Emits the per-doc admission ledger (priority,
+    running total, quota, selected), so the selection is auditable
+    doc by doc. Distinct from docs_stratified_sample (uniform rate,
+    no quotas) and docs_weighted_sample (global top-k by weight, no
+    per-group budget): this is the per-GROUP budgeted fill a mixture
+    spec compiles to.
+
+    Determinism: quotas multiply the decimal-hopped temp_share by an
+    exact integer budget (identical doubles on both engines, one IEEE
+    multiply + floor); cumulative sums are exact int64 over the total
+    (priority, doc_id) order.
+
+    Scale: the temperature relation is O(languages); the admission
+    pass is one window per language partition — exact at test scale,
+    and documented to degrade to the two-pass bucketed-histogram fill
+    (count tokens per priority prefix bucket, pick the cutoff bucket,
+    sort only inside it) when a single language's partition outgrows
+    a task, the lineitem_rle_layout_audit posture.
+    """
+    mix = docs_lang_temperature_mix(spark, sf_dir).select(
+        "lang", "n_tokens", "temp_share"
+    )
+    budget = mix.agg(
+        (
+            F.floor(F.sum("n_tokens") / F.lit(_MIX_BUDGET_DIV))
+            .cast("bigint")
+            .alias("b")
+        )
+    )
+    quota = mix.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        F.floor(F.col("temp_share") * F.col("b").cast("double"))
+        .cast("bigint")
+        .alias("quota_tokens"),
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("priority"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("priority", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .join(quota, "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "priority",
+            "cum_tokens",
+            "quota_tokens",
+            (F.col("cum_tokens") <= F.col("quota_tokens")).alias("selected"),
+        )
+    )
+
+
 def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language — the audit run before freezing
     a vocabulary to catch under-served languages (a language whose
@@ -2403,6 +2478,7 @@ QUERIES = {
     "token_bpe_encode": token_bpe_encode,
     "token_fertility_by_lang": token_fertility_by_lang,
     "docs_lang_temperature_mix": docs_lang_temperature_mix,
+    "docs_mixture_sample": docs_mixture_sample,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_ccnet_buckets": docs_ccnet_buckets,
@@ -2657,11 +2733,10 @@ _INVISIBLE_RE2 = (
     "[" + "".join(f"\\x{{{c:x}}}" for c in _INVISIBLE_CODEPOINTS) + "]"
 )
 
-ORACLE_SQL = {
-    "token_bpe_merges": _BPE_SQL,
-    "token_bpe_encode": _BPE_ENCODE_SQL,
-    "token_fertility_by_lang": _BPE_FERTILITY_SQL,
-    "docs_lang_temperature_mix": f"""
+# Temperature-mix oracle core — shared VERBATIM by the
+# docs_lang_temperature_mix oracle and the docs_mixture_sample oracle
+# (which realizes the mix), the one-formula-zero-drift convention.
+_TEMP_MIX_SQL = f"""
         WITH per_lang AS (
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(len(list_filter(string_split(text, ' '),
@@ -2682,6 +2757,44 @@ ORACLE_SQL = {
                CAST(CAST(round((p / nullif(ptot, 0)) / nullif(share, 0), 6)
                          AS DECIMAL(38,6)) AS DOUBLE) AS sample_factor
         FROM shared, ptot
+"""
+
+ORACLE_SQL = {
+    "token_bpe_merges": _BPE_SQL,
+    "token_bpe_encode": _BPE_ENCODE_SQL,
+    "token_fertility_by_lang": _BPE_FERTILITY_SQL,
+    "docs_lang_temperature_mix": _TEMP_MIX_SQL,
+    "docs_mixture_sample": f"""
+        WITH mix AS ({_TEMP_MIX_SQL}),
+        budget AS (
+            SELECT CAST(floor(sum(n_tokens) / {_MIX_BUDGET_DIV}) AS BIGINT)
+                AS b
+            FROM mix
+        ),
+        quota AS (
+            SELECT lang,
+                   CAST(floor(temp_share * CAST(b AS DOUBLE)) AS BIGINT)
+                       AS quota_tokens
+            FROM mix, budget
+        ),
+        d AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT)
+                       AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS priority
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens, priority,
+                   CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                            ORDER BY priority, doc_id)
+                        AS BIGINT) AS cum_tokens
+            FROM d
+        )
+        SELECT c.doc_id, c.lang, c.n_tokens, c.priority, c.cum_tokens,
+               q.quota_tokens, c.cum_tokens <= q.quota_tokens AS selected
+        FROM c JOIN quota q USING (lang)
     """,
     "token_vocab_coverage": f"""
         WITH tok AS (

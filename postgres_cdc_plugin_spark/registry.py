@@ -128,10 +128,11 @@ PRIORITY_ORDER = [
     "lineitem_percentiles",          # pairs with the graduated GK audit
     "docs_dedup_modality_agreement",  # text-vs-embedding near-dup audit
     # ---- position 51+ ----
-    # Round-8 post-window addition (the window was already exactly 50):
+    # Round-8 post-window additions (the window was already exactly 50):
     # never driver-checked, local sf0.001+sf0.01 parity only — FIRST in
     # line for the r9 window front per the late-addition convention:
     "docs_c4_span_dedup",
+    "docs_mixture_sample",
     # The r7-green window block (most-recently-proven, tail by
     # convention), in its r7 order:
     "docs_hybrid_search",

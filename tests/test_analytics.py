@@ -680,6 +680,7 @@ def test_c4_ops_null_text_parity(spark, tmp_path):
         "token_fertility_by_lang",
         # r8 sweep find: the fold seed leaked 0 for NULL text here
         "docs_rolling_fingerprint",
+        "docs_mixture_sample",
     ):
         assert_parity(
             queries()[name](spark, str(tmp_path)),
@@ -687,3 +688,33 @@ def test_c4_ops_null_text_parity(spark, tmp_path):
             f"null_text:{name}",
         )
     con.close()
+
+
+def test_mixture_sample_realizes_quotas(spark, sf_dir):
+    """The admission ledger's algebra: per language the selected set is
+    a PREFIX of the (priority, doc_id) order, its token total never
+    exceeds the quota, and adding the first rejected doc would exceed
+    it (the fill is maximal); quotas themselves are floor(temp_share x
+    budget) of the temperature relation."""
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    rows = T.docs_mixture_sample(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    mix = {r.lang: r for r in T.docs_lang_temperature_mix(spark, sf_dir).collect()}
+    budget = sum(m.n_tokens for m in mix.values()) // 2
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (r.priority, r.doc_id))
+        q = rs[0].quota_tokens
+        assert q == int(mix[lang].temp_share * budget)
+        sel = [r.selected for r in rs]
+        # prefix property: no selected row after the first rejection
+        if False in sel:
+            cut = sel.index(False)
+            assert not any(sel[cut:]), lang
+        tok_sel = sum(r.n_tokens for r in rs if r.selected)
+        assert tok_sel <= q, lang
+        rejected = [r for r in rs if not r.selected]
+        if rejected:
+            assert tok_sel + rejected[0].n_tokens > q, lang

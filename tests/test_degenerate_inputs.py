@@ -55,6 +55,7 @@ _DOC_QUERIES = [
     (text, "docs_lang_temperature_mix"),
     (dedup, "docs_quality_dup_interaction"),
     (dedup, "docs_c4_span_dedup"),
+    (text, "docs_mixture_sample"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -160,6 +161,12 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         # a single doc can't duplicate anything: one bin, zero dups
         assert len(rows) == 1
         assert rows[0].n_dup_docs == 0 and rows[0].dup_rate == 0.0
+    elif name == "docs_mixture_sample":
+        # one doc, one lang: temp share 1, quota = half the corpus
+        # tokens -> the doc alone exceeds it and is not selected
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.quota_tokens == r.n_tokens // 2 and not r.selected
     elif name == "docs_c4_line_filter":
         # 6 words -> two 5-word lines; the 1-word tail line is short
         assert len(rows) == 1
