@@ -517,6 +517,7 @@ _BNLJ_ALLOWED = {
     "embed_matryoshka_audit",  # 1-row query-slice crossJoin + embed_knn leg (r6)
     "docs_bloom_dedup_audit",  # five 1-row count/fill aggregates crossJoined (r7)
     "docs_lang_temperature_mix",  # two 1-row total crossJoins (r8)
+    "docs_mixture_sample",  # inherits the mix's crossJoins + 1-row budget (r8)
 }
 
 
