@@ -2352,16 +2352,17 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = docs_lang_temperature_mix(spark, sf_dir).select(
         "lang", "n_tokens", "temp_share"
     )
-    budget = mix.agg(
-        (
-            F.floor(F.sum("n_tokens") / F.lit(_MIX_BUDGET_DIV))
-            .cast("bigint")
-            .alias("b")
-        )
-    )
-    quota = mix.crossJoin(F.broadcast(budget)).select(
+    # budget as a whole-relation window over the LANGUAGES-SIZED mix
+    # (bounded by #languages at any corpus size) — a separate
+    # aggregate-and-crossJoin branch would duplicate the whole
+    # temperature pipeline in the plan (measured: 14 exchanges / 7
+    # nested-loop joins vs 8 / 3 this way)
+    b = F.floor(
+        F.sum("n_tokens").over(Window.partitionBy()) / F.lit(_MIX_BUDGET_DIV)
+    ).cast("bigint")
+    quota = mix.select(
         "lang",
-        F.floor(F.col("temp_share") * F.col("b").cast("double"))
+        F.floor(F.col("temp_share") * b.cast("double"))
         .cast("bigint")
         .alias("quota_tokens"),
     )
