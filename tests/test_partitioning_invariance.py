@@ -61,6 +61,7 @@ _SENSITIVE = [
     "docs_c4_span_dedup",
     "lineitem_approx_percentiles",
     "docs_dedup_modality_agreement",
+    "docs_mixture_sample",  # per-language cumulative admission windows
 ]
 
 
