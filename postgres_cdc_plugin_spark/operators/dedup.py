@@ -1219,19 +1219,42 @@ def docs_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     len_score, uniq_ratio = _quality_parts()
     quality = len_score * 0.5 + uniq_ratio * 0.5
+    # NULL-text routing (r8 advice): least() skips NULLs on both
+    # engines, so a NULL-q doc would otherwise land in the TOP bin and
+    # every NULL fingerprint would share one dup group. NULL-text docs
+    # get the dedicated bin -1 (avg_quality NULL there — sum over all
+    # NULLs on both engines) and are excluded from the dup-group
+    # aggregation (left join; flags coalesce to 0: a NULL text is not
+    # an exact duplicate of another NULL text).
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         quality.alias("q"),
         _fingerprint().alias("fp"),
-        F.least(
-            F.floor(quality * _QDI_BINS).cast("int"), F.lit(_QDI_BINS - 1)
-        ).alias("bin"),
+        F.when(F.col("text").isNull(), F.lit(-1))
+        .otherwise(
+            F.least(
+                F.floor(quality * _QDI_BINS).cast("int"),
+                F.lit(_QDI_BINS - 1),
+            )
+        )
+        .alias("bin"),
     )
-    grp = d.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("n_fp"), F.min("doc_id").alias("keeper")
+    grp = (
+        d.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"), F.min("doc_id").alias("keeper")
+        )
+    )
+    is_dup = F.coalesce((F.col("n_fp") > 1).cast("int"), F.lit(0))
+    is_loser = F.coalesce(
+        ((F.col("n_fp") > 1) & (F.col("doc_id") != F.col("keeper"))).cast(
+            "int"
+        ),
+        F.lit(0),
     )
     return (
-        d.join(grp, "fp")
+        d.join(grp, "fp", "left")
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1239,15 +1262,8 @@ def docs_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,6)")
             .cast("double")
             .alias("avg_quality"),
-            F.sum((F.col("n_fp") > 1).cast("int"))
-            .cast("bigint")
-            .alias("n_dup_docs"),
-            F.sum(
-                ((F.col("n_fp") > 1) & (F.col("doc_id") != F.col("keeper")))
-                .cast("int")
-            )
-            .cast("bigint")
-            .alias("n_dup_losers"),
+            F.sum(is_dup).cast("bigint").alias("n_dup_docs"),
+            F.sum(is_loser).cast("bigint").alias("n_dup_losers"),
         )
         .select(
             "bin",
@@ -2345,18 +2361,21 @@ ORACLE_SQL = {
                      / CAST(length(text) - length(replace(text, ' ', '')) + 1
                             AS DOUBLE) * 0.5 AS q,
                    md5(lower(trim(text))) AS fp,
-                   least(CAST(floor((least(1.0, length(text) / 500.0) * 0.5
+                   CASE WHEN text IS NULL THEN -1
+                        ELSE least(
+                   CAST(floor((least(1.0, length(text) / 500.0) * 0.5
                    + len(list_distinct(string_split(text, ' ')))
                      / CAST(length(text) - length(replace(text, ' ', '')) + 1
                             AS DOUBLE) * 0.5) * {_QDI_BINS}) AS INT),
-                         {_QDI_BINS - 1}) AS bin
+                         {_QDI_BINS - 1}) END AS bin
             FROM documents
         ),
         g AS (
             SELECT fp, count(*) AS n_fp, min(doc_id) AS keeper
-            FROM d GROUP BY fp
+            FROM d WHERE fp IS NOT NULL GROUP BY fp
         ),
-        j AS (SELECT d.*, g.n_fp, g.keeper FROM d JOIN g USING (fp))
+        j AS (SELECT d.*, g.n_fp, g.keeper
+              FROM d LEFT JOIN g USING (fp))
         SELECT bin,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(CAST(round(sum(q) / CAST(count(*) AS DOUBLE), 6)

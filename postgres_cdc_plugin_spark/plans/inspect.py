@@ -95,17 +95,25 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*>)", physical_plan(df, "formatted"))
 
 
-_INSPECT_SESSIONS: dict[int, object] = {}
+_INSPECT_SESSIONS: dict[str, object] = {}
 
 
 def _inspection_session(spark):
     """One reused AQE-off cloned session per SparkContext. newSession
     shares the SparkContext/catalog but owns its SQLConf, so the
     AQE-off write never touches the caller's session; memoizing the
-    clone (keyed on the parent context's id) keeps repeated plan
-    inspections in a long-lived session from accumulating session
-    state against the shared context (r7 advice)."""
-    key = id(spark.sparkContext)
+    clone keeps repeated plan inspections in a long-lived session from
+    accumulating session state against the shared context (r7 advice).
+
+    Keyed on applicationId, not id(sparkContext): CPython can reuse a
+    garbage-collected wrapper's address for a NEW context, which would
+    hand back a session bound to the dead JVM (r8 advice). Stale
+    entries for stopped contexts are evicted on each lookup so the
+    memo never outlives its application.
+    """
+    key = spark.sparkContext.applicationId
+    for old in [k for k in _INSPECT_SESSIONS if k != key]:
+        del _INSPECT_SESSIONS[old]
     insp = _INSPECT_SESSIONS.get(key)
     if insp is None:
         insp = spark.newSession()

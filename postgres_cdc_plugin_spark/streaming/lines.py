@@ -48,10 +48,15 @@ class C4LineLedger:
 
     # -- read-back surfaces -------------------------------------------
     def _parts(self, sub: str) -> list[str]:
+        # A batch dir missing the requested subdir is a half-written
+        # batch (crash between the two writes); skip it — the
+        # checkpoint replays that batch and the overwrite completes it
+        # (r8 advice: don't let one torn batch break every read-back).
         return sorted(
-            os.path.join(self.out_dir, d, sub)
+            p
             for d in os.listdir(self.out_dir)
             if d.startswith("batch=")
+            if os.path.isdir(p := os.path.join(self.out_dir, d, sub))
         )
 
     def _read(self, spark, sub: str) -> DataFrame | None:
@@ -67,9 +72,9 @@ class C4LineLedger:
         from ..operators.dedup import c4_line_dedup_from
 
         docs = self._read(spark, "docs")
-        if docs is None:
-            return None
         ln = self._read(spark, "lines")
+        if docs is None or ln is None:
+            return None
         return c4_line_dedup_from(docs, ln)
 
     # -- the per-batch step -------------------------------------------
@@ -82,12 +87,20 @@ class C4LineLedger:
             F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
         ).select("doc_id", F.expr(_C4_LINES_EXPR).alias("lines"))
         base = os.path.join(self.out_dir, f"batch={batch_id}")
-        lined.select("doc_id", F.size("lines").alias("n_lines")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base, "docs"))
+        # Lines land BEFORE docs: a crash between the two writes then
+        # leaves a batch whose docs subdir is absent (skipped by
+        # _parts; replay completes it), never a docs entry whose line
+        # relation is missing (r8 advice). A torn lines-only batch is
+        # self-healing: its rows are deterministic per document, so the
+        # replayed overwrite reproduces them bit-for-bit and the
+        # interim DISTINCT read-back already agrees with the final
+        # keep-first verdicts.
         c4_lines_of(lined).write.mode("overwrite").parquet(
             os.path.join(base, "lines")
         )
+        lined.select("doc_id", F.size("lines").alias("n_lines")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "docs"))
 
     def attach(
         self,
