@@ -692,19 +692,48 @@ def lineitem_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch (§2.4; rows-only check).
+_HLL_RSD = 0.01  # approx_count_distinct's configured relative std-dev
+_HLL_ERR_BOUND = 0.05  # audited contract: 5x rsd headroom (test-proven)
 
-    approx_count_distinct is the scale path for cardinality over 100 TB —
-    constant memory per group vs. a full distinct shuffle. Approximate, so
-    no SQL oracle; the driver records a rows-only check and
-    tests/test_analytics.py bounds the relative error against the exact
-    count.
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch (§2.4), graduated from
+    rows-only to the error-bound-audit oracle in round 9 — the same
+    pattern that graduated lineitem_approx_percentiles' GK sketch in
+    round 8: the estimates themselves differ across engines (different
+    register hashes), so the relation emits the exact counts plus the
+    DETERMINISTIC boolean |est - exact| / exact <= _HLL_ERR_BOUND,
+    which the DuckDB oracle states as the contract (literal TRUE beside
+    its own exact counts). HLL++ register merge is register-wise max —
+    associative, commutative, idempotent — so the Spark-side estimate
+    is partitioning-independent (pinned in
+    tests/test_partitioning_invariance.py) and the boolean is a stable
+    value, not a flaky one.
+
+    approx_count_distinct is the scale path for cardinality over 100 TB
+    — constant memory per group vs a full distinct expansion; the exact
+    leg rides the same groupBy (Spark plans the distinct count as one
+    Expand, acceptable at audit time and absent from the production
+    sketch path).
     """
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", _HLL_RSD).alias("est"),
+            F.count_distinct("user_id").alias("n_exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_exact_users",
+            (
+                F.abs(F.col("est") - F.col("n_exact_users"))
+                / F.col("n_exact_users").cast("double")
+                <= _HLL_ERR_BOUND
+            ).alias("hll_bound_ok"),
+        )
     )
 
 
@@ -3907,6 +3936,18 @@ ORACLE_SQL = {
                count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
         FROM orders
         GROUP BY year(o_orderdate), quarter(o_orderdate), date_trunc('quarter', o_orderdate)
+    """,
+    # approx_distinct_users (graduated r9, the GK-audit pattern): the
+    # oracle states the exact side and asserts the HLL++ error contract
+    # as literal TRUE — a Spark estimate outside _HLL_ERR_BOUND flips
+    # the boolean and hash-mismatches.
+    "approx_distinct_users": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+               TRUE AS hll_bound_ok
+        FROM events
+        GROUP BY event_type
     """,
     "events_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,

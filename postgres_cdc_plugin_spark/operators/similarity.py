@@ -480,6 +480,94 @@ def embed_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SWEEP_PROBES = (1, 2, 4)  # nprobe grid bracketing _N_PROBE
+
+
+def embed_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-budget tuning sweep (r8 verdict ask #5 — the audit
+    symmetry gap): recall@k against exact kNN and candidate volume per
+    nprobe in _IVF_SWEEP_PROBES, the nprobe-recall/cost curve an index
+    owner reads before committing a 100 TB probe config. MinHash
+    banding has docs_lsh_tuning; this is the coarse quantizer's
+    counterpart. Every leg reuses the audited kernels verbatim (the
+    embed_ndcg_audit pattern): cells and their query ranking come from
+    the family centroid kernel (_centroid_vecs) with embed_ann_ivf's
+    exact cell order (unrounded cosine desc, label asc), candidate
+    ranking is the same round-6 cosine + vec_id tiebreak, and the
+    exact leg IS embed_knn — so the sweep grades exactly the search it
+    tunes and cannot drift from it.
+
+    Scale: ONE corpus scan serves the whole grid — the (nprobe, cell)
+    probe relation is sum(grid) tiny rows and broadcast, so each
+    vector fans out only into the grid points that probe its cell;
+    per-grid-point top-k is a window over candidate rows only, and the
+    recall join touches the k-row exact leg. A wider grid costs
+    broadcast rows, never extra scans.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cvec = _centroid_vecs(emb).select(F.col("cell").alias("label"), "cv")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    ranked = cvec.crossJoin(F.broadcast(q)).select(
+        "label",
+        "qv",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(_cosine(F.col("cv"), F.col("qv"))), F.asc("label")
+            )
+        )
+        .alias("cell_rank"),
+    )
+    grid = spark.createDataFrame(
+        [(int(p),) for p in _IVF_SWEEP_PROBES], "nprobe int"
+    )
+    probes = grid.join(
+        ranked, F.col("cell_rank") <= F.col("nprobe")
+    ).select("nprobe", "label", "qv")
+    cand = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(probes), "label")
+        .select(
+            "nprobe",
+            "vec_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    vol = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    w = Window.partitionBy("nprobe").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    topk = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("nprobe", "vec_id")
+    )
+    exact = embed_knn(spark, sf_dir).select("vec_id")
+    ov = (
+        topk.join(exact, "vec_id")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        grid.join(vol, "nprobe", "left")
+        .join(ov, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(_TOP_K).alias("k"),
+            F.coalesce("n_candidates", zero).alias("n_candidates"),
+            F.coalesce("n_overlap", zero).alias("n_overlap"),
+            (F.coalesce("n_overlap", zero) / F.lit(_TOP_K)).alias("recall"),
+        )
+    )
+
+
 _KM_K = 8  # k-means cluster count
 _KM_ITERS = 2  # assignment passes (one centroid update between them)
 
@@ -1662,6 +1750,7 @@ QUERIES = {
     "embed_kcenter_coreset": embed_kcenter_coreset,
     "embed_mmr_rerank": embed_mmr_rerank,
     "embed_recall_audit": embed_recall_audit,
+    "embed_ivf_tuning": embed_ivf_tuning,
     "embed_norm_stats": embed_norm_stats,
     "docs_embed_join": docs_embed_join,
     "docs_dedup_modality_agreement": docs_dedup_modality_agreement,
@@ -2333,6 +2422,63 @@ ORACLE_SQL["embed_recall_audit"] = f"""
     FROM exact JOIN appr USING (vec_id)
 """
 
+# nprobe sweep: the centroid CTE (_cent_cte_sql), embed_ann_ivf's cell
+# ranking, and the exact-kNN oracle, each verbatim; the grid is
+# interpolated from _IVF_SWEEP_PROBES so the two engines can never
+# sweep different budgets.
+ORACLE_SQL["embed_ivf_tuning"] = f"""
+    WITH cent AS (
+{_cent_cte_sql("embeddings")}
+    ),
+    q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    ranked AS (
+        SELECT cell AS label,
+               row_number() OVER (
+                   ORDER BY list_cosine_similarity(cv, qv) DESC, cell ASC
+               ) AS cell_rank
+        FROM cent, q
+    ),
+    grid AS (SELECT unnest({list(_IVF_SWEEP_PROBES)}) AS nprobe),
+    cand AS (
+        SELECT g.nprobe, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                   AS cosine_sim
+        FROM embeddings e
+        JOIN ranked r ON e.label = r.label
+        JOIN grid g ON r.cell_rank <= g.nprobe, q
+        WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ),
+    vol AS (
+        SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY nprobe
+    ),
+    topk AS (
+        SELECT nprobe, vec_id FROM (
+            SELECT nprobe, vec_id,
+                   row_number() OVER (
+                       PARTITION BY nprobe
+                       ORDER BY cosine_sim DESC, vec_id ASC
+                   ) AS rn
+            FROM cand
+        ) WHERE rn <= {_TOP_K}
+    ),
+    exact AS (SELECT vec_id FROM ({ORACLE_SQL["embed_knn"]})),
+    ov AS (
+        SELECT nprobe, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM topk JOIN exact USING (vec_id) GROUP BY nprobe
+    )
+    SELECT g.nprobe, {_TOP_K} AS k,
+           coalesce(v.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+           coalesce(o.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+           coalesce(o.n_overlap, CAST(0 AS BIGINT)) * 1.0 / {_TOP_K} AS recall
+    FROM grid g
+    LEFT JOIN vol v USING (nprobe)
+    LEFT JOIN ov o USING (nprobe)
+"""
+
 # hybrid RRF fusion: wraps the BM25 oracle (text._bm25_sql — the same
 # parametrized mirror the non-ASCII gate drives) and the exact-kNN
 # oracle verbatim as the two leg subqueries, so the fused oracle can
@@ -2474,6 +2620,7 @@ FAMILY_CONSUMERS = {
         "embed_ivf_assign",
         "embed_cell_balance_audit",
         "embed_recall_audit",
+        "embed_ivf_tuning",
         "embed_pq_codes",
         "embed_ann_ivfpq",
         "embed_pipeline_e2e",

@@ -853,6 +853,86 @@ def docs_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# punctuation-injection parameters: period after every k-th word with
+# k = _C4_PUNCT_K_BASE + doc_id % _C4_PUNCT_K_MOD (k in 2..5 — below,
+# at, and bracketing the _C4_LINE_WORDS line width, so retention
+# profiles sweep from every-line to sparse across documents)
+_C4_PUNCT_K_BASE = 2
+_C4_PUNCT_K_MOD = 4
+
+
+def docs_c4_punct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's terminal-punctuation retention rule ENFORCED corpus-wide
+    (r8 verdict ask #3 — closing docs_c4_line_filter's one
+    reported-not-enforced rule): the synthetic corpus carries no
+    punctuation, so the gate first applies a DETERMINISTIC
+    punctuation-injecting rewrite — a period appended to every k-th
+    word, k = 2 + doc_id % 4 (exact string algebra both engines state
+    identically) — then runs the C4 line pipeline with the paper's
+    retain-only-punctuated-lines rule folded INTO kept alongside the
+    word-count and javascript rules (Raffel et al. 2020 §2.2: "retain
+    lines that end in terminal punctuation"). With lines of
+    _C4_LINE_WORDS words, a line survives the punctuation rule iff its
+    last word drew a period, so varying k sweeps retention profiles
+    across documents. kept_md5 hashes the surviving text, making the
+    enforcement witness value-checked corpus-wide, not just counted;
+    page_keep applies the >= _C4_MIN_PAGE_LINES sentence floor to the
+    ENFORCED kept count.
+
+    Lines come from _C4_LINES_EXPR VERBATIM over the punctuated word
+    array, so this gate, the rule reporter, and the line dedup can
+    never disagree about the line grain.
+
+    Scale: identical to docs_c4_line_filter — zero shuffles, zero
+    joins; the rewrite, the lines array, and every rule are JVM
+    higher-order expressions inside one narrow projection over the
+    corpus scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        (F.lit(_C4_PUNCT_K_BASE) + F.col("doc_id") % _C4_PUNCT_K_MOD)
+        .cast("int")
+        .alias("k"),
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ws0"),
+    )
+    p = w.select(
+        "doc_id",
+        "k",
+        F.expr(
+            "transform(ws0, (x, i) -> IF((i + 1) % k = 0,"
+            " concat(x, '.'), x))"
+        ).alias("ws"),
+    )
+    lined = p.select("doc_id", "k", F.expr(_C4_LINES_EXPR).alias("lines"))
+    punct_rule = "size(l) > 0 AND element_at(l, -1) rlike '[.!?\"]$'"
+    keep_rule = (
+        f"size(l) >= {_C4_MIN_LINE_WORDS}"
+        " AND NOT exists(l, w -> lower(w) = 'javascript')"
+        f" AND {punct_rule}"
+    )
+    kept = F.expr(f"filter(lines, l -> {keep_rule})")
+    kept_text = F.array_join(
+        F.transform(kept, lambda l: F.array_join(l, " ")), " "
+    )
+    n_kept = F.size(kept)
+    return lined.select(
+        "doc_id",
+        F.col("k").alias("punct_every_k"),
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size(F.expr(f"filter(lines, l -> {punct_rule})"))
+        .cast("bigint")
+        .alias("n_punct_lines"),
+        n_kept.cast("bigint").alias("n_kept_lines"),
+        F.expr(
+            f"aggregate(filter(lines, l -> {keep_rule}), 0L,"
+            " (a, l) -> a + size(l))"
+        ).alias("kept_words"),
+        F.md5(kept_text).alias("kept_md5"),
+        (n_kept >= _C4_MIN_PAGE_LINES).alias("page_keep"),
+    )
+
+
 def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter: most-frequent-token share
     and duplicate-bigram share per document, plus the keep/drop verdict.
@@ -2504,6 +2584,7 @@ QUERIES = {
     "docs_repetition_filter": docs_repetition_filter,
     "docs_gopher_rules": docs_gopher_rules,
     "docs_c4_line_filter": docs_c4_line_filter,
+    "docs_c4_punct_gate": docs_c4_punct_gate,
     "docs_contamination": docs_contamination,
     "token_tfidf": token_tfidf,
     "docs_chunks": docs_chunks,
@@ -3456,6 +3537,56 @@ ORACLE_SQL = {
                    AND NOT contains(lower(text), 'lorem ipsum')
                    AND NOT contains(text, '{{') AS page_keep
         FROM lined
+    """,
+    # punct gate: the SAME _C4_LINES_SQL grain over the punctuation-
+    # injected rewrite; the keep rule folds the paper's terminal-
+    # punctuation retention in beside the word-count and javascript
+    # rules, and kept_md5 value-checks the surviving text corpus-wide.
+    "docs_c4_punct_gate": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST({_C4_PUNCT_K_BASE} + doc_id % {_C4_PUNCT_K_MOD}
+                        AS INT) AS k,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws0
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, k,
+                   list_transform(range(1, len(ws0) + 1),
+                       i -> ws0[i]
+                            || CASE WHEN i % k = 0 THEN '.' ELSE '' END)
+                       AS ws
+            FROM w
+        ),
+        lined AS (SELECT doc_id, k, {_C4_LINES_SQL} AS lines FROM p),
+        kept AS (
+            SELECT doc_id, k, lines,
+                   list_filter(lines,
+                       l -> len(l) >= {_C4_MIN_LINE_WORDS}
+                            AND len(list_filter(l,
+                                    x -> lower(x) = 'javascript')) = 0
+                            AND len(l) > 0
+                            AND regexp_matches(l[-1], '[.!?"]$')) AS kl
+            FROM lined
+        )
+        SELECT doc_id,
+               k AS punct_every_k,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                        l -> len(l) > 0
+                             AND regexp_matches(l[-1], '[.!?"]$')))
+                   AS BIGINT) AS n_punct_lines,
+               CAST(len(kl) AS BIGINT) AS n_kept_lines,
+               CAST(CASE WHEN kl IS NULL THEN NULL
+                         ELSE coalesce(list_sum(list_transform(
+                                  kl, l -> len(l))), 0)
+                    END AS BIGINT) AS kept_words,
+               CASE WHEN kl IS NULL THEN NULL
+                    ELSE md5(coalesce(array_to_string(list_transform(
+                             kl, l -> array_to_string(l, ' ')), ' '), ''))
+               END AS kept_md5,
+               len(kl) >= {_C4_MIN_PAGE_LINES} AS page_keep
+        FROM kept
     """,
     "docs_repetition_filter": f"""
         WITH tok AS (

@@ -42,7 +42,12 @@ _MODULES = [cdc, analytics, dedup, text, similarity, multimodal]
 # Queries that deliberately ship without an oracle (approximate /
 # non-SQL-expressible semantics). The driver records a rows-only check.
 ROWS_ONLY = {
-    "approx_distinct_users",
+    # approx_distinct_users graduated OUT in round 9 (r8 verdict ask
+    # #4): HLL++ register merge is max — partitioning-independent — so
+    # the query emits the deterministic |est-exact|/exact <=
+    # _HLL_ERR_BOUND audit booleans beside the exact counts, and the
+    # DuckDB oracle states the exact side + TRUE as the contract (the
+    # lineitem_approx_percentiles GK pattern from round 8).
     # embed_ann_lsh graduated OUT of this set in round 6: with fixed
     # md5-seeded hyperplanes the bucketing is deterministic relational
     # algebra, so it carries a full DuckDB oracle (literal-plane

@@ -51,22 +51,55 @@ def test_approx_percentile_error_bound(spark, sf_dir):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    approx = {
-        r.event_type: r.approx_users
-        for r in A.approx_distinct_users(spark, sf_dir).collect()
+    """The graduated relation's audit booleans hold, its exact side
+    matches an independently-computed exact distinct, and the raw
+    HLL++ estimate really is inside the contracted bound (the direct
+    check the boolean compresses)."""
+    rows = {
+        r.event_type: r for r in A.approx_distinct_users(spark, sf_dir).collect()
     }
-    exact = {
-        r.event_type: r.n
+    raw = {
+        r.event_type: r
         for r in load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("n"))
+        .agg(
+            F.approx_count_distinct("user_id", A._HLL_RSD).alias("est"),
+            F.count_distinct("user_id").alias("n"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k in exact:
-        rel_err = abs(approx[k] - exact[k]) / exact[k]
-        # rsd configured at 0.01; allow 5x headroom for small groups
-        assert rel_err <= 0.05, f"{k}: {approx[k]} vs exact {exact[k]}"
+    assert set(rows) == set(raw)
+    for k, r in rows.items():
+        assert r.hll_bound_ok, f"{k}: bound violated in relation"
+        assert r.n_exact_users == raw[k].n
+        rel_err = abs(raw[k].est - raw[k].n) / raw[k].n
+        assert rel_err <= A._HLL_ERR_BOUND, f"{k}: {raw[k].est} vs {raw[k].n}"
+
+
+def test_c4_punct_gate_enforces_retention(spark, sf_dir):
+    """The punctuation rule is ENFORCED, not reported: kept lines are a
+    subset of punctuated lines, retention varies with the injection
+    interval k (the profile sweep the gate exists to exercise), and
+    k <= _C4_LINE_WORDS docs retain every full line while sparse-k docs
+    lose some."""
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    rows = T.docs_c4_punct_gate(spark, sf_dir).collect()
+    assert rows
+    by_k: dict[int, list] = {}
+    for r in rows:
+        assert r.n_kept_lines <= r.n_punct_lines  # kept requires punct
+        assert r.n_kept_lines <= r.n_lines
+        by_k.setdefault(r.punct_every_k, []).append(r)
+    assert set(by_k) == {2, 3, 4, 5}
+    rate = {
+        k: sum(r.n_kept_lines for r in rs) / max(sum(r.n_lines for r in rs), 1)
+        for k, rs in by_k.items()
+    }
+    # k=5 lines of 5 words always end punctuated; sparser k loses lines
+    assert rate[5] > rate[4] > 0
+    assert any(r.n_kept_lines > 0 for r in rows)
+    assert any(r.n_kept_lines < r.n_lines for r in rows)
 
 
 def test_c4_line_filter_rules_fire(spark, tmp_path):
@@ -675,6 +708,7 @@ def test_c4_ops_null_text_parity(spark, tmp_path):
         "docs_c4_line_filter",
         "docs_c4_line_dedup",
         "docs_c4_span_dedup",
+        "docs_c4_punct_gate",
         "docs_lang_temperature_mix",
         "docs_quality_dup_interaction",
         "token_fertility_by_lang",

@@ -62,6 +62,12 @@ _SENSITIVE = [
     "lineitem_approx_percentiles",
     "docs_dedup_modality_agreement",
     "docs_mixture_sample",  # per-language cumulative admission windows
+    # r9: HLL++ register max-merge (graduated audit booleans must be
+    # width-independent), the nprobe sweep's per-grid-point top-k
+    # windows, and the punctuated C4 gate's higher-order line folds
+    "approx_distinct_users",
+    "embed_ivf_tuning",
+    "docs_c4_punct_gate",
 ]
 
 
