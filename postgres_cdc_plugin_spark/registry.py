@@ -9,24 +9,30 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-8 window, exactly as
-    the r7 verdict staged it (ask #1): (1) token_vocab_coverage — the
-    one r7 late registration, never driver-checked; (2) the four
-    genuinely new r8 queries, registered in the spare slots EARLY
-    (before the window froze): docs_c4_line_filter, docs_c4_line_dedup
-    (verdict ask #3 — the C4 line-grain hygiene pair),
-    token_fertility_by_lang (ask #4), and lineitem_approx_percentiles
-    (ask #7 — graduated from rows-only to the GK error-bound oracle, a
-    changed relation that must re-prove); (3) the full 40-query
-    r3-stale block (cdc_column_diff … token_count_min, evidence five
-    rounds old); (4) three more new r8 queries
-    (docs_lang_temperature_mix, docs_quality_dup_interaction,
-    docs_dedup_modality_agreement — the last at the window tail, its
-    oracle being the expensive verified-pairs SQL) plus two r5-vintage
-    anchors in the remaining slots.
-    After the r8 run no query's evidence is older than round 5. The
-    r7-green window block sits at 51+ (most-recently-proven, tail by
-    convention); r5/r6-green blocks append after it in module order.
+    most-recently-green family to the tail. Round-9 window, exactly as
+    the r8 verdict staged it (ask #1): (1) docs_c4_span_dedup and
+    docs_mixture_sample — the two late-r8 registrations, never
+    driver-checked (local parity only); (2) the two changed relations
+    that must re-prove: embed_ann_ivf (r8 switched it onto the shared
+    centroid family kernel — r8 advice #4 asked for exactly this
+    placement) and docs_quality_dup_interaction (r9 NULL-text bin
+    routing + NULL-fingerprint dup exclusion, r8 advice #3 —
+    bit-identical on the NULL-free driver corpus, re-proven anyway);
+    (3) the three genuinely new r9 queries, registered EARLY before
+    the window froze: docs_c4_punct_gate (ask #3 — the terminal-
+    punctuation rule enforced over the deterministic punctuation-
+    injected rewrite), approx_distinct_users (ask #4 — graduated from
+    rows-only to the HLL error-bound oracle, the GK pattern),
+    embed_ivf_tuning (ask #5 — the nprobe recall/cost sweep); (4) the
+    full 43-query r5-stale block (attempt_history_agg …
+    user_activity_window, evidence four rounds old), alphabetical with
+    the expensive oracles at the window tail per the golden-record
+    convention (customer_fuzzy_match's naive-quadratic SQL and the
+    four substring-span-family queries).
+    After the r9 run no query's evidence is older than round 6 and the
+    driver-evidence union covers all 196 queries. The r8-green window
+    block sits at 51+ (most-recently-proven, tail by convention); the
+    r7-green block follows; r6-green queries append in module order.
 """
 
 from __future__ import annotations
@@ -67,20 +73,76 @@ ROWS_ONLY = {
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # ---- round-8 window (first 50) ----
-    # (1) The one r7 late registration — never driver-checked, local
+    # ---- round-9 window (first 50) ----
+    # (1) The two late-r8 registrations — never driver-checked, local
     # parity only (the late-addition convention: first in line):
+    "docs_c4_span_dedup",
+    "docs_mixture_sample",
+    # (2) Changed relations re-proving inside the window:
+    "embed_ann_ivf",                 # r8: family centroid kernel (advice #4)
+    "docs_quality_dup_interaction",  # r9: NULL-text routing (advice #3)
+    # (3) Genuinely new round-9 queries, registered BEFORE the window
+    # froze (the spare-slots-early convention):
+    "docs_c4_punct_gate",        # terminal-punct rule enforced (ask #3)
+    "approx_distinct_users",     # graduated to HLL bound oracle (ask #4)
+    "embed_ivf_tuning",          # nprobe recall/cost sweep (ask #5)
+    # (4) The 43 r5-stale queries (driver evidence four rounds old),
+    # alphabetical; the expensive oracles (fuzzy-match naive-quadratic,
+    # the substring-span family) at the window tail so a driver timeout
+    # still leaves rows for everything before them:
+    "attempt_history_agg",
+    "creds_last_wins",
+    "customer_set_ops",
+    "customer_value_deciles",
+    "docs_dsir_weights",
+    "docs_word_pmi",
+    "embed_pca_power",
+    "embed_silhouette",
+    "events_ab_test",
+    "events_asof_join",
+    "events_cube",
+    "events_funnel",
+    "events_key_skew_audit",
+    "events_markov_transitions",
+    "events_rate_limit",
+    "events_sliding",
+    "events_tumbling",
+    "fanout_union",
+    "lineitem_metrics_unpivot",
+    "lineitem_ship_delays",
+    "multimodal_decoded_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "nation_priority_pivot",
+    "orders_daily_gapfill",
+    "orders_grouping_sets",
+    "orders_price_band_join",
+    "orders_quarterly",
+    "orders_semi_anti",
+    "orders_window_funcs",
+    "queue_ready_topk",
+    "retry_schedule",
+    "status_counts",
+    "token_bigram_surprisal",
+    "token_bpe_encode",
+    "token_heavy_hitters",
+    "top_customers_per_nation",
+    "user_activity_window",
+    # window tail: the five expensive-oracle r5-stale queries
+    "customer_fuzzy_match",
+    "docs_dup_span_filter",
+    "docs_strip_dup_spans",
+    "docs_suffix_dup_spans",
+    "docs_winnowing",
+    # ---- position 51+ ----
+    # The r8-green window block (most-recently-proven, tail by
+    # convention), in its r8 order, minus docs_quality_dup_interaction
+    # (changed relation, moved to the window front):
     "token_vocab_coverage",
-    # (2) Genuinely new round-8 queries, registered BEFORE the window
-    # froze (r7 verdict ask #1: new work goes in the spare slots early):
-    "docs_c4_line_filter",       # C4 line/page rule gate (ask #3)
-    "docs_c4_line_dedup",        # C4 corpus-wide exact line dedup (ask #3)
-    "token_fertility_by_lang",   # per-language BPE fertility (ask #4)
-    # graduated from rows-only to the GK error-bound oracle (ask #7) —
-    # changed relation, so it re-proves inside the window:
+    "docs_c4_line_filter",
+    "docs_c4_line_dedup",
+    "token_fertility_by_lang",
     "lineitem_approx_percentiles",
-    # (3) The 40 r3-stale queries (driver evidence five rounds old),
-    # alphabetical; BPE-trainer oracles at the block tail:
     "cdc_column_diff",
     "cdc_delta_agg",
     "cdc_envelope",
@@ -121,25 +183,12 @@ PRIORITY_ORDER = [
     "receiver_replay_dedup",
     "token_bpe_merges",
     "token_count_min",
-    # (4) Three more genuinely new r8 queries (they displace three of
-    # the r5-vintage fills — the r7 slot-49 precedent: a new query in
-    # the window beats re-proving a green anchor one round early), the
-    # remaining two r5 anchors, and the expensive
-    # verified-pairs-oracle audit at the window tail per the
-    # golden-record convention:
-    "docs_lang_temperature_mix",     # multilingual sampling temperature
-    "docs_quality_dup_interaction",  # quality-stratum dup rates
+    "docs_lang_temperature_mix",
     "supplier_part_volume",
-    "lineitem_percentiles",          # pairs with the graduated GK audit
-    "docs_dedup_modality_agreement",  # text-vs-embedding near-dup audit
-    # ---- position 51+ ----
-    # Round-8 post-window additions (the window was already exactly 50):
-    # never driver-checked, local sf0.001+sf0.01 parity only — FIRST in
-    # line for the r9 window front per the late-addition convention:
-    "docs_c4_span_dedup",
-    "docs_mixture_sample",
-    # The r7-green window block (most-recently-proven, tail by
-    # convention), in its r7 order:
+    "lineitem_percentiles",
+    "docs_dedup_modality_agreement",
+    # The r7-green window block, in its r7 order, minus embed_ann_ivf
+    # (changed relation, moved to the window front):
     "docs_hybrid_search",
     "lineitem_column_profile",
     "embed_matryoshka_audit",
@@ -181,7 +230,6 @@ PRIORITY_ORDER = [
     "embed_centroids",
     "embed_neardup_pairs",
     "embed_neardup_dedup",
-    "embed_ann_ivf",
     "embed_ivf_assign",
     "embed_norm_stats",
     "docs_embed_join",
