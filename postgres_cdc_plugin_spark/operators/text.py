@@ -2423,12 +2423,43 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (priority, doc_id) order.
 
     Scale: the temperature relation is O(languages); the admission
-    pass is one window per language partition — exact at test scale,
-    and documented to degrade to the two-pass bucketed-histogram fill
-    (count tokens per priority prefix bucket, pick the cutoff bucket,
-    sort only inside it) when a single language's partition outgrows
-    a task, the lineitem_rle_layout_audit posture.
+    pass is one window per language partition — exact and simplest at
+    test scale. When a single language's partition outgrows a task,
+    mixture_sample_bucketed (below) is the SHIPPED 100 TB path: the
+    two-pass bucketed-histogram fill over md5-prefix buckets, proven
+    bit-equal to this window at both SFs and across bucket widths
+    (tests/test_analytics.py::
+    test_mixture_bucketed_fill_matches_exact_window).
     """
+    d, quota = _mixture_inputs(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("priority", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .join(quota, "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "priority",
+            "cum_tokens",
+            "quota_tokens",
+            (F.col("cum_tokens") <= F.col("quota_tokens")).alias("selected"),
+        )
+    )
+
+
+def _mixture_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The admission ledger's two inputs, shared VERBATIM by the exact
+    per-language window (docs_mixture_sample) and the bucketed
+    two-pass fill (mixture_sample_bucketed) so the paths cannot drift:
+    the per-doc (doc_id, lang, n_tokens, priority) relation and the
+    per-language token quota."""
     mix = docs_lang_temperature_mix(spark, sf_dir).select(
         "lang", "n_tokens", "temp_share"
     )
@@ -2454,22 +2485,81 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("priority"),
     )
-    w = (
+    return d, quota
+
+
+_MIX_BUCKET_CHARS = 1  # md5-priority hex-prefix bucket width (16/char)
+
+
+def mixture_sample_bucketed(
+    spark: SparkSession, sf_dir: str, prefix_chars: int = _MIX_BUCKET_CHARS
+) -> DataFrame:
+    """The 100 TB admission path for docs_mixture_sample (r8 verdict
+    ask #2): the two-pass bucketed-histogram fill, RESULT-INVARIANT to
+    the exact per-language window (pinned bit-equal at both SFs and
+    across bucket widths in tests/test_analytics.py, the
+    events_interval_join bin-width-invariance convention).
+
+    The exact path sorts each language in ONE window partition — at
+    100 TB a dominant language's partition outgrows a task. This path
+    replaces the language-sized sort with:
+      pass 1 (histogram): per (lang, md5-priority hex-prefix bucket)
+        token totals — a languages x 16^prefix_chars relation, tiny at
+        any corpus size — cumulated in bucket order to each bucket's
+        admission offset (which also locates the cutoff bucket: the
+        one whose offset straddles the quota; buckets before it admit
+        wholesale, after it reject wholesale);
+      pass 2 (intra-bucket fill): the (priority, doc_id) window runs
+        per (lang, bucket) — partitions 16^prefix_chars times smaller,
+        bounded by widening the prefix — and each doc's global
+        cumulative is offset + intra-bucket cumulative.
+    Invariance argument: same-length hex priorities make bucket-prefix
+    order a coarsening of the (priority, doc_id) total order, so
+    offset + intra-cum is exactly the global cumulative sum (int64
+    addition is associative), and every column of the ledger — not
+    just the selected flag — is identical.
+    """
+    d, quota = _mixture_inputs(spark, sf_dir)
+    d = d.withColumn(
+        "bucket", F.substring("priority", 1, prefix_chars)
+    )
+    hist = d.groupBy("lang", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    wb = (
         Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = hist.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("bucket_offset"),
+    )
+    wi = (
+        Window.partitionBy("lang", "bucket")
         .orderBy("priority", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        d.withColumn("intra", F.sum("n_tokens").over(wi))
+        .join(F.broadcast(offs), ["lang", "bucket"])
         .join(quota, "lang")
         .select(
             "doc_id",
             "lang",
             "n_tokens",
             "priority",
-            "cum_tokens",
+            (F.col("bucket_offset") + F.col("intra"))
+            .cast("bigint")
+            .alias("cum_tokens"),
             "quota_tokens",
-            (F.col("cum_tokens") <= F.col("quota_tokens")).alias("selected"),
+            (
+                F.col("bucket_offset") + F.col("intra")
+                <= F.col("quota_tokens")
+            ).alias("selected"),
         )
     )
 

@@ -4,6 +4,7 @@ error of the exact distinct count."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from postgres_cdc_plugin_spark.operators import analytics as A
@@ -722,6 +723,31 @@ def test_c4_ops_null_text_parity(spark, tmp_path):
             f"null_text:{name}",
         )
     con.close()
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+@pytest.mark.parametrize("prefix_chars", [1, 2])
+def test_mixture_bucketed_fill_matches_exact_window(spark, sf, prefix_chars):
+    """The two-pass bucketed-histogram admission (the 100 TB path) is
+    RESULT-INVARIANT to the exact per-language window — every ledger
+    column, both SFs, and across bucket widths (the
+    events_interval_join bin-width-invariance convention): offset +
+    intra-bucket cumulative must reproduce the global cumulative
+    exactly, because hex-prefix bucket order coarsens the
+    (priority, doc_id) total order."""
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    from .conftest import normalize
+
+    exact = normalize(T.docs_mixture_sample(spark, sf).toPandas())
+    alt = normalize(
+        T.mixture_sample_bucketed(spark, sf, prefix_chars).toPandas()
+    )
+    assert exact.equals(alt), (
+        f"bucketed fill diverged at prefix_chars={prefix_chars}, sf={sf}"
+    )
 
 
 def test_mixture_sample_realizes_quotas(spark, sf_dir):
