@@ -2369,6 +2369,16 @@ def docs_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("bigint").alias("n_tokens"),
         )
     )
+    return _temperature_mix_from(per_lang)
+
+
+def _temperature_mix_from(per_lang: DataFrame) -> DataFrame:
+    """Temperature mix over a prepared (lang, n_docs, n_tokens)
+    relation — shared VERBATIM by docs_lang_temperature_mix (which
+    builds per_lang from the documents table) and the mixture
+    admission kernel (which derives it from the maintained per-doc
+    relation, so the streaming MixtureLedger and the batch query can
+    never disagree about quotas)."""
     tot = per_lang.agg(
         F.sum("n_tokens").cast("double").alias("tot"),
     )
@@ -2431,7 +2441,62 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_analytics.py::
     test_mixture_bucketed_fill_matches_exact_window).
     """
-    d, quota = _mixture_inputs(spark, sf_dir)
+    return mixture_sample_from(
+        mixture_doc_relation(load(spark, sf_dir, "documents"))
+    )
+
+
+def mixture_doc_relation(docs: DataFrame) -> DataFrame:
+    """The per-doc admission-input relation (doc_id, lang, n_tokens,
+    priority) from a (doc_id, text, lang, ...) document relation — the
+    exact token count and md5 priority every admission path (exact
+    window, bucketed fill, streaming MixtureLedger) shares VERBATIM."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("priority"),
+    )
+
+
+def _mixture_quota_from(d: DataFrame) -> DataFrame:
+    """Per-language token quotas derived from the per-doc admission
+    relation: the temperature mix over per-language rollups of d, and
+    quota = floor(temp_share x budget) with budget = total tokens //
+    _MIX_BUDGET_DIV."""
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    mix = _temperature_mix_from(per_lang).select(
+        "lang", "n_tokens", "temp_share"
+    )
+    # budget as a whole-relation window over the LANGUAGES-SIZED mix
+    # (bounded by #languages at any corpus size) — a separate
+    # aggregate-and-crossJoin branch would duplicate the whole
+    # temperature pipeline in the plan (measured: 14 exchanges / 7
+    # nested-loop joins vs 8 / 3 this way)
+    b = F.floor(
+        F.sum("n_tokens").over(Window.partitionBy()) / F.lit(_MIX_BUDGET_DIV)
+    ).cast("bigint")
+    return mix.select(
+        "lang",
+        F.floor(F.col("temp_share") * b.cast("double"))
+        .cast("bigint")
+        .alias("quota_tokens"),
+    )
+
+
+def mixture_sample_from(d: DataFrame) -> DataFrame:
+    """The admission ledger over a prepared per-doc relation — the
+    kernel docs_mixture_sample wraps and the streaming MixtureLedger
+    runs VERBATIM at read time (the ST17 global-decision pattern: a
+    late-arriving document moves every language's share, temperature
+    and quota, so no per-batch transform can emit final admission
+    verdicts)."""
+    quota = _mixture_quota_from(d)
     w = (
         Window.partitionBy("lang")
         .orderBy("priority", "doc_id")
@@ -2450,42 +2515,6 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_tokens") <= F.col("quota_tokens")).alias("selected"),
         )
     )
-
-
-def _mixture_inputs(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """The admission ledger's two inputs, shared VERBATIM by the exact
-    per-language window (docs_mixture_sample) and the bucketed
-    two-pass fill (mixture_sample_bucketed) so the paths cannot drift:
-    the per-doc (doc_id, lang, n_tokens, priority) relation and the
-    per-language token quota."""
-    mix = docs_lang_temperature_mix(spark, sf_dir).select(
-        "lang", "n_tokens", "temp_share"
-    )
-    # budget as a whole-relation window over the LANGUAGES-SIZED mix
-    # (bounded by #languages at any corpus size) — a separate
-    # aggregate-and-crossJoin branch would duplicate the whole
-    # temperature pipeline in the plan (measured: 14 exchanges / 7
-    # nested-loop joins vs 8 / 3 this way)
-    b = F.floor(
-        F.sum("n_tokens").over(Window.partitionBy()) / F.lit(_MIX_BUDGET_DIV)
-    ).cast("bigint")
-    quota = mix.select(
-        "lang",
-        F.floor(F.col("temp_share") * b.cast("double"))
-        .cast("bigint")
-        .alias("quota_tokens"),
-    )
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
-        .cast("bigint")
-        .alias("n_tokens"),
-        F.md5(F.col("doc_id").cast("string")).alias("priority"),
-    )
-    return d, quota
 
 
 _MIX_BUCKET_CHARS = 1  # md5-priority hex-prefix bucket width (16/char)
@@ -2519,7 +2548,8 @@ def mixture_sample_bucketed(
     addition is associative), and every column of the ledger — not
     just the selected flag — is identical.
     """
-    d, quota = _mixture_inputs(spark, sf_dir)
+    d = mixture_doc_relation(load(spark, sf_dir, "documents"))
+    quota = _mixture_quota_from(d)
     d = d.withColumn(
         "bucket", F.substring("priority", 1, prefix_chars)
     )

@@ -2320,3 +2320,111 @@ def test_c4_line_ledger_incremental_checkpoint_resume(spark, tmp_path, sf_dir):
         len([d for d in os.listdir(led.out_dir) if d.startswith("batch=")])
         > n_batch_dirs
     )
+
+
+def test_mixture_ledger_bit_equal_to_batch(spark, tmp_path, sf_dir):
+    """MixtureLedger.sample must be BIT-EQUAL to the batch
+    docs_mixture_sample over the same corpus (ST18): the documents
+    table streams in three micro-batches, each landing its per-doc
+    admission relation through the shared mixture_doc_relation kernel;
+    the read-back dedups doc redelivery and runs mixture_sample_from
+    verbatim — quotas and admission are decided at read time over the
+    full maintained relation, exactly like batch (the ST17
+    global-decision pattern: one late document moves every language's
+    quota). Also pins replay idempotence and redelivery collapse:
+    re-landing the ENTIRE corpus as one more batch (twice) does not
+    move the ledger."""
+    from postgres_cdc_plugin_spark.operators.text import docs_mixture_sample
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.mixture import (
+        MIX_STREAM_SCHEMA,
+        MixtureLedger,
+    )
+
+    feed = str(tmp_path / "mix_feed")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs.repartition(3).write.parquet(feed)
+
+    led = MixtureLedger(str(tmp_path / "mix_ledger"))
+    stream = (
+        spark.readStream.schema(MIX_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = led.attach(stream, str(tmp_path / "mix_ck"), available_now=True)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, led.sample(spark).collect()))
+    want = sorted(map(tuple, docs_mixture_sample(spark, sf_dir).collect()))
+    assert got == want
+    # the admitted set is exactly the batch ledger's selected set
+    sel = sorted(r.doc_id for r in led.selected_docs(spark).collect())
+    want_sel = sorted(
+        r.doc_id
+        for r in docs_mixture_sample(spark, sf_dir)
+        .filter("selected")
+        .collect()
+    )
+    assert sel == want_sel
+
+    led.process_batch(docs, 99)
+    led.process_batch(docs, 99)
+    again = sorted(map(tuple, led.sample(spark).collect()))
+    assert again == want
+
+
+def test_mixture_ledger_incremental_checkpoint_resume(spark, tmp_path, sf_dir):
+    """Incremental admission across stream restarts: drain wave 1,
+    stop, land more feed files, re-attach on the SAME checkpoint — the
+    resumed stream lands only the new files, and after each wave the
+    ledger equals the batch kernel over exactly the documents seen so
+    far. Quotas MOVE between waves (wave 2 changes every language's
+    share and temperature), which is exactly why admission is decided
+    at read time rather than per batch."""
+    import os
+
+    from postgres_cdc_plugin_spark.operators.text import (
+        mixture_doc_relation,
+        mixture_sample_from,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.mixture import (
+        MIX_STREAM_SCHEMA,
+        MixtureLedger,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+    feed = str(tmp_path / "mix_feed_inc")
+    wave1.coalesce(1).write.parquet(feed)
+
+    led = MixtureLedger(str(tmp_path / "mix_ledger_inc"))
+    ck = str(tmp_path / "mix_ck_inc")
+
+    def drain():
+        stream = spark.readStream.schema(MIX_STREAM_SCHEMA).parquet(feed)
+        q = led.attach(stream, ck, available_now=True)
+        q.awaitTermination(120)
+
+    def batch_over(subset):
+        out = mixture_sample_from(mixture_doc_relation(subset))
+        return sorted(map(tuple, out.collect()))
+
+    drain()
+    assert sorted(map(tuple, led.sample(spark).collect())) == batch_over(
+        wave1
+    )
+
+    n_batch_dirs = len(
+        [d for d in os.listdir(led.out_dir) if d.startswith("batch=")]
+    )
+    wave2.coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    assert sorted(map(tuple, led.sample(spark).collect())) == batch_over(docs)
+    # the resumed stream added new batch dirs rather than re-landing
+    # wave 1 (checkpoint carries the file-source progress)
+    assert (
+        len([d for d in os.listdir(led.out_dir) if d.startswith("batch=")])
+        > n_batch_dirs
+    )
