@@ -525,8 +525,10 @@ def embed_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.createDataFrame(
         [(int(p),) for p in _IVF_SWEEP_PROBES], "nprobe int"
     )
+    # both sides are tiny (|grid| x k rows) but the theta-join must not
+    # plan a CartesianProduct: broadcast the ranked cells explicitly
     probes = grid.join(
-        ranked, F.col("cell_rank") <= F.col("nprobe")
+        F.broadcast(ranked), F.col("cell_rank") <= F.col("nprobe")
     ).select("nprobe", "label", "qv")
     cand = (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
@@ -556,8 +558,8 @@ def embed_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("bigint")
     return (
-        grid.join(vol, "nprobe", "left")
-        .join(ov, "nprobe", "left")
+        grid.join(F.broadcast(vol), "nprobe", "left")
+        .join(F.broadcast(ov), "nprobe", "left")
         .select(
             "nprobe",
             F.lit(_TOP_K).alias("k"),

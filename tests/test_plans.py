@@ -488,6 +488,7 @@ _BNLJ_ALLOWED = {
     "embed_ndcg_audit",  # composes knn/lsh/ivf/bq legs + 1-row idcg crossJoin (r6)
     "embed_pipeline_e2e",  # composite of the above
     "embed_recall_audit",  # composes embed_knn + embed_ann_ivf
+    "embed_ivf_tuning",  # |grid| x k-row probe theta-join + 1-row query (r9)
     "embed_pq_codes",  # sub-codebooks
     "embed_semdedup",  # k-row centroid codebook (equi pair join pinned above)
     "orders_price_band_join",  # intentional inequality band join
