@@ -717,12 +717,21 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch path).
     """
     ev = load(spark, sf_dir, "events")
+    # two-level aggregation instead of a count_distinct Expand: HLL
+    # inserts are idempotent (same hash -> same register), so the
+    # sketch over the deduped (event_type, user_id) pairs has exactly
+    # the registers of the single-pass sketch, while both levels stay
+    # map-side combinable and nothing doubles rows (measured 2.5x ->
+    # ~1x vs the rows-only r8 plan)
+    pairs = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     return (
-        ev.groupBy("event_type")
+        pairs.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", _HLL_RSD).alias("est"),
-            F.count_distinct("user_id").alias("n_exact_users"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact_users"),
+            F.sum("c").cast("bigint").alias("n_events"),
         )
         .select(
             "event_type",
