@@ -601,6 +601,97 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_TUNE_BUDGETS = (256, 512, 2048)  # bracket _PACK_BIN_TOKENS
+
+
+def docs_pack_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-budget tuning sweep (r9) — the tuning-audit family
+    symmetry (docs_lsh_tuning for banding, embed_ivf_tuning for probe
+    budget, this for context length): per bin budget in
+    _PACK_TUNE_BUDGETS, the realized packing profile of
+    docs_pack_bins' greedy shard-local fill — bin count, mean fill
+    ratio, and the overflow a non-splitting packer incurs when one
+    document straddles a boundary (overflow bins and excess tokens).
+    The curve a pipeline reads before committing a context window:
+    small budgets waste capacity to overflow, large ones to tail
+    underfill.
+
+    Reuses docs_pack_bins' shard/cumulative/bin algebra VERBATIM
+    (same token definition, same floor split); the budget enters the
+    bin id as a pure per-row projection, so ONE shard window serves
+    the whole grid — the embed_ivf_tuning one-scan-for-all-grid-points
+    shape. A wider grid costs explode fan-out rows (narrow, no
+    shuffle growth per point beyond the rollup).
+
+    Determinism: all totals are exact int64; fill ratio divides two
+    exact integers once (IEEE, bit-identical).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS))
+            .cast("int")
+            .alias("shard"),
+            toks.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "shard",
+            "n_tokens",
+            "cum_tokens",
+            F.explode(
+                F.array(*[F.lit(int(b)) for b in _PACK_TUNE_BUDGETS])
+            ).alias("budget"),
+        )
+    )
+    binned = base.groupBy(
+        "budget",
+        "shard",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")) / F.col("budget")
+        )
+        .cast("int")
+        .alias("bin_id"),
+    ).agg(
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    over = F.col("bin_tokens") - F.col("budget")
+    return (
+        binned.groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+            F.sum((F.col("bin_tokens") > F.col("budget")).cast("int"))
+            .cast("bigint")
+            .alias("overflow_bins"),
+            F.sum(F.greatest(over, F.lit(0)))
+            .cast("bigint")
+            .alias("overflow_tokens"),
+            F.max("bin_tokens").cast("bigint").alias("max_bin_tokens"),
+        )
+        .select(
+            "budget",
+            "n_bins",
+            "n_docs",
+            "total_tokens",
+            (
+                F.col("total_tokens")
+                / (F.col("n_bins") * F.col("budget")).cast("double")
+            ).alias("avg_fill_ratio"),
+            "overflow_bins",
+            "overflow_tokens",
+            "max_bin_tokens",
+        )
+    )
+
+
 def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture accounting: per-source token mass and the
     resampling factor that would flatten the mix to uniform — the
@@ -2594,6 +2685,74 @@ def mixture_sample_bucketed(
     )
 
 
+def docs_mixture_realized_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture realization audit (r9) — closes the design ->
+    realization -> AUDIT triad: per language, what the admission
+    ledger actually delivered against the temperature design. Emits
+    corpus/selected doc and token totals, the quota, quota utilization
+    (selected/quota — how much of the budget the language could fill;
+    a low-resource language with fewer tokens than its upsampled quota
+    shows the shortfall here), the ACHIEVED token share of the
+    realized dataset, the designed temp_share, and the gap. This is
+    the one-page check a pipeline reads before training: did the
+    realized mix hit the spec, and where did it structurally fail
+    (quota > corpus for upsampled languages).
+
+    Reuses docs_mixture_sample (the ledger) and
+    docs_lang_temperature_mix (the design) VERBATIM — the audit cannot
+    drift from the stages it grades (the embed_ndcg_audit pattern).
+
+    Determinism: all totals are exact int64 sums of ledger columns;
+    utilization/achieved_share are exact int/int IEEE divisions (the
+    cross-language total enters through an unpartitioned window over
+    the languages-sized aggregate); share_gap subtracts the
+    decimal-hopped temp_share from an exact division — one IEEE
+    subtract of identical doubles on both engines.
+
+    Scale: one pass over the ledger (whose own cost is the admission
+    windows) rolled up to O(languages) rows; the design join is
+    languages-sized and broadcast.
+    """
+    led = docs_mixture_sample(spark, sf_dir)
+    mix = docs_lang_temperature_mix(spark, sf_dir).select(
+        "lang", "temp_share"
+    )
+    per = led.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("selected").cast("int")).cast("bigint").alias(
+            "n_selected_docs"
+        ),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("selected"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("selected_tokens"),
+        F.min("quota_tokens").cast("bigint").alias("quota_tokens"),
+    )
+    tot_sel = F.sum("selected_tokens").over(Window.partitionBy())
+    achieved = F.col("selected_tokens") / F.expr(
+        "nullif(tot_sel, 0)"
+    ).cast("double")
+    return (
+        per.withColumn("tot_sel", tot_sel)
+        .join(F.broadcast(mix), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_selected_docs",
+            "n_tokens",
+            "selected_tokens",
+            "quota_tokens",
+            (
+                F.col("selected_tokens")
+                / F.expr("nullif(quota_tokens, 0)").cast("double")
+            ).alias("utilization"),
+            achieved.alias("achieved_share"),
+            "temp_share",
+            (achieved - F.col("temp_share")).alias("share_gap"),
+        )
+    )
+
+
 def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language — the audit run before freezing
     a vocabulary to catch under-served languages (a language whose
@@ -2680,6 +2839,7 @@ QUERIES = {
     "token_fertility_by_lang": token_fertility_by_lang,
     "docs_lang_temperature_mix": docs_lang_temperature_mix,
     "docs_mixture_sample": docs_mixture_sample,
+    "docs_mixture_realized_mix": docs_mixture_realized_mix,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_ccnet_buckets": docs_ccnet_buckets,
@@ -2709,6 +2869,7 @@ QUERIES = {
     "token_tfidf": token_tfidf,
     "docs_chunks": docs_chunks,
     "docs_pack_bins": docs_pack_bins,
+    "docs_pack_tuning": docs_pack_tuning,
     "docs_source_mix": docs_source_mix,
     "docs_boilerplate_ngrams": docs_boilerplate_ngrams,
     "docs_common_spans": docs_common_spans,
@@ -3406,6 +3567,44 @@ ORACLE_SQL = {
             FROM documents
         )
     """,
+    # pack-budget sweep: docs_pack_bins' shard/cumulative/bin algebra
+    # verbatim with the budget as a per-row grid value.
+    # sum(CAST(flag AS INT)) mirrors Spark's NULL-skipping sum (a
+    # NULL-text doc yields a NULL bin row whose comparisons are NULL).
+    "docs_pack_tuning": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(sum(len(string_split(text, ' '))) OVER (
+                       PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM documents
+        ),
+        grid AS (SELECT unnest({list(_PACK_TUNE_BUDGETS)}) AS budget),
+        binned AS (
+            SELECT budget, shard,
+                   CAST((cum_tokens - n_tokens) // budget AS INT) AS bin_id,
+                   CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM base, grid
+            GROUP BY budget, shard,
+                     CAST((cum_tokens - n_tokens) // budget AS INT)
+        )
+        SELECT budget,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+               sum(bin_tokens)
+                   / CAST(count(*) * budget AS DOUBLE) AS avg_fill_ratio,
+               CAST(sum(CAST(bin_tokens > budget AS INT)) AS BIGINT)
+                   AS overflow_bins,
+               CAST(sum(greatest(bin_tokens - budget, 0)) AS BIGINT)
+                   AS overflow_tokens,
+               CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens
+        FROM binned GROUP BY budget
+    """,
     "docs_source_mix": """
         SELECT source, n_docs, n_tokens,
                n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share,
@@ -3886,3 +4085,37 @@ ORACLE_SQL = {
         )
     """,
 }
+
+# Mixture realization audit: wraps the admission-ledger oracle and the
+# temperature-mix oracle VERBATIM as subqueries (the embed_ndcg_audit
+# convention — the audit's oracle cannot drift from the stages it
+# grades). sum(CAST(selected AS INT)), not CASE: an all-NULL-selected
+# language (every doc NULL-text) must aggregate to NULL on both
+# engines, matching Spark's NULL-skipping sum over the cast flag.
+ORACLE_SQL["docs_mixture_realized_mix"] = f"""
+    WITH led AS ({ORACLE_SQL["docs_mixture_sample"]}),
+    mix AS ({_TEMP_MIX_SQL}),
+    per AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(selected AS INT)) AS BIGINT)
+                   AS n_selected_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN selected THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS selected_tokens,
+               CAST(min(quota_tokens) AS BIGINT) AS quota_tokens
+        FROM led GROUP BY lang
+    )
+    SELECT p.lang, p.n_docs, p.n_selected_docs, p.n_tokens,
+           p.selected_tokens, p.quota_tokens,
+           p.selected_tokens
+               / CAST(nullif(p.quota_tokens, 0) AS DOUBLE) AS utilization,
+           p.selected_tokens
+               / CAST(nullif(sum(p.selected_tokens) OVER (), 0) AS DOUBLE)
+               AS achieved_share,
+           m.temp_share,
+           p.selected_tokens
+               / CAST(nullif(sum(p.selected_tokens) OVER (), 0) AS DOUBLE)
+               - m.temp_share AS share_gap
+    FROM per p JOIN mix m USING (lang)
+"""

@@ -135,6 +135,12 @@ PRIORITY_ORDER = [
     "docs_suffix_dup_spans",
     "docs_winnowing",
     # ---- position 51+ ----
+    # Round-9 post-window additions (the window was already exactly
+    # 50): never driver-checked, local sf0.001+sf0.01 parity only —
+    # FIRST in line for the r10 window front per the late-addition
+    # convention:
+    "docs_mixture_realized_mix",
+    "docs_pack_tuning",
     # The r8-green window block (most-recently-proven, tail by
     # convention), in its r8 order, minus docs_quality_dup_interaction
     # (changed relation, moved to the window front):

@@ -716,6 +716,11 @@ def test_c4_ops_null_text_parity(spark, tmp_path):
         # r8 sweep find: the fold seed leaked 0 for NULL text here
         "docs_rolling_fingerprint",
         "docs_mixture_sample",
+        # r9: the realization audit (an all-NULL-text language must
+        # aggregate NULL selected-doc counts on both engines) and the
+        # packing sweep (NULL-text docs land in a NULL bin per shard)
+        "docs_mixture_realized_mix",
+        "docs_pack_tuning",
     ):
         assert_parity(
             queries()[name](spark, str(tmp_path)),
