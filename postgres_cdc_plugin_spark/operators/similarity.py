@@ -529,15 +529,25 @@ def embed_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan a CartesianProduct: broadcast the ranked cells explicitly
     probes = grid.join(
         F.broadcast(ranked), F.col("cell_rank") <= F.col("nprobe")
-    ).select("nprobe", "label", "qv")
-    cand = (
+    ).select("nprobe", "label")
+    # the query cosine folds ONCE per candidate vector (over the union
+    # of all probed cells — the widest grid point); the per-grid-point
+    # membership then fans the scored row out through a cheap broadcast
+    # join instead of re-folding 64 dims per nprobe
+    union_cells = ranked.filter(
+        F.col("cell_rank") <= max(_IVF_SWEEP_PROBES)
+    ).select("label", "qv")
+    scored = (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .join(F.broadcast(probes), "label")
+        .join(F.broadcast(union_cells), "label")
         .select(
-            "nprobe",
+            "label",
             "vec_id",
             F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
         )
+    )
+    cand = scored.join(F.broadcast(probes), "label").select(
+        "nprobe", "vec_id", "cosine_sim"
     )
     vol = cand.groupBy("nprobe").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")

@@ -56,6 +56,10 @@ _DOC_QUERIES = [
     (dedup, "docs_quality_dup_interaction"),
     (dedup, "docs_c4_span_dedup"),
     (text, "docs_mixture_sample"),
+    # round-9 operators
+    (text, "docs_c4_punct_gate"),
+    (text, "docs_mixture_realized_mix"),
+    (text, "docs_pack_tuning"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -167,6 +171,32 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         assert len(rows) == 1
         r = rows[0]
         assert r.quota_tokens == r.n_tokens // 2 and not r.selected
+    elif name == "docs_c4_punct_gate":
+        # doc_id=1 -> k=3: periods after words 3 and 6. Line 1 (5
+        # words) ends unpunctuated ("few") -> dropped by the enforced
+        # punct rule; line 2 ("tokens.") is punctuated but short
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.punct_every_k == 3 and r.n_lines == 2
+        assert r.n_punct_lines == 1 and r.n_kept_lines == 0
+        assert r.kept_words == 0 and not r.page_keep
+    elif name == "docs_mixture_realized_mix":
+        # quota = n//2 < n -> the sole doc is rejected: zero selected,
+        # utilization 0, achieved share undefined (0-token realization)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_docs == 1 and r.n_selected_docs == 0
+        assert r.selected_tokens == 0 and r.utilization == 0.0
+        assert r.achieved_share is None and r.share_gap is None
+        assert r.temp_share == 1.0
+    elif name == "docs_pack_tuning":
+        # one 6-token doc, one shard: every budget packs one bin with
+        # fill 6/budget and no overflow
+        assert len(rows) == len(text._PACK_TUNE_BUDGETS)
+        for r in rows:
+            assert r.n_bins == 1 and r.n_docs == 1
+            assert r.total_tokens == 6 and r.overflow_bins == 0
+            assert r.avg_fill_ratio == 6 / r.budget
     elif name == "docs_c4_line_filter":
         # 6 words -> two 5-word lines; the 1-word tail line is short
         assert len(rows) == 1
