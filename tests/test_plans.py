@@ -401,6 +401,31 @@ def test_zipf_window_runs_over_vocab_not_corpus(spark, sf_dir):
     assert plan.rfind("Generate") > plan.find("Exchange SinglePartition"), plan
 
 
+def test_mixture_bucketed_windows_are_bucket_partitioned(spark, sf_dir):
+    # the 100 TB claim of mixture_sample_bucketed: the doc-grain
+    # admission window must partition by (lang, bucket) — never by lang
+    # alone (that's exactly the giant-language sort the alternate path
+    # exists to break up); the lang-only windows that remain operate on
+    # the languages-sized histogram/quota relations, not the corpus
+    from postgres_cdc_plugin_spark.operators.text import (
+        mixture_sample_bucketed,
+    )
+
+    import re
+
+    spark.catalog.clearCache()
+    plan = inspect.physical_plan(mixture_sample_bucketed(spark, sf_dir))
+    # every Window ordered by the doc-grain (priority, doc_id) sort —
+    # the admission fill — must carry bucket in its partition spec
+    doc_windows = [
+        m.group(0)
+        for m in re.finditer(r"Window \[[^\n]*priority[^\n]*", plan)
+    ]
+    assert doc_windows, plan
+    for w in doc_windows:
+        assert "bucket" in w, w
+
+
 def test_embed_pipeline_e2e_single_rollup(spark, sf_dir):
     # all nine argmins (cell + 4 PQ codes, each with its distance) come
     # out of ONE partial-agg groupBy — no window, no sort-merge join
