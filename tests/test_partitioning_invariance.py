@@ -68,6 +68,10 @@ _SENSITIVE = [
     "approx_distinct_users",
     "embed_ivf_tuning",
     "docs_c4_punct_gate",
+    # r9 staged additions: shard-windowed packing rollups and the
+    # ledger-derived realization audit (admission windows + global sum)
+    "docs_pack_tuning",
+    "docs_mixture_realized_mix",
 ]
 
 
