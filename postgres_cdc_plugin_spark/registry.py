@@ -30,8 +30,13 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     convention (customer_fuzzy_match's naive-quadratic SQL and the
     four substring-span-family queries).
     After the r9 run no query's evidence is older than round 6 and the
-    driver-evidence union covers all 196 queries. The r8-green window
-    block sits at 51+ (most-recently-proven, tail by convention); the
+    driver-evidence union covers 196 of the 198 registered queries —
+    the only two without a driver row are the late-r9 registrations
+    docs_mixture_realized_mix and docs_pack_tuning, staged at positions
+    51-52 for the r10 window front (local sf0.001+sf0.01 parity green,
+    the same convention that staged docs_c4_span_dedup/
+    docs_mixture_sample last round). The r8-green window block sits
+    after them (most-recently-proven, tail by convention); the
     r7-green block follows; r6-green queries append in module order.
 """
 
