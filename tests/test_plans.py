@@ -544,6 +544,7 @@ _BNLJ_ALLOWED = {
     "docs_bloom_dedup_audit",  # five 1-row count/fill aggregates crossJoined (r7)
     "docs_lang_temperature_mix",  # two 1-row total crossJoins (r8)
     "docs_mixture_sample",  # inherits the mix's crossJoins + 1-row budget (r8)
+    "docs_mixture_realized_mix",  # wraps the ledger + mix verbatim (r9)
 }
 
 
