@@ -677,62 +677,6 @@ def test_temperature_mix_properties(spark, sf_dir):
     assert rows[0].sample_factor >= 1.0  # rarest language upsampled
     assert rows[-1].sample_factor <= 1.0  # dominant language downsampled
 
-
-def test_c4_ops_null_text_parity(spark, tmp_path):
-    """NULL and EMPTY text must degrade IDENTICALLY on both engines for
-    the whole C4/fertility/mix family (the r7 advice class: the
-    synthetic corpora never carry NULL/empty text, so the edge needs
-    its own fixture — an over-broad oracle coalesce turned Spark's NULL
-    kept_words into a 0, and a zero-token language's undefined sampling
-    factor crashed ANSI division before these pins)."""
-    import duckdb
-
-    from postgres_cdc_plugin_spark.registry import oracle_sql, queries
-
-    from .conftest import assert_parity
-
-    spark.createDataFrame(
-        [
-            (0, "a b c d e f g", "en", "s", 13),
-            (1, None, "fr", "s", 0),
-            (2, "a b c d e f g", "de", "s", 13),
-            (3, "", "el", "s", 0),
-        ],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
-    )
-    for name in (
-        "docs_c4_line_filter",
-        "docs_c4_line_dedup",
-        "docs_c4_span_dedup",
-        "docs_c4_punct_gate",
-        "docs_lang_temperature_mix",
-        "docs_quality_dup_interaction",
-        "token_fertility_by_lang",
-        # r8 sweep find: the fold seed leaked 0 for NULL text here
-        "docs_rolling_fingerprint",
-        "docs_mixture_sample",
-        # r9: the realization audit (an all-NULL-text language must
-        # aggregate NULL selected-doc counts on both engines) and the
-        # packing sweep (NULL-text docs land in a NULL bin per shard)
-        "docs_mixture_realized_mix",
-        "docs_pack_tuning",
-    ):
-        assert_parity(
-            queries()[name](spark, str(tmp_path)),
-            con.sql(oracle_sql()[name]),
-            f"null_text:{name}",
-        )
-    con.close()
-
-
-@pytest.mark.parametrize(
-    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
-)
 @pytest.mark.parametrize("prefix_chars", [1, 2])
 def test_mixture_bucketed_fill_matches_exact_window(spark, sf, prefix_chars):
     """The two-pass bucketed-histogram admission (the 100 TB path) is

@@ -173,6 +173,59 @@ def test_nonascii_parity(name, spark, nonascii_dir, nonascii_duck):
     )
 
 
+@pytest.fixture(scope="session")
+def nulltext_dir(spark, tmp_path_factory):
+    """NULL-text and empty-text corpus — the recurring
+    oracle-divergence class (the synthetic corpora never carry either,
+    so an over-broad coalesce or a DuckDB fold seed silently disagrees
+    with Spark's NULL-propagating expression until this gate catches
+    it; r7 advice found the first instance, r8's sweep the second).
+    One NULL-text doc whose language has no other documents (the
+    all-NULL-aggregate edge), one empty-text doc, and ASCII anchors."""
+    import os
+
+    d = tmp_path_factory.mktemp("nulltext_sf")
+    spark.createDataFrame(
+        [
+            (0, "a b c d e f g", "en", "s0", 13),
+            (1, None, "fr", "s0", 0),
+            (2, "a b c d e f g", "de", "s1", 13),
+            (3, "", "el", "s1", 0),
+            (4, "h i j k l m n o p q", "en", "s2", 19),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def nulltext_duck(nulltext_dir):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(nulltext_dir, 'documents.parquet')}/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NONASCII_NAMES)
+def test_nulltext_parity(name, spark, nulltext_dir, nulltext_duck):
+    """Every documents-derived oracle query must degrade IDENTICALLY on
+    NULL and empty text on both engines (promoted in r9 from the
+    hand-listed C4/mixture sweep to the full auto-included surface —
+    the same completeness contract as the non-ASCII gate above)."""
+    assert_parity(
+        QUERIES[name](spark, nulltext_dir),
+        nulltext_duck.sql(ORACLES[name]),
+        f"nulltext:{name}",
+    )
+
+
 def test_nonascii_bm25_multibyte_terms(spark, nonascii_dir, nonascii_duck):
     """The registered docs_bm25_search terms are ASCII and absent from
     this corpus (its registry parity run retrieves nothing), so prove
