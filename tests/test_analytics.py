@@ -677,6 +677,10 @@ def test_temperature_mix_properties(spark, sf_dir):
     assert rows[0].sample_factor >= 1.0  # rarest language upsampled
     assert rows[-1].sample_factor <= 1.0  # dominant language downsampled
 
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
 @pytest.mark.parametrize("prefix_chars", [1, 2])
 def test_mixture_bucketed_fill_matches_exact_window(spark, sf, prefix_chars):
     """The two-pass bucketed-histogram admission (the 100 TB path) is
