@@ -126,11 +126,22 @@ class SimHashNearDupIndex:
         return self._read_parts(spark, self.out_dir)
 
     def _read_parts(self, spark, root: str, below: int | None = None):
+        # a batch is visible only when BOTH its signature-index and its
+        # accepted-docs jobs committed (streaming/ledger.py): a crash
+        # between the two writes must not let read-backs see signatures
+        # for documents the accepted relation doesn't carry (the
+        # checkpoint replays the torn batch and overwrites both).
+        # Stream order guarantees every batch below the one being
+        # replayed is complete, so the internal below=batch_id index
+        # read loses nothing.
+        from .ledger import committed_batch_ids
+
+        ready = committed_batch_ids(self.index_dir) & committed_batch_ids(
+            self.out_dir
+        )
         parts = sorted(
-            d for d in os.listdir(root)
-            if d.startswith("batch=") and (
-                below is None or int(d.split("=", 1)[1]) < below
-            )
+            d for d in ready
+            if below is None or int(d.split("=", 1)[1]) < below
         )
         if not parts:
             return None

@@ -65,11 +65,18 @@ class LexicalPostingsIndex:
 
     # -- read-back surfaces -------------------------------------------
     def _batch_dirs(self, root: str) -> list[str]:
-        return sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("batch=")
+        # a batch is visible only when BOTH its postings and its stats
+        # job committed (streaming/ledger.py): a crash between the two
+        # writes must not let the index rank with stats that don't
+        # count the batch's documents (the BM25 normalization would
+        # silently drift until replay) — same torn-batch class the r8
+        # advice flagged on the C4 line ledger
+        from .ledger import committed_batch_ids
+
+        ready = committed_batch_ids(self.postings_dir) & committed_batch_ids(
+            self.stats_dir
         )
+        return sorted(os.path.join(root, d) for d in ready)
 
     def postings(self, spark) -> DataFrame | None:
         """The whole index: (doc_id, dl, w, tf, tb, batch)."""

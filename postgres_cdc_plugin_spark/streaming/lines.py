@@ -48,15 +48,30 @@ class C4LineLedger:
 
     # -- read-back surfaces -------------------------------------------
     def _parts(self, sub: str) -> list[str]:
-        # A batch dir missing the requested subdir is a half-written
-        # batch (crash between the two writes); skip it — the
-        # checkpoint replays that batch and the overwrite completes it
-        # (r8 advice: don't let one torn batch break every read-back).
-        return sorted(
-            p
+        # A batch is visible only when BOTH of its relations committed
+        # (_SUCCESS from the job commit — streaming/ledger.py): a crash
+        # between the two writes leaves a torn batch that must not be
+        # half-read (r8 advice; the checkpoint replays it and the
+        # overwrite completes it). Intersecting the committed ids makes
+        # the batch appear atomically in every read-back surface.
+        docs_ok = {
+            d
             for d in os.listdir(self.out_dir)
             if d.startswith("batch=")
-            if os.path.isdir(p := os.path.join(self.out_dir, d, sub))
+            and os.path.exists(
+                os.path.join(self.out_dir, d, "docs", "_SUCCESS")
+            )
+        }
+        lines_ok = {
+            d
+            for d in os.listdir(self.out_dir)
+            if d.startswith("batch=")
+            and os.path.exists(
+                os.path.join(self.out_dir, d, "lines", "_SUCCESS")
+            )
+        }
+        return sorted(
+            os.path.join(self.out_dir, d, sub) for d in docs_ok & lines_ok
         )
 
     def _read(self, spark, sub: str) -> DataFrame | None:

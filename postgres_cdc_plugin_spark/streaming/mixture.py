@@ -51,11 +51,9 @@ class MixtureLedger:
 
     # -- read-back surfaces -------------------------------------------
     def _read(self, spark) -> DataFrame | None:
-        parts = sorted(
-            os.path.join(self.out_dir, d)
-            for d in os.listdir(self.out_dir)
-            if d.startswith("batch=")
-        )
+        from .ledger import committed_batch_dirs
+
+        parts = committed_batch_dirs(self.out_dir)
         if not parts:
             return None
         spark.catalog.refreshByPath(self.out_dir)

@@ -43,15 +43,13 @@ class GopherQualityLedger:
 
     # -- read-back surfaces -------------------------------------------
     def verdicts(self, spark) -> DataFrame | None:
-        parts = sorted(
-            d for d in os.listdir(self.out_dir) if d.startswith("batch=")
-        )
+        from .ledger import committed_batch_dirs
+
+        parts = committed_batch_dirs(self.out_dir)
         if not parts:
             return None
         spark.catalog.refreshByPath(self.out_dir)
-        raw = spark.read.option("basePath", self.out_dir).parquet(
-            *[os.path.join(self.out_dir, d) for d in parts]
-        )
+        raw = spark.read.option("basePath", self.out_dir).parquet(*parts)
         # redelivered docs appear in several batch dirs with identical
         # (deterministic) verdict rows — distinct restores doc grain
         return raw.drop("batch").distinct()

@@ -40,15 +40,13 @@ class UrlHostLedger:
 
     # -- read-back surfaces -------------------------------------------
     def url_docs(self, spark) -> DataFrame | None:
-        parts = sorted(
-            d for d in os.listdir(self.out_dir) if d.startswith("batch=")
-        )
+        from .ledger import committed_batch_dirs
+
+        parts = committed_batch_dirs(self.out_dir)
         if not parts:
             return None
         spark.catalog.refreshByPath(self.out_dir)
-        raw = spark.read.option("basePath", self.out_dir).parquet(
-            *[os.path.join(self.out_dir, d) for d in parts]
-        )
+        raw = spark.read.option("basePath", self.out_dir).parquet(*parts)
         # a document redelivered across micro-batches appears in both
         # batch dirs — the ledger's grain is the DISTINCT document
         return raw.select("doc_id", "host", "canon_url").distinct()

@@ -45,15 +45,13 @@ class EmbedIvfIndex:
     def index(self, spark) -> DataFrame | None:
         """The whole index: (vec_id, label, sq_dist, embedding, cell,
         batch)."""
-        parts = sorted(
-            d for d in os.listdir(self.out_dir) if d.startswith("batch=")
-        )
+        from .ledger import committed_batch_dirs
+
+        parts = committed_batch_dirs(self.out_dir)
         if not parts:
             return None
         spark.catalog.refreshByPath(self.out_dir)
-        return spark.read.option("basePath", self.out_dir).parquet(
-            *[os.path.join(self.out_dir, d) for d in parts]
-        )
+        return spark.read.option("basePath", self.out_dir).parquet(*parts)
 
     def probe(self, spark, cells: list[int]) -> DataFrame | None:
         """Vectors of the probed cells only. The cell predicate lands in

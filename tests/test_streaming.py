@@ -2428,3 +2428,76 @@ def test_mixture_ledger_incremental_checkpoint_resume(spark, tmp_path, sf_dir):
         len([d for d in os.listdir(led.out_dir) if d.startswith("batch=")])
         > n_batch_dirs
     )
+
+
+def test_torn_batches_are_invisible_until_replay(spark, tmp_path, sf_dir):
+    """Crash-window safety across the ledger family (r8-advice class,
+    generalized in r9 via streaming/ledger.committed_batch_dirs): a
+    batch directory whose parquet job never committed — no _SUCCESS, or
+    one sibling relation missing — must be INVISIBLE to every read-back
+    (neither a crash nor a half-read), and replaying the batch through
+    process_batch makes it appear atomically with the exact rows the
+    completed batch produces."""
+    import os
+    import shutil
+
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.lexical import (
+        LexicalPostingsIndex,
+    )
+    from postgres_cdc_plugin_spark.streaming.lines import C4LineLedger
+    from postgres_cdc_plugin_spark.streaming.mixture import MixtureLedger
+    from postgres_cdc_plugin_spark.streaming.quality import (
+        GopherQualityLedger,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    # --- single-relation ledger: un-committed dir must be skipped ----
+    gq = GopherQualityLedger(str(tmp_path / "gq"))
+    gq.process_batch(wave1.select("doc_id", "text"), 0)
+    before = snap(gq.verdicts(spark))
+    torn = os.path.join(gq.out_dir, "batch=1")
+    os.makedirs(os.path.join(torn, "_temporary"))  # crashed mid-write
+    assert snap(gq.verdicts(spark)) == before
+    gq.process_batch(wave2.select("doc_id", "text"), 1)  # the replay
+    assert len(snap(gq.verdicts(spark))) == docs.count()
+
+    # --- two-relation ledger (docs+lines): half-written batch hidden -
+    cl = C4LineLedger(str(tmp_path / "cl"))
+    cl.process_batch(wave1.select("doc_id", "text"), 0)
+    before = snap(cl.dedup(spark))
+    # simulate the crash between the two writes: lines landed, docs not
+    full = os.path.join(cl.out_dir, "batch=1")
+    cl.process_batch(wave2.select("doc_id", "text"), 1)
+    shutil.rmtree(os.path.join(full, "docs"))
+    assert snap(cl.dedup(spark)) == before
+    cl.process_batch(wave2.select("doc_id", "text"), 1)  # replay heals
+    assert len(snap(cl.dedup(spark))) == docs.count()
+
+    # --- two-root ledger (postings+stats): stats-less batch hidden ---
+    lx = LexicalPostingsIndex(str(tmp_path / "lx"))
+    lx.process_batch(wave1.select("doc_id", "text"), 0)
+    n_docs_before = lx.stats(spark).collect()[0].n_docs
+    lx.process_batch(wave2.select("doc_id", "text"), 1)
+    shutil.rmtree(os.path.join(lx.stats_dir, "batch=1"))
+    assert lx.stats(spark).collect()[0].n_docs == n_docs_before
+    assert snap(lx.postings(spark).select("doc_id").distinct()) == snap(
+        wave1.select("doc_id")
+    )
+    lx.process_batch(wave2.select("doc_id", "text"), 1)
+    assert lx.stats(spark).collect()[0].n_docs == docs.count()
+
+    # --- global-decision ledger: torn batch doesn't move admission ---
+    mx = MixtureLedger(str(tmp_path / "mx"))
+    mx.process_batch(wave1.select("doc_id", "text", "lang"), 0)
+    before = snap(mx.sample(spark))
+    os.makedirs(os.path.join(mx.out_dir, "batch=1", "_temporary"))
+    assert snap(mx.sample(spark)) == before
+    mx.process_batch(wave2.select("doc_id", "text", "lang"), 1)
+    assert len(snap(mx.sample(spark))) == docs.count()
