@@ -726,22 +726,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # count("user_id"), not count(*): a NULL-user_id pair group must not
+    # inflate the exact side — approx_count_distinct and the oracle's
+    # count(DISTINCT user_id) both skip NULLs (r9 advice #1).
     return (
         pairs.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", _HLL_RSD).alias("est"),
-            F.count(F.lit(1)).cast("bigint").alias("n_exact_users"),
+            F.count("user_id").cast("bigint").alias("n_exact_users"),
             F.sum("c").cast("bigint").alias("n_events"),
         )
         .select(
             "event_type",
             "n_events",
             "n_exact_users",
-            (
+            # all-NULL group: exact = 0 and the HLL (NULL-skipping)
+            # estimate must be 0 too — guard the ratio, don't divide
+            F.when(
+                F.col("n_exact_users") == 0, F.col("est") == 0
+            )
+            .otherwise(
                 F.abs(F.col("est") - F.col("n_exact_users"))
                 / F.col("n_exact_users").cast("double")
                 <= _HLL_ERR_BOUND
-            ).alias("hll_bound_ok"),
+            )
+            .alias("hll_bound_ok"),
         )
     )
 

@@ -107,13 +107,22 @@ def _inspection_session(spark):
 
     Keyed on applicationId, not id(sparkContext): CPython can reuse a
     garbage-collected wrapper's address for a NEW context, which would
-    hand back a session bound to the dead JVM (r8 advice). Stale
-    entries for stopped contexts are evicted on each lookup so the
-    memo never outlives its application.
+    hand back a session bound to the dead JVM (r8 advice). Eviction
+    removes only entries whose stored session's SparkContext has
+    STOPPED — not every non-current key — so two concurrently live
+    applications alternating plan inspections each keep their memoized
+    clone instead of thrashing (r9 advice #3).
     """
     key = spark.sparkContext.applicationId
     for old in [k for k in _INSPECT_SESSIONS if k != key]:
-        del _INSPECT_SESSIONS[old]
+        try:
+            stopped = (
+                _INSPECT_SESSIONS[old].sparkContext._jsc.sc().isStopped()  # type: ignore[attr-defined]
+            )
+        except Exception:
+            stopped = True  # dead JVM wrapper: unusable either way
+        if stopped:
+            del _INSPECT_SESSIONS[old]
     insp = _INSPECT_SESSIONS.get(key)
     if insp is None:
         insp = spark.newSession()

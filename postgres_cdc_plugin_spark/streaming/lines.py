@@ -53,26 +53,13 @@ class C4LineLedger:
         # between the two writes leaves a torn batch that must not be
         # half-read (r8 advice; the checkpoint replays it and the
         # overwrite completes it). Intersecting the committed ids makes
-        # the batch appear atomically in every read-back surface.
-        docs_ok = {
-            d
-            for d in os.listdir(self.out_dir)
-            if d.startswith("batch=")
-            and os.path.exists(
-                os.path.join(self.out_dir, d, "docs", "_SUCCESS")
-            )
-        }
-        lines_ok = {
-            d
-            for d in os.listdir(self.out_dir)
-            if d.startswith("batch=")
-            and os.path.exists(
-                os.path.join(self.out_dir, d, "lines", "_SUCCESS")
-            )
-        }
-        return sorted(
-            os.path.join(self.out_dir, d, sub) for d in docs_ok & lines_ok
-        )
+        # the batch appear atomically in every read-back surface; the
+        # shared helper also fails loudly if the success marker is
+        # disabled (r9 advice #2).
+        from .ledger import committed_nested_batch_ids
+
+        ok = committed_nested_batch_ids(self.out_dir, ("docs", "lines"))
+        return sorted(os.path.join(self.out_dir, d, sub) for d in ok)
 
     def _read(self, spark, sub: str) -> DataFrame | None:
         parts = self._parts(sub)

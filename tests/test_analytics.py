@@ -731,3 +731,55 @@ def test_mixture_sample_realizes_quotas(spark, sf_dir):
         rejected = [r for r in rs if not r.selected]
         if rejected:
             assert tok_sel + rejected[0].n_tokens > q, lang
+
+
+def test_approx_distinct_null_users_parity(spark, tmp_path):
+    """NULL-user_id events must not inflate n_exact_users: the exact
+    side counts only non-null deduped users, matching both the HLL
+    sketch (which skips NULLs) and the oracle's count(DISTINCT user_id)
+    (r9 advice #1 — the driver corpora carry no NULL user_id, so this
+    gate exercises the divergence the sweep can't)."""
+    import os
+
+    import duckdb
+
+    from postgres_cdc_plugin_spark import registry
+
+    from .conftest import assert_parity
+
+    d = str(tmp_path / "nulluser_sf")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:01:00", None, "click", 2.0, "{}"),
+            (3, "2024-01-01 00:02:00", 11, "click", 3.0, "{}"),
+            (4, "2024-01-01 00:03:00", None, "view", 4.0, "{}"),
+            (5, "2024-01-01 00:04:00", None, "view", 5.0, "{}"),
+            (6, "2024-01-01 00:05:00", 10, "click", 6.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'events.parquet')}/*.parquet')"
+        )
+        assert_parity(
+            A.approx_distinct_users(spark, d),
+            con.sql(registry.oracle_sql()["approx_distinct_users"]),
+            "nulluser:approx_distinct_users",
+        )
+    finally:
+        con.close()
+    # the boolean must hold too: est (NULL-skipping) vs the non-null
+    # exact count — 2 clicks, 1 view
+    rows = {r.event_type: r for r in A.approx_distinct_users(spark, d).collect()}
+    assert rows["click"].n_exact_users == 2
+    assert rows["view"].n_exact_users == 0 or rows["view"].hll_bound_ok
+    assert rows["click"].hll_bound_ok

@@ -878,3 +878,42 @@ def test_c4_span_dedup_no_product_and_bounded_exchanges(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert inspect.exchange_count(df) <= 7, plan
     assert "CartesianProduct" not in plan
+
+
+def test_inspection_memo_keeps_live_foreign_entries(spark, sf_dir):
+    """Memo eviction must remove only entries whose SparkContext has
+    STOPPED (r9 advice #3): two concurrently live applications
+    alternating plan inspections would otherwise thrash the memo and
+    rebuild a cloned session on every call. Simulated with stub
+    entries (a second live SparkContext can't exist in one JVM)."""
+    from postgres_cdc_plugin_spark.operators.cdc import status_counts
+    from postgres_cdc_plugin_spark.plans import inspect as I
+
+    class _StubSC:
+        def __init__(self, stopped):
+            self._stopped = stopped
+            self._jsc = self
+        def sc(self):
+            return self
+        def isStopped(self):
+            return self._stopped
+
+    class _StubSession:
+        def __init__(self, stopped):
+            self.sparkContext = _StubSC(stopped)
+
+    df = status_counts(spark, sf_dir)
+    I.wholestage_codegen_spans(df)  # populate the real entry
+    key = spark.sparkContext.applicationId
+    assert key in I._INSPECT_SESSIONS
+    live, dead = _StubSession(False), _StubSession(True)
+    I._INSPECT_SESSIONS["app-live"] = live
+    I._INSPECT_SESSIONS["app-dead"] = dead
+    try:
+        I.wholestage_codegen_spans(df)
+        assert "app-live" in I._INSPECT_SESSIONS, "live foreign entry evicted"
+        assert "app-dead" not in I._INSPECT_SESSIONS, "stopped entry kept"
+        assert key in I._INSPECT_SESSIONS
+    finally:
+        I._INSPECT_SESSIONS.pop("app-live", None)
+        I._INSPECT_SESSIONS.pop("app-dead", None)

@@ -2501,3 +2501,40 @@ def test_torn_batches_are_invisible_until_replay(spark, tmp_path, sf_dir):
     assert snap(mx.sample(spark)) == before
     mx.process_batch(wave2.select("doc_id", "text", "lang"), 1)
     assert len(snap(mx.sample(spark))) == docs.count()
+
+
+def test_disabled_success_marker_fails_loudly(spark, tmp_path, sf_dir):
+    """If mapreduce.fileoutputcommitter.marksuccessfuljobs is disabled,
+    every committed batch looks complete (files moved out of
+    _temporary) but carries no _SUCCESS — under the r8 visibility rule
+    that made every read-back silently return None FOREVER. The guard
+    (r9 advice #2) distinguishes that signature from a genuinely torn
+    batch and raises instead of hiding all data."""
+    import os
+
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.lines import C4LineLedger
+    from postgres_cdc_plugin_spark.streaming.quality import (
+        GopherQualityLedger,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(8)
+
+    # single-relation ledger
+    gq = GopherQualityLedger(str(tmp_path / "gq"))
+    gq.process_batch(docs.select("doc_id", "text"), 0)
+    os.remove(os.path.join(gq.out_dir, "batch=0", "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+        gq.verdicts(spark)
+    # one unmarked dir BESIDE a committed batch is the racing-reader
+    # window, not the disabled-marker signature: no raise, batch hidden
+    gq.process_batch(docs.select("doc_id", "text"), 1)
+    assert gq.verdicts(spark) is not None
+
+    # nested two-relation ledger
+    cl = C4LineLedger(str(tmp_path / "cl"))
+    cl.process_batch(docs.select("doc_id", "text"), 0)
+    for sub in ("docs", "lines"):
+        os.remove(os.path.join(cl.out_dir, "batch=0", sub, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+        cl.dedup(spark)
