@@ -2120,29 +2120,24 @@ def docs_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MG_COUNTERS = 32  # Misra-Gries counters per partition
-# report cap: anything with true frequency > N/(k+1) must be reportable,
-# and at most k counters survive the merge per partition — k rows covers
-# every token the guarantee promises (more would just pad the tail)
-_MG_TOP = _MG_COUNTERS
 
 
-def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters via a mergeable Misra-Gries sketch — the bounded-
-    memory 100 TB path for corpus frequency analysis (exact
-    token_frequencies needs a full vocabulary shuffle; the sketch
-    carries at most _MG_COUNTERS rows per partition regardless of
-    vocabulary size).
+def mg_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged Misra-Gries token sketch — the bounded-memory 100 TB
+    path for corpus frequency analysis (exact token_frequencies needs a
+    full vocabulary shuffle; the sketch carries at most _MG_COUNTERS
+    rows per partition regardless of vocabulary size).
 
     Per partition, an Arrow-batched Misra-Gries pass keeps k counters
     (decrement-all on overflow — the classic guarantee: per-partition
-    undercount <= n_p/k). Summing sketches across partitions is itself
-    a valid sketch whose total undercount is <= N/k (sum of per-
-    partition bounds), so: (a) every token with true frequency > N/k
-    survives, and (b) est <= true <= est + N/k. Both bounds are pinned
-    against the exact counts in tests/test_analytics.py. Rows-only by
-    design: the surviving counter set depends on partitioning/stream
-    order, which no SQL oracle reproduces — the GUARANTEES, not the
-    counter values, are the contract.
+    undercount <= n_p/(k+1) decrement events). Summing sketches across
+    partitions is itself a valid sketch whose total undercount is
+    <= N/(k+1) (sum of the per-partition bounds), so: (a) every token
+    with true frequency > N/(k+1) survives, and (b)
+    est <= true <= est + N/(k+1). The surviving counter VALUES depend
+    on partitioning/stream order — this relation is a building block,
+    not an oracle-checked query; the deterministic guarantees are
+    audited by token_heavy_hitters below.
     """
     import pandas as pd
 
@@ -2152,6 +2147,8 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counters: dict[str, int] = {}
         for pdf in batches:
             for text in pdf["text"]:
+                if text is None:
+                    continue
                 for w in text.split(" "):
                     if not w:
                         continue
@@ -2172,11 +2169,68 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("text").repartition("text")
     sketches = docs.mapInPandas(_mg, "token string, est_count long")
+    return sketches.groupBy("token").agg(F.sum("est_count").alias("est_count"))
+
+
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries guarantee audit — graduated from rows-only to a full
+    DuckDB oracle in round 10 (r9 verdict ask #2), the same pattern
+    that graduated the GK percentile audit (r8) and the HLL distinct
+    audit (r9): the surviving counter VALUES are partitioning-
+    dependent, but the published GUARANTEES are deterministic. For
+    every token whose exact count clears the guarantee threshold
+    (exact * (k+1) > N — integer-exact, no division), the relation
+    emits the exact count plus two booleans the math forces TRUE under
+    ANY partitioning:
+
+      reported_ok — the token survived the merged sketch (survival
+          guarantee: est >= exact - N/(k+1) > 0);
+      bound_ok    — est <= exact and (exact - est) * (k+1) <= N
+          (the two-sided Misra-Gries error bound).
+
+    The DuckDB oracle states the exact side + TRUE as the contract.
+    Booleans are invariance-pinned across shuffle widths in
+    tests/test_partitioning_invariance.py; decrement pressure (vocab
+    >> k) is exercised in tests/test_analytics.py and by the
+    multibyte-gate corpus (vocabulary > _MG_COUNTERS).
+
+    Scale: the sketch leg is the bounded-memory production path; the
+    exact leg (one token explode + map-side-combinable groupBy) is the
+    audit-time cost, same posture as the GK/HLL audits. The guaranteed
+    set has at most k tokens, so the join-back is a broadcast.
+    """
+    k = _MG_COUNTERS
+    exact = (
+        load(spark, sf_dir, "documents")
+        .repartition("doc_id")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    total = exact.agg(F.sum("exact_count").alias("n_total"))
+    sketch = mg_token_sketch(spark, sf_dir)
+    guaranteed = exact.join(F.broadcast(total)).filter(
+        F.col("exact_count") * (k + 1) > F.col("n_total")
+    )
+    # the merged sketch carries at most k counters per input partition
+    # -> broadcast it under the (left-outer) join; the guaranteed side
+    # is itself <= k tokens
     return (
-        sketches.groupBy("token")
-        .agg(F.sum("est_count").alias("est_count"))
-        .orderBy(F.desc("est_count"), F.asc("token"))
-        .limit(_MG_TOP)
+        guaranteed.join(F.broadcast(sketch), "token", "left")
+        .select(
+            "token",
+            "exact_count",
+            F.col("est_count").isNotNull().alias("reported_ok"),
+            (
+                F.col("est_count").isNotNull()
+                & (F.col("est_count") <= F.col("exact_count"))
+                & (
+                    (F.col("exact_count") - F.col("est_count")) * (k + 1)
+                    <= F.col("n_total")
+                )
+            ).alias("bound_ok"),
+        )
     )
 
 
@@ -3774,6 +3828,28 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token ASC
         LIMIT 100
+    """,
+    # token_heavy_hitters (graduated r10, the GK/HLL-audit pattern):
+    # the Misra-Gries guarantees are deterministic even though the
+    # surviving counters are not — the oracle states the exact
+    # guaranteed-token set (integer-exact threshold, no division) and
+    # TRUE for both published bounds.
+    "token_heavy_hitters": f"""
+        WITH tf AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+                WHERE text IS NOT NULL
+            )
+            WHERE token <> ''
+            GROUP BY token
+        ),
+        tot AS (SELECT CAST(sum(exact_count) AS BIGINT) AS n_total FROM tf)
+        SELECT token, exact_count,
+               TRUE AS reported_ok, TRUE AS bound_ok
+        FROM tf, tot
+        WHERE exact_count * {_MG_COUNTERS + 1} > n_total
     """,
     "docs_gopher_rules": f"""
         WITH m AS (

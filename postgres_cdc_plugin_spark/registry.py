@@ -52,26 +52,24 @@ _MODULES = [cdc, analytics, dedup, text, similarity, multimodal]
 
 # Queries that deliberately ship without an oracle (approximate /
 # non-SQL-expressible semantics). The driver records a rows-only check.
-ROWS_ONLY = {
-    # approx_distinct_users graduated OUT in round 9 (r8 verdict ask
-    # #4): HLL++ register merge is max — partitioning-independent — so
-    # the query emits the deterministic |est-exact|/exact <=
-    # _HLL_ERR_BOUND audit booleans beside the exact counts, and the
-    # DuckDB oracle states the exact side + TRUE as the contract (the
-    # lineitem_approx_percentiles GK pattern from round 8).
-    # embed_ann_lsh graduated OUT of this set in round 6: with fixed
-    # md5-seeded hyperplanes the bucketing is deterministic relational
-    # algebra, so it carries a full DuckDB oracle (literal-plane
-    # list_dot_product signatures; similarity.py:_lsh_bucket_sql).
-    # lineitem_approx_percentiles graduated OUT in round 8 (r7 verdict
-    # ask #7): the query now emits the Greenwald-Khanna error-bound
-    # audit — deterministic booleans the DuckDB oracle states as the
-    # contract — instead of the merge-order-dependent estimates.
-    # Misra-Gries surviving-counter sets depend on partitioning/stream
-    # order; the guarantees (coverage + error bound) are pinned in
-    # tests/test_analytics.py instead of a SQL oracle.
-    "token_heavy_hitters",
-}
+# EMPTY since round 10: every registered query carries a DuckDB oracle.
+# Graduation history (the guarantee-audit pattern — emit the
+# DETERMINISTIC contract of an approximate operator instead of its
+# merge-order-dependent estimates):
+#   * embed_ann_lsh (r6): fixed md5-seeded hyperplanes make the
+#     bucketing deterministic relational algebra
+#     (similarity.py:_lsh_bucket_sql).
+#   * lineitem_approx_percentiles (r8, r7 ask #7): Greenwald-Khanna
+#     error-bound booleans stated TRUE by the oracle.
+#   * approx_distinct_users (r9, r8 ask #4): HLL++ register merge is
+#     max — partitioning-independent — so the |est-exact|/exact bound
+#     boolean is a stable value.
+#   * token_heavy_hitters (r10, r9 ask #2): Misra-Gries surviving
+#     counters depend on partitioning, but the published guarantees do
+#     not — the relation is the guaranteed-token set (exact counts,
+#     integer-exact threshold) plus the survival/error-bound booleans
+#     the math forces TRUE under any partitioning.
+ROWS_ONLY: set[str] = set()
 
 # Explicit registration order. Names listed here come first, in this
 # order; anything registered by a module but not listed appends after,

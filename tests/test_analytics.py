@@ -347,11 +347,13 @@ def test_winnowing_guarantee(spark, tmp_path):
 def test_heavy_hitters_guarantees(spark, sf_dir):
     """Misra-Gries contract on the driver corpus: estimates never
     exceed true counts, undercount is bounded by N/(k+1), and every
-    token above the guarantee threshold is reported."""
+    token above the guarantee threshold is reported — checked directly
+    on the raw merged sketch, and the graduated audit relation's
+    booleans must all be TRUE with the exact guaranteed-token set."""
     from postgres_cdc_plugin_spark.operators import text as T
     from postgres_cdc_plugin_spark.operators.text import _MG_COUNTERS
 
-    est = {r.token: r.est_count for r in T.token_heavy_hitters(spark, sf_dir).collect()}
+    est = {r.token: r.est_count for r in T.mg_token_sketch(spark, sf_dir).collect()}
     true = {
         r.w: r.n
         for r in load(spark, sf_dir, "documents")
@@ -369,6 +371,11 @@ def test_heavy_hitters_guarantees(spark, sf_dir):
     for t, n in true.items():
         if n > bound:
             assert t in est, f"heavy token {t} ({n} > {bound:.0f}) missing"
+    audit = T.token_heavy_hitters(spark, sf_dir).collect()
+    assert {r.token for r in audit} == {t for t, n in true.items() if n > bound}
+    for r in audit:
+        assert r.reported_ok and r.bound_ok, r
+        assert r.exact_count == true[r.token]
 
 
 def test_heavy_hitters_under_decrement_pressure(spark, tmp_path):
@@ -398,7 +405,7 @@ def test_heavy_hitters_under_decrement_pressure(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     est = {
         r.token: r.est_count
-        for r in T.token_heavy_hitters(spark, str(tmp_path)).collect()
+        for r in T.mg_token_sketch(spark, str(tmp_path)).collect()
     }
     n_total = sum(true.values())
     bound = n_total / (_MG_COUNTERS + 1)
@@ -409,6 +416,11 @@ def test_heavy_hitters_under_decrement_pressure(spark, tmp_path):
         assert true[t] > bound  # the fixture really is heavy
         assert t in est
         assert true[t] - est[t] <= bound
+    # the audit relation under genuine decrement pressure: every
+    # guaranteed token present, both booleans TRUE
+    audit = {r.token: r for r in T.token_heavy_hitters(spark, str(tmp_path)).collect()}
+    assert set(audit) == {t for t, n in true.items() if n > bound}
+    assert all(r.reported_ok and r.bound_ok for r in audit.values())
 
 
 def test_count_min_sketch_invariants(spark, sf_dir):

@@ -72,6 +72,9 @@ _SENSITIVE = [
     # ledger-derived realization audit (admission windows + global sum)
     "docs_pack_tuning",
     "docs_mixture_realized_mix",
+    # r10: the Misra-Gries guarantee audit — surviving counters shift
+    # with width but the guaranteed-token set and both booleans must not
+    "token_heavy_hitters",
 ]
 
 
