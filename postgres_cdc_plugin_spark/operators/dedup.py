@@ -1333,6 +1333,20 @@ def c4_lines_of(lined: DataFrame) -> DataFrame:
     ).select("doc_id", "line_no", F.array_join("lw", " ").alias("line"))
 
 
+def c4_kept_lines(ln: DataFrame) -> DataFrame:
+    """Keep-first keeper tuple of every distinct line — the min-struct
+    core of c4_line_dedup_from, exposed so the composed ingest chain
+    (text.ingest_sample_from / streaming IngestPipeline, ST19) counts
+    post-dedup tokens from the IDENTICAL keeper set the line-dedup
+    rollup reports. Map-side combinable: a boilerplate line duplicated
+    across millions of pages partial-aggregates per map task."""
+    return (
+        ln.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no", "line")).alias("k"))
+        .select("k.doc_id", "k.line_no", "k.line")
+    )
+
+
 def c4_line_dedup_from(doc_counts: DataFrame, ln: DataFrame) -> DataFrame:
     """The keep-first line-dedup rollup over a (doc_id, n_lines) doc
     relation and a (doc_id, line_no, line) line relation — the kernel
@@ -1340,9 +1354,7 @@ def c4_line_dedup_from(doc_counts: DataFrame, ln: DataFrame) -> DataFrame:
     (the ledger maintains both relations incrementally and calls this
     at read time, so the streaming surface is bit-equal to batch)."""
     kept = (
-        ln.groupBy("line")
-        .agg(F.min(F.struct("doc_id", "line_no", "line")).alias("k"))
-        .select("k.doc_id", "k.line_no", "k.line")
+        c4_kept_lines(ln)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

@@ -2807,6 +2807,94 @@ def docs_mixture_realized_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ingest_sample_from(doc_langs: DataFrame, ln: DataFrame) -> DataFrame:
+    """Mixture admission over a LINE-DEDUPED corpus — the read-time
+    kernel of the composed ingest chain (ST19), shared VERBATIM by the
+    batch query docs_ingest_chain and streaming/ingest.IngestPipeline
+    so the composed streaming surface is bit-equal to the batch chain.
+
+    Inputs: `doc_langs` (doc_id, lang) — the gate-kept document set —
+    and `ln` (doc_id, line_no, line) — the C4 line relation of those
+    documents. Post-dedup token counts come from dedup.c4_kept_lines
+    (the IDENTICAL keeper set the line-dedup rollup reports: keep-first
+    min-struct per distinct line), so a document whose lines all lost
+    keep-first enters admission with n_tokens = 0 rather than
+    vanishing. Priority is md5(doc_id) — the mixture_doc_relation
+    convention — and the admission itself is mixture_sample_from
+    VERBATIM.
+
+    Scale: the keeper aggregation is the line-dedup cost already paid
+    (map-side combinable min-struct); the token rollup and the
+    doc-grain left join key on doc_id; admission adds the per-language
+    windows (or the bucketed fill at 100 TB over the same relation).
+    """
+    from .dedup import c4_kept_lines
+
+    kept_tok = (
+        c4_kept_lines(ln)
+        .select(
+            "doc_id",
+            F.size(F.split("line", " ")).cast("bigint").alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("kept_tokens"))
+    )
+    d = doc_langs.join(kept_tok, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("priority"),
+    )
+    return mixture_sample_from(d)
+
+
+def docs_ingest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest pipeline's three data-admitting stages composed in
+    one logical plan (r9 verdict ask #3's batch anchor): Gopher quality
+    gate (ST16's kernel) → corpus-wide C4 keep-first line dedup (ST17's
+    kernel) → temperature-mixture admission (ST18's kernel). Emits the
+    admission ledger over the gated, line-deduped corpus — the document
+    set and token budget a training run would actually draw, where each
+    stage's verdict feeds the next (a gated-out document contributes no
+    lines to keep-first, and dedup losses shrink a language's token
+    mass and therefore every language's quota).
+
+    Every stage reuses the standalone kernel VERBATIM — gopher_rules_df,
+    _C4_LINES_EXPR/c4_lines_of/c4_kept_lines, mixture_sample_from — so
+    the composite is fully oracle-checkable (the DuckDB side chains the
+    same CTEs) and the streaming IngestPipeline (streaming/ingest.py)
+    is pinned bit-equal to THIS query.
+
+    Scale shape: gate = zero-shuffle lambda projection; gated semi-join
+    keys on doc_id; line dedup = one map-side-combinable min-struct agg
+    (the docs_c4_line_dedup cost); token rollup + left join key on
+    doc_id; admission = languages-sized quota rollup + per-language
+    windows (bucketed fill available at 100 TB). Nothing quadratic, no
+    stage re-reads the corpus.
+    """
+    return ingest_chain_from(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+
+
+def ingest_chain_from(docs: DataFrame) -> DataFrame:
+    """The full chain over an arbitrary (doc_id, text, lang) relation —
+    what docs_ingest_chain runs on the documents table and what the
+    ST19 bit-equality tests run on per-wave subsets."""
+    from .dedup import c4_lines_of
+
+    kept_ids = gopher_rules_df(docs).filter("keep").select("doc_id")
+    gated = docs.join(kept_ids, "doc_id").select("doc_id", "text", "lang")
+    lined = gated.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+    ).select("doc_id", "lang", F.expr(_C4_LINES_EXPR).alias("lines"))
+    return ingest_sample_from(
+        lined.select("doc_id", "lang"), c4_lines_of(lined)
+    )
+
+
 def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language — the audit run before freezing
     a vocabulary to catch under-served languages (a language whose
@@ -2894,6 +2982,7 @@ QUERIES = {
     "docs_lang_temperature_mix": docs_lang_temperature_mix,
     "docs_mixture_sample": docs_mixture_sample,
     "docs_mixture_realized_mix": docs_mixture_realized_mix,
+    "docs_ingest_chain": docs_ingest_chain,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_ccnet_buckets": docs_ccnet_buckets,
@@ -4194,4 +4283,106 @@ ORACLE_SQL["docs_mixture_realized_mix"] = f"""
                / CAST(nullif(sum(p.selected_tokens) OVER (), 0) AS DOUBLE)
                - m.temp_share AS share_gap
     FROM per p JOIN mix m USING (lang)
+"""
+
+# Composed ingest chain (ST19 batch anchor): gate CTE = the
+# docs_gopher_rules keep predicate; lines/keep-first CTEs = the
+# docs_c4_line_dedup grain and keeper rule; admission CTEs = the
+# docs_mixture_sample quota/window algebra — each stage's SQL mirrors
+# its standalone oracle VERBATIM, re-rooted on the prior stage's CTE.
+ORACLE_SQL["docs_ingest_chain"] = f"""
+    WITH gm AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               list_sum(list_transform(string_split(text, ' '),
+                                       w -> length(w)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS mean_word_len,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[a-zA-Z]')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS alpha_frac,
+               (length(text) - length(replace(text, '#', '')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS symbol_ratio,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN {_GOPHER_STOPWORDS}))
+                   AS n_stopwords
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id FROM gm
+        WHERE n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+          AND mean_word_len BETWEEN {_GOPHER_MEAN_LEN_LO}
+              AND {_GOPHER_MEAN_LEN_HI}
+          AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+          AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+          AND n_stopwords >= {_GOPHER_MIN_STOPWORDS}
+    ),
+    w AS (
+        SELECT d.doc_id, d.lang,
+               list_filter(string_split(d.text, ' '), x -> x <> '') AS ws
+        FROM documents d JOIN g USING (doc_id)
+    ),
+    lined AS (SELECT doc_id, lang, {_C4_LINES_SQL} AS lines FROM w),
+    ln AS (
+        SELECT doc_id, i - 1 AS line_no,
+               array_to_string(lines[i], ' ') AS line
+        FROM (SELECT doc_id, lines,
+                     unnest(range(1, len(lines) + 1)) AS i
+              FROM lined)
+    ),
+    ktok AS (
+        SELECT doc_id,
+               CAST(sum(len(string_split(line, ' '))) AS BIGINT)
+                   AS kept_tokens
+        FROM (SELECT doc_id, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM ln)
+        WHERE rn = 1 GROUP BY doc_id
+    ),
+    d AS (
+        SELECT l.doc_id, l.lang,
+               CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS n_tokens,
+               md5(CAST(l.doc_id AS VARCHAR)) AS priority
+        FROM lined l LEFT JOIN ktok k USING (doc_id)
+    ),
+    per_lang AS (
+        SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM d GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per_lang),
+    shared AS (
+        SELECT lang, n_tokens,
+               pow(n_tokens / tot, {_MIX_TEMPERATURE}) AS p
+        FROM per_lang, tot
+    ),
+    ptot AS (SELECT sum(p) AS ptot FROM shared),
+    mix AS (
+        SELECT lang, n_tokens,
+               CAST(CAST(round(p / nullif(ptot, 0), 6) AS DECIMAL(38,6))
+                    AS DOUBLE) AS temp_share
+        FROM shared, ptot
+    ),
+    budget AS (
+        SELECT CAST(floor(sum(n_tokens) / {_MIX_BUDGET_DIV}) AS BIGINT) AS b
+        FROM mix
+    ),
+    quota AS (
+        SELECT lang,
+               CAST(floor(temp_share * CAST(b AS DOUBLE)) AS BIGINT)
+                   AS quota_tokens
+        FROM mix, budget
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens, priority,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                        ORDER BY priority, doc_id)
+                    AS BIGINT) AS cum_tokens
+        FROM d
+    )
+    SELECT c.doc_id, c.lang, c.n_tokens, c.priority, c.cum_tokens,
+           q.quota_tokens, c.cum_tokens <= q.quota_tokens AS selected
+    FROM c JOIN quota q USING (lang)
 """

@@ -9,35 +9,24 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-9 window, exactly as
-    the r8 verdict staged it (ask #1): (1) docs_c4_span_dedup and
-    docs_mixture_sample — the two late-r8 registrations, never
-    driver-checked (local parity only); (2) the two changed relations
-    that must re-prove: embed_ann_ivf (r8 switched it onto the shared
-    centroid family kernel — r8 advice #4 asked for exactly this
-    placement) and docs_quality_dup_interaction (r9 NULL-text bin
-    routing + NULL-fingerprint dup exclusion, r8 advice #3 —
-    bit-identical on the NULL-free driver corpus, re-proven anyway);
-    (3) the three genuinely new r9 queries, registered EARLY before
-    the window froze: docs_c4_punct_gate (ask #3 — the terminal-
-    punctuation rule enforced over the deterministic punctuation-
-    injected rewrite), approx_distinct_users (ask #4 — graduated from
-    rows-only to the HLL error-bound oracle, the GK pattern),
-    embed_ivf_tuning (ask #5 — the nprobe recall/cost sweep); (4) the
-    full 43-query r5-stale block (attempt_history_agg …
-    user_activity_window, evidence four rounds old), alphabetical with
-    the expensive oracles at the window tail per the golden-record
-    convention (customer_fuzzy_match's naive-quadratic SQL and the
-    four substring-span-family queries).
-    After the r9 run no query's evidence is older than round 6 and the
-    driver-evidence union covers 196 of the 198 registered queries —
-    the only two without a driver row are the late-r9 registrations
-    docs_mixture_realized_mix and docs_pack_tuning, staged at positions
-    51-52 for the r10 window front (local sf0.001+sf0.01 parity green,
-    the same convention that staged docs_c4_span_dedup/
-    docs_mixture_sample last round). The r8-green window block sits
-    after them (most-recently-proven, tail by convention); the
-    r7-green block follows; r6-green queries append in module order.
+    most-recently-green family to the tail. Round-10 window, exactly
+    as the r9 verdict staged it (ask #1): (1) docs_mixture_realized_mix
+    and docs_pack_tuning — the two late-r9 registrations, never
+    driver-checked (local parity only); (2) the changed relation that
+    must re-prove: token_heavy_hitters (graduated from rows-only to
+    the Misra-Gries guarantee-audit oracle, r9 ask #2 — ROWS_ONLY is
+    now empty); (3) the genuinely new r10 queries, registered EARLY
+    before the window froze: docs_ingest_chain (the ST19 batch anchor,
+    ask #3), docs_unimax_mix, docs_classifier_pr_curve,
+    docs_dedup_sensitivity; (4) 43 of the 49 r6-stale anchors
+    (docs_bm25_search … orders_bucketed_join), alphabetical with the
+    three expensive oracles (docs_dedup_method_agreement's
+    verified-pairs SQL, the two graph CTEs) at the window tail. The 6
+    spilled r6 anchors sit at positions 51-56 for the r11 front (the
+    blessed spill: new queries beat re-proving a green anchor a round
+    early); the r9-green window block follows (most-recently-proven,
+    tail by convention), then r8/r7-green blocks; r6-green queries
+    append in module order.
 """
 
 from __future__ import annotations
@@ -76,23 +65,92 @@ ROWS_ONLY: set[str] = set()
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # ---- round-9 window (first 50) ----
-    # (1) The two late-r8 registrations — never driver-checked, local
+    # ---- round-10 window (first 50) ----
+    # (1) The two late-r9 registrations — never driver-checked, local
     # parity only (the late-addition convention: first in line):
+    "docs_mixture_realized_mix",
+    "docs_pack_tuning",
+    # (2) Changed relation re-proving inside the window:
+    # token_heavy_hitters graduated from rows-only to the Misra-Gries
+    # guarantee-audit oracle (r9 verdict ask #2) — new relation
+    # (guaranteed-token set + exact counts + the two bound booleans):
+    "token_heavy_hitters",
+    # (3) Genuinely new round-10 queries, registered BEFORE the window
+    # froze (the spare-slots-early convention):
+    "docs_ingest_chain",         # gate→dedup→admission chain (ask #3)
+    "docs_unimax_mix",           # UniMax epoch-capped mixture
+    "docs_classifier_pr_curve",  # threshold sweep vs gopher labels
+    "docs_dedup_sensitivity",    # Jaccard-threshold dedup sweep
+    # (4) 43 of the 49 r6-stale queries (driver evidence four rounds
+    # old), alphabetical; the expensive oracles
+    # (docs_dedup_method_agreement's verified-pairs SQL, the two graph
+    # CTEs) at the window tail so a driver timeout still leaves rows
+    # for everything before them. The 6 alphabetically-last cheap
+    # anchors (props_json_extract … token_zipf_audit) spill to the
+    # r11 front — new queries beat re-proving a green anchor one round
+    # early (the r7/r8/r9 precedent, re-blessed by the r9 verdict).
+    "docs_bm25_search",
+    "docs_cluster_dedup",
+    "docs_content_fingerprint",
+    "docs_dedup_rate_by_source",
+    "docs_dup_clusters",
+    "docs_exact_dedup",
+    "docs_fingerprint_groups",
+    "docs_lang_confusion",
+    "docs_lang_id",
+    "docs_lsh_tuning",
+    "docs_minhash_dedup",
+    "docs_minhash_pairs",
+    "docs_minhash_sigs",
+    "docs_ngram_containment",
+    "docs_ngram_jaccard",
+    "docs_quality_score",
+    "docs_rolling_fingerprint",
+    "docs_simhash",
+    "docs_simhash_dedup",
+    "docs_simhash_pairs",
+    "docs_text_stats",
+    "docs_token_counts",
+    "docs_train_split",
+    "docs_weighted_sample",
+    "embed_ann_lsh",
+    "embed_cell_balance_audit",
+    "embed_kcenter_coreset",
+    "embed_mmr_rerank",
+    "events_interval_join",
+    "events_salted_enrich",
+    "events_sessionize",
+    "events_touch_attribution",
+    "events_value_histogram",
+    "grouping_rollup",
+    "headers_explode",
+    "lineitem_conditional_agg",
+    "lineitem_moving_avg",
+    "lineitem_stats_agg",
+    "multimodal_silence_trim",
+    "orders_bucketed_join",
+    # window tail: the three expensive-oracle r6-stale queries
+    "docs_dedup_method_agreement",
+    "part_copurchase_pagerank",
+    "part_triangle_counts",
+    # ---- position 51+ ----
+    # The 6 spilled r6-stale anchors — FIRST in line for the r11
+    # window front:
+    "props_json_extract",
+    "queue_latency_profile",
+    "queue_state_machine",
+    "token_bigram_stats",
+    "token_frequencies",
+    "token_zipf_audit",
+    # The r9-green window block (most-recently-proven, tail by
+    # convention), in its r9 order:
     "docs_c4_span_dedup",
     "docs_mixture_sample",
-    # (2) Changed relations re-proving inside the window:
-    "embed_ann_ivf",                 # r8: family centroid kernel (advice #4)
-    "docs_quality_dup_interaction",  # r9: NULL-text routing (advice #3)
-    # (3) Genuinely new round-9 queries, registered BEFORE the window
-    # froze (the spare-slots-early convention):
-    "docs_c4_punct_gate",        # terminal-punct rule enforced (ask #3)
-    "approx_distinct_users",     # graduated to HLL bound oracle (ask #4)
-    "embed_ivf_tuning",          # nprobe recall/cost sweep (ask #5)
-    # (4) The 43 r5-stale queries (driver evidence four rounds old),
-    # alphabetical; the expensive oracles (fuzzy-match naive-quadratic,
-    # the substring-span family) at the window tail so a driver timeout
-    # still leaves rows for everything before them:
+    "embed_ann_ivf",
+    "docs_quality_dup_interaction",
+    "docs_c4_punct_gate",
+    "approx_distinct_users",
+    "embed_ivf_tuning",
     "attempt_history_agg",
     "creds_last_wins",
     "customer_set_ops",
@@ -128,25 +186,15 @@ PRIORITY_ORDER = [
     "status_counts",
     "token_bigram_surprisal",
     "token_bpe_encode",
-    "token_heavy_hitters",
     "top_customers_per_nation",
     "user_activity_window",
-    # window tail: the five expensive-oracle r5-stale queries
     "customer_fuzzy_match",
     "docs_dup_span_filter",
     "docs_strip_dup_spans",
     "docs_suffix_dup_spans",
     "docs_winnowing",
-    # ---- position 51+ ----
-    # Round-9 post-window additions (the window was already exactly
-    # 50): never driver-checked, local sf0.001+sf0.01 parity only —
-    # FIRST in line for the r10 window front per the late-addition
-    # convention:
-    "docs_mixture_realized_mix",
-    "docs_pack_tuning",
-    # The r8-green window block (most-recently-proven, tail by
-    # convention), in its r8 order, minus docs_quality_dup_interaction
-    # (changed relation, moved to the window front):
+    # The r8-green window block, in its r8 order, minus
+    # docs_quality_dup_interaction (re-proven r9, listed above):
     "token_vocab_coverage",
     "docs_c4_line_filter",
     "docs_c4_line_dedup",

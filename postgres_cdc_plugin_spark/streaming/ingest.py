@@ -1,0 +1,178 @@
+"""Composed streaming ingest pipeline — ST19 (r9 verdict ask #3): the
+three data-admitting ledgers chained over ONE document feed, with the
+composed read-back pinned bit-equal to the batch chain of the same
+kernels (operators/text.docs_ingest_chain).
+
+The individual ledgers are proven bit-equal to their batch queries in
+isolation (ST16 quality gate, ST17 C4 line dedup, ST18 mixture
+admission); the composition is where ordering and redelivery bugs
+actually live — a document the gate drops must NEVER contribute lines
+to keep-first or tokens to a language's quota, including after a
+checkpoint resume or a redelivered batch. IngestPipeline therefore
+gates each micro-batch ON ARRIVAL (gate verdicts are deterministic per
+document, so batch-time filtering is exact) and lands three relations
+per batch:
+
+  gate/batch=<id>        — the full per-doc Gopher verdict relation
+                           (operators/text.gopher_rules_df VERBATIM);
+  langs/batch=<id>       — (doc_id, lang) of the KEPT documents only;
+  lines/batch=<id>/{docs,lines} — the C4 line relation of the kept
+                           documents (delegated to C4LineLedger —
+                           _C4_LINES_EXPR/c4_lines_of VERBATIM).
+
+Global decisions (keep-first line dedup, mixture quotas/admission) are
+made at READ time over the maintained relations — the ST17/ST18
+pattern: one late document moves keep-first verdicts and every
+language's quota, so no per-batch transform can emit final answers.
+The composed sample() runs operators/text.ingest_sample_from VERBATIM
+(c4_kept_lines keeper set → post-dedup token counts →
+mixture_sample_from), which is exactly what docs_ingest_chain runs on
+the gated corpus — bit-equality is by construction, and pinned in
+tests/test_streaming.py together with replay idempotence and
+cross-ledger checkpoint resume.
+
+Atomic visibility across the THREE roots: a batch is readable only
+when gate, langs, AND both line relations committed (`_SUCCESS`
+witnesses intersected — streaming/ledger.py, including the loud
+marker-disabled failure). A crash between any two sub-writes leaves
+the batch invisible to every composed surface; the checkpoint replays
+it and the overwrites complete it all-or-nothing.
+
+Scale shape per batch: the gate is a zero-shuffle lambda projection;
+the line explode is the ~n_words/_C4_LINE_WORDS relation line dedup
+pays anyway, amortized to arrival time; langs is two short columns at
+doc grain. The read-back costs what the batch chain costs — one
+map-side-combinable min-struct aggregation, a doc-keyed token rollup,
+and the languages-sized quota + admission windows — on an
+always-current corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from .lines import C4LineLedger
+from .quality import GopherQualityLedger
+
+INGEST_STREAM_SCHEMA = "doc_id bigint, text string, lang string"
+
+
+class IngestPipeline:
+    """Gate → line-dedup → mixture-admission over a streaming document
+    feed. `sample()` is the docs_ingest_chain relation over every
+    document seen so far; `selected_docs()` the admitted ids;
+    `dedup()` the line-dedup rollup of the gated corpus; `verdicts()`
+    the gate relation (all restricted to fully-committed batches)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.gate = GopherQualityLedger(os.path.join(out_dir, "gate"))
+        self.lines = C4LineLedger(os.path.join(out_dir, "lines"))
+        self.langs_dir = os.path.join(out_dir, "langs")
+        os.makedirs(self.langs_dir, exist_ok=True)
+
+    # -- composed visibility ------------------------------------------
+    def _ready(self) -> list[str]:
+        from .ledger import committed_batch_ids, committed_nested_batch_ids
+
+        ids = (
+            committed_batch_ids(self.gate.out_dir)
+            & committed_batch_ids(self.langs_dir)
+            & committed_nested_batch_ids(
+                self.lines.out_dir, ("docs", "lines")
+            )
+        )
+        return sorted(ids)
+
+    def _read(self, spark, root: str, ids: list[str]) -> DataFrame:
+        spark.catalog.refreshByPath(root)
+        # redelivered docs appear in several batch dirs with identical
+        # (deterministic) rows — distinct restores grain
+        return spark.read.parquet(
+            *(os.path.join(root, d) for d in ids)
+        ).distinct()
+
+    # -- read-back surfaces -------------------------------------------
+    def verdicts(self, spark) -> DataFrame | None:
+        ids = self._ready()
+        if not ids:
+            return None
+        return self._read(spark, self.gate.out_dir, ids)
+
+    def sample(self, spark) -> DataFrame | None:
+        """The composed admission ledger —
+        operators/text.ingest_sample_from verbatim over the maintained
+        gated relations."""
+        from ..operators.text import ingest_sample_from
+
+        ids = self._ready()
+        if not ids:
+            return None
+        doc_langs = self._read(spark, self.langs_dir, ids)
+        ln = self._read(
+            spark, self.lines.out_dir, [f"{d}/lines" for d in ids]
+        )
+        return ingest_sample_from(doc_langs, ln)
+
+    def selected_docs(self, spark) -> DataFrame | None:
+        s = self.sample(spark)
+        if s is None:
+            return None
+        return s.filter(F.col("selected")).select("doc_id")
+
+    def dedup(self, spark) -> DataFrame | None:
+        """Line-dedup rollup of the gated corpus —
+        operators/dedup.c4_line_dedup_from verbatim (the ST17 surface,
+        restricted to the composed ready set)."""
+        from ..operators.dedup import c4_line_dedup_from
+
+        ids = self._ready()
+        if not ids:
+            return None
+        docs = self._read(
+            spark, self.lines.out_dir, [f"{d}/docs" for d in ids]
+        )
+        ln = self._read(
+            spark, self.lines.out_dir, [f"{d}/lines" for d in ids]
+        )
+        return c4_line_dedup_from(docs, ln)
+
+    # -- the per-batch step -------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators.text import gopher_rules_df
+
+        self.gate.process_batch(batch.select("doc_id", "text"), batch_id)
+        # gate verdicts are per-document deterministic: filtering the
+        # batch through the same kernel is exactly the ledger's keep set
+        kept = batch.join(
+            gopher_rules_df(batch.select("doc_id", "text"))
+            .filter("keep")
+            .select("doc_id"),
+            "doc_id",
+        )
+        kept.select("doc_id", "lang").write.mode("overwrite").parquet(
+            os.path.join(self.langs_dir, f"batch={batch_id}")
+        )
+        # lines land LAST: until they commit the batch is invisible to
+        # every composed surface (the intersection rule above)
+        self.lines.process_batch(kept.select("doc_id", "text"), batch_id)
+
+    def attach(
+        self,
+        doc_stream: DataFrame,
+        checkpoint: str,
+        available_now: bool = False,
+    ):
+        """Run the pipeline over a streaming document feed; returns the
+        StreamingQuery. `available_now=True` drains the current source
+        contents and terminates (backfill/test mode)."""
+        writer = (
+            doc_stream.writeStream.outputMode("append")
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -60,6 +60,8 @@ _DOC_QUERIES = [
     (text, "docs_c4_punct_gate"),
     (text, "docs_mixture_realized_mix"),
     (text, "docs_pack_tuning"),
+    # round-10 operators
+    (text, "docs_ingest_chain"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"

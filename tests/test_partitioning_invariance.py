@@ -75,6 +75,9 @@ _SENSITIVE = [
     # r10: the Misra-Gries guarantee audit — surviving counters shift
     # with width but the guaranteed-token set and both booleans must not
     "token_heavy_hitters",
+    # r10: the composed ingest chain (keep-first min-struct feeding the
+    # admission windows — two order-sensitive stages chained)
+    "docs_ingest_chain",
 ]
 
 

@@ -2538,3 +2538,177 @@ def test_disabled_success_marker_fails_loudly(spark, tmp_path, sf_dir):
         os.remove(os.path.join(cl.out_dir, "batch=0", sub, "_SUCCESS"))
     with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
         cl.dedup(spark)
+
+
+def test_ingest_pipeline_bit_equal_to_batch_chain(spark, tmp_path, sf_dir):
+    """ST19: the composed streaming ingest pipeline (gate -> C4 line
+    dedup -> mixture admission over one multi-batch feed) must be
+    BIT-EQUAL to the batch chain of the same kernels
+    (docs_ingest_chain). Also pins redelivery collapse: re-landing the
+    ENTIRE corpus as one more batch (twice) does not move any composed
+    surface — gate verdicts, dedup rollup, or admission."""
+    from postgres_cdc_plugin_spark.operators.dedup import c4_line_dedup_from
+    from postgres_cdc_plugin_spark.operators.text import (
+        docs_ingest_chain,
+        gopher_rules_df,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.ingest import (
+        INGEST_STREAM_SCHEMA,
+        IngestPipeline,
+    )
+
+    feed = str(tmp_path / "ingest_feed")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs.repartition(3).write.parquet(feed)
+
+    pipe = IngestPipeline(str(tmp_path / "ingest"))
+    stream = (
+        spark.readStream.schema(INGEST_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = pipe.attach(stream, str(tmp_path / "ingest_ck"), available_now=True)
+    q.awaitTermination(120)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = snap(docs_ingest_chain(spark, sf_dir))
+    assert snap(pipe.sample(spark)) == want
+    # the gate surface equals the batch gate over the full corpus
+    assert snap(pipe.verdicts(spark)) == snap(gopher_rules_df(docs))
+    # the dedup surface equals the batch line-dedup over the GATED set
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.dedup import c4_lines_of
+    from postgres_cdc_plugin_spark.operators.text import _C4_LINES_EXPR
+
+    gated = docs.join(
+        gopher_rules_df(docs).filter("keep").select("doc_id"), "doc_id"
+    )
+    lined = gated.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("ws")
+    ).select("doc_id", F.expr(_C4_LINES_EXPR).alias("lines"))
+    want_dedup = snap(
+        c4_line_dedup_from(
+            lined.select("doc_id", F.size("lines").alias("n_lines")),
+            c4_lines_of(lined),
+        )
+    )
+    assert snap(pipe.dedup(spark)) == want_dedup
+    # a gated-out document never reaches the mixture ledger
+    dropped = {
+        r.doc_id for r in gopher_rules_df(docs).filter("NOT keep").collect()
+    }
+    if dropped:
+        sampled = {r.doc_id for r in pipe.sample(spark).collect()}
+        assert not (dropped & sampled)
+    # redelivery collapse
+    pipe.process_batch(docs, 99)
+    pipe.process_batch(docs, 99)
+    assert snap(pipe.sample(spark)) == want
+    assert snap(pipe.dedup(spark)) == want_dedup
+
+
+def test_ingest_pipeline_checkpoint_resume_respects_gate(
+    spark, tmp_path, sf_dir
+):
+    """ST19 cross-ledger resume: drain wave 1, stop, land wave 2 on the
+    SAME checkpoint — after each wave every composed surface equals the
+    batch chain over exactly the documents seen so far (quotas and
+    keep-first verdicts MOVE between waves), and a document the gate
+    dropped in wave 1 must never surface in langs/lines/admission after
+    the resume."""
+    import os
+
+    from postgres_cdc_plugin_spark.operators.text import (
+        gopher_rules_df,
+        ingest_chain_from,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.ingest import (
+        INGEST_STREAM_SCHEMA,
+        IngestPipeline,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+    feed = str(tmp_path / "ingest_feed_inc")
+    wave1.coalesce(1).write.parquet(feed)
+
+    pipe = IngestPipeline(str(tmp_path / "ingest_inc"))
+    ck = str(tmp_path / "ingest_ck_inc")
+
+    def drain():
+        stream = spark.readStream.schema(INGEST_STREAM_SCHEMA).parquet(feed)
+        q = pipe.attach(stream, ck, available_now=True)
+        q.awaitTermination(120)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    drain()
+    assert snap(pipe.sample(spark)) == snap(ingest_chain_from(wave1))
+
+    n_before = len(
+        [d for d in os.listdir(pipe.langs_dir) if d.startswith("batch=")]
+    )
+    wave2.coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    assert snap(pipe.sample(spark)) == snap(ingest_chain_from(docs))
+    # the resumed stream landed only the new files
+    assert (
+        len([d for d in os.listdir(pipe.langs_dir) if d.startswith("batch=")])
+        > n_before
+    )
+    # gate discipline across the resume: every doc in the maintained
+    # langs relation is gate-kept; every dropped doc is absent
+    kept = {
+        r.doc_id for r in gopher_rules_df(docs).filter("keep").collect()
+    }
+    langs_docs = {
+        r.doc_id
+        for r in spark.read.parquet(
+            *(
+                os.path.join(pipe.langs_dir, d)
+                for d in os.listdir(pipe.langs_dir)
+                if d.startswith("batch=")
+            )
+        ).collect()
+    }
+    assert langs_docs <= kept
+
+
+def test_ingest_pipeline_torn_substage_is_invisible(spark, tmp_path, sf_dir):
+    """ST19 atomicity: a crash between the pipeline's three sub-writes
+    (gate landed, langs landed, lines NOT) must leave the batch
+    invisible to EVERY composed surface; replay makes it appear
+    atomically."""
+    import os
+    import shutil
+
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.ingest import IngestPipeline
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+
+    pipe = IngestPipeline(str(tmp_path / "ingest_torn"))
+    pipe.process_batch(wave1, 0)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    before_sample = snap(pipe.sample(spark))
+    before_verdicts = snap(pipe.verdicts(spark))
+    # simulate the crash: batch 1 lands gate + langs but not lines
+    pipe.process_batch(wave2, 1)
+    shutil.rmtree(os.path.join(pipe.lines.out_dir, "batch=1"))
+    assert snap(pipe.sample(spark)) == before_sample
+    assert snap(pipe.verdicts(spark)) == before_verdicts
+    # the replay completes the batch atomically
+    pipe.process_batch(wave2, 1)
+    assert len(snap(pipe.verdicts(spark))) == docs.count()
