@@ -391,6 +391,72 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_SENS_THRESHOLDS = (0.2, 0.4, 0.6, 0.8, 0.95)
+
+
+def docs_dedup_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity sweep (r10) — the tuning-audit
+    family symmetry for the VERIFY threshold (docs_lsh_tuning sweeps
+    candidate generation; this sweeps the Jaccard cutoff the verified
+    pairs are judged against): for each candidate threshold, how many
+    verified pairs qualify, how many documents the keep-min rule drops
+    (distinct doc_b — exactly docs_minhash_dedup's loser set at that
+    threshold), the survivor count, and the corpus drop rate. The
+    curve a pipeline reads before committing a 100 TB dedup pass:
+    Lee et al. 2022 (Deduplicating Training Data Makes Language Models
+    Better, public literature) shows the kept-corpus size is sharply
+    threshold-sensitive, so the cutoff is tuned on exactly this sweep.
+
+    Reuses the persisted verified-pair family kernel
+    (_verified_pairs) VERBATIM — the sweep grades the SAME relation
+    docs_minhash_dedup acts on (FAMILY_CONSUMERS entry below), so the
+    curve cannot drift from the dedup it predicts: the
+    threshold-{_JACCARD_THRESHOLD} row's survivor count IS
+    docs_minhash_dedup's row count (pinned in tests/test_dedup.py).
+
+    Determinism: qualification counts are exact int64 conditional
+    sums over bit-identical jaccard values (int/int divisions, never
+    rounded); drop_frac is one int64/int64 IEEE division.
+
+    Scale: the candidate relation is pair-set sized (banded LSH keeps
+    it near-linear in true dups, never all-pairs); the grid fan-out is
+    |thresholds| narrow copies of THAT small relation — no corpus
+    cost beyond the family build already paid. The distinct-loser
+    count per grid point is one two-level aggregation.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vp = _verified_pairs(docs).select("doc_b", "jaccard")
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _DEDUP_SENS_THRESHOLDS])
+        ).alias("threshold")
+    )
+    hit = F.col("jaccard") >= F.col("threshold")
+    per = (
+        vp.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(hit.cast("int")).cast("bigint").alias("n_pairs"),
+            F.count_distinct(F.when(hit, F.col("doc_b")))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "n_pairs",
+        "n_dropped",
+        "n_docs",
+        (F.col("n_docs") - F.col("n_dropped")).cast("bigint").alias(
+            "n_survivors"
+        ),
+        (F.col("n_dropped") / F.expr("nullif(n_docs, 0)")).alias(
+            "drop_frac"
+        ),
+    )
+
+
 _LSH_SWEEP_ROWS = (2, 3, 9)  # rows-per-band configs; bands = 9 // r
 
 
@@ -2052,6 +2118,7 @@ QUERIES = {
     "docs_minhash_sigs": docs_minhash_sigs,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_dedup_sensitivity": docs_dedup_sensitivity,
     "docs_minhash_calibration": docs_minhash_calibration,
     "docs_lsh_tuning": docs_lsh_tuning,
     "docs_ngram_jaccard": docs_ngram_jaccard,
@@ -2080,6 +2147,7 @@ FAMILY_CONSUMERS = {
         "docs_ngram_containment",
         "docs_dedup_method_agreement",
         "docs_minhash_calibration",
+        "docs_dedup_sensitivity",
     ),
     "lsh_sweep": ("docs_lsh_tuning",),
     "simhash_pairs": (
@@ -2875,3 +2943,26 @@ ORACLE_SQL = {
         )
     """,
 }
+
+ORACLE_SQL["docs_dedup_sensitivity"] = f"""
+    WITH vp AS ({_VERIFIED_SQL}),
+    grid AS (
+        SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)"
+                                  for t in _DEDUP_SENS_THRESHOLDS)}])
+            AS threshold
+    ),
+    per AS (
+        SELECT threshold,
+               CAST(sum(CASE WHEN jaccard >= threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT CASE WHEN jaccard >= threshold
+                                        THEN doc_b END) AS BIGINT)
+                   AS n_dropped
+        FROM vp CROSS JOIN grid GROUP BY threshold
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT threshold, n_pairs, n_dropped, n_docs,
+           CAST(n_docs - n_dropped AS BIGINT) AS n_survivors,
+           n_dropped / CAST(nullif(n_docs, 0) AS DOUBLE) AS drop_frac
+    FROM per, tot
+"""

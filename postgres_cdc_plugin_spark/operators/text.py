@@ -2087,7 +2087,15 @@ def docs_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence stream does integer multiply-add — the SimHash
     cost-shape.
     """
-    docs = load(spark, sf_dir, "documents")
+    return classifier_scores(load(spark, sf_dir, "documents"))
+
+
+def classifier_scores(docs: DataFrame) -> DataFrame:
+    """The scored relation (doc_id, n_tokens, score, keep) over an
+    arbitrary (doc_id, text, ...) document relation — extracted so
+    docs_classifier_pr_curve evaluates the IDENTICAL scoring plan it
+    audits (the gopher_rules_df / mixture_sample_from shared-kernel
+    convention: an audit must not re-derive the stage it grades)."""
     tok = (
         docs.repartition("doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -2116,6 +2124,86 @@ def docs_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         score.alias("score"),
         (score > _CLS_THRESHOLD).alias("keep"),
+    )
+
+
+_PR_THRESHOLDS = (-0.02, -0.01, 0.0, 0.01, 0.02, 0.03)
+
+
+def docs_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier threshold sweep (r10) — the precision/recall curve a
+    pipeline reads before freezing a quality-filter cutoff: for each
+    candidate threshold, confusion counts and precision/recall/F1 of
+    "linear score > threshold" against the Gopher rule verdict as the
+    label (the standard bootstrap for web-corpus quality models —
+    heuristic rules label, a cheap classifier generalizes; Brown et
+    al. 2020's quality-classifier setup, public literature). The
+    tuning-audit family symmetry: docs_lsh_tuning sweeps banding,
+    embed_ivf_tuning probe budgets, docs_pack_tuning context length,
+    this sweeps the decision threshold.
+
+    Reuses classifier_scores and gopher_rules_df VERBATIM — the sweep
+    cannot drift from either stage it compares. Documents with no
+    tokens carry no classifier score (the scoring relation has no row)
+    and are excluded by the inner join on both engines.
+
+    Determinism: scores and labels are the proven bit-identical
+    kernels; confusion counts are exact int64 conditional sums;
+    precision/recall/F1 are single int64/int64 IEEE divisions with
+    nullif guards (an all-negative threshold yields NULL, not a crash).
+
+    Scale: one classifier pass + one gopher pass over the corpus (each
+    its standalone cost), one doc_id equi-join, then a broadcast grid
+    fan-out (|thresholds| narrow row copies) into a map-side-combinable
+    aggregation to O(|grid|) rows — the one-scan-for-all-grid-points
+    sweep shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = classifier_scores(docs).select("doc_id", "score")
+    labels = gopher_rules_df(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _PR_THRESHOLDS])
+        ).alias("threshold")
+    )
+    pred = F.col("score") > F.col("threshold")
+    per = (
+        scored.join(labels, "doc_id")
+        .crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum((pred & F.col("label")).cast("int"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum((pred & ~F.col("label")).cast("int"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum((~pred & F.col("label")).cast("int"))
+            .cast("bigint")
+            .alias("fn"),
+            F.sum((~pred & ~F.col("label")).cast("int"))
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    return per.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp") / F.expr("cast(nullif(tp + fp, 0) as double)")).alias(
+            "precision"
+        ),
+        (F.col("tp") / F.expr("cast(nullif(tp + fn, 0) as double)")).alias(
+            "recall"
+        ),
+        (
+            (F.lit(2) * F.col("tp"))
+            / F.expr("cast(nullif(2 * tp + fp + fn, 0) as double)")
+        ).alias("f1"),
     )
 
 
@@ -2807,6 +2895,129 @@ def docs_mixture_realized_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIMAX_EPOCHS = 2  # per-language epoch cap (UniMax N)
+_UNIMAX_BUDGET_NUM = 3  # budget = total corpus tokens * 3 // 2
+_UNIMAX_BUDGET_DEN = 2
+
+
+def docs_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling at Scale", public literature):
+    distribute a token budget UNIFORMLY across languages, capping each
+    language at _UNIMAX_EPOCHS passes over its corpus and
+    redistributing freed budget to the uncapped languages — the
+    alternative to temperature sampling (docs_lang_temperature_mix)
+    that bounds REPETITION of low-resource data instead of fixing
+    shares a priori. Emits per language: corpus totals, the epoch cap,
+    whether the water-fill capped it, the allocated token count, and
+    the resulting epochs over its corpus.
+
+    The sequential water-filling loop has a closed form over languages
+    sorted by capacity: with caps c_(1) <= ... <= c_(L) (cap = epochs
+    x corpus tokens), language i is capped iff
+        c_(i) * (L - i + 1) + prefix_sum(c, i-1)  <  B
+    — the uniform share of the budget left when the fill reaches it
+    still exceeds its capacity. Cappedness is a PREFIX of the capacity
+    order (the classic water-filling argument; pinned in
+    tests/test_analytics.py::
+    test_unimax_capped_is_prefix_and_conserves_budget), so every
+    uncapped language's allocation is one subtraction and one
+    division: (B - capped_sum) / n_uncapped.
+
+    Determinism: caps, budget, prefix sums and the capped predicate
+    are exact int64 arithmetic (multiply before divide — the predicate
+    never leaves integers); each emitted double is ONE int64/int64
+    IEEE division (the jaccard convention), bit-identical across
+    engines. A language whose documents are all NULL-text rolls up to
+    0 tokens via coalesce on BOTH engines (Spark's sum and DuckDB's
+    both return NULL over all-NULL input); zero denominators go
+    through nullif, never a division error.
+
+    Scale: one token-count aggregation rolls the corpus to the
+    languages-sized relation; every window below runs on O(languages)
+    rows — the docs_lang_temperature_mix cost shape. At 100 TB the
+    corpus pass is the whole cost; the fill itself is constant-sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select(
+            "lang",
+            F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+                "nt"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+        .withColumn(
+            "cap_tokens",
+            (F.col("n_tokens") * _UNIMAX_EPOCHS).cast("bigint"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("cap_tokens", "lang")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = (
+        per_lang.withColumn(
+            "budget",
+            F.expr(
+                f"(sum(n_tokens) over () * {_UNIMAX_BUDGET_NUM})"
+                f" div {_UNIMAX_BUDGET_DEN}"
+            ).cast("bigint"),
+        )
+        .withColumn("n_langs", F.count(F.lit(1)).over(w_all).cast("bigint"))
+        .withColumn("i", F.row_number().over(w_ord).cast("bigint"))
+        .withColumn(
+            "csum_prev",
+            F.coalesce(F.sum("cap_tokens").over(w_prev), F.lit(0)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.col("n_langs") - F.col("i") + 1)
+            + F.col("csum_prev")
+            < F.col("budget"),
+        )
+    )
+    agg = flagged.withColumn(
+        "capped_sum",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))).over(w_all),
+            F.lit(0),
+        ).cast("bigint"),
+    ).withColumn(
+        "n_uncapped",
+        (
+            F.col("n_langs")
+            - F.sum(F.col("capped").cast("bigint")).over(w_all)
+        ).cast("bigint"),
+    )
+    leftover = F.col("budget") - F.col("capped_sum")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        F.when(F.col("capped"), F.col("cap_tokens").cast("double"))
+        .otherwise(leftover / F.expr("nullif(n_uncapped, 0)"))
+        .alias("alloc_tokens"),
+        F.when(
+            F.col("capped"),
+            F.col("cap_tokens") / F.expr("nullif(n_tokens, 0)"),
+        )
+        .otherwise(
+            leftover / F.expr("nullif(n_uncapped * n_tokens, 0)")
+        )
+        .alias("epochs_used"),
+    )
+
+
 def ingest_sample_from(doc_langs: DataFrame, ln: DataFrame) -> DataFrame:
     """Mixture admission over a LINE-DEDUPED corpus — the read-time
     kernel of the composed ingest chain (ST19), shared VERBATIM by the
@@ -2983,6 +3194,8 @@ QUERIES = {
     "docs_mixture_sample": docs_mixture_sample,
     "docs_mixture_realized_mix": docs_mixture_realized_mix,
     "docs_ingest_chain": docs_ingest_chain,
+    "docs_unimax_mix": docs_unimax_mix,
+    "docs_classifier_pr_curve": docs_classifier_pr_curve,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_ccnet_buckets": docs_ccnet_buckets,
@@ -4385,4 +4598,129 @@ ORACLE_SQL["docs_ingest_chain"] = f"""
     SELECT c.doc_id, c.lang, c.n_tokens, c.priority, c.cum_tokens,
            q.quota_tokens, c.cum_tokens <= q.quota_tokens AS selected
     FROM c JOIN quota q USING (lang)
+"""
+
+ORACLE_SQL["docs_unimax_mix"] = f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(len(list_filter(string_split(text, ' '),
+                                                 x -> x <> ''))), 0)
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    c AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(n_tokens * {_UNIMAX_EPOCHS} AS BIGINT) AS cap_tokens
+        FROM per_lang
+    ),
+    o AS (
+        SELECT *,
+               CAST((sum(n_tokens) OVER () * {_UNIMAX_BUDGET_NUM})
+                    // {_UNIMAX_BUDGET_DEN} AS BIGINT) AS budget,
+               CAST(count(*) OVER () AS BIGINT) AS n_langs,
+               CAST(row_number() OVER (ORDER BY cap_tokens, lang)
+                    AS BIGINT) AS i,
+               CAST(coalesce(sum(cap_tokens) OVER (
+                        ORDER BY cap_tokens, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS csum_prev
+        FROM c
+    ),
+    flagged AS (
+        SELECT *,
+               cap_tokens * (n_langs - i + 1) + csum_prev < budget AS capped
+        FROM o
+    ),
+    agg AS (
+        SELECT *,
+               CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END)
+                                 OVER (), 0) AS BIGINT) AS capped_sum,
+               CAST(n_langs - sum(CASE WHEN capped THEN 1 ELSE 0 END)
+                                     OVER () AS BIGINT) AS n_uncapped
+        FROM flagged
+    )
+    SELECT lang, n_docs, n_tokens, cap_tokens, capped,
+           CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+                ELSE (budget - capped_sum) / nullif(n_uncapped, 0)
+           END AS alloc_tokens,
+           CASE WHEN capped THEN cap_tokens / nullif(n_tokens, 0)
+                ELSE (budget - capped_sum)
+                     / nullif(n_uncapped * n_tokens, 0)
+           END AS epochs_used
+    FROM agg
+"""
+
+ORACLE_SQL["docs_classifier_pr_curve"] = f"""
+    WITH tok AS (
+        SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY doc_id, w
+    ),
+    vocab AS (
+        SELECT w,
+               CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                   - {1 << 31} AS wt
+        FROM (SELECT DISTINCT w FROM tok)
+    ),
+    scored AS (
+        SELECT doc_id,
+               num / n_tokens / {float(1 << 31)} AS score
+        FROM (SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                     CAST(sum(cnt * wt) AS BIGINT) AS num
+              FROM tok JOIN vocab USING (w) GROUP BY doc_id)
+    ),
+    gm AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               list_sum(list_transform(string_split(text, ' '),
+                                       w -> length(w)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS mean_word_len,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[a-zA-Z]')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS alpha_frac,
+               (length(text) - length(replace(text, '#', '')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS symbol_ratio,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN {_GOPHER_STOPWORDS}))
+                   AS n_stopwords
+        FROM documents
+    ),
+    labels AS (
+        SELECT doc_id,
+               (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+                   AND (mean_word_len BETWEEN {_GOPHER_MEAN_LEN_LO}
+                        AND {_GOPHER_MEAN_LEN_HI})
+                   AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+                   AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+                   AND n_stopwords >= {_GOPHER_MIN_STOPWORDS} AS label
+        FROM gm
+    ),
+    grid AS (
+        SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)"
+                                  for t in _PR_THRESHOLDS)}]) AS threshold
+    ),
+    per AS (
+        SELECT threshold,
+               CAST(sum(CASE WHEN score > threshold AND label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score > threshold AND NOT label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN NOT score > threshold AND label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN NOT score > threshold AND NOT label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored JOIN labels USING (doc_id) CROSS JOIN grid
+        GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           tp / CAST(nullif(tp + fp, 0) AS DOUBLE) AS precision,
+           tp / CAST(nullif(tp + fn, 0) AS DOUBLE) AS recall,
+           (2 * tp) / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE) AS f1
+    FROM per
 """

@@ -795,3 +795,38 @@ def test_approx_distinct_null_users_parity(spark, tmp_path):
     assert rows["click"].n_exact_users == 2
     assert rows["view"].n_exact_users == 0 or rows["view"].hll_bound_ok
     assert rows["click"].hll_bound_ok
+
+
+def test_unimax_capped_is_prefix_and_conserves_budget(spark, sf_dir):
+    """The water-filling closed form's two load-bearing claims: (1)
+    cappedness is a PREFIX of the (cap_tokens, lang) order — the
+    property that makes the one-pass window formulation equal to the
+    sequential fill; (2) the allocation is conservative — capped
+    languages get exactly their cap, uncapped languages split the
+    remainder evenly, and the total equals the budget whenever any
+    language is uncapped; nobody exceeds the epoch cap."""
+    from postgres_cdc_plugin_spark.operators.text import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_BUDGET_NUM,
+        _UNIMAX_EPOCHS,
+        docs_unimax_mix,
+    )
+
+    rows = docs_unimax_mix(spark, sf_dir).collect()
+    assert rows
+    ordered = sorted(rows, key=lambda r: (r.cap_tokens, r.lang))
+    flags = [r.capped for r in ordered]
+    assert flags == sorted(flags, reverse=True), flags  # prefix property
+    total = sum(r.n_tokens for r in rows)
+    budget = total * _UNIMAX_BUDGET_NUM // _UNIMAX_BUDGET_DEN
+    for r in rows:
+        if r.capped:
+            assert r.alloc_tokens == float(r.cap_tokens)
+            assert r.epochs_used == float(_UNIMAX_EPOCHS)
+        else:
+            assert r.epochs_used <= _UNIMAX_EPOCHS + 1e-12
+    if any(not r.capped for r in rows):
+        got = sum(r.alloc_tokens for r in rows)
+        assert abs(got - budget) <= 1e-6 * max(budget, 1), (got, budget)
+    # the sf corpora are skewed enough to exercise BOTH branches
+    assert any(r.capped for r in rows) and any(not r.capped for r in rows)

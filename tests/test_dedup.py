@@ -451,3 +451,26 @@ def test_c4_line_dedup_is_idempotent(spark, tmp_path):
     assert len(rows) == len(rewritten)
     assert all(r.n_dup_lines == 0 for r in rows)
     assert all(r.n_kept_lines == r.n_lines for r in rows)
+
+
+def test_dedup_sensitivity_matches_minhash_dedup_at_committed_threshold(
+    spark, sf_dir
+):
+    """The sweep's row at the committed _JACCARD_THRESHOLD must agree
+    exactly with the dedup it predicts (both read the SAME persisted
+    verified-pair kernel), and both counters must be monotone in the
+    threshold — a sweep whose curve crosses itself is mis-joined."""
+    rows = {
+        r.threshold: r
+        for r in D.docs_dedup_sensitivity(spark, sf_dir).collect()
+    }
+    committed = rows[D._JACCARD_THRESHOLD]
+    assert committed.n_survivors == D.docs_minhash_dedup(spark, sf_dir).count()
+    ts = sorted(rows)
+    drops = [rows[t].n_dropped for t in ts]
+    pairs = [rows[t].n_pairs for t in ts]
+    assert drops == sorted(drops, reverse=True), drops
+    assert pairs == sorted(pairs, reverse=True), pairs
+    assert all(
+        rows[t].n_survivors + rows[t].n_dropped == rows[t].n_docs for t in ts
+    )

@@ -62,6 +62,9 @@ _DOC_QUERIES = [
     (text, "docs_pack_tuning"),
     # round-10 operators
     (text, "docs_ingest_chain"),
+    (text, "docs_unimax_mix"),
+    (text, "docs_classifier_pr_curve"),
+    (dedup, "docs_dedup_sensitivity"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -102,7 +105,23 @@ def test_empty_corpus_returns_empty(mod, name, spark, empty_dir):
 @pytest.mark.parametrize("mod,name", _DOC_QUERIES, ids=[n for _, n in _DOC_QUERIES])
 def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
     rows = getattr(mod, name)(spark, single_dir).collect()
-    if name.startswith("docs_") and "dedup" in name:
+    if name == "docs_dedup_sensitivity":
+        # the sweep grades the candidate-pair relation; one document
+        # yields no candidates, so there is nothing to sweep
+        assert rows == []
+    elif name == "docs_unimax_mix":
+        # one language, 6 tokens: cap = 12 > budget (6*3 div 2 = 9),
+        # so the sole language is uncapped and absorbs the full budget
+        assert len(rows) == 1
+        r = rows[0]
+        assert not r.capped and r.cap_tokens == 12
+        assert r.alloc_tokens == 9.0 and r.epochs_used == 1.5
+    elif name == "docs_classifier_pr_curve":
+        # the single doc fails the gopher word-count rule -> label
+        # False everywhere: no positives exist at any threshold
+        assert len(rows) == len(text._PR_THRESHOLDS)
+        assert all(r.tp == 0 and r.fn == 0 and r.recall is None for r in rows)
+    elif name.startswith("docs_") and "dedup" in name:
         # one document can never be a duplicate of anything
         assert len(rows) == 1
     elif name in ("docs_dup_clusters",):

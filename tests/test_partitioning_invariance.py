@@ -78,6 +78,11 @@ _SENSITIVE = [
     # r10: the composed ingest chain (keep-first min-struct feeding the
     # admission windows — two order-sensitive stages chained)
     "docs_ingest_chain",
+    # r10: the water-filling closed form (ordered prefix sums over the
+    # languages relation) and the verify-threshold sweep (LSH band
+    # joins + exact verify + per-grid distinct-loser counts)
+    "docs_unimax_mix",
+    "docs_dedup_sensitivity",
 ]
 
 

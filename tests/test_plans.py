@@ -545,6 +545,10 @@ _BNLJ_ALLOWED = {
     "docs_lang_temperature_mix",  # two 1-row total crossJoins (r8)
     "docs_mixture_sample",  # inherits the mix's crossJoins + 1-row budget (r8)
     "docs_mixture_realized_mix",  # wraps the ledger + mix verbatim (r9)
+    "token_heavy_hitters",  # 1-row corpus-total N crossJoin in the MG guarantee audit (r10)
+    "docs_ingest_chain",  # inherits the mixture admission's 1-row budget/total crossJoins (r10)
+    "docs_classifier_pr_curve",  # |thresholds|-row broadcast grid fan-out (r10)
+    "docs_dedup_sensitivity",  # |thresholds|-row grid + 1-row corpus-count crossJoins (r10)
 }
 
 
