@@ -26,14 +26,31 @@ from pyspark.sql import functions as F
 # the subset of the Debezium envelope the engine consumes; before/after
 # stay as raw JSON strings (schema-on-read, like the reference's
 # row_to_json payloads — survives monitored-table drift)
-DEBEZIUM_SCHEMA = (
-    "struct<"
+_ENVELOPE_FIELDS = (
     "  before: string,"
     "  after: string,"
     "  source: struct<schema: string, table: string, ts_ms: bigint, lsn: bigint>,"
     "  op: string,"
     "  ts_ms: bigint"
-    ">"
+)
+
+# Both wire shapes the Debezium JSON converter emits (public Debezium
+# reference documentation, "Debezium connector for PostgreSQL" →
+# change event keys/values): with the converter default
+# schemas.enable=true every message is wrapped
+# {"schema": {...}, "payload": {before, after, source, op, ts_ms}};
+# with schemas.enable=false the payload fields sit at the top level.
+# One from_json with the payload struct alongside the flat fields
+# parses either; _env() coalesces field-wise (wrapped wins — a flat
+# envelope has no "payload" key, so its struct is NULL). The schema
+# block itself is deliberately NOT modeled: from_json ignores unknown
+# keys, which is what survives connector upgrades adding fields.
+DEBEZIUM_SCHEMA = (
+    "struct<"
+    + _ENVELOPE_FIELDS
+    + ", payload: struct<"
+    + _ENVELOPE_FIELDS
+    + ">>"
 )
 
 _OP_MAP = {"c": "INSERT", "r": "INSERT", "u": "UPDATE", "d": "DELETE"}
@@ -88,34 +105,58 @@ def split(
     Both outputs derive from one projection over the source — Catalyst
     shares the scan when both are consumed in one foreachBatch."""
     env = F.from_json(F.col(value_col), DEBEZIUM_SCHEMA).alias("e")
-    op = F.col("e.op")
+
+    # field-wise unwrap: schemas.enable=true frames carry the envelope
+    # under "payload" (the JSON converter's default wire shape, pinned
+    # by the golden fixtures in tests/fixtures/debezium/); flat frames
+    # (schemas.enable=false) carry it at the top level. Wrapped wins —
+    # a flat envelope parses payload as NULL, a wrapped one never has
+    # top-level before/op/source.
+    def _env(field: str):
+        return F.coalesce(F.col(f"e.payload.{field}"), F.col(f"e.{field}"))
+
+    op = _env("op")
     expr = None
     for k, v in _OP_MAP.items():
         expr = F.when(op == k, v) if expr is None else expr.when(op == k, v)
     mapped_op = expr.otherwise(F.lit(None))
     path = f"$.{key_field}"
-    tagged = values.select(F.col(value_col).alias("_raw"), env)
+    tagged = values.select(
+        F.col(value_col).alias("_raw"),
+        env,
+    ).select(
+        "_raw",
+        _env("before").alias("_before"),
+        _env("after").alias("_after"),
+        _env("source.lsn").alias("_lsn"),
+        _env("source.schema").alias("_schema"),
+        _env("source.table").alias("_table"),
+        _env("source.ts_ms").alias("_src_ts"),
+        _env("ts_ms").alias("_conn_ts"),
+        op.alias("_rawop"),
+        mapped_op.alias("_op"),
+    )
     changes = (
         tagged.select(
-            F.col("e.source.lsn").alias("seq"),
+            F.col("_lsn").alias("seq"),
             # key: the row identity travels in after (or before, on DELETE)
             F.coalesce(
-                F.get_json_object("e.after", path),
-                F.get_json_object("e.before", path),
+                F.get_json_object("_after", path),
+                F.get_json_object("_before", path),
             ).alias("key"),
-            mapped_op.alias("op"),
-            F.col("e.source.schema").alias("table_schema"),
-            F.col("e.source.table").alias("table_name"),
-            F.col("e.before").alias("old"),
-            F.col("e.after").alias("new"),
+            F.col("_op").alias("op"),
+            F.col("_schema").alias("table_schema"),
+            F.col("_table").alias("table_name"),
+            F.col("_before").alias("old"),
+            F.col("_after").alias("new"),
             F.timestamp_millis(
-                F.coalesce(F.col("e.source.ts_ms"), F.col("e.ts_ms"))
+                F.coalesce(F.col("_src_ts"), F.col("_conn_ts"))
             ).alias("ts"),
         )
         .filter(F.col("op").isNotNull())
     )
     quarantine = tagged.filter(
-        F.col("_raw").isNotNull() & F.col("e.op").isNull()
+        F.col("_raw").isNotNull() & F.col("_rawop").isNull()
     ).select(F.col("_raw").alias(value_col))
     return ParsedFeed(changes, quarantine)
 

@@ -979,3 +979,104 @@ def test_delta_table_to_async_queue(spark, tmp_path):
     os.remove(os.path.join(str(tmp_path / "ck"), "version"))
     assert engine.drain_delta(cfg, tailer) == 3
     assert len(engine.queue.state().collect()) == 5
+
+
+# --- golden wire-format fixtures (r9 verdict ask #5) -------------------
+#
+# tests/fixtures/debezium/*.jsonl reproduce the envelope structure of
+# the public Debezium reference documentation ("Debezium connector for
+# PostgreSQL" -> change event keys and values; inventory.customers
+# examples): full value schema blocks, the documented source block
+# (version/connector/name/ts_ms/snapshot/db/sequence/schema/table/
+# txId/lsn/xmin), the transaction field, snapshot reads, truncate —
+# in BOTH wire shapes the JSON converter emits (schemas.enable=true
+# wrapped under "payload", and the flat schemas.enable=false twins).
+
+import os as _os
+
+_DBZ_FIXTURES = _os.path.join(
+    _os.path.dirname(__file__), "fixtures", "debezium"
+)
+
+
+def test_debezium_golden_wrapped_frames_parse(spark):
+    """The schemas.enable=true wire shape (the converter DEFAULT — what
+    a stock Debezium topic actually carries): the parser must unwrap
+    the payload, ignore the schema block, map snapshot reads to
+    INSERT, take seq from source.lsn and ts from source.ts_ms, drop
+    the truncate frame without quarantining it, and quarantine exactly
+    the foreign frame and the torn frame."""
+    import datetime
+
+    feed = debezium.split(
+        spark.read.text(
+            _os.path.join(_DBZ_FIXTURES, "postgres_change_events.jsonl")
+        )
+    )
+    rows = sorted(feed.changes.collect(), key=lambda r: r.seq)
+    assert [r.op for r in rows] == ["INSERT", "INSERT", "UPDATE", "DELETE"]
+    assert [r.seq for r in rows] == [24023100, 24023128, 24023136, 24023144]
+    assert all(
+        r.table_schema == "inventory" and r.table_name == "customers"
+        for r in rows
+    )
+    # the key rides the row images through every op, incl. DELETE
+    assert [r.key for r in rows] == ["1", "1", "1", "1"]
+    # before/after images survive as raw JSON
+    create = rows[1]
+    assert create.old is None
+    assert json.loads(create.new)["first_name"] == "Anne"
+    update = rows[2]
+    assert json.loads(update.old)["first_name"] == "Anne"
+    assert json.loads(update.new)["first_name"] == "Anne Marie"
+    assert rows[3].new is None
+    # ts = source.ts_ms (database change time), not envelope ts_ms
+    assert create.ts == datetime.datetime.utcfromtimestamp(1559033904.863)
+    # quarantine: the heartbeat-ish foreign frame + the torn frame —
+    # NOT the truncate (valid envelope, dropped by design)
+    q = sorted(r.value for r in feed.quarantine.collect())
+    assert len(q) == 2
+    assert any('"event":"heartbeat"' in v for v in q)
+    assert any(v.endswith('"after":{"id":9') for v in q)
+
+
+def test_debezium_wrapped_and_flat_frames_are_equivalent(spark):
+    """The two converter shapes of the SAME logical events must produce
+    identical canonical change rows — the contract that lets one
+    pipeline consume topics regardless of the producer's
+    schemas.enable setting."""
+    wrapped = debezium.parse(
+        spark.read.text(
+            _os.path.join(_DBZ_FIXTURES, "postgres_change_events.jsonl")
+        )
+    )
+    flat = debezium.parse(
+        spark.read.text(
+            _os.path.join(_DBZ_FIXTURES, "postgres_change_events_flat.jsonl")
+        )
+    )
+    key = lambda r: r.seq  # noqa: E731
+    assert sorted(wrapped.collect(), key=key) == sorted(
+        flat.collect(), key=key
+    )
+
+
+def test_debezium_key_envelopes_extract_pk(spark):
+    """Key frames (schema block + {"id": ...} payload) run through the
+    same unwrap: get_json_object over the unwrapped payload pulls the
+    PK — the shape a keyed consumer sees on the message KEY side."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(
+        _os.path.join(_DBZ_FIXTURES, "postgres_change_event_keys.jsonl")
+    )
+    keys = raw.select(
+        F.get_json_object(
+            F.coalesce(
+                F.get_json_object("value", "$.payload"), F.col("value")
+            ),
+            "$.id",
+        ).alias("id")
+    ).collect()
+    # row events carry the PK; the truncate frame has no row identity
+    assert [k.id for k in keys] == ["1", "1", "1", "1", None]
