@@ -2729,7 +2729,14 @@ def mixture_sample_from(d: DataFrame) -> DataFrame:
     late-arriving document moves every language's share, temperature
     and quota, so no per-batch transform can emit final admission
     verdicts)."""
-    quota = _mixture_quota_from(d)
+    return _admission_from(d, _mixture_quota_from(d))
+
+
+def _admission_from(d: DataFrame, quota: DataFrame) -> DataFrame:
+    """The quota-parameterized admission window — extracted (r10) so
+    the UniMax realization (docs_unimax_sample) runs the IDENTICAL
+    ledger algebra under its own quota relation; the extraction leaves
+    mixture_sample_from's logical plan byte-identical."""
     w = (
         Window.partitionBy("lang")
         .orderBy("priority", "doc_id")
@@ -2938,18 +2945,32 @@ def docs_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the docs_lang_temperature_mix cost shape. At 100 TB the
     corpus pass is the whole cost; the fill itself is constant-sized.
     """
-    docs = load(spark, sf_dir, "documents")
+    return unimax_alloc_from(
+        mixture_doc_relation(load(spark, sf_dir, "documents"))
+    ).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        "alloc_tokens",
+        "epochs_used",
+    )
+
+
+def unimax_alloc_from(d: DataFrame) -> DataFrame:
+    """The water-fill allocation over a prepared per-doc admission
+    relation (the mixture_doc_relation shape) — shared VERBATIM by
+    docs_unimax_mix (which projects the public columns) and
+    docs_unimax_sample (which turns the allocation into integer quotas
+    and the replication ledger), so design and realization can never
+    disagree about the fill. Returns the full working relation
+    including the int64 internals (budget, capped_sum, n_uncapped)."""
     per_lang = (
-        docs.select(
-            "lang",
-            F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
-                "nt"
-            ),
-        )
-        .groupBy("lang")
+        d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias(
                 "n_tokens"
             ),
         )
@@ -2998,23 +3019,96 @@ def docs_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint"),
     )
     leftover = F.col("budget") - F.col("capped_sum")
-    return agg.select(
-        "lang",
-        "n_docs",
-        "n_tokens",
-        "cap_tokens",
-        "capped",
-        F.when(F.col("capped"), F.col("cap_tokens").cast("double"))
-        .otherwise(leftover / F.expr("nullif(n_uncapped, 0)"))
-        .alias("alloc_tokens"),
+    return agg.withColumn(
+        "alloc_tokens",
+        F.when(F.col("capped"), F.col("cap_tokens").cast("double")).otherwise(
+            leftover / F.expr("nullif(n_uncapped, 0)")
+        ),
+    ).withColumn(
+        "epochs_used",
         F.when(
             F.col("capped"),
             F.col("cap_tokens") / F.expr("nullif(n_tokens, 0)"),
+        ).otherwise(leftover / F.expr("nullif(n_uncapped * n_tokens, 0)")),
+    )
+
+
+def docs_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax realization (r10) — the replication ledger that turns
+    docs_unimax_mix's allocation into an actual epoch-capped dataset:
+    a language allocated e epochs delivers each document
+    floor(quota / corpus_tokens) full copies (the whole-epoch passes)
+    plus ONE extra copy for the admission-ordered prefix that fills
+    the remainder — exactly how an epoch-capped multilingual run
+    consumes its corpus (full passes + a partial final epoch). Emits
+    per doc: the admission priority and cumulative (the
+    mixture_sample conventions), the language's integer quota and
+    corpus size, base copies, the extra-copy verdict, and total
+    copies. The docs_mixture_sample / docs_mixture_realized_mix triad
+    symmetry for the UniMax design.
+
+    Reuses VERBATIM: mixture_doc_relation (token/priority
+    conventions), unimax_alloc_from (the fill — design and
+    realization cannot disagree), and _admission_from (the remainder
+    prefix is the SAME admission window algebra the temperature
+    ledger runs, fed the remainder as its quota).
+
+    Determinism: quotas are pure int64 (capped -> cap; uncapped ->
+    integer division of the leftover); base/remainder are int64
+    div/mod with nullif guards (a zero-token language delivers zero
+    copies, never a division error); the prefix verdict is the
+    integer cum <= rem comparison.
+
+    Scale: the allocation is O(languages); the ledger adds the same
+    per-language admission window as docs_mixture_sample (bucketed
+    fill applies unchanged at 100 TB — same (lang, priority) order),
+    plus one languages-sized broadcast join for the copy counts.
+    """
+    d = mixture_doc_relation(load(spark, sf_dir, "documents"))
+    q = (
+        unimax_alloc_from(d)
+        .select(
+            "lang",
+            F.col("n_tokens").alias("lang_tokens"),
+            F.when(F.col("capped"), F.col("cap_tokens"))
+            .otherwise(
+                F.expr(
+                    "(budget - capped_sum) div nullif(n_uncapped, 0)"
+                )
+            )
+            .cast("bigint")
+            .alias("unimax_quota"),
         )
-        .otherwise(
-            leftover / F.expr("nullif(n_uncapped * n_tokens, 0)")
+        .withColumn(
+            "base_copies",
+            F.coalesce(
+                F.expr("unimax_quota div nullif(lang_tokens, 0)"), F.lit(0)
+            ).cast("bigint"),
         )
-        .alias("epochs_used"),
+        .withColumn(
+            "rem_tokens",
+            F.coalesce(
+                F.expr("unimax_quota % nullif(lang_tokens, 0)"), F.lit(0)
+            ).cast("bigint"),
+        )
+    )
+    led = _admission_from(
+        d, q.select("lang", F.col("rem_tokens").alias("quota_tokens"))
+    ).drop("quota_tokens")
+    meta = q.select("lang", "lang_tokens", "unimax_quota", "base_copies")
+    return led.join(F.broadcast(meta), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "priority",
+        "cum_tokens",
+        F.col("unimax_quota").alias("quota_tokens"),
+        "lang_tokens",
+        "base_copies",
+        F.col("selected").alias("extra_copy"),
+        (F.col("base_copies") + F.col("selected").cast("bigint"))
+        .cast("bigint")
+        .alias("n_copies"),
     )
 
 
@@ -3165,11 +3259,94 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_DISCOUNT = 0.75  # absolute discount D (Chen & Goodman's fixed choice)
+_KN_TOP = 100  # report the top bigrams by corpus frequency
+
+
+def token_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (r10; Kneser & Ney
+    1995, Chen & Goodman 1998 — the standard n-gram LM smoothing,
+    public literature): for the top-_KN_TOP corpus bigrams, the
+    absolute-discounted bigram term, the backoff mass, and the
+    CONTINUATION unigram (how many distinct left contexts a word
+    completes — the insight that makes KN the strongest count-based
+    smoother). The count-based LM a pipeline trains for perplexity
+    filtering / CCNet-style scoring when a neural LM is too expensive
+    to run over 100 TB:
+
+        p_kn(w2|w1) = (c(w1 w2) - D) / c(w1 .)
+                      + (D * N1+(w1 .) / c(w1 .)) * p_cont(w2)
+        p_cont(w2)  = N1+(. w2) / |distinct bigrams|
+
+    Every statistic derives from the DISTINCT-bigram relation the
+    bigram_counts family persists (consumed VERBATIM — the
+    token_bigram_stats kernel, Zipf-small at any corpus size):
+    context totals and right-neighbor type counts are one w1 rollup,
+    continuation counts one w2 rollup, the type total a 1-row
+    broadcast. No new corpus pass.
+
+    Determinism: counts are exact int64; D = 0.75 is binary-exact;
+    every arithmetic step casts int64 to double explicitly and both
+    engines evaluate the IDENTICAL expression tree, so the doubles
+    are bit-identical. Top-k is a TakeOrderedAndProject under the
+    total order (cf desc, w1, w2).
+
+    Scale: three aggregations over the distinct-bigram relation
+    (vocabulary-bounded, not corpus-bounded) + two equi-joins back
+    onto it + a global top-k — the token_tfidf cost shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    corpus = _bigram_counts(docs)[1]
+    parts = corpus.select(
+        F.substring_index("g", " ", 1).alias("w1"),
+        F.substring_index("g", " ", -1).alias("w2"),
+        F.col("cf").cast("bigint").alias("cf"),
+    )
+    ctx = parts.groupBy("w1").agg(
+        F.sum("cf").cast("bigint").alias("ctx_count"),
+        F.count(F.lit(1)).cast("bigint").alias("right_types"),
+    )
+    cont = parts.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("left_cont")
+    )
+    tot = parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigram_types")
+    )
+    d = F.lit(_KN_DISCOUNT)
+    p_cont = F.col("left_cont").cast("double") / F.col(
+        "n_bigram_types"
+    ).cast("double")
+    term1 = (F.col("cf").cast("double") - d) / F.col("ctx_count").cast(
+        "double"
+    )
+    lam = (d * F.col("right_types").cast("double")) / F.col(
+        "ctx_count"
+    ).cast("double")
+    return (
+        parts.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "cf",
+            "ctx_count",
+            "right_types",
+            "left_cont",
+            "n_bigram_types",
+            p_cont.alias("p_cont"),
+            (term1 + lam * p_cont).alias("p_kn"),
+        )
+        .orderBy(F.col("cf").desc(), "w1", "w2")
+        .limit(_KN_TOP)
+    )
+
+
 # Shared persisted kernels charged to explicit bench rows (see
 # operators/dedup.py FAMILY_BUILDS / FAMILY_CONSUMERS for the
 # convention).
 FAMILY_CONSUMERS = {
-    "bigram_counts": ("token_bigram_stats",),
+    "bigram_counts": ("token_bigram_stats", "token_kneser_ney"),
 }
 
 FAMILY_BUILDS = {
@@ -3195,6 +3372,7 @@ QUERIES = {
     "docs_mixture_realized_mix": docs_mixture_realized_mix,
     "docs_ingest_chain": docs_ingest_chain,
     "docs_unimax_mix": docs_unimax_mix,
+    "docs_unimax_sample": docs_unimax_sample,
     "docs_classifier_pr_curve": docs_classifier_pr_curve,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
@@ -3206,6 +3384,7 @@ QUERIES = {
     "docs_dsir_weights": docs_dsir_weights,
     "docs_text_stats": docs_text_stats,
     "token_bigram_stats": token_bigram_stats,
+    "token_kneser_ney": token_kneser_ney,
     "token_zipf_audit": token_zipf_audit,
     "docs_lang_id": docs_lang_id,
     "docs_quality_score": docs_quality_score,
@@ -4723,4 +4902,124 @@ ORACLE_SQL["docs_classifier_pr_curve"] = f"""
            tp / CAST(nullif(tp + fn, 0) AS DOUBLE) AS recall,
            (2 * tp) / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE) AS f1
     FROM per
+"""
+
+ORACLE_SQL["docs_unimax_sample"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS priority
+        FROM documents
+    ),
+    per_lang AS (
+        SELECT lang,
+               CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+        FROM d GROUP BY lang
+    ),
+    c AS (
+        SELECT lang, n_tokens,
+               CAST(n_tokens * {_UNIMAX_EPOCHS} AS BIGINT) AS cap_tokens
+        FROM per_lang
+    ),
+    o AS (
+        SELECT *,
+               CAST((sum(n_tokens) OVER () * {_UNIMAX_BUDGET_NUM})
+                    // {_UNIMAX_BUDGET_DEN} AS BIGINT) AS budget,
+               CAST(count(*) OVER () AS BIGINT) AS n_langs,
+               CAST(row_number() OVER (ORDER BY cap_tokens, lang)
+                    AS BIGINT) AS i,
+               CAST(coalesce(sum(cap_tokens) OVER (
+                        ORDER BY cap_tokens, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS csum_prev
+        FROM c
+    ),
+    flagged AS (
+        SELECT *,
+               cap_tokens * (n_langs - i + 1) + csum_prev < budget AS capped
+        FROM o
+    ),
+    agg AS (
+        SELECT *,
+               CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END)
+                                 OVER (), 0) AS BIGINT) AS capped_sum,
+               CAST(n_langs - sum(CASE WHEN capped THEN 1 ELSE 0 END)
+                                     OVER () AS BIGINT) AS n_uncapped
+        FROM flagged
+    ),
+    q AS (
+        SELECT lang, n_tokens AS lang_tokens,
+               CAST(CASE WHEN capped THEN cap_tokens
+                    ELSE (budget - capped_sum) // nullif(n_uncapped, 0)
+               END AS BIGINT) AS unimax_quota
+        FROM agg
+    ),
+    q2 AS (
+        SELECT *,
+               CAST(coalesce(unimax_quota // nullif(lang_tokens, 0), 0)
+                    AS BIGINT) AS base_copies,
+               CAST(coalesce(unimax_quota % nullif(lang_tokens, 0), 0)
+                    AS BIGINT) AS rem_tokens
+        FROM q
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens, priority,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                        ORDER BY priority, doc_id)
+                    AS BIGINT) AS cum_tokens
+        FROM d
+    )
+    SELECT m.doc_id, m.lang, m.n_tokens, m.priority, m.cum_tokens,
+           q2.unimax_quota AS quota_tokens, q2.lang_tokens,
+           q2.base_copies,
+           m.cum_tokens <= q2.rem_tokens AS extra_copy,
+           CAST(q2.base_copies
+                + CAST(m.cum_tokens <= q2.rem_tokens AS BIGINT)
+                AS BIGINT) AS n_copies
+    FROM cum m JOIN q2 USING (lang)
+"""
+
+ORACLE_SQL["token_kneser_ney"] = f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents)
+    ),
+    per_doc AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, g
+    ),
+    corpus AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS cf
+        FROM per_doc GROUP BY g
+    ),
+    parts AS (
+        SELECT split_part(g, ' ', 1) AS w1,
+               string_split(g, ' ')[-1] AS w2,
+               cf
+        FROM corpus
+    ),
+    ctx AS (
+        SELECT w1, CAST(sum(cf) AS BIGINT) AS ctx_count,
+               CAST(count(*) AS BIGINT) AS right_types
+        FROM parts GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS left_cont
+        FROM parts GROUP BY w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM parts)
+    SELECT w1, w2, cf, ctx_count, right_types, left_cont, n_bigram_types,
+           CAST(left_cont AS DOUBLE) / CAST(n_bigram_types AS DOUBLE)
+               AS p_cont,
+           (CAST(cf AS DOUBLE) - {_KN_DISCOUNT})
+               / CAST(ctx_count AS DOUBLE)
+           + (({_KN_DISCOUNT} * CAST(right_types AS DOUBLE))
+              / CAST(ctx_count AS DOUBLE))
+             * (CAST(left_cont AS DOUBLE) / CAST(n_bigram_types AS DOUBLE))
+               AS p_kn
+    FROM parts JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    ORDER BY cf DESC, w1, w2 LIMIT {_KN_TOP}
 """

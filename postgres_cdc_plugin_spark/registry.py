@@ -17,12 +17,14 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     the Misra-Gries guarantee-audit oracle, r9 ask #2 — ROWS_ONLY is
     now empty); (3) the genuinely new r10 queries, registered EARLY
     before the window froze: docs_ingest_chain (the ST19 batch anchor,
-    ask #3), docs_unimax_mix, docs_classifier_pr_curve,
-    docs_dedup_sensitivity; (4) 43 of the 49 r6-stale anchors
+    ask #3), docs_unimax_mix + docs_unimax_sample (the UniMax
+    design/realization pair), docs_classifier_pr_curve,
+    docs_dedup_sensitivity, token_kneser_ney; (4) the r6-stale anchors
     (docs_bm25_search … orders_bucketed_join), alphabetical with the
     three expensive oracles (docs_dedup_method_agreement's
-    verified-pairs SQL, the two graph CTEs) at the window tail. The 6
-    spilled r6 anchors sit at positions 51-56 for the r11 front (the
+    verified-pairs SQL, the two graph CTEs) at the window tail — 41 of
+    them fit the 50-slot window alongside the 9 fresh entries. The
+    spilled anchors sit at positions 51+ for the r11 front (the
     blessed spill: new queries beat re-proving a green anchor a round
     early); the r9-green window block follows (most-recently-proven,
     tail by convention), then r8/r7-green blocks; r6-green queries
@@ -79,8 +81,10 @@ PRIORITY_ORDER = [
     # froze (the spare-slots-early convention):
     "docs_ingest_chain",         # gate→dedup→admission chain (ask #3)
     "docs_unimax_mix",           # UniMax epoch-capped mixture
+    "docs_unimax_sample",        # UniMax replication ledger
     "docs_classifier_pr_curve",  # threshold sweep vs gopher labels
     "docs_dedup_sensitivity",    # Jaccard-threshold dedup sweep
+    "token_kneser_ney",          # interpolated KN bigram LM
     # (4) 43 of the 49 r6-stale queries (driver evidence four rounds
     # old), alphabetical; the expensive oracles
     # (docs_dedup_method_agreement's verified-pairs SQL, the two graph

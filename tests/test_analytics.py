@@ -830,3 +830,97 @@ def test_unimax_capped_is_prefix_and_conserves_budget(spark, sf_dir):
         assert abs(got - budget) <= 1e-6 * max(budget, 1), (got, budget)
     # the sf corpora are skewed enough to exercise BOTH branches
     assert any(r.capped for r in rows) and any(not r.capped for r in rows)
+
+
+def test_unimax_matches_sequential_waterfill(spark, tmp_path):
+    """Third-implementation reference (the C4/line-dedup convention):
+    the one-pass closed form must equal the SEQUENTIAL water-filling
+    loop the UniMax paper describes, across the regimes that flip its
+    branches — skewed (mixed capped/uncapped), uniform (none capped),
+    zero-token languages, a single language, and capacity ties."""
+    from postgres_cdc_plugin_spark.operators.text import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_BUDGET_NUM,
+        _UNIMAX_EPOCHS,
+        docs_unimax_mix,
+    )
+
+    def sequential(tokens: dict[str, int]):
+        budget = sum(tokens.values()) * _UNIMAX_BUDGET_NUM // _UNIMAX_BUDGET_DEN
+        caps = sorted((n * _UNIMAX_EPOCHS, lang) for lang, n in tokens.items())
+        remaining, m = budget, len(caps)
+        out = {}
+        for cap, lang in caps:
+            if cap * m < remaining:  # uniform share still exceeds cap
+                out[lang] = (True, float(cap))
+                remaining -= cap
+            else:
+                out[lang] = (False, remaining / m if m else None)
+                # remaining/m is constant for every later (larger) cap:
+                # consume one share per language
+                remaining -= remaining / m
+            m -= 1
+        return budget, out
+
+    cases = [
+        {"en": 100, "fr": 10, "de": 12, "zh": 9},   # skewed: 3 capped
+        {"a": 20, "b": 20, "c": 20, "d": 20},        # uniform: none capped
+        {"x": 0, "y": 0, "z": 50},                   # zero-token languages
+        {"solo": 37},                                # single language
+        {"p": 15, "q": 15, "r": 90},                 # capacity tie
+    ]
+    for i, tokens in enumerate(cases):
+        d = tmp_path / f"unimax_{i}"
+        rows = [
+            (j, " ".join(["w"] * n) if n else "", lang, "s", 2 * n)
+            for j, (lang, n) in enumerate(sorted(tokens.items()))
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(str(d / "documents.parquet"))
+        _, expect = sequential(tokens)
+        got = {r.lang: r for r in docs_unimax_mix(spark, str(d)).collect()}
+        assert set(got) == set(tokens), (i, got)
+        for lang, (capped, alloc) in expect.items():
+            r = got[lang]
+            assert r.capped == capped, (i, lang, r)
+            if alloc is None:
+                assert r.alloc_tokens is None
+            else:
+                assert abs(r.alloc_tokens - alloc) < 1e-9, (i, lang, r, alloc)
+
+
+def test_unimax_sample_conserves_and_fills_quota(spark, sf_dir):
+    """The replication ledger's contract: per language, delivered
+    tokens (copies x doc tokens) never exceed the integer quota, the
+    extra-copy set is a PREFIX of the admission order, and the fill is
+    maximal — the first denied doc would have overflowed the
+    remainder."""
+    from collections import defaultdict
+
+    from postgres_cdc_plugin_spark.operators.text import docs_unimax_sample
+
+    rows = docs_unimax_sample(spark, sf_dir).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for _lang, rs in by_lang.items():
+        quota, lt = rs[0].quota_tokens, rs[0].lang_tokens
+        assert all(
+            r.quota_tokens == quota and r.lang_tokens == lt for r in rs
+        )
+        delivered = sum(
+            r.n_copies * r.n_tokens
+            for r in rs
+            if r.n_copies is not None and r.n_tokens is not None
+        )
+        assert delivered <= quota
+        rem = quota - rs[0].base_copies * lt if lt else 0
+        order = sorted(rs, key=lambda r: (r.priority, r.doc_id))
+        flags = [r.extra_copy for r in order if r.extra_copy is not None]
+        assert flags == sorted(flags, reverse=True)  # prefix property
+        denied = [r for r in order if r.extra_copy is False]
+        if denied:
+            assert denied[0].cum_tokens > rem  # maximal fill

@@ -63,8 +63,10 @@ _DOC_QUERIES = [
     # round-10 operators
     (text, "docs_ingest_chain"),
     (text, "docs_unimax_mix"),
+    (text, "docs_unimax_sample"),
     (text, "docs_classifier_pr_curve"),
     (dedup, "docs_dedup_sensitivity"),
+    (text, "token_kneser_ney"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -116,6 +118,18 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         r = rows[0]
         assert not r.capped and r.cap_tokens == 12
         assert r.alloc_tokens == 9.0 and r.epochs_used == 1.5
+    elif name == "docs_unimax_sample":
+        # quota 9 over a 6-token corpus: one full copy + a 3-token
+        # remainder the 6-token doc cannot fit -> exactly 1 copy
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.quota_tokens == 9 and r.lang_tokens == 6
+        assert r.base_copies == 1 and not r.extra_copy and r.n_copies == 1
+    elif name == "token_kneser_ney":
+        # 5 distinct bigrams, every count 1: p_kn = (1-0.75)/1 +
+        # 0.75*(1/1)*(1/5) = 0.4 exactly for every bigram
+        assert len(rows) == 5
+        assert all(r.p_kn == 0.4 and r.cf == 1 for r in rows)
     elif name == "docs_classifier_pr_curve":
         # the single doc fails the gopher word-count rule -> label
         # False everywhere: no positives exist at any threshold

@@ -83,6 +83,10 @@ _SENSITIVE = [
     # joins + exact verify + per-grid distinct-loser counts)
     "docs_unimax_mix",
     "docs_dedup_sensitivity",
+    # r10: the UniMax replication ledger (admission windows under the
+    # remainder quota) and the KN top-k over joined rollups
+    "docs_unimax_sample",
+    "token_kneser_ney",
 ]
 
 
