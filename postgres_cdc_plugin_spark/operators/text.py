@@ -2789,7 +2789,16 @@ def mixture_sample_bucketed(
     just the selected flag — is identical.
     """
     d = mixture_doc_relation(load(spark, sf_dir, "documents"))
-    quota = _mixture_quota_from(d)
+    return _bucketed_admission(d, _mixture_quota_from(d), prefix_chars)
+
+
+def _bucketed_admission(
+    d: DataFrame, quota: DataFrame, prefix_chars: int = _MIX_BUCKET_CHARS
+) -> DataFrame:
+    """The quota-parameterized two-pass bucketed fill — extracted
+    (r10) so the UniMax remainder admission ships the SAME 100 TB path
+    (unimax_sample_bucketed) instead of documenting it; the extraction
+    leaves mixture_sample_bucketed's logical plan byte-identical."""
     d = d.withColumn(
         "bucket", F.substring("priority", 1, prefix_chars)
     )
@@ -3060,11 +3069,37 @@ def docs_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cum <= rem comparison.
 
     Scale: the allocation is O(languages); the ledger adds the same
-    per-language admission window as docs_mixture_sample (bucketed
-    fill applies unchanged at 100 TB — same (lang, priority) order),
-    plus one languages-sized broadcast join for the copy counts.
+    per-language admission window as docs_mixture_sample, plus one
+    languages-sized broadcast join for the copy counts. The 100 TB
+    path is SHIPPED: unimax_sample_bucketed (below) runs the
+    remainder prefix through the same two-pass bucketed fill as
+    mixture_sample_bucketed, pinned bit-equal at both SFs and bucket
+    widths.
     """
     d = mixture_doc_relation(load(spark, sf_dir, "documents"))
+    return _unimax_ledger(d, _admission_from)
+
+
+def unimax_sample_bucketed(
+    spark: SparkSession, sf_dir: str, prefix_chars: int = _MIX_BUCKET_CHARS
+) -> DataFrame:
+    """The 100 TB path for docs_unimax_sample: the remainder-prefix
+    admission runs the SAME two-pass bucketed-histogram fill the
+    temperature ledger ships (_bucketed_admission — identical (lang,
+    priority) order, so the invariance argument transfers verbatim);
+    everything else (quotas, whole-epoch copies) is already
+    languages-sized. Pinned bit-equal to the exact window at both SFs
+    and bucket widths (tests/test_analytics.py)."""
+    d = mixture_doc_relation(load(spark, sf_dir, "documents"))
+    return _unimax_ledger(
+        d, lambda dd, qq: _bucketed_admission(dd, qq, prefix_chars)
+    )
+
+
+def _unimax_ledger(d: DataFrame, admit) -> DataFrame:
+    """The UniMax replication ledger over a prepared per-doc relation,
+    parameterized by the admission kernel (exact window or bucketed
+    fill) that ranks the remainder prefix."""
     q = (
         unimax_alloc_from(d)
         .select(
@@ -3092,7 +3127,7 @@ def docs_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
-    led = _admission_from(
+    led = admit(
         d, q.select("lang", F.col("rem_tokens").alias("quota_tokens"))
     ).drop("quota_tokens")
     meta = q.select("lang", "lang_tokens", "unimax_quota", "base_copies")

@@ -924,3 +924,27 @@ def test_unimax_sample_conserves_and_fills_quota(spark, sf_dir):
         denied = [r for r in order if r.extra_copy is False]
         if denied:
             assert denied[0].cum_tokens > rem  # maximal fill
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+@pytest.mark.parametrize("prefix_chars", [1, 2])
+def test_unimax_bucketed_fill_matches_exact_window(spark, sf, prefix_chars):
+    """The UniMax remainder admission's 100 TB path (the shared
+    _bucketed_admission kernel under the remainder quota) is
+    RESULT-INVARIANT to the exact per-language window — every ledger
+    column, both SFs, both bucket widths (the mixture_sample_bucketed
+    convention; the invariance argument transfers because the
+    admission order is identical)."""
+    from postgres_cdc_plugin_spark.operators import text as T
+
+    from .conftest import normalize
+
+    exact = normalize(T.docs_unimax_sample(spark, sf).toPandas())
+    alt = normalize(
+        T.unimax_sample_bucketed(spark, sf, prefix_chars).toPandas()
+    )
+    assert exact.equals(alt), (
+        f"unimax bucketed fill diverged at prefix_chars={prefix_chars}, sf={sf}"
+    )

@@ -1080,3 +1080,38 @@ def test_debezium_key_envelopes_extract_pk(spark):
     ).collect()
     # row events carry the PK; the truncate frame has no row identity
     assert [k.id for k in keys] == ["1", "1", "1", "1", None]
+
+
+def test_debezium_golden_fixtures_through_streaming_transport(spark, tmp_path):
+    """The wrapped golden frames replayed through the STREAMING file
+    transport (debezium.file_stream) produce exactly the rows batch
+    parse() extracts from the same file — the transport layer adds or
+    loses nothing on the real wire shape."""
+    import shutil
+
+    dump = tmp_path / "golden_dump"
+    dump.mkdir()
+    shutil.copy(
+        _os.path.join(_DBZ_FIXTURES, "postgres_change_events.jsonl"),
+        dump / "part-0.txt",
+    )
+    q = (
+        debezium.file_stream(spark, str(dump))
+        .writeStream.format("memory")
+        .queryName("golden_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r.seq, r.op, r.key, r.old, r.new, r.ts)
+        for r in spark.sql("select * from golden_stream").collect()
+    )
+    batch = sorted(
+        (r.seq, r.op, r.key, r.old, r.new, r.ts)
+        for r in debezium.parse(
+            spark.read.text(str(dump / "part-0.txt"))
+        ).collect()
+    )
+    assert streamed == batch and len(streamed) == 4
