@@ -3096,6 +3096,73 @@ def unimax_sample_bucketed(
     )
 
 
+def docs_unimax_realized_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax realization audit (r10, staged for the r11 window — the
+    docs_mixture_realized_mix symmetry): per language, what the
+    replication ledger actually delivers against the water-fill
+    design — delivered tokens (copies x doc tokens), quota
+    utilization, realized epochs beside the designed epochs_used and
+    their gap, and the achieved share of the realized dataset. The
+    one-page check before an epoch-capped run: did every language get
+    its allocation, and how far does integer rounding (whole-epoch
+    div/mod, remainder-prefix fill) pull realized epochs from the
+    design.
+
+    Reuses docs_unimax_sample (the ledger) and unimax_alloc_from (the
+    design) VERBATIM — the audit cannot drift from the stages it
+    grades. Every emitted double is one int64/int64 IEEE division or
+    one IEEE subtract of two such divisions (the share_gap
+    convention).
+
+    Scale: one rollup over the ledger to O(languages) rows, an
+    unpartitioned window over that rollup for the realized total, and
+    a languages-sized broadcast design join.
+    """
+    led = docs_unimax_sample(spark, sf_dir)
+    design = unimax_alloc_from(
+        mixture_doc_relation(load(spark, sf_dir, "documents"))
+    ).select("lang", F.col("epochs_used").alias("designed_epochs"))
+    per = led.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("lang_tokens").cast("bigint").alias("lang_tokens"),
+        F.min("quota_tokens").cast("bigint").alias("quota_tokens"),
+        F.min("base_copies").cast("bigint").alias("base_copies"),
+        F.sum(F.col("extra_copy").cast("int")).cast("bigint").alias(
+            "extra_docs"
+        ),
+        F.coalesce(F.sum(F.col("n_copies") * F.col("n_tokens")), F.lit(0))
+        .cast("bigint")
+        .alias("delivered_tokens"),
+    )
+    tot = F.sum("delivered_tokens").over(Window.partitionBy())
+    realized = F.col("delivered_tokens") / F.expr(
+        "nullif(lang_tokens, 0)"
+    )
+    return (
+        per.withColumn("tot_del", tot)
+        .join(F.broadcast(design), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            "quota_tokens",
+            "base_copies",
+            "extra_docs",
+            "delivered_tokens",
+            (
+                F.col("delivered_tokens")
+                / F.expr("nullif(quota_tokens, 0)")
+            ).alias("utilization"),
+            realized.alias("realized_epochs"),
+            "designed_epochs",
+            (realized - F.col("designed_epochs")).alias("epoch_gap"),
+            (
+                F.col("delivered_tokens") / F.expr("nullif(tot_del, 0)")
+            ).alias("achieved_share"),
+        )
+    )
+
+
 def _unimax_ledger(d: DataFrame, admit) -> DataFrame:
     """The UniMax replication ledger over a prepared per-doc relation,
     parameterized by the admission kernel (exact window or bucketed
@@ -3408,6 +3475,7 @@ QUERIES = {
     "docs_ingest_chain": docs_ingest_chain,
     "docs_unimax_mix": docs_unimax_mix,
     "docs_unimax_sample": docs_unimax_sample,
+    "docs_unimax_realized_mix": docs_unimax_realized_mix,
     "docs_classifier_pr_curve": docs_classifier_pr_curve,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
@@ -5057,4 +5125,38 @@ ORACLE_SQL["token_kneser_ney"] = f"""
                AS p_kn
     FROM parts JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
     ORDER BY cf DESC, w1, w2 LIMIT {_KN_TOP}
+"""
+
+ORACLE_SQL["docs_unimax_realized_mix"] = f"""
+    WITH samp AS ({ORACLE_SQL["docs_unimax_sample"]}),
+    design AS (
+        SELECT lang, epochs_used AS designed_epochs
+        FROM ({ORACLE_SQL["docs_unimax_mix"]})
+    ),
+    per AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(lang_tokens) AS BIGINT) AS lang_tokens,
+               CAST(min(quota_tokens) AS BIGINT) AS quota_tokens,
+               CAST(min(base_copies) AS BIGINT) AS base_copies,
+               CAST(sum(CAST(extra_copy AS INT)) AS BIGINT) AS extra_docs,
+               CAST(coalesce(sum(n_copies * n_tokens), 0) AS BIGINT)
+                   AS delivered_tokens
+        FROM samp GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(delivered_tokens) AS BIGINT) AS tot_del FROM per
+    )
+    SELECT lang, n_docs, lang_tokens, quota_tokens, base_copies,
+           extra_docs, delivered_tokens,
+           delivered_tokens / CAST(nullif(quota_tokens, 0) AS DOUBLE)
+               AS utilization,
+           delivered_tokens / CAST(nullif(lang_tokens, 0) AS DOUBLE)
+               AS realized_epochs,
+           designed_epochs,
+           delivered_tokens / CAST(nullif(lang_tokens, 0) AS DOUBLE)
+               - designed_epochs AS epoch_gap,
+           delivered_tokens / CAST(nullif(tot_del, 0) AS DOUBLE)
+               AS achieved_share
+    FROM per JOIN design USING (lang) CROSS JOIN tot
 """

@@ -133,13 +133,16 @@ PRIORITY_ORDER = [
     "lineitem_stats_agg",
     "multimodal_silence_trim",
     "orders_bucketed_join",
-    # window tail: the three expensive-oracle r6-stale queries
+    # window tail: the expensive-oracle r6-stale queries (with the two
+    # late r10 additions, the two graph CTEs spill past position 50)
     "docs_dedup_method_agreement",
+    # ---- position 51+ ----
+    # Late-r10 registration (the realized_mix/pack_tuning precedent):
+    # local parity only, staged for the r11 window front:
+    "docs_unimax_realized_mix",
+    # The spilled r6-stale anchors — next in line for the r11 window:
     "part_copurchase_pagerank",
     "part_triangle_counts",
-    # ---- position 51+ ----
-    # The 6 spilled r6-stale anchors — FIRST in line for the r11
-    # window front:
     "props_json_extract",
     "queue_latency_profile",
     "queue_state_machine",

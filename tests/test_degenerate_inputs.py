@@ -64,6 +64,7 @@ _DOC_QUERIES = [
     (text, "docs_ingest_chain"),
     (text, "docs_unimax_mix"),
     (text, "docs_unimax_sample"),
+    (text, "docs_unimax_realized_mix"),
     (text, "docs_classifier_pr_curve"),
     (dedup, "docs_dedup_sensitivity"),
     (text, "token_kneser_ney"),
@@ -130,6 +131,14 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         # 0.75*(1/1)*(1/5) = 0.4 exactly for every bigram
         assert len(rows) == 5
         assert all(r.p_kn == 0.4 and r.cf == 1 for r in rows)
+    elif name == "docs_unimax_realized_mix":
+        # one full copy of the 6-token doc against quota 9: realized
+        # exactly 1 epoch vs the designed 1.5, utilization 6/9
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.delivered_tokens == 6 and r.realized_epochs == 1.0
+        assert r.designed_epochs == 1.5 and r.epoch_gap == -0.5
+        assert r.utilization == 6 / 9 and r.achieved_share == 1.0
     elif name == "docs_classifier_pr_curve":
         # the single doc fails the gopher word-count rule -> label
         # False everywhere: no positives exist at any threshold

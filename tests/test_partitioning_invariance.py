@@ -87,6 +87,9 @@ _SENSITIVE = [
     # remainder quota) and the KN top-k over joined rollups
     "docs_unimax_sample",
     "token_kneser_ney",
+    # late r10: the ledger-derived realization audit (admission windows
+    # + global delivered-total window)
+    "docs_unimax_realized_mix",
 ]
 
 
