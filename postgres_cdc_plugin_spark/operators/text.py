@@ -3398,8 +3398,32 @@ def token_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto it + a global top-k — the token_tfidf cost shape.
     """
     docs = load(spark, sf_dir, "documents")
-    corpus = _bigram_counts(docs)[1]
+    return (
+        _kn_probs(_bigram_counts(docs)[1])
+        .select(
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
+            "cf",
+            "ctx_count",
+            "right_types",
+            "left_cont",
+            "n_bigram_types",
+            "p_cont",
+            "p_kn",
+        )
+        .orderBy(F.col("cf").desc(), "w1", "w2")
+        .limit(_KN_TOP)
+    )
+
+
+def _kn_probs(corpus: DataFrame) -> DataFrame:
+    """(g, p_kn) for every distinct corpus bigram — the KN model
+    shared VERBATIM by token_kneser_ney (which reports the top
+    bigrams) and docs_kn_surprisal (which scores documents under it).
+    One formula, zero drift: the same explicitly-cast IEEE expression
+    tree both queries and both engines evaluate."""
     parts = corpus.select(
+        "g",
         F.substring_index("g", " ", 1).alias("w1"),
         F.substring_index("g", " ", -1).alias("w2"),
         F.col("cf").cast("bigint").alias("cf"),
@@ -3429,8 +3453,7 @@ def token_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cont, "w2")
         .crossJoin(F.broadcast(tot))
         .select(
-            "w1",
-            "w2",
+            "g",
             "cf",
             "ctx_count",
             "right_types",
@@ -3439,8 +3462,54 @@ def token_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             p_cont.alias("p_cont"),
             (term1 + lam * p_cont).alias("p_kn"),
         )
-        .orderBy(F.col("cf").desc(), "w1", "w2")
-        .limit(_KN_TOP)
+    )
+
+
+def docs_kn_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Kneser-Ney surprisal (r10, staged for the r11
+    window) — the KN model USED as the filter signal: mean
+    -log2(p_kn) over each document's bigram occurrences under the
+    corpus bigram LM, the count-based stand-in for the neural
+    perplexity filters (CCNet/Wenzek et al. 2020) that are too
+    expensive to run over 100 TB. Low surprisal = templated/duplicated
+    text, high = noise — the docs_unigram_surprisal band logic one
+    model order up, where repeated boilerplate that unigram statistics
+    miss becomes visible.
+
+    Reuses VERBATIM: the bigram_counts family kernel (both persisted
+    relations — occurrences AND the distinct-bigram model input) and
+    _kn_probs (token_kneser_ney's model — the report and the scorer
+    can never disagree about a probability).
+
+    Determinism: p_kn doubles are bit-identical (exact int64 inputs,
+    one shared explicitly-cast IEEE tree); log2 may differ by an ulp
+    between libm and the JVM and partial-sum order is
+    nondeterministic, so the mean goes through the round-6 DECIMAL hop
+    (the _doc_surprisal convention).
+
+    Scale: the model is distinct-bigram-sized (Zipf-bounded); scoring
+    is one g-key join of the per-doc occurrence relation onto it plus
+    a doc_id rollup — no corpus re-scan (both sides are the persisted
+    family kernels), no window.
+    """
+    per_doc, corpus = _bigram_counts(load(spark, sf_dir, "documents"))
+    model = _kn_probs(corpus).select("g", "p_kn")
+    mean_surprisal = (
+        F.round(
+            F.sum(F.col("c") * -F.log2(F.col("p_kn")))
+            / F.sum("c").cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return (
+        per_doc.join(model, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            mean_surprisal.alias("kn_surprisal"),
+        )
     )
 
 
@@ -3448,7 +3517,11 @@ def token_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/dedup.py FAMILY_BUILDS / FAMILY_CONSUMERS for the
 # convention).
 FAMILY_CONSUMERS = {
-    "bigram_counts": ("token_bigram_stats", "token_kneser_ney"),
+    "bigram_counts": (
+        "token_bigram_stats",
+        "token_kneser_ney",
+        "docs_kn_surprisal",
+    ),
 }
 
 FAMILY_BUILDS = {
@@ -3488,6 +3561,7 @@ QUERIES = {
     "docs_text_stats": docs_text_stats,
     "token_bigram_stats": token_bigram_stats,
     "token_kneser_ney": token_kneser_ney,
+    "docs_kn_surprisal": docs_kn_surprisal,
     "token_zipf_audit": token_zipf_audit,
     "docs_lang_id": docs_lang_id,
     "docs_quality_score": docs_quality_score,
@@ -5159,4 +5233,53 @@ ORACLE_SQL["docs_unimax_realized_mix"] = f"""
            delivered_tokens / CAST(nullif(tot_del, 0) AS DOUBLE)
                AS achieved_share
     FROM per JOIN design USING (lang) CROSS JOIN tot
+"""
+
+ORACLE_SQL["docs_kn_surprisal"] = f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents)
+    ),
+    per_doc AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, g
+    ),
+    corpus AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS cf
+        FROM per_doc GROUP BY g
+    ),
+    parts AS (
+        SELECT g, split_part(g, ' ', 1) AS w1,
+               string_split(g, ' ')[-1] AS w2, cf
+        FROM corpus
+    ),
+    ctx AS (
+        SELECT w1, CAST(sum(cf) AS BIGINT) AS ctx_count,
+               CAST(count(*) AS BIGINT) AS right_types
+        FROM parts GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS left_cont
+        FROM parts GROUP BY w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM parts),
+    model AS (
+        SELECT g,
+               (CAST(cf AS DOUBLE) - {_KN_DISCOUNT})
+                   / CAST(ctx_count AS DOUBLE)
+               + (({_KN_DISCOUNT} * CAST(right_types AS DOUBLE))
+                  / CAST(ctx_count AS DOUBLE))
+                 * (CAST(left_cont AS DOUBLE)
+                    / CAST(n_bigram_types AS DOUBLE)) AS p_kn
+        FROM parts JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(CAST(round(
+               sum(c * -log2(p_kn)) / CAST(sum(c) AS DOUBLE), 6
+           ) AS DECIMAL(38,6)) AS DOUBLE) AS kn_surprisal
+    FROM per_doc JOIN model USING (g)
+    GROUP BY doc_id
 """

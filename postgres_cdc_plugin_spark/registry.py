@@ -137,9 +137,10 @@ PRIORITY_ORDER = [
     # late r10 additions, the two graph CTEs spill past position 50)
     "docs_dedup_method_agreement",
     # ---- position 51+ ----
-    # Late-r10 registration (the realized_mix/pack_tuning precedent):
+    # Late-r10 registrations (the realized_mix/pack_tuning precedent):
     # local parity only, staged for the r11 window front:
     "docs_unimax_realized_mix",
+    "docs_kn_surprisal",
     # The spilled r6-stale anchors — next in line for the r11 window:
     "part_copurchase_pagerank",
     "part_triangle_counts",

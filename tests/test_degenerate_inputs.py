@@ -68,6 +68,7 @@ _DOC_QUERIES = [
     (text, "docs_classifier_pr_curve"),
     (dedup, "docs_dedup_sensitivity"),
     (text, "token_kneser_ney"),
+    (text, "docs_kn_surprisal"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -131,6 +132,12 @@ def test_single_doc_corpus_is_sane(mod, name, spark, single_dir):
         # 0.75*(1/1)*(1/5) = 0.4 exactly for every bigram
         assert len(rows) == 5
         assert all(r.p_kn == 0.4 and r.cf == 1 for r in rows)
+    elif name == "docs_kn_surprisal":
+        # every bigram scores p_kn = 0.4 -> surprisal = -log2(0.4)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_bigrams == 5
+        assert abs(r.kn_surprisal - 1.321928) < 1e-6
     elif name == "docs_unimax_realized_mix":
         # one full copy of the 6-token doc against quota 9: realized
         # exactly 1 epoch vs the designed 1.5, utilization 6/9

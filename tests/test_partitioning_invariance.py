@@ -88,8 +88,10 @@ _SENSITIVE = [
     "docs_unimax_sample",
     "token_kneser_ney",
     # late r10: the ledger-derived realization audit (admission windows
-    # + global delivered-total window)
+    # + global delivered-total window) and the KN per-doc scorer
+    # (decimal-hopped partial sums over joined model probabilities)
     "docs_unimax_realized_mix",
+    "docs_kn_surprisal",
 ]
 
 

@@ -550,6 +550,7 @@ _BNLJ_ALLOWED = {
     "docs_classifier_pr_curve",  # |thresholds|-row broadcast grid fan-out (r10)
     "docs_dedup_sensitivity",  # |thresholds|-row grid + 1-row corpus-count crossJoins (r10)
     "token_kneser_ney",  # 1-row bigram-type-total crossJoin (r10)
+    "docs_kn_surprisal",  # same 1-row type-total via the shared _kn_probs kernel (r10)
 }
 
 
