@@ -948,3 +948,95 @@ def test_unimax_bucketed_fill_matches_exact_window(spark, sf, prefix_chars):
     assert exact.equals(alt), (
         f"unimax bucketed fill diverged at prefix_chars={prefix_chars}, sf={sf}"
     )
+
+
+def test_pr_curve_matches_python_confusion(spark, sf_dir):
+    """Independent composition check: the PR sweep's confusion counts
+    recomputed in plain Python from the two PROVEN kernels it joins
+    (classifier scores, gopher labels) — guards the class of bug
+    oracle parity cannot see, where the Spark query and its SQL oracle
+    share the same mis-composition."""
+    from postgres_cdc_plugin_spark.operators.text import (
+        classifier_scores,
+        docs_classifier_pr_curve,
+        gopher_rules_df,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    docs = load(spark, sf_dir, "documents")
+    scored = {r.doc_id: r.score for r in classifier_scores(docs).collect()}
+    labels = {r.doc_id: r.keep for r in gopher_rules_df(docs).collect()}
+    joined = [(s, labels[d]) for d, s in scored.items() if d in labels]
+    rows = docs_classifier_pr_curve(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        tp = sum(1 for s, lab in joined if s > r.threshold and lab)
+        fp = sum(1 for s, lab in joined if s > r.threshold and not lab)
+        fn = sum(1 for s, lab in joined if not s > r.threshold and lab)
+        tn = sum(1 for s, lab in joined if not s > r.threshold and not lab)
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn), r.threshold
+        assert r.tp + r.fp + r.fn + r.tn == len(joined)
+        if tp + fp:
+            assert r.precision == tp / (tp + fp)
+        else:
+            assert r.precision is None
+
+
+def test_dedup_sensitivity_matches_python_sweep(spark, sf_dir):
+    """Independent composition check for the threshold sweep: counts
+    recomputed in Python from the proven verified-pair relation
+    (docs_ngram_jaccard's output) and the corpus size."""
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        docs_dedup_sensitivity,
+        docs_ngram_jaccard,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    pairs = [
+        (r.doc_b, r.jaccard)
+        for r in docs_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    n_docs = load(spark, sf_dir, "documents").count()
+    rows = docs_dedup_sensitivity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n_pairs = sum(1 for _, j in pairs if j >= r.threshold)
+        dropped = len({b for b, j in pairs if j >= r.threshold})
+        assert (r.n_pairs, r.n_dropped) == (n_pairs, dropped), r.threshold
+        assert r.n_docs == n_docs and r.n_survivors == n_docs - dropped
+
+
+def test_kn_probability_mass_per_context(spark, sf_dir):
+    """The KN model's mass identity: for every context w1, the
+    discounted bigram terms sum to exactly 1 - lambda(w1) (each of the
+    right_types observed bigrams gives back D/ctx), so the backoff
+    mass is precisely what discounting freed. Checked over the FULL
+    model relation, not just the reported top-k."""
+    from collections import defaultdict
+
+    from postgres_cdc_plugin_spark.operators.text import (
+        _KN_DISCOUNT,
+        _bigram_counts,
+        _kn_probs,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    model = _kn_probs(
+        _bigram_counts(load(spark, sf_dir, "documents"))[1]
+    ).collect()
+    assert model
+    by_w1 = defaultdict(list)
+    for r in model:
+        by_w1[r.g.split(" ", 1)[0]].append(r)
+    for w1, rs in by_w1.items():
+        ctx, rt = rs[0].ctx_count, rs[0].right_types
+        assert len(rs) == rt, w1  # right_types IS the observed w2 count
+        term1_sum = sum((r.cf - _KN_DISCOUNT) / r.ctx_count for r in rs)
+        lam = _KN_DISCOUNT * rt / ctx
+        assert abs(term1_sum - (1.0 - lam)) < 1e-9, w1
+        # p_cont over DISTINCT continuations sums to 1 by construction
+        # (sum of left_cont over distinct w2 = total bigram types)
+    total_pcont = sum(
+        {r.g.split(" ", 1)[1]: r.p_cont for r in model}.values()
+    )
+    assert abs(total_pcont - 1.0) < 1e-6
