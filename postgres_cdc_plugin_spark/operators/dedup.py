@@ -423,6 +423,17 @@ def docs_dedup_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     |thresholds| narrow copies of THAT small relation — no corpus
     cost beyond the family build already paid. The distinct-loser
     count per grid point is one two-level aggregation.
+
+    Caveat (r10 advice): the sweep is CANDIDATE-RELATION-RELATIVE.
+    Grid points below the banding's collision knee (the Jaccard value
+    where the banded-LSH collision probability 1-(1-s^r)^b falls off)
+    see only the pairs the banding surfaced, whose recall at low
+    similarity is poor by design — so n_pairs / n_dropped / drop_frac
+    at thresholds like 0.2/0.4 are LOWER BOUNDS on a true all-pairs
+    sweep, not corpus-true counts. Rows at or above the operating
+    point (the committed {_JACCARD_THRESHOLD} and its neighborhood)
+    are the rows a 100 TB pass should read; the low rows exist to
+    show the curve's shape over the SAME relation the dedup acts on.
     """
     docs = load(spark, sf_dir, "documents")
     vp = _verified_pairs(docs).select("doc_b", "jaccard")

@@ -1031,7 +1031,11 @@ def test_debezium_golden_wrapped_frames_parse(spark):
     assert json.loads(update.new)["first_name"] == "Anne Marie"
     assert rows[3].new is None
     # ts = source.ts_ms (database change time), not envelope ts_ms
-    assert create.ts == datetime.datetime.utcfromtimestamp(1559033904.863)
+    # expected datetime built from the integer source.ts_ms value
+    # (1559033904863) — no float rounding, no deprecated utcfromtimestamp
+    assert create.ts == datetime.datetime(
+        1970, 1, 1
+    ) + datetime.timedelta(milliseconds=1559033904863)
     # quarantine: the heartbeat-ish foreign frame + the torn frame —
     # NOT the truncate (valid envelope, dropped by design)
     q = sorted(r.value for r in feed.quarantine.collect())
