@@ -3492,7 +3492,15 @@ def docs_kn_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doc_id rollup — no corpus re-scan (both sides are the persisted
     family kernels), no window.
     """
-    per_doc, corpus = _bigram_counts(load(spark, sf_dir, "documents"))
+    return _kn_doc_scores(load(spark, sf_dir, "documents"))
+
+
+def _kn_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, kn_surprisal) for every scoreable document —
+    docs_kn_surprisal's exact relation, factored so docs_kn_band (the
+    keep-decision gate built on it) consumes the IDENTICAL expression
+    tree: the score and the verdict can never disagree."""
+    per_doc, corpus = _bigram_counts(docs)
     model = _kn_probs(corpus).select("g", "p_kn")
     mean_surprisal = (
         F.round(
@@ -3513,6 +3521,62 @@ def docs_kn_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_BAND_LO = 4.85  # bits/bigram position — below = templated/dup
+_KN_BAND_HI = 4.95  # above = noise (CCNet convention, bigram order)
+
+
+def docs_kn_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kneser-Ney perplexity filter AS the pipeline gate it exists
+    for (r11, r10 verdict ask #4): the CCNet-style middle-band keep
+    decision (Wenzek et al. 2020 — too-low surprisal = templated or
+    duplicated text, too-high = noise; the docs_unigram_surprisal
+    convention one model order up) applied per document and rolled up
+    per (lang, band) — the audit relation a pipeline reads before
+    committing the count-based filter over 100 TB, where a neural
+    perplexity model is too expensive.
+
+    Composition-proven, not just computed: the verdict consumes
+    _kn_doc_scores (docs_kn_surprisal's exact relation, which itself
+    rides _kn_probs and the bigram_counts family kernels VERBATIM),
+    then joins the decision back onto the corpus so UNSCOREABLE
+    documents (no bigram positions: single-token, empty, or NULL text)
+    surface in an explicit 'unscored' band instead of silently
+    vanishing — a doc the scorer cannot judge must be a visible policy
+    row, not a dropped one.
+
+    Determinism: kn_surprisal is bit-identical in both engines (exact
+    int64 counts through one shared explicitly-cast IEEE tree, then
+    the decimal hop), so the band comparisons against the shared
+    literals 4.85/4.95 agree exactly; counts are exact int64; min/max
+    over bit-identical doubles are order-free.
+
+    Scale: the scorer's cost shape is docs_kn_surprisal's (model is
+    distinct-bigram-bounded, scoring one g-key join + doc rollup); the
+    gate adds one doc_id-key join of the narrow (doc_id, lang)
+    projection onto the scored relation and a ~|langs|x4-group rollup
+    — map-side combinable, no new shuffle class.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scores = _kn_doc_scores(docs)
+    band = (
+        F.when(F.col("kn_surprisal").isNull(), F.lit("unscored"))
+        .when(F.col("kn_surprisal") < _KN_BAND_LO, F.lit("below"))
+        .when(F.col("kn_surprisal") > _KN_BAND_HI, F.lit("above"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id", "left")
+        .groupBy("lang", band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.min("kn_surprisal").alias("min_kn"),
+            F.max("kn_surprisal").alias("max_kn"),
+        )
+    )
+
+
 # Shared persisted kernels charged to explicit bench rows (see
 # operators/dedup.py FAMILY_BUILDS / FAMILY_CONSUMERS for the
 # convention).
@@ -3521,6 +3585,7 @@ FAMILY_CONSUMERS = {
         "token_bigram_stats",
         "token_kneser_ney",
         "docs_kn_surprisal",
+        "docs_kn_band",
     ),
 }
 
@@ -3562,6 +3627,7 @@ QUERIES = {
     "token_bigram_stats": token_bigram_stats,
     "token_kneser_ney": token_kneser_ney,
     "docs_kn_surprisal": docs_kn_surprisal,
+    "docs_kn_band": docs_kn_band,
     "token_zipf_audit": token_zipf_audit,
     "docs_lang_id": docs_lang_id,
     "docs_quality_score": docs_quality_score,
@@ -5235,7 +5301,11 @@ ORACLE_SQL["docs_unimax_realized_mix"] = f"""
     FROM per JOIN design USING (lang) CROSS JOIN tot
 """
 
-ORACLE_SQL["docs_kn_surprisal"] = f"""
+# The per-document KN score relation, shared VERBATIM by the
+# docs_kn_surprisal oracle and the docs_kn_band oracle (which chains
+# it as a CTE) — mirroring _kn_doc_scores on the Spark side: one
+# formula, zero drift.
+_KN_DOC_SCORES_SQL = f"""
     WITH grams AS (
         SELECT doc_id, unnest(list_transform(range(1, len(t)),
                i -> t[i] || ' ' || t[i + 1])) AS g
@@ -5282,4 +5352,21 @@ ORACLE_SQL["docs_kn_surprisal"] = f"""
            ) AS DECIMAL(38,6)) AS DOUBLE) AS kn_surprisal
     FROM per_doc JOIN model USING (g)
     GROUP BY doc_id
+"""
+
+ORACLE_SQL["docs_kn_surprisal"] = _KN_DOC_SCORES_SQL
+
+ORACLE_SQL["docs_kn_band"] = f"""
+    WITH scores AS ({_KN_DOC_SCORES_SQL})
+    SELECT d.lang,
+           CASE WHEN s.kn_surprisal IS NULL THEN 'unscored'
+                WHEN s.kn_surprisal < {_KN_BAND_LO} THEN 'below'
+                WHEN s.kn_surprisal > {_KN_BAND_HI} THEN 'above'
+                ELSE 'keep' END AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams,
+           min(s.kn_surprisal) AS min_kn,
+           max(s.kn_surprisal) AS max_kn
+    FROM documents d LEFT JOIN scores s USING (doc_id)
+    GROUP BY d.lang, band
 """

@@ -67,9 +67,10 @@ PRIORITY_ORDER = [
     # parity only (the late-addition convention: first in line):
     "docs_unimax_realized_mix",
     "docs_kn_surprisal",
-    # (2) Genuinely new round-11 queries land HERE as they are written
-    # (the spare-slots-early convention); each insertion displaces the
-    # last cheap r7 anchor in the window into the spill block below.
+    # (2) Genuinely new round-11 queries (the spare-slots-early
+    # convention); each insertion displaces the last cheap r7 anchor
+    # in the window into the spill block below.
+    "docs_kn_band",          # KN middle-band keep gate (r10 ask #4)
     # (3) The 8 r6-stale anchors the r10 window spilled (driver
     # evidence five rounds old — the oldest in the registry),
     # alphabetical:
@@ -119,7 +120,6 @@ PRIORITY_ORDER = [
     "embed_pq_codes",
     "embed_quantize",
     "events_cusum_changepoint",
-    "events_dau_wau_mau",
     # the 8 slowest-oracle r7 anchors, ascending cost — window tail:
     "customer_golden_record",
     "lineitem_rle_layout_audit",
@@ -130,7 +130,9 @@ PRIORITY_ORDER = [
     "events_holt_forecast",
     "docs_minhash_calibration",
     # ---- position 51+ ----
-    # The spilled r7-vintage anchors — next in line for the r12 front:
+    # The spilled r7-vintage anchors — next in line for the r12 front
+    # (events_dau_wau_mau displaced by the docs_kn_band registration):
+    "events_dau_wau_mau",
     "events_seasonal_anomaly",
     "lineitem_column_profile",
     "multimodal_dedup",

@@ -1040,3 +1040,53 @@ def test_kn_probability_mass_per_context(spark, sf_dir):
         {r.g.split(" ", 1)[1]: r.p_cont for r in model}.values()
     )
     assert abs(total_pcont - 1.0) < 1e-6
+
+
+def test_kn_band_composes_scorer_and_corpus(spark, sf_dir):
+    """Independent composition check for the KN band gate (r11):
+    recompute every (lang, band) row in plain Python from the proven
+    per-doc scorer relation joined against the corpus langs — bands,
+    doc counts, bigram volumes, and surprisal ranges must all match,
+    and every corpus document must land in exactly one band (the
+    unscored bucket is a visible policy row, never a silent drop)."""
+    from collections import defaultdict
+
+    from postgres_cdc_plugin_spark.operators.text import (
+        _KN_BAND_HI,
+        _KN_BAND_LO,
+        docs_kn_band,
+        docs_kn_surprisal,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    scores = {
+        r.doc_id: r for r in docs_kn_surprisal(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    expect = defaultdict(lambda: [0, 0, [], []])
+    for d in docs:
+        s = scores.get(d.doc_id)
+        if s is None:
+            band = "unscored"
+        elif s.kn_surprisal < _KN_BAND_LO:
+            band = "below"
+        elif s.kn_surprisal > _KN_BAND_HI:
+            band = "above"
+        else:
+            band = "keep"
+        slot = expect[(d.lang, band)]
+        slot[0] += 1
+        if s is not None:
+            slot[1] += s.n_bigrams
+            slot[2].append(s.kn_surprisal)
+    got = docs_kn_band(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in got) == len(docs)
+    assert {(r.lang, r.band) for r in got} == set(expect)
+    for r in got:
+        n_docs, n_big, kns, _ = expect[(r.lang, r.band)]
+        assert r.n_docs == n_docs
+        if r.band == "unscored":
+            assert r.n_bigrams is None and r.min_kn is None
+        else:
+            assert r.n_bigrams == n_big
+            assert r.min_kn == min(kns) and r.max_kn == max(kns)

@@ -69,6 +69,8 @@ _DOC_QUERIES = [
     (dedup, "docs_dedup_sensitivity"),
     (text, "token_kneser_ney"),
     (text, "docs_kn_surprisal"),
+    # round-11 operators
+    (text, "docs_kn_band"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"

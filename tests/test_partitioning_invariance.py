@@ -92,6 +92,9 @@ _SENSITIVE = [
     # (decimal-hopped partial sums over joined model probabilities)
     "docs_unimax_realized_mix",
     "docs_kn_surprisal",
+    # r11: the KN band gate — the scorer's decimal-hopped means feed
+    # band comparisons, and the unscored bucket rides a left join
+    "docs_kn_band",
 ]
 
 
