@@ -462,7 +462,14 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the Spark side filters size(cs) >= 2 to match, instead of
     emitting a level-only row with a NULL trend).
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be bucketed, and the series key IS the
+        # type — an untyped event belongs to no series (a NULL key would
+        # zero-fill through the non-null-safe grid join): both exclusions
+        # explicit on BOTH engines (r11 NULL policy —
+        # tests/test_events_null_parity)
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -762,7 +769,11 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark; in batch it groups into aligned hourly buckets. The oracle
     expresses the identical bucketing as date_trunc.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -784,7 +795,11 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming uses with a watermark; the oracle reproduces
     the assignment as a 2-way unrolled union (window starts
     trunc30(ts) and trunc30(ts) - 30min)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
@@ -808,7 +823,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id shared by both window functions and the final groupBy
     (Catalyst reuses the partitioning).
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts may be TIMESTAMP or TIMESTAMP_NTZ; NTZ cannot cast straight to
     # numeric, so go through timestamp_ltz (exact under UTC session tz).
@@ -849,7 +868,11 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle can check it. Differs from events_sessionize (the manual
     lag/sum formulation) in end semantics: session_window.end = last
     event + gap. One shuffle on (user_id, session)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
@@ -967,7 +990,11 @@ def user_activity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     retry-sequence-numbering analog (src/cdc_webhook.c:169,178-217 loop
     counter as a window function).
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
@@ -994,7 +1021,11 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN, so parity also validates our operator against a real
     engine's as-of semantics.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -1563,7 +1594,11 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     then TakeOrderedAndProject for the global top-k (per-partition k,
     no full sort).
     """
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    ).select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     paths = (
         ev.withColumn("e2", F.lead("event_type", 1).over(w))
@@ -1596,7 +1631,11 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same frame — no self-join against the touch stream), then two
     touch-type-keyed count rollups over the conversions only. The
     credit relation is |touch types| x 2 rows."""
-    ev = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    ).select(
         "user_id", "ts", "event_id", "event_type"
     )
     tt = F.when(F.col("event_type").isin("view", "click"), F.col("event_type"))
@@ -1789,7 +1828,11 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_types|² ≤ tiny key space, and a broadcast-sized window for
     the row marginals. Output is the transition matrix — dimensioned
     by the event vocabulary, not the corpus."""
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    ).select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
         ev.withColumn("to_type", F.lead("event_type").over(w))
@@ -1958,7 +2001,11 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id shuffle; per-user history is the array bound, the fold is
     O(n) per key — the standard per-key sequence-operator shape.
     """
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    ).select("user_id", "ts", "event_id", "value")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
@@ -3402,7 +3449,7 @@ ORACLE_SQL = {
                round(list_reduce(list(value ORDER BY ts, event_id),
                      (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc),
                      6) AS ewma
-        FROM events GROUP BY user_id
+        FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY user_id
     """,
     "part_abc_pareto": """
         WITH rev AS (
@@ -3543,7 +3590,7 @@ ORACLE_SQL = {
             SELECT event_type || '>' ||
                    lead(event_type, 1) OVER w || '>' ||
                    lead(event_type, 2) OVER w AS path
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         WHERE path IS NOT NULL
@@ -3560,7 +3607,7 @@ ORACLE_SQL = {
                    last_value(CASE WHEN event_type IN ('view', 'click')
                                    THEN event_type END IGNORE NULLS)
                        OVER w AS last_touch
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ),
@@ -3627,7 +3674,7 @@ ORACLE_SQL = {
                    lead(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS to_type
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
         )
         WHERE to_type IS NOT NULL
         GROUP BY from_type, to_type
@@ -3762,16 +3809,19 @@ ORACLE_SQL = {
         WITH RECURSIVE daily AS (
             SELECT event_type, date_trunc('day', ts) AS day,
                    count(*) AS c
-            FROM events GROUP BY event_type, date_trunc('day', ts)
+            FROM (SELECT * FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL) events GROUP BY event_type, date_trunc('day', ts)
         ),
         rng AS (
             SELECT date_trunc('day', min(ts)) AS d0,
                    date_trunc('day', max(ts)) AS d1
-            FROM events
+            FROM (SELECT * FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL) events
         ),
         grid AS (
             SELECT t.event_type, g.day
-            FROM (SELECT DISTINCT event_type FROM events) t,
+            FROM (SELECT DISTINCT event_type FROM (SELECT * FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL) events) t,
                  rng,
                  unnest(generate_series(rng.d0, rng.d1, INTERVAL 1 DAY))
                      AS g(day)
@@ -3970,7 +4020,7 @@ ORACLE_SQL = {
     "events_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
-        FROM events
+        FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
         GROUP BY date_trunc('hour', ts), event_type
     """,
     "events_sliding": """
@@ -3979,7 +4029,7 @@ ORACLE_SQL = {
                        + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
                               ELSE INTERVAL 0 MINUTE END AS s0,
                    event_type, value
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
         ),
         assigned AS (
             SELECT s0 AS window_start, event_type, value FROM base
@@ -3997,7 +4047,7 @@ ORACLE_SQL = {
                    CASE WHEN lag(epoch(ts)) OVER w IS NULL
                              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
@@ -4020,7 +4070,7 @@ ORACLE_SQL = {
                    CASE WHEN lag(epoch(ts)) OVER w IS NULL
                              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
@@ -4065,7 +4115,7 @@ ORACLE_SQL = {
                    CASE WHEN lag(epoch(ts)) OVER w IS NULL
                              OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ),
         sess AS (
@@ -4089,7 +4139,7 @@ ORACLE_SQL = {
                round(sum(value) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
                ), 2) AS running_value
-        FROM events
+        FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "events_asof_join": """
@@ -4100,12 +4150,12 @@ ORACLE_SQL = {
                        row_number() OVER (
                            PARTITION BY user_id, ts ORDER BY event_id DESC
                        ) AS rn
-                FROM events WHERE event_type = 'purchase'
+                FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'
             )
             WHERE rn = 1
         ),
         clicks AS (
-            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            SELECT event_id, user_id, ts FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'click'
         )
         SELECT c.event_id, c.user_id, c.ts,
                p.event_id AS prior_purchase_id,

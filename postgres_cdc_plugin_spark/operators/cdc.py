@@ -62,7 +62,11 @@ def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     CURRENT row as OLD, so every update delta read as zero. One shuffle
     on the key (shared with the sink's per-key ordering).
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     op = _op_expr()
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_eid = F.lag("event_id").over(w)
@@ -104,7 +108,11 @@ def cdc_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     GATE ONLY and passes the original JSON text through to the envelope
     verbatim — the same schema-on-read shape under readStream.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     op = _op_expr()
     row_json = F.to_json(
         F.create_map(
@@ -166,7 +174,11 @@ def cdc_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single shuffle on user_id; at 100 TB the change log is partitioned by
     key so this window is partition-local.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("value").over(w)
     return (
@@ -544,7 +556,11 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     while current). The warehouse-side product of a CDC feed. Single
     window shuffle on the key, shared by lead() and the version number.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     op = _op_expr()
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select("user_id", "ts", "event_id", "value", op.alias("op")).select(
@@ -589,7 +605,11 @@ def cdc_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = cdc_scd2_history(spark, sf_dir).select(
         "op", "value", "valid_from", "valid_to"
     )
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     rng = ev.agg(
         F.date_trunc("day", F.min("ts")).alias("d0"),
         F.date_trunc("day", F.max("ts")).alias("d1"),
@@ -741,7 +761,11 @@ def cdc_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle total at any scale: the lag window partitions by
     user_id and the groupBy reuses that exact partitioning.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        # untimed events cannot be ordered or bucketed: explicit on
+        # BOTH engines (r11 NULL policy — tests/test_events_null_parity)
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     op = _op_expr()
     d = ev.select(
@@ -854,7 +878,7 @@ ORACLE_SQL = {
             SELECT user_id, {_OP_SQL} AS op, value,
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        AS old_value
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
         )
         SELECT user_id,
                CAST(sum(CASE WHEN op = 'INSERT' THEN 1
@@ -914,7 +938,7 @@ ORACLE_SQL = {
         WITH v AS (
             SELECT user_id, value, ts AS valid_from,
                    lead(ts) OVER w AS valid_to, {_OP_SQL} AS op
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         live AS (SELECT * FROM v WHERE op <> 'DELETE'),
@@ -941,7 +965,7 @@ ORACLE_SQL = {
             SELECT g.day
             FROM (SELECT date_trunc('day', min(ts)) AS d0,
                          date_trunc('day', max(ts)) AS d1
-                  FROM events) r,
+                  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events) r,
                  unnest(generate_series(r.d0, r.d1, INTERVAL 1 DAY))
                      AS g(day)
         ),
@@ -970,15 +994,19 @@ ORACLE_SQL = {
                value,
                ts AS valid_from,
                lead(ts) OVER w AS valid_to
-        FROM events
+        FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "cdc_envelope": f"""
         WITH base AS (
-            SELECT event_id, ts, user_id, event_type, value,
+            -- branch on the DERIVED op (never NULL), not raw event_type:
+            -- a NULL event_type is an UPDATE via the CASE ELSE on both
+            -- engines, and `NULL <> 'error'` would wrongly null the row
+            -- images under three-valued logic (r11 NULL-parity sweep)
+            SELECT event_id, ts, user_id, value, {_OP_SQL} AS op,
                    lag(event_id) OVER w AS prev_eid,
                    lag(value) OVER w AS prev_value
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT md5('evt:' || CAST(event_id AS VARCHAR)) AS id,
@@ -987,44 +1015,45 @@ ORACLE_SQL = {
                'events' AS table_name,
                'cdc_events_trigger' AS trigger_name,
                'AFTER' AS trigger_timing,
-               {_OP_SQL} AS op,
-               CASE WHEN event_type = 'error' THEN user_id
-                    WHEN event_type NOT IN ('signup', 'error')
+               op,
+               CASE WHEN op = 'DELETE' THEN user_id
+                    WHEN op = 'UPDATE'
                          AND prev_eid IS NOT NULL THEN user_id
                END AS old_user_id,
-               CASE WHEN event_type = 'error' THEN value
-                    WHEN event_type NOT IN ('signup', 'error')
+               CASE WHEN op = 'DELETE' THEN value
+                    WHEN op = 'UPDATE'
                          AND prev_eid IS NOT NULL THEN prev_value
                END AS old_value,
-               CASE WHEN event_type <> 'error' THEN user_id END AS new_user_id,
-               CASE WHEN event_type <> 'error' THEN value END AS new_value
+               CASE WHEN op <> 'DELETE' THEN user_id END AS new_user_id,
+               CASE WHEN op <> 'DELETE' THEN value END AS new_value
         FROM base
     """,
     "cdc_envelope_json": f"""
         WITH base AS (
-            SELECT event_id, ts, user_id, event_type, value, props,
+            -- derived-op branching: see cdc_envelope (r11 NULL policy)
+            SELECT event_id, ts, user_id, value, props, {_OP_SQL} AS op,
                    lag(event_id) OVER w AS prev_eid,
                    lag(value) OVER w AS prev_value,
                    lag(props) OVER w AS prev_props
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT md5('evt:' || CAST(event_id AS VARCHAR)) AS id,
                ts AS created_at,
                'public' AS table_schema,
                'events' AS table_name,
-               {_OP_SQL} AS op,
-               CASE WHEN event_type = 'error' THEN
+               op,
+               CASE WHEN op = 'DELETE' THEN
                    CAST(to_json(MAP {{'user_id': CAST(user_id AS VARCHAR),
                                       'value': CAST(value AS VARCHAR),
                                       'props': props}}) AS VARCHAR)
-                    WHEN event_type NOT IN ('signup', 'error')
+                    WHEN op = 'UPDATE'
                          AND prev_eid IS NOT NULL THEN
                    CAST(to_json(MAP {{'user_id': CAST(user_id AS VARCHAR),
                                       'value': CAST(prev_value AS VARCHAR),
                                       'props': prev_props}}) AS VARCHAR)
                END AS old_row_json,
-               CASE WHEN event_type <> 'error' THEN
+               CASE WHEN op <> 'DELETE' THEN
                    CAST(to_json(MAP {{'user_id': CAST(user_id AS VARCHAR),
                                       'value': CAST(value AS VARCHAR),
                                       'props': props}}) AS VARCHAR)
@@ -1041,7 +1070,7 @@ ORACLE_SQL = {
         FROM (
             SELECT event_id, user_id, ts, value,
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS old_value
-            FROM events
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
         )
         WHERE value IS DISTINCT FROM old_value
     """,
