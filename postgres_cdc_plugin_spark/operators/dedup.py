@@ -1072,6 +1072,61 @@ def docs_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware SOFT reweighting (r11) — the third dedup policy
+    beside pairwise drop (docs_simhash_dedup) and cluster-canonical
+    drop (docs_cluster_dedup): keep EVERY document, but give each
+    near-dup cluster exactly one document-equivalent of sampling mass,
+    w = 1 / |cluster| (singletons keep w = 1). Hard removal throws
+    away the phrasing diversity inside a cluster; soft reweighting
+    keeps it while still flattening the duplicated content's gradient
+    contribution — the SoftDeDup idea (He et al. 2024, "SoftDedup: an
+    Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training", public literature), realized over the SAME verified
+    SimHash near-dup components the hard policies act on
+    (docs_dup_clusters VERBATIM — the three policies can never
+    disagree about what a duplicate is). The emitted relation is what
+    a weighted sampler (docs_weighted_sample's shape) consumes in
+    place of a drop list.
+
+    Invariant (pinned in tests/test_dedup.py): sum(weight) = number of
+    clusters + number of singletons — the effective corpus size under
+    soft dedup equals the surviving count under cluster-canonical hard
+    dedup.
+
+    Determinism: cluster labels are min-reachable-doc_id (exact),
+    sizes exact int64; weight is ONE 1.0/int64 IEEE division —
+    bit-identical, no rounding.
+
+    Scale: the component labeling is the cost (diameter-bounded
+    doubling above the single-task cap — see _cc_labels); the weight
+    relation adds one doc_id-key LEFT join of the narrow corpus
+    projection onto the (small) labeled-member set and a per-row
+    division. No new shuffle class; the cluster relation is
+    pair-bounded, never corpus-quadratic.
+
+    Reference parity: the reference has no dedup surface at all
+    (SURVEY.md §2.12 extension family); public-literature anchor only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    clusters = docs_dup_clusters(spark, sf_dir)
+    size = F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+            size.alias("cluster_size"),
+            (F.lit(1.0) / size.cast("double")).alias("weight"),
+        )
+    )
+
+
 _SPAN_K = 20  # char width of the duplicated-substring probe grams
 _SPAN_DUP_MAX = 0.8  # span-filter ceiling on the duplicated-char fraction
 
@@ -2122,6 +2177,7 @@ QUERIES = {
     "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_ngram_containment": docs_ngram_containment,
     "docs_dup_clusters": docs_dup_clusters,
+    "docs_softdedup_weights": docs_softdedup_weights,
     "docs_cluster_dedup": docs_cluster_dedup,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_dedup_rate_by_source": docs_dedup_rate_by_source,
@@ -2167,6 +2223,7 @@ FAMILY_CONSUMERS = {
         "docs_dup_clusters",
         "docs_cluster_dedup",
         "docs_dedup_method_agreement",
+        "docs_softdedup_weights",
     ),
     "dup_spans": (
         "docs_suffix_dup_spans",
@@ -2732,6 +2789,31 @@ ORACLE_SQL = {
         SELECT doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM lab
+    """,
+    "docs_softdedup_weights": f"""
+        WITH RECURSIVE p AS ({_SIMHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM p
+            UNION ALL
+            SELECT doc_b, doc_a FROM p
+        ),
+        verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT e.t, reach.r FROM edges e JOIN reach ON e.s = reach.doc_id
+        ),
+        lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        clus AS (
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM lab
+        )
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cluster_size,
+               1.0 / CAST(coalesce(c.cluster_size, 1) AS DOUBLE) AS weight
+        FROM documents d LEFT JOIN clus c USING (doc_id)
     """,
     "docs_cluster_dedup": f"""
         WITH RECURSIVE p AS ({_SIMHASH_PAIRS_SQL}),

@@ -474,3 +474,42 @@ def test_dedup_sensitivity_matches_minhash_dedup_at_committed_threshold(
     assert all(
         rows[t].n_survivors + rows[t].n_dropped == rows[t].n_docs for t in ts
     )
+
+
+def test_softdedup_weights_conserve_cluster_mass(spark, sf_dir):
+    """SoftDeDup invariants (r11): every document appears exactly once;
+    cluster members carry 1/|cluster| so each component sums to one
+    document-equivalent; the total effective corpus size equals the
+    cluster-canonical hard-dedup survivor count; singletons keep
+    weight 1 and are their own canonical."""
+    from collections import Counter
+
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        docs_cluster_dedup,
+        docs_dup_clusters,
+        docs_softdedup_weights,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    rows = docs_softdedup_weights(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_cluster = Counter()
+    for r in rows:
+        assert r.weight == 1.0 / r.cluster_size
+        by_cluster[r.cluster_id] += r.weight
+    for cid, mass in by_cluster.items():
+        assert abs(mass - 1.0) < 1e-9, cid
+    survivors = docs_cluster_dedup(spark, sf_dir).count()
+    assert abs(sum(r.weight for r in rows) - survivors) < 1e-6
+    # members of real components carry the labeled sizes verbatim
+    labeled = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in docs_dup_clusters(spark, sf_dir).collect()
+    }
+    for r in rows:
+        if r.doc_id in labeled:
+            assert (r.cluster_id, r.cluster_size) == labeled[r.doc_id]
+        else:
+            assert r.cluster_id == r.doc_id and r.cluster_size == 1

@@ -71,6 +71,7 @@ _DOC_QUERIES = [
     (text, "docs_kn_surprisal"),
     # round-11 operators
     (text, "docs_kn_band"),
+    (dedup, "docs_softdedup_weights"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
