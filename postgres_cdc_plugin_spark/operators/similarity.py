@@ -721,6 +721,60 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROTO_PRUNE_PCT = 30  # prune the most prototypical (easiest) 30% per cell
+
+
+def embed_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning (r11; Sorscher et al. 2022, "Beyond
+    neural scaling laws: beating power-law scaling via data pruning",
+    public literature): rank every vector by closeness to its k-means
+    cluster centroid — the cluster prototype — and mark the pruning
+    verdict. The paper's abundant-data recipe keeps the HARD tail:
+    examples closest to their prototype are the most redundant, so the
+    easiest _PROTO_PRUNE_PCT% of each cluster is dropped and the rest
+    kept. This is the embedding-side complement of the text-side
+    quality gates: a coreset selector driven by the SAME k-means fit
+    the cluster audits grade (embed_kmeans / embed_silhouette via
+    _km_fit VERBATIM — the verdict can never disagree with the
+    clustering it prunes).
+
+    Determinism: sq_dist is the round-6 argmin distance (bit-identical
+    across engines, _km_assign convention); the rank is row_number
+    under the total order (sq_dist ASC, vec_id ASC); the keep verdict
+    is pure int64 arithmetic (rank*100 > PCT*cell_size — no float
+    fraction anywhere).
+
+    Scale: reuses the _km_fit passes (broadcast k-row codebook, narrow
+    per-vector argmin, no data-sized shuffle beyond the per-vector
+    partial aggregations) + ONE cell-partitioned window for the
+    rank/size — the skew ceiling is the largest cluster, the same
+    bound every per-cell audit in this module already carries.
+
+    Reference parity: no similarity surface in the reference
+    (SURVEY.md §2.12 extension family); public-literature anchor only.
+    """
+    _, assigned = _km_fit(load(spark, sf_dir, "embeddings"))
+    w = Window.partitionBy("cell").orderBy("sq_dist", "vec_id")
+    ranked = assigned.select(
+        "vec_id",
+        "label",
+        "cell",
+        "sq_dist",
+        F.row_number().over(w).cast("bigint").alias("proto_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cell"))
+        .cast("bigint")
+        .alias("cell_size"),
+    )
+    return ranked.select(
+        "*",
+        (
+            F.col("proto_rank") * 100
+            > F.lit(_PROTO_PRUNE_PCT) * F.col("cell_size")
+        ).alias("keep"),
+    )
+
+
 _MMR_POOL = 32  # relevance candidate pool fed to the diversifier
 _MMR_K = 8  # diversified result size
 _MMR_LAMBDA = 0.7  # relevance vs redundancy trade-off
@@ -1757,6 +1811,7 @@ QUERIES = {
     "embed_ivf_assign": embed_ivf_assign,
     "embed_cell_balance_audit": embed_cell_balance_audit,
     "embed_kmeans": embed_kmeans,
+    "embed_prototypicality": embed_prototypicality,
     "embed_silhouette": embed_silhouette,
     "embed_pca_power": embed_pca_power,
     "embed_kcenter_coreset": embed_kcenter_coreset,
@@ -2678,4 +2733,24 @@ ORACLE_SQL["docs_dedup_modality_agreement"] = f"""
            tp.doc_a IS NOT NULL AND ep.doc_a IS NOT NULL AS both_dup
     FROM tp FULL OUTER JOIN ep
       ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+"""
+
+# Prototypicality chains the embed_kmeans assignment oracle VERBATIM —
+# one clustering formula, zero drift between the fit and the pruning
+# verdict built on it.
+ORACLE_SQL["embed_prototypicality"] = f"""
+    WITH asg AS ({ORACLE_SQL["embed_kmeans"]}),
+    ranked AS (
+        SELECT vec_id, label, cell, sq_dist,
+               row_number() OVER (
+                   PARTITION BY cell ORDER BY sq_dist, vec_id
+               ) AS proto_rank,
+               count(*) OVER (PARTITION BY cell) AS cell_size
+        FROM asg
+    )
+    SELECT vec_id, label, cell, sq_dist,
+           CAST(proto_rank AS BIGINT) AS proto_rank,
+           CAST(cell_size AS BIGINT) AS cell_size,
+           proto_rank * 100 > {_PROTO_PRUNE_PCT} * cell_size AS keep
+    FROM ranked
 """

@@ -296,6 +296,7 @@ _EMB_QUERIES = [
     "embed_silhouette",
     "embed_pca_power",
     "embed_cell_balance_audit",
+    "embed_prototypicality",
 ]
 
 

@@ -95,6 +95,8 @@ _SENSITIVE = [
     # r11: the KN band gate — the scorer's decimal-hopped means feed
     # band comparisons, and the unscored bucket rides a left join
     "docs_kn_band",
+    # r11: rank windows over the k-means fit's round-6 distances
+    "embed_prototypicality",
 ]
 
 

@@ -423,3 +423,32 @@ def test_ndcg_identity_and_bounds(spark, sf_dir):
     assert {r.method for r in rows} == {"lsh", "ivf", "bq"}
     for r in rows:
         assert 0.0 < r.ndcg <= 1.0, r
+
+
+def test_prototypicality_prunes_the_easy_fraction_per_cell(spark, sf_dir):
+    """Independent recomputation (r11): per cell, the dropped set must
+    be exactly the proto_rank <= floor(0.3 * cell_size) prefix of the
+    (sq_dist, vec_id) order — the easiest examples — and the verdict
+    must agree with plain-Python integer arithmetic on every row."""
+    from collections import defaultdict
+
+    from postgres_cdc_plugin_spark.operators.similarity import (
+        _PROTO_PRUNE_PCT,
+        embed_prototypicality,
+    )
+
+    rows = embed_prototypicality(spark, sf_dir).collect()
+    assert rows
+    cells = defaultdict(list)
+    for r in rows:
+        assert r.keep == (r.proto_rank * 100 > _PROTO_PRUNE_PCT * r.cell_size)
+        cells[r.cell].append(r)
+    for cell, rs in cells.items():
+        rs.sort(key=lambda r: (r.sq_dist, r.vec_id))
+        assert [r.proto_rank for r in rs] == list(range(1, len(rs) + 1)), cell
+        assert all(r.cell_size == len(rs) for r in rs)
+        n_drop = (_PROTO_PRUNE_PCT * len(rs)) // 100
+        dropped = [r for r in rs if not r.keep]
+        assert len(dropped) == n_drop, cell
+        # the dropped set is the closest-to-prototype prefix
+        assert dropped == rs[:n_drop], cell
