@@ -721,6 +721,58 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External cluster-validity audit (r11): per-cell label purity of
+    the k-means fit against the corpus ground-truth labels — majority
+    label, its count, purity = majority/size — plus the cell's
+    contribution to overall corpus purity (the standard external
+    validity measure, Manning/Raghavan/Schütze IR book ch. 16, public
+    literature). embed_silhouette grades the GEOMETRY of the fit; this
+    grades its AGREEMENT with labels — the pair a curation pipeline
+    reads before trusting cluster-level decisions (semdedup pruning,
+    prototype pruning) to respect semantic boundaries.
+
+    Rides _km_fit VERBATIM (embed_kmeans' exact assignment — the audit
+    cannot drift from the fit it grades). Majority tie policy: the
+    SMALLEST label wins (max on (count, -label) struct — deterministic
+    on both engines, no engine hash-order leak).
+
+    Determinism: counts exact int64; purity and contribution are
+    single int64/int64 IEEE divisions (bit-identical, no rounding).
+
+    Scale: one (cell, label) rollup over the assignment (map-side
+    combinable, |cells|x|labels| bounded), one cell rollup, one 1-row
+    total broadcast. Nothing beyond the fit's own passes touches the
+    corpus.
+
+    Reference parity: no similarity surface in the reference
+    (SURVEY.md §2.12 extension family); public-literature anchor only.
+    """
+    _, assigned = _km_fit(load(spark, sf_dir, "embeddings"))
+    per = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    best = per.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.sum("n").cast("bigint").alias("cell_size"),
+        F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias(
+            "m"
+        ),
+    )
+    tot = assigned.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return best.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "cell_size",
+        "n_labels",
+        (-F.col("m.neg")).cast("int").alias("majority_label"),
+        F.col("m.n").cast("bigint").alias("majority_n"),
+        (F.col("m.n") / F.col("cell_size").cast("double")).alias("purity"),
+        (F.col("m.n") / F.col("n_total").cast("double")).alias(
+            "purity_contrib"
+        ),
+    )
+
+
 _PROTO_PRUNE_PCT = 30  # prune the most prototypical (easiest) 30% per cell
 
 
@@ -1812,6 +1864,7 @@ QUERIES = {
     "embed_cell_balance_audit": embed_cell_balance_audit,
     "embed_kmeans": embed_kmeans,
     "embed_prototypicality": embed_prototypicality,
+    "embed_cluster_purity": embed_cluster_purity,
     "embed_silhouette": embed_silhouette,
     "embed_pca_power": embed_pca_power,
     "embed_kcenter_coreset": embed_kcenter_coreset,
@@ -2753,4 +2806,28 @@ ORACLE_SQL["embed_prototypicality"] = f"""
            CAST(cell_size AS BIGINT) AS cell_size,
            proto_rank * 100 > {_PROTO_PRUNE_PCT} * cell_size AS keep
     FROM ranked
+"""
+
+# Purity chains the embed_kmeans assignment oracle VERBATIM, like
+# embed_prototypicality above.
+ORACLE_SQL["embed_cluster_purity"] = f"""
+    WITH asg AS ({ORACLE_SQL["embed_kmeans"]}),
+    per AS (
+        SELECT cell, label, CAST(count(*) AS BIGINT) AS n
+        FROM asg GROUP BY cell, label
+    ),
+    best AS (
+        SELECT cell,
+               CAST(count(*) AS BIGINT) AS n_labels,
+               CAST(sum(n) AS BIGINT) AS cell_size,
+               max(struct_pack(n:=n, neg:=-label)) AS m
+        FROM per GROUP BY cell
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM asg)
+    SELECT cell, cell_size, n_labels,
+           CAST(-(m.neg) AS INT) AS majority_label,
+           CAST(m.n AS BIGINT) AS majority_n,
+           m.n / CAST(cell_size AS DOUBLE) AS purity,
+           m.n / CAST(n_total AS DOUBLE) AS purity_contrib
+    FROM best CROSS JOIN tot
 """

@@ -297,6 +297,7 @@ _EMB_QUERIES = [
     "embed_pca_power",
     "embed_cell_balance_audit",
     "embed_prototypicality",
+    "embed_cluster_purity",
 ]
 
 
@@ -345,8 +346,16 @@ def test_single_embedding_is_sane(name, spark, single_emb_dir):
     if name == "embed_silhouette":
         # one vector, one cell: no other centroid exists, silhouette NULL
         assert rows[0].n_vecs == 1 and rows[0].avg_silhouette is None
+    elif name == "embed_cluster_purity":
+        # one vector, one cell, one label: purity is exactly 1
+        r = rows[0]
+        assert r.cell_size == 1 and r.n_labels == 1
+        assert r.purity == 1.0 and r.purity_contrib == 1.0
     else:
         assert rows[0].vec_id == 0
+        if name == "embed_prototypicality":
+            # rank 1 of a 1-vector cell: 100 > 30 -> the hard tail keeps it
+            assert rows[0].proto_rank == 1 and rows[0].keep
 
 
 def test_silence_trim_degenerate_corpora(spark, empty_dir, single_dir):
