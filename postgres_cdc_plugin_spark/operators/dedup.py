@@ -1032,10 +1032,21 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     an iterative Spark algorithm still fully value-checked.
     """
     docs = load(spark, sf_dir, "documents")
+    return dup_clusters_from(spark, _simhash_pairs_df(docs))
+
+
+def dup_clusters_from(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Cluster labels + sizes over a prepared (doc_a, doc_b) near-dup
+    pair relation — docs_dup_clusters' exact relation, factored (r11)
+    so streaming.neardup.NearDupClusterLedger decides cluster
+    membership at READ time over its maintained signature relation
+    with the IDENTICAL plan: one late-arriving document can merge two
+    clusters, so labels are a global decision (the ST17/ST18 pattern),
+    and the streaming surface is bit-equal to batch by construction."""
     # localCheckpoint (not persist): the pair relation feeds both the
     # edge-count action and the label computation — materialize it once
     # and CUT lineage so neither re-runs the SimHash candidate plan.
-    pairs = _simhash_pairs_df(docs).select("doc_a", "doc_b").localCheckpoint()
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     labels = _cc_labels(spark, pairs)
     w = Window.partitionBy("cluster_id")
     return labels.select(
@@ -1062,8 +1073,19 @@ def docs_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is diameter-bounded (see docs_dup_clusters).
     """
     docs = load(spark, sf_dir, "documents")
+    return cluster_survivors_from(
+        spark, docs, _simhash_pairs_df(docs)
+    )
+
+
+def cluster_survivors_from(
+    spark: SparkSession, docs: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """docs_cluster_dedup's exact relation over prepared inputs (r11
+    factoring — see dup_clusters_from): keep the component canonical +
+    every unpaired document."""
     losers = (
-        docs_dup_clusters(spark, sf_dir)
+        dup_clusters_from(spark, pairs)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
@@ -1109,7 +1131,16 @@ def docs_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.12 extension family); public-literature anchor only.
     """
     docs = load(spark, sf_dir, "documents")
-    clusters = docs_dup_clusters(spark, sf_dir)
+    return softdedup_weights_from(spark, docs, _simhash_pairs_df(docs))
+
+
+def softdedup_weights_from(
+    spark: SparkSession, docs: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """docs_softdedup_weights' exact relation over prepared inputs (r11
+    factoring — see dup_clusters_from): the weight join on top of the
+    shared cluster labeling."""
+    clusters = dup_clusters_from(spark, pairs)
     size = F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint")
     return (
         docs.select("doc_id", "lang", "source")

@@ -2565,6 +2565,21 @@ def test_torn_batches_are_invisible_until_replay(spark, tmp_path, sf_dir):
     mx.process_batch(wave2.select("doc_id", "text", "lang"), 1)
     assert len(snap(mx.sample(spark))) == docs.count()
 
+    # --- global-decision ledger (ST20): torn batch can't merge or
+    # relabel clusters ---
+    from postgres_cdc_plugin_spark.streaming.neardup import (
+        NearDupClusterLedger,
+    )
+
+    nd_cols = ("doc_id", "text", "lang", "source", "n_chars")
+    nd = NearDupClusterLedger(str(tmp_path / "nd"))
+    nd.process_batch(wave1.select(*nd_cols), 0)
+    before = snap(nd.softdedup_weights(spark))
+    os.makedirs(os.path.join(nd.out_dir, "batch=1", "_temporary"))
+    assert snap(nd.softdedup_weights(spark)) == before
+    nd.process_batch(wave2.select(*nd_cols), 1)
+    assert len(snap(nd.softdedup_weights(spark))) == docs.count()
+
 
 def test_disabled_success_marker_fails_loudly(spark, tmp_path, sf_dir):
     """If mapreduce.fileoutputcommitter.marksuccessfuljobs is disabled,
@@ -2775,3 +2790,82 @@ def test_ingest_pipeline_torn_substage_is_invisible(spark, tmp_path, sf_dir):
     # the replay completes the batch atomically
     pipe.process_batch(wave2, 1)
     assert len(snap(pipe.verdicts(spark))) == docs.count()
+
+
+def test_neardup_cluster_ledger_bit_equal_with_resume(spark, tmp_path, sf_dir):
+    """ST20 (r11): the streaming near-dup CLUSTER ledger must be
+    bit-equal to all three batch cluster policies over the documents
+    seen so far — after wave 1 (even doc_ids), after a
+    checkpoint-resumed wave 2 (odds), and after redelivering the full
+    corpus as an extra batch. Cluster membership is a GLOBAL decision:
+    wave 2 adds members to (and merges) wave-1 components, so at least
+    one wave-1 document's weight must MOVE between waves — the reason
+    labels are decided at read time, not per batch."""
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        cluster_survivors_from,
+        dup_clusters_from,
+        softdedup_weights_from,
+        _simhash_pairs_df,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.neardup import (
+        NEARDUP_STREAM_SCHEMA,
+        NearDupClusterLedger,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    wave1 = docs.filter("doc_id % 2 = 0")
+    feed = str(tmp_path / "nd_feed")
+    wave1.coalesce(1).write.parquet(feed)
+
+    led = NearDupClusterLedger(str(tmp_path / "nd_ledger"))
+    ck = str(tmp_path / "nd_ck")
+
+    def drain():
+        stream = spark.readStream.schema(NEARDUP_STREAM_SCHEMA).parquet(feed)
+        led.attach(stream, ck, available_now=True).awaitTermination(120)
+
+    def batch(fn, subset):
+        return sorted(
+            map(tuple, fn(spark, subset, _simhash_pairs_df(subset)).collect())
+        )
+
+    drain()
+    w1_weights = batch(softdedup_weights_from, wave1)
+    assert sorted(map(tuple, led.softdedup_weights(spark).collect())) == (
+        w1_weights
+    )
+    assert sorted(map(tuple, led.survivors(spark).collect())) == batch(
+        cluster_survivors_from, wave1
+    )
+    w1_clusters = sorted(
+        map(tuple, dup_clusters_from(spark, _simhash_pairs_df(wave1)).collect())
+    )
+    assert sorted(map(tuple, led.clusters(spark).collect())) == w1_clusters
+
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        feed
+    )
+    drain()
+    full_weights = batch(softdedup_weights_from, docs)
+    assert sorted(map(tuple, led.softdedup_weights(spark).collect())) == (
+        full_weights
+    )
+    assert sorted(map(tuple, led.survivors(spark).collect())) == batch(
+        cluster_survivors_from, docs
+    )
+    # cluster movement: some even doc's weight changed when the odd
+    # wave connected it into a component (read-time recomputation is
+    # load-bearing, not decorative)
+    w1 = {t[0]: t for t in w1_weights}
+    moved = [
+        t for t in full_weights if t[0] % 2 == 0 and w1[t[0]] != t
+    ]
+    assert moved
+
+    led.process_batch(docs, 999)  # redelivery collapses via distinct
+    assert sorted(map(tuple, led.softdedup_weights(spark).collect())) == (
+        full_weights
+    )
