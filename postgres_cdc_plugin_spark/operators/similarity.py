@@ -637,10 +637,19 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _km_fit(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Lloyd's fit shared by embed_kmeans / embed_silhouette: returns
-    (final codebook, final assignment) — the codebook is exactly the
-    one the final assignment pass measured distances against, so
-    audits over the pair are self-consistent."""
+    """Lloyd's fit shared by embed_kmeans / embed_silhouette /
+    embed_prototypicality / embed_cluster_purity: returns (final
+    codebook, final assignment) — the codebook is exactly the one the
+    final assignment pass measured distances against, so audits over
+    the pair are self-consistent.
+
+    Both relations PERSIST (r11): four session consumers fan out of
+    the fit, and without the cache each re-ran the full _KM_ITERS
+    broadcast-argmin passes (~1.3 s apiece at sf0.1). Cache-manager
+    plan matching shares one fit across all four (the _verified_pairs
+    pattern); the bench charges the one-time build to an explicit
+    `family_build:similarity.km_fit` row (FAMILY_BUILDS below — the
+    frozen attribution protocol)."""
     emb = raw.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -660,7 +669,7 @@ def _km_fit(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
             .select("cell", F.transform("s", lambda t: t.cx).alias("cv"))
         )
         assigned = _km_assign(emb, cents)
-    return cents, assigned
+    return cents.persist(), assigned.persist()
 
 
 def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2745,6 +2754,12 @@ FAMILY_CONSUMERS = {
         "embed_ann_ivfpq",
         "embed_pipeline_e2e",
     ),
+    "km_fit": (
+        "embed_kmeans",
+        "embed_silhouette",
+        "embed_prototypicality",
+        "embed_cluster_purity",
+    ),
 }
 
 FAMILY_BUILDS = {
@@ -2761,6 +2776,12 @@ FAMILY_BUILDS = {
             )
         )
     ],
+    # the Lloyd fit (final codebook + final assignment): consumed by
+    # embed_kmeans, embed_silhouette, embed_prototypicality,
+    # embed_cluster_purity (r11)
+    "km_fit": lambda spark, sf_dir: list(
+        _km_fit(load(spark, sf_dir, "embeddings"))
+    ),
 }
 
 # Cross-modality agreement oracle: the dedup module's verified-pair SQL
