@@ -1482,20 +1482,35 @@ def _bigram_counts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     was the one intra-query persist left whose cold time wasn't
     marginal; single-consumer today, but the attribution protocol is
     the same as the multi-consumer families)."""
+    per_doc = bigram_per_doc(docs).persist()
+    corpus = bigram_corpus_from(per_doc).persist()
+    return per_doc, corpus
+
+
+def bigram_per_doc(docs: DataFrame) -> DataFrame:
+    """The per-(doc, bigram) count relation (doc_id, g, c) — the
+    family kernel's expression WITHOUT the persist, factored (r11) so
+    the streaming LM-counts ledger (streaming/lm.py, ST21) lands the
+    IDENTICAL per-doc rows at arrival time (deterministic per
+    document, so redelivery collapses under DISTINCT)."""
     bi = F.expr(
         "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
         " slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
         " (x, y) -> concat(x, ' ', y))"
     )
-    per_doc = (
+    return (
         docs.repartition("doc_id")
         .select("doc_id", F.explode(bi).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
-    corpus = per_doc.groupBy("g").agg(F.sum("c").alias("cf")).persist()
-    return per_doc, corpus
+
+
+def bigram_corpus_from(per_doc: DataFrame) -> DataFrame:
+    """Corpus bigram frequencies (g, cf) derived from the per-doc
+    relation — counts are SUM-mergeable, so the same rollup is exact
+    over the batch kernel and over the ledger's maintained union."""
+    return per_doc.groupBy("g").agg(F.sum("c").alias("cf"))
 
 
 def token_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3409,8 +3424,16 @@ def token_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto it + a global top-k — the token_tfidf cost shape.
     """
     docs = load(spark, sf_dir, "documents")
+    return kn_report_from(_bigram_counts(docs)[1])
+
+
+def kn_report_from(corpus: DataFrame) -> DataFrame:
+    """token_kneser_ney's exact relation over a prepared distinct-bigram
+    count relation (g, cf) — factored (r11) so the streaming LM-counts
+    ledger (streaming/lm.py, ST21) serves the KN report read-time over
+    its maintained counts with the IDENTICAL plan."""
     return (
-        _kn_probs(_bigram_counts(docs)[1])
+        _kn_probs(corpus)
         .select(
             F.substring_index("g", " ", 1).alias("w1"),
             F.substring_index("g", " ", -1).alias("w2"),
@@ -3511,7 +3534,13 @@ def _kn_doc_scores(docs: DataFrame) -> DataFrame:
     docs_kn_surprisal's exact relation, factored so docs_kn_band (the
     keep-decision gate built on it) consumes the IDENTICAL expression
     tree: the score and the verdict can never disagree."""
-    per_doc, corpus = _bigram_counts(docs)
+    return kn_surprisal_from(*_bigram_counts(docs))
+
+
+def kn_surprisal_from(per_doc: DataFrame, corpus: DataFrame) -> DataFrame:
+    """The per-doc KN scorer over prepared count relations (r11
+    factoring — see kn_report_from): per-(doc, bigram) counts
+    (doc_id, g, c) and distinct-bigram corpus counts (g, cf)."""
     model = _kn_probs(corpus).select("g", "p_kn")
     mean_surprisal = (
         F.round(
@@ -3568,7 +3597,17 @@ def docs_kn_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     — map-side combinable, no new shuffle class.
     """
     docs = load(spark, sf_dir, "documents")
-    scores = _kn_doc_scores(docs)
+    per_doc, corpus = _bigram_counts(docs)
+    return kn_band_from(docs.select("doc_id", "lang"), per_doc, corpus)
+
+
+def kn_band_from(
+    meta: DataFrame, per_doc: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """The KN band gate over prepared inputs (r11 factoring — see
+    kn_report_from): (doc_id, lang) metadata plus the two count
+    relations the scorer consumes."""
+    scores = kn_surprisal_from(per_doc, corpus)
     band = (
         F.when(F.col("kn_surprisal").isNull(), F.lit("unscored"))
         .when(F.col("kn_surprisal") < _KN_BAND_LO, F.lit("below"))
@@ -3576,8 +3615,7 @@ def docs_kn_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
     )
     return (
-        docs.select("doc_id", "lang")
-        .join(scores, "doc_id", "left")
+        meta.join(scores, "doc_id", "left")
         .groupBy("lang", band.alias("band"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -2580,6 +2580,20 @@ def test_torn_batches_are_invisible_until_replay(spark, tmp_path, sf_dir):
     nd.process_batch(wave2.select(*nd_cols), 1)
     assert len(snap(nd.softdedup_weights(spark))) == docs.count()
 
+    # --- two-relation LM ledger (ST21): grams landed, docs not — the
+    # half-written batch must not move the model ---
+    from postgres_cdc_plugin_spark.streaming.lm import BigramCountsLedger
+
+    lm = BigramCountsLedger(str(tmp_path / "lm"))
+    lm.process_batch(wave1.select("doc_id", "text", "lang"), 0)
+    before = snap(lm.kn_band(spark))
+    lm.process_batch(wave2.select("doc_id", "text", "lang"), 1)
+    shutil.rmtree(os.path.join(lm.docs_dir, "batch=1"))
+    assert snap(lm.kn_band(spark)) == before
+    lm.process_batch(wave2.select("doc_id", "text", "lang"), 1)  # replay
+    assert len(snap(lm.kn_surprisal(spark).select("doc_id"))) <= docs.count()
+    assert sum(r.n_docs for r in lm.kn_band(spark).collect()) == docs.count()
+
 
 def test_disabled_success_marker_fails_loudly(spark, tmp_path, sf_dir):
     """If mapreduce.fileoutputcommitter.marksuccessfuljobs is disabled,
@@ -2869,3 +2883,82 @@ def test_neardup_cluster_ledger_bit_equal_with_resume(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, led.softdedup_weights(spark).collect())) == (
         full_weights
     )
+
+
+def test_lm_ledger_serves_kn_family_bit_equal_with_resume(
+    spark, tmp_path, sf_dir
+):
+    """ST21 (r11): the streaming LM-counts ledger must be bit-equal to
+    all three batch KN surfaces over the documents seen so far — after
+    wave 1, after a checkpoint-resumed wave 2 (the MODEL moves: new
+    documents change corpus counts, context totals, the type total,
+    hence every p_kn and band verdict), and after redelivering the
+    full corpus as an extra batch. The KN model is a global decision —
+    the reason scores are computed at read time, not per batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.text import (
+        docs_kn_band,
+        docs_kn_surprisal,
+        token_kneser_ney,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.lm import (
+        LM_STREAM_SCHEMA,
+        BigramCountsLedger,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    feed = str(tmp_path / "lm_feed")
+    wave1.coalesce(1).write.parquet(feed)
+
+    led = BigramCountsLedger(str(tmp_path / "lm_ledger"))
+    ck = str(tmp_path / "lm_ck")
+
+    def drain():
+        stream = spark.readStream.schema(LM_STREAM_SCHEMA).parquet(feed)
+        led.attach(stream, ck, available_now=True).awaitTermination(120)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    # batch references over a subset go through a parquet roundtrip so
+    # load() sees the same physical corpus shape
+    def batch_over(subset_dir):
+        return (
+            snap(token_kneser_ney(spark, subset_dir)),
+            snap(docs_kn_surprisal(spark, subset_dir)),
+            snap(docs_kn_band(spark, subset_dir)),
+        )
+
+    w1_dir = str(tmp_path / "w1_sf")
+    wave1.select("doc_id", "text", "lang").withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        os.path.join(w1_dir, "documents.parquet")
+    )
+    drain()
+    kn1, sur1, band1 = batch_over(w1_dir)
+    assert snap(led.kneser_ney(spark)) == kn1
+    assert snap(led.kn_surprisal(spark)) == sur1
+    assert snap(led.kn_band(spark)) == band1
+
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        feed
+    )
+    drain()
+    knF, surF, bandF = batch_over(sf_dir)
+    assert snap(led.kneser_ney(spark)) == knF
+    assert snap(led.kn_surprisal(spark)) == surF
+    assert snap(led.kn_band(spark)) == bandF
+    # the model really moved between waves (read-time recomputation is
+    # load-bearing): some wave-1 doc's surprisal changed under the
+    # fuller model
+    s1 = dict((t[0], t) for t in sur1)
+    assert any(t[0] in s1 and s1[t[0]] != t for t in surF)
+
+    led.process_batch(docs, 999)  # redelivery collapses via distinct
+    assert snap(led.kn_surprisal(spark)) == surF
