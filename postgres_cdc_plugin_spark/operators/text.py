@@ -3565,6 +3565,19 @@ _KN_BAND_LO = 4.85  # bits/bigram position — below = templated/dup
 _KN_BAND_HI = 4.95  # above = noise (CCNet convention, bigram order)
 
 
+def _kn_band_col():
+    """The band verdict over a kn_surprisal column — ONE expression
+    shared by docs_kn_band and docs_quality_kn_interaction (and their
+    oracles via _KN_BAND_CASE_SQL): the gate and the interaction audit
+    can never disagree about a band."""
+    return (
+        F.when(F.col("kn_surprisal").isNull(), F.lit("unscored"))
+        .when(F.col("kn_surprisal") < _KN_BAND_LO, F.lit("below"))
+        .when(F.col("kn_surprisal") > _KN_BAND_HI, F.lit("above"))
+        .otherwise(F.lit("keep"))
+    )
+
+
 def docs_kn_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kneser-Ney perplexity filter AS the pipeline gate it exists
     for (r11, r10 verdict ask #4): the CCNet-style middle-band keep
@@ -3608,12 +3621,7 @@ def kn_band_from(
     kn_report_from): (doc_id, lang) metadata plus the two count
     relations the scorer consumes."""
     scores = kn_surprisal_from(per_doc, corpus)
-    band = (
-        F.when(F.col("kn_surprisal").isNull(), F.lit("unscored"))
-        .when(F.col("kn_surprisal") < _KN_BAND_LO, F.lit("below"))
-        .when(F.col("kn_surprisal") > _KN_BAND_HI, F.lit("above"))
-        .otherwise(F.lit("keep"))
-    )
+    band = _kn_band_col()
     return (
         meta.join(scores, "doc_id", "left")
         .groupBy("lang", band.alias("band"))
@@ -3622,6 +3630,73 @@ def kn_band_from(
             F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
             F.min("kn_surprisal").alias("min_kn"),
             F.max("kn_surprisal").alias("max_kn"),
+        )
+    )
+
+
+def docs_quality_kn_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-gate x KN-band interaction (r11) — the cross-family
+    audit a pipeline reads before ORDERING its heuristic and
+    perplexity filters (the docs_quality_dup_interaction convention,
+    one family pair over): per (gopher keep verdict, KN band), the
+    document count, the band's mean KN surprisal, and the corpus
+    share. If the gopher gate already rejects most of the
+    out-of-band mass, the cheap rule gate runs first and the LM
+    scorer sees a smaller corpus; if the two disagree on large
+    strata, the bands carry signal the rules miss (the reason CCNet
+    runs BOTH) — this table replaces that judgement call with
+    numbers for THIS corpus.
+
+    Reuses VERBATIM: gopher_rules_df (the batch/ST16 gate kernel),
+    kn_surprisal_from over the bigram_counts family kernels (the
+    scorer), and _kn_band_col (docs_kn_band's verdict expression) —
+    zero drift from the three relations it cross-tabulates. NULL-text
+    documents carry a NULL gopher verdict on BOTH engines (size/len of
+    a NULL split propagates) and land in the 'unscored' band — an
+    explicit (NULL, unscored) policy row, never a drop.
+
+    Determinism: counts exact int64; avg_kn is sum/count(col) through
+    the decimal hop (all-NULL bands stay NULL on both engines); share
+    is one int64/int64 IEEE division.
+
+    Scale: the gate is a narrow per-row projection; the scorer costs
+    one g-key join + doc rollup over the persisted family kernels;
+    the cross-tab is a <=2x4-group map-side rollup + a 1-row total
+    broadcast. No new shuffle class.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_doc, corpus = _bigram_counts(docs)
+    scores = kn_surprisal_from(per_doc, corpus)
+    gate = gopher_rules_df(docs).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    d = gate.join(scores, "doc_id", "left").select(
+        "gopher_keep", _kn_band_col().alias("band"), "kn_surprisal"
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    avg_kn = (
+        F.round(
+            F.sum("kn_surprisal") / F.count("kn_surprisal").cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return (
+        d.groupBy("gopher_keep", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            avg_kn.alias("avg_kn"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gopher_keep",
+            "band",
+            "n_docs",
+            "avg_kn",
+            (F.col("n_docs") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
         )
     )
 
@@ -3635,6 +3710,7 @@ FAMILY_CONSUMERS = {
         "token_kneser_ney",
         "docs_kn_surprisal",
         "docs_kn_band",
+        "docs_quality_kn_interaction",
     ),
 }
 
@@ -3677,6 +3753,7 @@ QUERIES = {
     "token_kneser_ney": token_kneser_ney,
     "docs_kn_surprisal": docs_kn_surprisal,
     "docs_kn_band": docs_kn_band,
+    "docs_quality_kn_interaction": docs_quality_kn_interaction,
     "token_zipf_audit": token_zipf_audit,
     "docs_lang_id": docs_lang_id,
     "docs_quality_score": docs_quality_score,
@@ -5405,13 +5482,72 @@ _KN_DOC_SCORES_SQL = f"""
 
 ORACLE_SQL["docs_kn_surprisal"] = _KN_DOC_SCORES_SQL
 
-ORACLE_SQL["docs_kn_band"] = f"""
-    WITH scores AS ({_KN_DOC_SCORES_SQL})
-    SELECT d.lang,
+# the band CASE over a scores relation aliased `s` — shared by the
+# docs_kn_band and docs_quality_kn_interaction oracles (mirror of
+# _kn_band_col)
+_KN_BAND_CASE_SQL = f"""
            CASE WHEN s.kn_surprisal IS NULL THEN 'unscored'
                 WHEN s.kn_surprisal < {_KN_BAND_LO} THEN 'below'
                 WHEN s.kn_surprisal > {_KN_BAND_HI} THEN 'above'
-                ELSE 'keep' END AS band,
+                ELSE 'keep' END
+"""
+
+# the Gopher keep verdict as a chainable (doc_id, gopher_keep) CTE
+# body — the SAME rule arithmetic as the docs_gopher_rules oracle and
+# the PR-curve oracle's label leg
+_GOPHER_LABEL_SQL = f"""
+    SELECT doc_id,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+               AND (mean_word_len BETWEEN {_GOPHER_MEAN_LEN_LO}
+                    AND {_GOPHER_MEAN_LEN_HI})
+               AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+               AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+               AND n_stopwords >= {_GOPHER_MIN_STOPWORDS} AS gopher_keep
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               list_sum(list_transform(string_split(text, ' '),
+                                       w -> length(w)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS mean_word_len,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[a-zA-Z]')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS alpha_frac,
+               (length(text) - length(replace(text, '#', '')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS symbol_ratio,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN {_GOPHER_STOPWORDS}))
+                   AS n_stopwords
+        FROM documents
+    )
+"""
+
+ORACLE_SQL["docs_quality_kn_interaction"] = f"""
+    WITH scores AS ({_KN_DOC_SCORES_SQL}),
+    labels AS ({_GOPHER_LABEL_SQL}),
+    d AS (
+        SELECT l.gopher_keep,
+               {_KN_BAND_CASE_SQL} AS band,
+               s.kn_surprisal
+        FROM labels l LEFT JOIN scores s USING (doc_id)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+    SELECT gopher_keep, band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CAST(round(
+               sum(kn_surprisal) / CAST(count(kn_surprisal) AS DOUBLE), 6
+           ) AS DECIMAL(38,6)) AS DOUBLE) AS avg_kn,
+           count(*) / CAST(n_total AS DOUBLE) AS share
+    FROM d CROSS JOIN tot
+    GROUP BY gopher_keep, band, n_total
+"""
+
+ORACLE_SQL["docs_kn_band"] = f"""
+    WITH scores AS ({_KN_DOC_SCORES_SQL})
+    SELECT d.lang,
+           {_KN_BAND_CASE_SQL} AS band,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams,
            min(s.kn_surprisal) AS min_kn,

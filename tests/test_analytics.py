@@ -1090,3 +1090,41 @@ def test_kn_band_composes_scorer_and_corpus(spark, sf_dir):
         else:
             assert r.n_bigrams == n_big
             assert r.min_kn == min(kns) and r.max_kn == max(kns)
+
+
+def test_quality_kn_interaction_composes_gate_and_scorer(spark, sf_dir):
+    """Independent composition check (r11): recompute the gopher x KN
+    cross-tab in plain Python from the two proven per-doc relations
+    (docs_gopher_rules' keep verdict, docs_kn_surprisal's scores) —
+    group membership, counts, and shares must all match, and every
+    document must land in exactly one (verdict, band) cell."""
+    from collections import Counter
+
+    from postgres_cdc_plugin_spark.operators.text import (
+        _KN_BAND_HI,
+        _KN_BAND_LO,
+        docs_gopher_rules,
+        docs_kn_surprisal,
+        docs_quality_kn_interaction,
+    )
+
+    keep = {r.doc_id: r.keep for r in docs_gopher_rules(spark, sf_dir).collect()}
+    kn = {
+        r.doc_id: r.kn_surprisal
+        for r in docs_kn_surprisal(spark, sf_dir).collect()
+    }
+    expect = Counter()
+    for doc_id, k in keep.items():
+        s = kn.get(doc_id)
+        band = (
+            "unscored" if s is None
+            else "below" if s < _KN_BAND_LO
+            else "above" if s > _KN_BAND_HI
+            else "keep"
+        )
+        expect[(k, band)] += 1
+    rows = docs_quality_kn_interaction(spark, sf_dir).collect()
+    assert {(r.gopher_keep, r.band): r.n_docs for r in rows} == dict(expect)
+    assert sum(r.n_docs for r in rows) == len(keep)
+    for r in rows:
+        assert r.share == r.n_docs / len(keep)

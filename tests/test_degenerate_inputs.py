@@ -72,6 +72,7 @@ _DOC_QUERIES = [
     # round-11 operators
     (text, "docs_kn_band"),
     (dedup, "docs_softdedup_weights"),
+    (text, "docs_quality_kn_interaction"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
