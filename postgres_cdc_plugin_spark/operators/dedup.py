@@ -2255,6 +2255,7 @@ FAMILY_CONSUMERS = {
         "docs_cluster_dedup",
         "docs_dedup_method_agreement",
         "docs_softdedup_weights",
+        "docs_ingest_chain_nd",
     ),
     "dup_spans": (
         "docs_suffix_dup_spans",

@@ -3328,6 +3328,73 @@ def ingest_chain_from(docs: DataFrame) -> DataFrame:
     )
 
 
+def docs_ingest_chain_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOUR-stage ingest chain (r11 — the ST19 composition plus the
+    document-level near-dup stage every modern pipeline runs between
+    the rule gate and line hygiene): Gopher gate → near-dup CLUSTER
+    dedup (ST20's global keep-one-per-component policy) → corpus-wide
+    C4 keep-first line dedup → temperature-mixture admission. Each
+    stage's verdict feeds the next: a gated-out document contributes no
+    near-dup pairs, a cluster loser contributes no lines to keep-first,
+    and dedup losses shrink a language's token mass and therefore every
+    language's quota.
+
+    Every stage reuses the standalone kernel VERBATIM — gopher_rules_df,
+    the PERSISTED corpus-wide SimHash pair relation (restricted to
+    gate-kept endpoints: block agreement is pairwise, so pairs among a
+    subset ARE the corpus pairs with both endpoints in the subset — no
+    signature recompute), dup_clusters_from, _C4_LINES_EXPR/c4_lines_of/
+    c4_kept_lines, mixture_sample_from — so the composite is fully
+    oracle-checkable (the DuckDB side chains the same CTEs with the
+    recursive-CC leg interposed) and the streaming IngestPipeline's
+    sample_nd() is pinned bit-equal to THIS query.
+
+    Scale shape on top of docs_ingest_chain: two doc_id semi-joins of
+    the pair-bounded family relation against the kept set + the
+    diameter-bounded component labeling + one doc_id anti-join — the
+    docs_cluster_dedup cost, and the line explode then runs on the
+    SMALLER deduped corpus (the cheap-before-expensive stage ordering
+    this chain exists to prove out).
+    """
+    return ingest_chain_nd_from(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+
+
+def ingest_chain_nd_from(docs: DataFrame) -> DataFrame:
+    """The four-stage chain over an arbitrary (doc_id, text, lang)
+    relation — what docs_ingest_chain_nd runs on the documents table
+    and what the streaming bit-equality tests run on per-wave
+    subsets."""
+    from .dedup import _simhash_pairs_df, c4_lines_of, dup_clusters_from
+
+    kept_ids = gopher_rules_df(docs).filter("keep").select("doc_id")
+    gated = docs.join(kept_ids, "doc_id").select("doc_id", "text", "lang")
+    # pairs among gated docs = the persisted corpus pair relation with
+    # both endpoints gate-kept (hamming between fixed signatures does
+    # not depend on other documents)
+    pairs = (
+        _simhash_pairs_df(docs)
+        .join(kept_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(kept_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    losers = (
+        dup_clusters_from(docs.sparkSession, pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    nd = gated.join(losers, "doc_id", "left_anti")
+    lined = nd.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+    ).select("doc_id", "lang", F.expr(_C4_LINES_EXPR).alias("lines"))
+    return ingest_sample_from(
+        lined.select("doc_id", "lang"), c4_lines_of(lined)
+    )
+
+
 def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language — the audit run before freezing
     a vocabulary to catch under-served languages (a language whose
@@ -3736,6 +3803,7 @@ QUERIES = {
     "docs_mixture_sample": docs_mixture_sample,
     "docs_mixture_realized_mix": docs_mixture_realized_mix,
     "docs_ingest_chain": docs_ingest_chain,
+    "docs_ingest_chain_nd": docs_ingest_chain_nd,
     "docs_unimax_mix": docs_unimax_mix,
     "docs_unimax_sample": docs_unimax_sample,
     "docs_unimax_realized_mix": docs_unimax_realized_mix,
@@ -5147,6 +5215,57 @@ ORACLE_SQL["docs_ingest_chain"] = f"""
            q.quota_tokens, c.cum_tokens <= q.quota_tokens AS selected
     FROM c JOIN quota q USING (lang)
 """
+
+# Four-stage chain (r11): the SAME oracle with the recursive-CC
+# near-dup leg interposed between the gate and the line stage — built
+# MECHANICALLY from the three-stage oracle (WITH becomes RECURSIVE,
+# the ND CTEs insert after `g`, and the line stage re-roots on `nd`),
+# with the pair SQL reused from dedup VERBATIM modulo the source
+# relation name, so no stage formula is restated.
+from .dedup import _SIMHASH_PAIRS_SQL as _ND_PAIRS_SQL  # noqa: E402
+
+_ND_CTES = f"""gated_docs AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)
+    ),
+    p AS ({_ND_PAIRS_SQL.replace("FROM documents", "FROM gated_docs")}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM p
+        UNION ALL
+        SELECT doc_b, doc_a FROM p
+    ),
+    verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT e.t, reach.r FROM edges e JOIN reach ON e.s = reach.doc_id
+    ),
+    lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+    nd AS (
+        SELECT g.doc_id FROM g
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lab
+            WHERE lab.doc_id = g.doc_id AND lab.doc_id <> lab.cluster_id
+        )
+    ),
+    """
+
+ORACLE_SQL["docs_ingest_chain_nd"] = (
+    ORACLE_SQL["docs_ingest_chain"]
+    .replace("WITH gm AS", "WITH RECURSIVE gm AS", 1)
+    .replace("    w AS (", "    " + _ND_CTES + "w AS (", 1)
+    .replace(
+        "FROM documents d JOIN g USING (doc_id)\n"
+        "    ),\n"
+        "    lined AS",
+        "FROM documents d JOIN nd USING (doc_id)\n"
+        "    ),\n"
+        "    lined AS",
+        1,
+    )
+)
+assert "JOIN nd USING" in ORACLE_SQL["docs_ingest_chain_nd"]
+assert "WITH RECURSIVE" in ORACLE_SQL["docs_ingest_chain_nd"]
+
 
 ORACLE_SQL["docs_unimax_mix"] = f"""
     WITH per_lang AS (

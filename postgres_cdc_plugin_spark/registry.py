@@ -75,6 +75,7 @@ PRIORITY_ORDER = [
     "embed_prototypicality",   # SSL-prototypes pruning verdict
     "embed_cluster_purity",    # external cluster-validity audit
     "docs_quality_kn_interaction",  # gopher-gate x KN-band cross-tab
+    "docs_ingest_chain_nd",    # four-stage chain (+ near-dup stage)
     # (3) The 8 r6-stale anchors the r10 window spilled (driver
     # evidence five rounds old — the oldest in the registry),
     # alphabetical:
@@ -119,7 +120,6 @@ PRIORITY_ORDER = [
     "embed_matryoshka_audit",
     "embed_ndcg_audit",
     "embed_neardup_dedup",
-    "embed_neardup_pairs",
     # the 8 slowest-oracle r7 anchors, ascending cost — window tail:
     "customer_golden_record",
     "lineitem_rle_layout_audit",
@@ -131,9 +131,10 @@ PRIORITY_ORDER = [
     "docs_minhash_calibration",
     # ---- position 51+ ----
     # The spilled r7-vintage anchors — next in line for the r12 front
-    # (embed_norm_stats / embed_pq_codes / embed_quantize /
-    # events_cusum_changepoint / events_dau_wau_mau displaced by the
-    # five r11 registrations):
+    # (embed_neardup_pairs / embed_norm_stats / embed_pq_codes /
+    # embed_quantize / events_cusum_changepoint / events_dau_wau_mau
+    # displaced by the six r11 registrations):
+    "embed_neardup_pairs",
     "embed_norm_stats",
     "embed_pq_codes",
     "embed_quantize",

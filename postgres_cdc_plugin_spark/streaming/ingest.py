@@ -16,6 +16,10 @@ per batch:
   gate/batch=<id>        — the full per-doc Gopher verdict relation
                            (operators/text.gopher_rules_df VERBATIM);
   langs/batch=<id>       — (doc_id, lang) of the KEPT documents only;
+  sigs/batch=<id>        — SimHash signature blocks of the kept
+                           documents (r11 — operators/dedup.
+                           _simhash_blocks_df VERBATIM; feeds the
+                           read-time near-dup stage of sample_nd());
   lines/batch=<id>/{docs,lines} — the C4 line relation of the kept
                            documents (delegated to C4LineLedger —
                            _C4_LINES_EXPR/c4_lines_of VERBATIM).
@@ -31,8 +35,8 @@ the gated corpus — bit-equality is by construction, and pinned in
 tests/test_streaming.py together with replay idempotence and
 cross-ledger checkpoint resume.
 
-Atomic visibility across the THREE roots: a batch is readable only
-when gate, langs, AND both line relations committed (`_SUCCESS`
+Atomic visibility across the FOUR roots: a batch is readable only
+when gate, langs, sigs, AND both line relations committed (`_SUCCESS`
 witnesses intersected — streaming/ledger.py, including the loud
 marker-disabled failure). A crash between any two sub-writes leaves
 the batch invisible to every composed surface; the checkpoint replays
@@ -71,7 +75,9 @@ class IngestPipeline:
         self.gate = GopherQualityLedger(os.path.join(out_dir, "gate"))
         self.lines = C4LineLedger(os.path.join(out_dir, "lines"))
         self.langs_dir = os.path.join(out_dir, "langs")
+        self.sigs_dir = os.path.join(out_dir, "sigs")
         os.makedirs(self.langs_dir, exist_ok=True)
+        os.makedirs(self.sigs_dir, exist_ok=True)
 
     # -- composed visibility ------------------------------------------
     def _ready(self) -> list[str]:
@@ -80,6 +86,7 @@ class IngestPipeline:
         ids = (
             committed_batch_ids(self.gate.out_dir)
             & committed_batch_ids(self.langs_dir)
+            & committed_batch_ids(self.sigs_dir)
             & committed_nested_batch_ids(
                 self.lines.out_dir, ("docs", "lines")
             )
@@ -122,6 +129,42 @@ class IngestPipeline:
             return None
         return s.filter(F.col("selected")).select("doc_id")
 
+    def sample_nd(self, spark) -> DataFrame | None:
+        """The FOUR-stage composed admission ledger (r11): gate →
+        near-dup cluster dedup → line dedup → admission — bit-equal to
+        the batch docs_ingest_chain_nd over the documents seen so far.
+        Cluster labels are recomputed at read time over the maintained
+        gate-kept signature relation (one late document can merge two
+        components and change which canonical survives), then the
+        loser set masks BOTH the admission inputs and the line
+        relation — a cluster loser contributes no lines to keep-first,
+        exactly as in the batch chain."""
+        from ..operators.dedup import (
+            _SIMHASH_BLOCKS,
+            dup_clusters_from,
+            simhash_block_pairs,
+        )
+        from ..operators.text import ingest_sample_from
+
+        ids = self._ready()
+        if not ids:
+            return None
+        sigs = self._read(spark, self.sigs_dir, ids).select(
+            "doc_id", *[f"blk{k}" for k in range(1, _SIMHASH_BLOCKS + 1)]
+        )
+        losers = (
+            dup_clusters_from(spark, simhash_block_pairs(sigs))
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        nd_langs = self._read(spark, self.langs_dir, ids).join(
+            losers, "doc_id", "left_anti"
+        )
+        ln = self._read(
+            spark, self.lines.out_dir, [f"{d}/lines" for d in ids]
+        ).join(nd_langs.select("doc_id"), "doc_id")
+        return ingest_sample_from(nd_langs, ln)
+
     def dedup(self, spark) -> DataFrame | None:
         """Line-dedup rollup of the gated corpus —
         operators/dedup.c4_line_dedup_from verbatim (the ST17 surface,
@@ -155,6 +198,14 @@ class IngestPipeline:
         kept.select("doc_id", "lang").write.mode("overwrite").parquet(
             os.path.join(self.langs_dir, f"batch={batch_id}")
         )
+        # gate-kept signature blocks (r11, the near-dup stage's input —
+        # operators/dedup._simhash_blocks_df VERBATIM, the corpus-scan
+        # cost amortized to arrival; cluster labels stay read-time)
+        from ..operators.dedup import _simhash_blocks_df
+
+        _simhash_blocks_df(kept.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.sigs_dir, f"batch={batch_id}"))
         # lines land LAST: until they commit the batch is invisible to
         # every composed surface (the intersection rule above)
         self.lines.process_batch(kept.select("doc_id", "text"), batch_id)

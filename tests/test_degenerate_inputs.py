@@ -73,6 +73,7 @@ _DOC_QUERIES = [
     (text, "docs_kn_band"),
     (dedup, "docs_softdedup_weights"),
     (text, "docs_quality_kn_interaction"),
+    (text, "docs_ingest_chain_nd"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"

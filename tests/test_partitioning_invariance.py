@@ -97,6 +97,9 @@ _SENSITIVE = [
     "docs_kn_band",
     # r11: rank windows over the k-means fit's round-6 distances
     "embed_prototypicality",
+    # r11: four order-sensitive stages chained (keep-first min-struct,
+    # CC labeling, admission windows)
+    "docs_ingest_chain_nd",
 ]
 
 

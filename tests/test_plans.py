@@ -547,6 +547,7 @@ _BNLJ_ALLOWED = {
     "docs_mixture_realized_mix",  # wraps the ledger + mix verbatim (r9)
     "token_heavy_hitters",  # 1-row corpus-total N crossJoin in the MG guarantee audit (r10)
     "docs_ingest_chain",  # inherits the mixture admission's 1-row budget/total crossJoins (r10)
+    "docs_ingest_chain_nd",  # same inherited 1-row budget/total crossJoins (r11)
     "docs_classifier_pr_curve",  # |thresholds|-row broadcast grid fan-out (r10)
     "docs_dedup_sensitivity",  # |thresholds|-row grid + 1-row corpus-count crossJoins (r10)
     "token_kneser_ney",  # 1-row bigram-type-total crossJoin (r10)

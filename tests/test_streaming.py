@@ -2962,3 +2962,59 @@ def test_lm_ledger_serves_kn_family_bit_equal_with_resume(
 
     led.process_batch(docs, 999)  # redelivery collapses via distinct
     assert snap(led.kn_surprisal(spark)) == surF
+
+
+def test_ingest_pipeline_nd_bit_equal_with_resume(spark, tmp_path, sf_dir):
+    """The four-stage composed surface (r11): sample_nd() must be
+    bit-equal to the batch docs_ingest_chain_nd over the documents
+    seen so far — after wave 1, after a checkpoint-resumed wave 2
+    (cluster labels AND quotas move), and after redelivering the full
+    corpus as an extra batch. Also pins the stage contract: a cluster
+    loser never surfaces in the admission ledger, and the four-stage
+    admission is a (weak) subset-shift of the three-stage one on the
+    same corpus (losers' token mass moved every quota)."""
+    from postgres_cdc_plugin_spark.operators.text import (
+        docs_ingest_chain_nd,
+        ingest_chain_nd_from,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.ingest import (
+        INGEST_STREAM_SCHEMA,
+        IngestPipeline,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    feed = str(tmp_path / "nd_ingest_feed")
+    wave1.coalesce(1).write.parquet(feed)
+
+    pipe = IngestPipeline(str(tmp_path / "nd_ingest"))
+    ck = str(tmp_path / "nd_ingest_ck")
+
+    def drain():
+        stream = spark.readStream.schema(INGEST_STREAM_SCHEMA).parquet(feed)
+        pipe.attach(stream, ck, available_now=True).awaitTermination(120)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    drain()
+    w1 = snap(ingest_chain_nd_from(wave1))
+    assert snap(pipe.sample_nd(spark)) == w1
+
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        feed
+    )
+    drain()
+    want = snap(docs_ingest_chain_nd(spark, sf_dir))
+    assert snap(pipe.sample_nd(spark)) == want
+    assert want != w1  # labels/quotas really moved between waves
+
+    # stage contract: no cluster loser in the four-stage ledger, and
+    # the three-stage ledger contains every nd doc (same gate)
+    nd_ids = {t[0] for t in want}
+    three_ids = {r.doc_id for r in pipe.sample(spark).collect()}
+    assert nd_ids <= three_ids and nd_ids != three_ids
+
+    pipe.process_batch(docs, 999)  # redelivery collapses via distinct
+    assert snap(pipe.sample_nd(spark)) == want
