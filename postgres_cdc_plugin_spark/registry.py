@@ -12,8 +12,11 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     most-recently-green family to the tail. Round-11 window, exactly
     as the r10 verdict staged it (ask #1): (1) docs_unimax_realized_mix
     and docs_kn_surprisal — the two late-r10 registrations, never
-    driver-checked (local parity only); (2) genuinely new r11 queries,
-    registered EARLY before the window froze; (3) the 8 r6-stale
+    driver-checked (local parity only); (2) the six genuinely new r11
+    queries, registered EARLY before the window froze (docs_kn_band,
+    docs_softdedup_weights, embed_prototypicality, embed_cluster_purity,
+    docs_quality_kn_interaction, docs_ingest_chain_nd — each
+    displacing one cheap r7 anchor into the spill); (3) the 8 r6-stale
     anchors the r10 window spilled (part_copurchase_pagerank …
     token_zipf_audit — the oldest evidence in the registry); (4) as
     many of the 48 r7-vintage anchors as fit (alphabetical, the 8
