@@ -2222,6 +2222,86 @@ def docs_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAL_LO = -0.025  # calibration bin range start (the PR-threshold span)
+_CAL_W = 0.005  # bin width
+_CAL_BINS = 12  # scores outside the range clip into the end bins
+
+
+def docs_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability table (r11) — the binned calibration
+    audit run beside the PR sweep before trusting a cheap quality
+    classifier at 100 TB (reliability diagrams / ECE binning, Guo et
+    al. 2017, public literature — adapted to a raw MARGIN score, so the
+    table reports per-score-bin empirical label rate rather than
+    probability gap: for a usable margin classifier the label rate must
+    rise monotonically with the score, and the decision threshold
+    should sit where the rate crosses the operating point): per
+    fixed-width score bin, document count, mean score, gopher-label
+    positives and rate, and the rate-monotone-vs-previous-bin flag.
+
+    Reuses classifier_scores and gopher_rules_df VERBATIM (the same
+    scored relation and labels docs_classifier_pr_curve grades — the
+    two audits can never disagree about a score or a label).
+
+    Determinism: score is an exact int64/int64/2^31 division chain
+    (bit-identical), so floor((score - lo)/w) bins identically on both
+    engines; mean_score crosses the decimal hop; label_rate is one
+    int64/int64 division; the monotone flag compares bit-identical
+    rates under the total bin order.
+
+    Scale: one scored pass + one gate pass (each standalone cost), a
+    doc_id equi-join, a <=_CAL_BINS-group map-side rollup, then one
+    unpartitioned lag window over the <=12-row result — driver-trivial.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = classifier_scores(docs).select("doc_id", "score")
+    labels = gopher_rules_df(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col("score") - F.lit(_CAL_LO)) / F.lit(_CAL_W)),
+                F.lit(0),
+            ),
+            F.lit(_CAL_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    per = (
+        scored.join(labels, "doc_id")
+        .select(b, "score", "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("score") / F.count(F.lit(1)).cast("double"), 6
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("mean_score"),
+            F.sum(F.col("label").cast("int")).cast("bigint").alias("n_true"),
+        )
+    )
+    rate = F.col("n_true") / F.col("n_docs").cast("double")
+    prev = F.lag("label_rate").over(Window.orderBy("bin"))
+    return (
+        per.select(
+            "bin",
+            (F.lit(_CAL_LO) + F.col("bin") * F.lit(_CAL_W)).alias("bin_lo"),
+            (
+                F.lit(_CAL_LO) + (F.col("bin") + F.lit(1)) * F.lit(_CAL_W)
+            ).alias("bin_hi"),
+            "n_docs",
+            "mean_score",
+            "n_true",
+            rate.alias("label_rate"),
+        )
+        .withColumn("rate_monotone", F.col("label_rate") >= prev)
+    )
+
+
 _MG_COUNTERS = 32  # Misra-Gries counters per partition
 
 
@@ -3808,6 +3888,7 @@ QUERIES = {
     "docs_unimax_sample": docs_unimax_sample,
     "docs_unimax_realized_mix": docs_unimax_realized_mix,
     "docs_classifier_pr_curve": docs_classifier_pr_curve,
+    "docs_classifier_calibration": docs_classifier_calibration,
     "docs_pii_scan": docs_pii_scan,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_ccnet_buckets": docs_ccnet_buckets,
@@ -5642,6 +5723,65 @@ _GOPHER_LABEL_SQL = f"""
         FROM documents
     )
 """
+
+# Calibration reliability table (r11): the SAME tok/vocab/scored CTEs
+# as the PR-curve oracle (one scoring formula) + the shared gopher
+# label CTE, binned on the bit-identical raw margin.
+ORACLE_SQL["docs_classifier_calibration"] = f"""
+    WITH tok AS (
+        SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY doc_id, w
+    ),
+    vocab AS (
+        SELECT w,
+               CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                   - {1 << 31} AS wt
+        FROM (SELECT DISTINCT w FROM tok)
+    ),
+    scored AS (
+        SELECT doc_id,
+               num / n_tokens / {float(1 << 31)} AS score
+        FROM (SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                     CAST(sum(cnt * wt) AS BIGINT) AS num
+              FROM tok JOIN vocab USING (w) GROUP BY doc_id)
+    ),
+    labels AS ({_GOPHER_LABEL_SQL}),
+    d AS (
+        SELECT CAST(least(greatest(
+                   floor((score - {_CAL_LO}) / {_CAL_W}), 0),
+                   {_CAL_BINS - 1}) AS INT) AS bin,
+               score, l.gopher_keep AS label
+        FROM scored JOIN labels l USING (doc_id)
+    ),
+    per AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(CAST(round(
+                   sum(score) / CAST(count(*) AS DOUBLE), 6
+               ) AS DECIMAL(38,6)) AS DOUBLE) AS mean_score,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true
+        FROM d GROUP BY bin
+    )
+    SELECT bin,
+           -- CAST: DuckDB parses bare numeric literals as DECIMAL;
+           -- Spark's lit() is DOUBLE, and the two round differently at
+           -- bin edges (-0.015 vs -0.015000000000000001)
+           CAST({_CAL_LO} AS DOUBLE) + bin * CAST({_CAL_W} AS DOUBLE)
+               AS bin_lo,
+           CAST({_CAL_LO} AS DOUBLE) + (bin + 1) * CAST({_CAL_W} AS DOUBLE)
+               AS bin_hi,
+           n_docs, mean_score, n_true,
+           n_true / CAST(n_docs AS DOUBLE) AS label_rate,
+           n_true / CAST(n_docs AS DOUBLE)
+               >= lag(n_true / CAST(n_docs AS DOUBLE))
+                      OVER (ORDER BY bin) AS rate_monotone
+    FROM per
+"""
+
 
 ORACLE_SQL["docs_quality_kn_interaction"] = f"""
     WITH scores AS ({_KN_DOC_SCORES_SQL}),

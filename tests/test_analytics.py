@@ -1128,3 +1128,47 @@ def test_quality_kn_interaction_composes_gate_and_scorer(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == len(keep)
     for r in rows:
         assert r.share == r.n_docs / len(keep)
+
+
+def test_classifier_calibration_composes_scores_and_labels(spark, sf_dir):
+    """Independent composition check (r11): recompute every reliability
+    bin in plain Python from the proven scored relation and gopher
+    labels — bin membership (same clip arithmetic), counts, label
+    rates, and the monotone flags under the bin order must all match."""
+    from collections import defaultdict
+
+    from postgres_cdc_plugin_spark.operators.text import (
+        _CAL_BINS,
+        _CAL_LO,
+        _CAL_W,
+        classifier_scores,
+        docs_classifier_calibration,
+        docs_gopher_rules,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    docs = load(spark, sf_dir, "documents")
+    scores = {r.doc_id: r.score for r in classifier_scores(docs).collect()}
+    labels = {
+        r.doc_id: r.keep for r in docs_gopher_rules(spark, sf_dir).collect()
+    }
+    cells = defaultdict(lambda: [0, 0])
+    import math
+
+    for doc_id, s in scores.items():
+        b = min(max(int(math.floor((s - _CAL_LO) / _CAL_W)), 0), _CAL_BINS - 1)
+        cells[b][0] += 1
+        cells[b][1] += 1 if labels[doc_id] else 0
+    rows = sorted(
+        docs_classifier_calibration(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert {r.bin: (r.n_docs, r.n_true) for r in rows} == {
+        b: tuple(v) for b, v in cells.items()
+    }
+    prev = None
+    for r in rows:
+        rate = r.n_true / r.n_docs
+        assert r.label_rate == rate
+        assert r.rate_monotone == (None if prev is None else rate >= prev)
+        prev = rate

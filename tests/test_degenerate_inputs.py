@@ -74,6 +74,7 @@ _DOC_QUERIES = [
     (dedup, "docs_softdedup_weights"),
     (text, "docs_quality_kn_interaction"),
     (text, "docs_ingest_chain_nd"),
+    (text, "docs_classifier_calibration"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
