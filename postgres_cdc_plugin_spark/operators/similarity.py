@@ -195,6 +195,155 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate per label (r11; Facco et al.
+    2017, "Estimating the intrinsic dimension of datasets by a minimal
+    neighborhood information", public literature): for every vector the
+    EXACT first and second nearest-neighbor distances (global, not
+    per-label — classes share the ambient space), mu = r2/r1, and the
+    per-label MLE d = n / sum(ln mu). The curation signal behind
+    pruning theory (Sorscher et al. 2022 tie pruning gains to d) and a
+    quantization-budget input: a low-d manifold embedded in a high-dim
+    space tolerates far more aggressive PQ/BQ compression.
+
+    Plan: the embed_neardup_pairs TILED block pattern (one scan, each
+    vector exploded into its row+column block memberships, one shuffle
+    group per unordered tile pair, BLAS distances inside
+    applyInPandas), but each block emits only each member's TWO
+    smallest squared distances to the other side — per-vector
+    candidates are bounded by 2*(tiles+1) rows, and the global 2-NN is
+    their 2-element sorted prefix (a globally-second distance is at
+    worst second within its block). Exact without a CartesianProduct;
+    at 100 TB the same estimator runs over ANN-candidate pairs
+    (embed_ann_ivf's relation) at a documented recall discount.
+
+    Determinism: squared distances are np.round-6 (bit-identical, the
+    neardup convention); the 2-smallest prefix is by VALUE (ties
+    collapse to equal values); mu^2 = d2/d1 is one exact division;
+    duplicates (d1 = 0, ln mu undefined) and vectors without a second
+    neighbor are excluded from n_used but counted; the final estimate
+    crosses the decimal hop (ln ulp + partial-sum order washed).
+
+    Scale: shuffle volume (tiles+1) * corpus, peak task memory
+    2/tiles of the corpus — identical posture to embed_neardup_pairs;
+    the candidate aggregation is a bounded collect per vec_id; the
+    rollup is |labels| rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    t_count = _NEARDUP_TILES
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("tile", F.pmod("vec_id", F.lit(t_count)).cast("int"))
+    )
+    t = F.col("tile")
+    a_memb = F.transform(
+        F.sequence(t, F.lit(t_count - 1)),
+        lambda j: F.struct(
+            t.alias("i"), j.cast("int").alias("j"), F.lit("a").alias("side")
+        ),
+    )
+    b_memb = F.transform(
+        F.sequence(F.lit(0), t),
+        lambda i: F.struct(
+            i.cast("int").alias("i"), t.alias("j"), F.lit("b").alias("side")
+        ),
+    )
+    exploded = emb.select(
+        "vec_id", "v", F.explode(F.concat(a_memb, b_memb)).alias("m")
+    ).select(
+        F.col("m.i").alias("i"),
+        F.col("m.j").alias("j"),
+        F.col("m.side").alias("side"),
+        "vec_id",
+        "v",
+    )
+
+    def block_two_nn(key, pdf):
+        i, j = key
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        out_ids: list[np.ndarray] = []
+        out_ds: list[np.ndarray] = []
+        if len(a) and len(b):
+            a_ids = a["vec_id"].to_numpy()
+            b_ids = b["vec_id"].to_numpy()
+            a_mat = np.stack(a["v"].to_numpy())
+            b_mat = np.stack(b["v"].to_numpy())
+            d2 = (
+                (a_mat * a_mat).sum(axis=1)[:, None]
+                - 2.0 * (a_mat @ b_mat.T)
+                + (b_mat * b_mat).sum(axis=1)[None, :]
+            )
+            d2 = np.round(d2, 6)
+            self_mask = a_ids[:, None] == b_ids[None, :]
+            d2 = np.where(self_mask, np.inf, d2)
+            sides = [(a_ids, d2)]
+            if i != j:  # off-diagonal: b-vectors meet tile i here only
+                sides.append((b_ids, d2.T))
+            for ids, mat in sides:
+                k = min(2, mat.shape[1])
+                part = np.sort(mat, axis=1)[:, :k]
+                for c in range(k):
+                    col = part[:, c]
+                    keep = np.isfinite(col)
+                    out_ids.append(ids[keep])
+                    out_ds.append(col[keep])
+        if not out_ids:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "d": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_ids),
+                "d": np.concatenate(out_ds),
+            }
+        )
+
+    cand = exploded.groupBy("i", "j").applyInPandas(
+        block_two_nn, "vec_id bigint, d double"
+    )
+    two = (
+        cand.groupBy("vec_id")
+        .agg(F.slice(F.array_sort(F.collect_list("d")), 1, 2).alias("nn"))
+        .select(
+            "vec_id",
+            F.element_at("nn", 1).alias("d1"),
+            F.element_at("nn", 2).alias("d2"),
+        )
+    )
+    usable = (F.col("d1") > 0) & F.col("d2").isNotNull()
+    log_mu = F.lit(0.5) * F.log(F.col("d2") / F.col("d1"))
+    per = (
+        emb.select("vec_id", "label")
+        .join(two, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(usable.cast("int")).cast("bigint").alias("n_used"),
+            F.sum(F.when(usable, log_mu)).alias("s"),
+        )
+    )
+    dim = (
+        F.round(
+            F.col("n_used") / F.expr("nullif(s, 0.0)"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return per.select("label", "n_vecs", "n_used", dim.alias("intrinsic_dim"))
+
+
 def _plane_coeffs(table: int) -> list[list[float]]:
     """Deterministic pseudo-random +/-1 hyperplanes from md5 — no RNG state,
     so replay/resume and the driver's re-runs see identical planes."""
@@ -1874,6 +2023,7 @@ QUERIES = {
     "embed_kmeans": embed_kmeans,
     "embed_prototypicality": embed_prototypicality,
     "embed_cluster_purity": embed_cluster_purity,
+    "embed_intrinsic_dim": embed_intrinsic_dim,
     "embed_silhouette": embed_silhouette,
     "embed_pca_power": embed_pca_power,
     "embed_kcenter_coreset": embed_kcenter_coreset,
@@ -2851,4 +3001,46 @@ ORACLE_SQL["embed_cluster_purity"] = f"""
            m.n / CAST(cell_size AS DOUBLE) AS purity,
            m.n / CAST(n_total AS DOUBLE) AS purity_contrib
     FROM best CROSS JOIN tot
+"""
+
+# TwoNN intrinsic dimension: exact all-pairs 2-NN in the oracle (the
+# tiled Spark plan is physical-only — proven value-neutral by parity),
+# same round-6 squared distances, same usable/degenerate policy.
+ORACLE_SQL["embed_intrinsic_dim"] = """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS vid,
+               round(list_sum(list_transform(
+                   range(1, len(a.v) + 1),
+                   i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6) AS d
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+        SELECT vid, d,
+               row_number() OVER (PARTITION BY vid ORDER BY d) AS rn
+        FROM p
+    ),
+    two AS (
+        SELECT vid,
+               max(CASE WHEN rn = 1 THEN d END) AS d1,
+               max(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM nn WHERE rn <= 2 GROUP BY vid
+    ),
+    j AS (
+        SELECT e.label, two.d1, two.d2
+        FROM e LEFT JOIN two ON e.vec_id = two.vid
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN d1 > 0 AND d2 IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+           CAST(CAST(round(
+               sum(CASE WHEN d1 > 0 AND d2 IS NOT NULL
+                        THEN 1 ELSE 0 END)
+               / nullif(sum(CASE WHEN d1 > 0 AND d2 IS NOT NULL
+                                 THEN 0.5 * ln(d2 / d1) END), 0.0), 6
+           ) AS DECIMAL(38,6)) AS DOUBLE) AS intrinsic_dim
+    FROM j GROUP BY label
 """

@@ -301,6 +301,7 @@ _EMB_QUERIES = [
     "embed_cell_balance_audit",
     "embed_prototypicality",
     "embed_cluster_purity",
+    "embed_intrinsic_dim",
 ]
 
 
@@ -354,6 +355,11 @@ def test_single_embedding_is_sane(name, spark, single_emb_dir):
         r = rows[0]
         assert r.cell_size == 1 and r.n_labels == 1
         assert r.purity == 1.0 and r.purity_contrib == 1.0
+    elif name == "embed_intrinsic_dim":
+        # one vector: no neighbor pair, estimator undefined, never inf
+        r = rows[0]
+        assert r.n_vecs == 1 and r.n_used == 0
+        assert r.intrinsic_dim is None
     else:
         assert rows[0].vec_id == 0
         if name == "embed_prototypicality":

@@ -100,6 +100,8 @@ _SENSITIVE = [
     # r11: four order-sensitive stages chained (keep-first min-struct,
     # CC labeling, admission windows)
     "docs_ingest_chain_nd",
+    # r11: tiled-block 2-NN candidates + bounded collect_list prefix
+    "embed_intrinsic_dim",
 ]
 
 
