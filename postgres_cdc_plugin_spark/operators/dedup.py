@@ -1134,6 +1134,86 @@ def docs_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return softdedup_weights_from(spark, docs, _simhash_pairs_df(docs))
 
 
+def docs_softdedup_effective_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Soft-dedup weights USED as the sampler input (r11 — the
+    composition docs_softdedup_weights' docstring promises): per
+    language, the RAW token mass beside the EFFECTIVE
+    (duplicate-discounted) mass Σ tokens·weight, their corpus shares,
+    and the share shift. Duplication is never uniform across
+    languages, so a mixture designed on raw counts over-allocates the
+    most-duplicated language; this is the one-page audit showing how
+    far — the relation a soft-dedup pipeline feeds into the
+    temperature mix in place of raw counts.
+
+    Reuses docs_softdedup_weights VERBATIM (the weights cannot drift
+    from the policy) and the token-count projection of the mixture
+    family (filtered whitespace split).
+
+    Determinism: raw counts exact int64, raw_share one int64/int64
+    division; each doc's nt/cluster_size term is bit-identical
+    (int64/int64), and the per-language sum crosses a round-THREE
+    decimal hop — at 1e6-token language mass the partial-sum-order
+    error (~n·eps·mass ≈ 1e-6) sits right at a 6-decimal quantum, so
+    the wash uses the coarser grid with a 1000x margin; eff_tot is the
+    30-value sum of those hopped masses re-hopped, and eff_share is
+    then a division of bit-identical doubles (no further rounding
+    needed). NULL-text docs carry NULL token counts and drop from both
+    masses identically on both engines.
+
+    Scale: the cluster labeling is the cost already paid by the
+    weights relation; this adds one doc_id join of the narrow token
+    projection, a languages-sized rollup, and a 1-row total broadcast.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = docs_softdedup_weights(spark, sf_dir).select(
+        "doc_id", "lang", "cluster_size"
+    )
+    nt = docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("bigint")
+        .alias("nt"),
+    )
+    hop3 = lambda c: (  # noqa: E731 — the round-3 decimal hop
+        F.round(c, 3).cast("decimal(38,3)").cast("double")
+    )
+    per = (
+        w.join(nt, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("cluster_size") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum("nt").cast("bigint").alias("raw_tokens"),
+            hop3(
+                F.sum(
+                    F.col("nt").cast("double")
+                    / F.col("cluster_size").cast("double")
+                )
+            ).alias("eff_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("raw_tokens").cast("bigint").alias("raw_tot"),
+        hop3(F.sum("eff_tokens")).alias("eff_tot"),
+    )
+    raw_share = F.col("raw_tokens") / F.col("raw_tot").cast("double")
+    eff_share = F.col("eff_tokens") / F.col("eff_tot")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_dup_docs",
+        "raw_tokens",
+        "eff_tokens",
+        raw_share.alias("raw_share"),
+        eff_share.alias("eff_share"),
+        (raw_share - eff_share).alias("share_shift"),
+    )
+
+
 def softdedup_weights_from(
     spark: SparkSession, docs: DataFrame, pairs: DataFrame
 ) -> DataFrame:
@@ -2209,6 +2289,7 @@ QUERIES = {
     "docs_ngram_containment": docs_ngram_containment,
     "docs_dup_clusters": docs_dup_clusters,
     "docs_softdedup_weights": docs_softdedup_weights,
+    "docs_softdedup_effective_mass": docs_softdedup_effective_mass,
     "docs_cluster_dedup": docs_cluster_dedup,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_dedup_rate_by_source": docs_dedup_rate_by_source,
@@ -2255,6 +2336,7 @@ FAMILY_CONSUMERS = {
         "docs_cluster_dedup",
         "docs_dedup_method_agreement",
         "docs_softdedup_weights",
+        "docs_softdedup_effective_mass",
         "docs_ingest_chain_nd",
     ),
     "dup_spans": (
@@ -2846,6 +2928,56 @@ ORACLE_SQL = {
                CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cluster_size,
                1.0 / CAST(coalesce(c.cluster_size, 1) AS DOUBLE) AS weight
         FROM documents d LEFT JOIN clus c USING (doc_id)
+    """,
+    "docs_softdedup_effective_mass": f"""
+        WITH RECURSIVE p AS ({_SIMHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM p
+            UNION ALL
+            SELECT doc_b, doc_a FROM p
+        ),
+        verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT e.t, reach.r FROM edges e JOIN reach ON e.s = reach.doc_id
+        ),
+        lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        clus AS (
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM lab
+        ),
+        d AS (
+            SELECT doc.lang,
+                   CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cs,
+                   CAST(len(list_filter(string_split(doc.text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS nt
+            FROM documents doc LEFT JOIN clus c USING (doc_id)
+        ),
+        per AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN cs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_docs,
+                   CAST(sum(nt) AS BIGINT) AS raw_tokens,
+                   CAST(CAST(round(
+                       sum(CAST(nt AS DOUBLE) / CAST(cs AS DOUBLE)), 3
+                   ) AS DECIMAL(38,3)) AS DOUBLE) AS eff_tokens
+            FROM d GROUP BY lang
+        ),
+        tot AS (
+            SELECT CAST(sum(raw_tokens) AS BIGINT) AS raw_tot,
+                   CAST(CAST(round(sum(eff_tokens), 3)
+                        AS DECIMAL(38,3)) AS DOUBLE) AS eff_tot
+            FROM per
+        )
+        SELECT lang, n_docs, n_dup_docs, raw_tokens, eff_tokens,
+               raw_tokens / CAST(raw_tot AS DOUBLE) AS raw_share,
+               eff_tokens / eff_tot AS eff_share,
+               raw_tokens / CAST(raw_tot AS DOUBLE)
+                   - eff_tokens / eff_tot AS share_shift
+        FROM per CROSS JOIN tot
     """,
     "docs_cluster_dedup": f"""
         WITH RECURSIVE p AS ({_SIMHASH_PAIRS_SQL}),

@@ -81,6 +81,7 @@ PRIORITY_ORDER = [
     "docs_ingest_chain_nd",    # four-stage chain (+ near-dup stage)
     "docs_classifier_calibration",  # reliability bins for the margin
     "embed_intrinsic_dim",     # TwoNN intrinsic-dimension estimate
+    "docs_softdedup_effective_mass",  # weights -> language-mass audit
     # (3) The 8 r6-stale anchors the r10 window spilled (driver
     # evidence five rounds old — the oldest in the registry),
     # alphabetical:
@@ -122,7 +123,6 @@ PRIORITY_ORDER = [
     "embed_centroids",
     "embed_ivf_assign",
     "embed_knn",
-    "embed_matryoshka_audit",
     # the 8 slowest-oracle r7 anchors, ascending cost — window tail:
     "customer_golden_record",
     "lineitem_rle_layout_audit",
@@ -134,10 +134,11 @@ PRIORITY_ORDER = [
     "docs_minhash_calibration",
     # ---- position 51+ ----
     # The spilled r7-vintage anchors — next in line for the r12 front
-    # (embed_ndcg_audit / embed_neardup_dedup / embed_neardup_pairs /
-    # embed_norm_stats / embed_pq_codes / embed_quantize /
-    # events_cusum_changepoint / events_dau_wau_mau displaced by the
-    # eight r11 registrations):
+    # (embed_matryoshka_audit / embed_ndcg_audit / embed_neardup_dedup
+    # / embed_neardup_pairs / embed_norm_stats / embed_pq_codes /
+    # embed_quantize / events_cusum_changepoint / events_dau_wau_mau
+    # displaced by the nine r11 registrations):
+    "embed_matryoshka_audit",
     "embed_ndcg_audit",
     "embed_neardup_dedup",
     "embed_neardup_pairs",

@@ -513,3 +513,57 @@ def test_softdedup_weights_conserve_cluster_mass(spark, sf_dir):
             assert (r.cluster_id, r.cluster_size) == labeled[r.doc_id]
         else:
             assert r.cluster_id == r.doc_id and r.cluster_size == 1
+
+
+def test_softdedup_effective_mass_composes_weights_and_tokens(spark, sf_dir):
+    """Independent composition check (r11): recompute every language's
+    raw and effective token mass in plain Python from the proven
+    weights relation and a whitespace token count — counts, masses
+    (to the committed 3-decimal grid), shares, and the zero-sum share
+    shift must all hold."""
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        docs_softdedup_effective_mass,
+        docs_softdedup_weights,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    w = {
+        r.doc_id: (r.lang, r.cluster_size)
+        for r in docs_softdedup_weights(spark, sf_dir).collect()
+    }
+    nt = {
+        r.doc_id: r.nt
+        for r in load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "cast(size(filter(split(text, ' '), x -> x != '')) as long) nt",
+        )
+        .collect()
+    }
+    raw = defaultdict(int)
+    eff = defaultdict(float)
+    docs_per = defaultdict(lambda: [0, 0])
+    for doc_id, (lang, cs) in w.items():
+        t = nt[doc_id]
+        docs_per[lang][0] += 1
+        docs_per[lang][1] += 1 if cs > 1 else 0
+        if t is not None:
+            raw[lang] += t
+            eff[lang] += t / cs
+    rows = docs_softdedup_effective_mass(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(docs_per)
+    for r in rows:
+        assert [r.n_docs, r.n_dup_docs] == docs_per[r.lang]
+        assert r.raw_tokens == raw[r.lang]
+        want = float(
+            Decimal(eff[r.lang]).quantize(
+                Decimal("0.001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert abs(r.eff_tokens - want) <= 0.001, r.lang
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.eff_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.share_shift for r in rows)) < 1e-9

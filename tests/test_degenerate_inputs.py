@@ -75,6 +75,7 @@ _DOC_QUERIES = [
     (text, "docs_quality_kn_interaction"),
     (text, "docs_ingest_chain_nd"),
     (text, "docs_classifier_calibration"),
+    (dedup, "docs_softdedup_effective_mass"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"

@@ -554,6 +554,7 @@ _BNLJ_ALLOWED = {
     "docs_kn_surprisal",  # same 1-row type-total via the shared _kn_probs kernel (r10)
     "docs_kn_band",  # same 1-row type-total via _kn_doc_scores/_kn_probs (r11)
     "docs_quality_kn_interaction",  # _kn_probs type-total + 1-row n_total crossJoins (r11)
+    "docs_softdedup_effective_mass",  # 1-row raw/effective total crossJoin (r11)
     "embed_prototypicality",  # k-row codebook per Lloyd pass via _km_fit (r11)
     "embed_cluster_purity",  # k-row codebook via _km_fit + 1-row n_total crossJoin (r11)
 }
