@@ -35,6 +35,19 @@ _NEARDUP_THRESHOLD = 0.30
 _NEARDUP_TILES = 8  # block-matrix tiling factor for the exact pair join
 
 
+def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings under the r11 NULL policy: a row without a vector
+    cannot be searched, clustered, indexed, or measured — excluded
+    EXPLICITLY on BOTH engines (every oracle in this module reads the
+    mirrored `embedding IS NOT NULL` view; the auto-included sweep
+    tests/test_embed_null_parity.py keeps the class closed). The
+    filter is a data-source predicate (reaches the parquet scan) and
+    a no-op on the NULL-free synthetic corpora."""
+    return load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -65,7 +78,7 @@ def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject — per-partition k then merge, no full sort).
     Deterministic tie-break on vec_id after rounding.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _load_vectors(spark, sf_dir)
     q = (
         emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select(F.col("embedding").cast("array<double>").alias("qv"))
@@ -91,7 +104,7 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode to (label, dim, component), average per cell. One shuffle
     on (label, dim); partial means computed map-side.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _load_vectors(spark, sf_dir)
     return (
         emb.select(
             "label",
@@ -123,7 +136,7 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t_count = _NEARDUP_TILES
     emb = (
-        load(spark, sf_dir, "embeddings")
+        _load_vectors(spark, sf_dir)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("tile", F.pmod("vec_id", F.lit(t_count)).cast("int"))
     )
@@ -234,7 +247,7 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t_count = _NEARDUP_TILES
     emb = (
-        load(spark, sf_dir, "embeddings")
+        _load_vectors(spark, sf_dir)
         .select(
             "vec_id",
             "label",
@@ -437,7 +450,7 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane lists); tests/test_similarity.py additionally measures recall
     against embed_knn and bounds candidates examined.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     # bucket the 1-row query side separately — deriving both sides from
@@ -478,7 +491,7 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 cells measures 0.4-0.5 recall@10 on this corpus vs 0.1 at
     nprobe=1 (weak cluster structure; neighbors spread across cells).
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     # centroid array per label: the FAMILY kernel verbatim (rounded
@@ -552,7 +565,7 @@ def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only data-sized shuffle is the vec_id window, and at scale
     that folds into the write that partitions the corpus by cell.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     cvec = _centroid_vecs(emb)
@@ -653,7 +666,7 @@ def embed_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall join touches the k-row exact leg. A wider grid costs
     broadcast rows, never extra scans.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     cvec = _centroid_vecs(emb).select(F.col("cell").alias("label"), "cv")
@@ -781,7 +794,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id) partial agg; iterations are bounded by _KM_ITERS, not
     data-dependent (no convergence loop to stall a 100 TB run).
     """
-    _, assigned = _km_fit(load(spark, sf_dir, "embeddings"))
+    _, assigned = _km_fit(_load_vectors(spark, sf_dir))
     return assigned.select("vec_id", "label", "cell", "sq_dist")
 
 
@@ -847,7 +860,7 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-other-centroid distance — still no data-sized shuffle
     beyond the per-vector aggregations; the rollup output is k rows.
     """
-    cents, assigned = _km_fit(load(spark, sf_dir, "embeddings"))
+    cents, assigned = _km_fit(_load_vectors(spark, sf_dir))
     oth = (
         assigned.select("vec_id", F.col("cell").alias("own"), "v")
         .crossJoin(F.broadcast(cents))
@@ -906,7 +919,7 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no similarity surface in the reference
     (SURVEY.md §2.12 extension family); public-literature anchor only.
     """
-    _, assigned = _km_fit(load(spark, sf_dir, "embeddings"))
+    _, assigned = _km_fit(_load_vectors(spark, sf_dir))
     per = assigned.groupBy("cell", "label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -963,7 +976,7 @@ def embed_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no similarity surface in the reference
     (SURVEY.md §2.12 extension family); public-literature anchor only.
     """
-    _, assigned = _km_fit(load(spark, sf_dir, "embeddings"))
+    _, assigned = _km_fit(_load_vectors(spark, sf_dir))
     w = Window.partitionBy("cell").orderBy("sq_dist", "vec_id")
     ranked = assigned.select(
         "vec_id",
@@ -1009,7 +1022,7 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmaxes, the embed_kcenter_coreset loop shape with lineage cut per
     pick) — pool size, not corpus size, bounds the iteration cost.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _load_vectors(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").cast("array<double>").alias("qv")
     )
@@ -1130,7 +1143,7 @@ def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     no data-sized shuffle at any corpus size; iterations are bounded
     by _KC_K, never by the data.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     seed = (
@@ -1207,7 +1220,7 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan run at 100 TB where an explicit covariance +
     eigensolver cannot.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     m = (
@@ -1292,7 +1305,7 @@ def embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the similarity threshold (keep-lowest-vec_id policy — the same
     anti-join shape as the MinHash/SimHash dedups, completing the dedup
     family over the embedding modality)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _load_vectors(spark, sf_dir)
     losers = (
         embed_neardup_pairs(spark, sf_dir)
         .select(F.col("vec_b").alias("vec_id"))
@@ -1326,7 +1339,7 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same operation order and the driver hash checks the full
     pipeline, not just counts.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     cvec = _centroid_vecs(emb)
@@ -1393,7 +1406,7 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free and avg differences wash out at round-4. Narrow projection
     + one tiny groupBy — linear scan at any scale.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _load_vectors(spark, sf_dir)
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -1427,7 +1440,7 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     as array<tinyint> by the index builder (elided here — the audit
     columns pin down every q_i through the checksum).
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _load_vectors(spark, sf_dir)
     v = F.transform("embedding", lambda x: x.cast("double"))
     mx = F.array_max(F.transform(v, F.abs))
     # two projections, not one: the quantized array feeds three audit
@@ -1513,7 +1526,7 @@ def docs_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg, order-free min/max; avg_norm goes through the DECIMAL
     round-trip so its representation is canonical across engines."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id",
         "label",
         _norm(F.transform("embedding", lambda x: x.cast("double"))).alias("norm"),
@@ -1572,7 +1585,7 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape than a row_number window (which would shuffle all candidate
     rows). At 100 TB the codes join the IVF cell id in the partitioned
     index write."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     cand = emb.crossJoin(F.broadcast(_centroid_vecs(emb))).select(
@@ -1615,7 +1628,7 @@ def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance is round-6 per subspace (sums of identical doubles in
     identical order), so the whole search is bit-identical to the
     DuckDB oracle."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     cvec = _centroid_vecs(emb)
@@ -1703,7 +1716,7 @@ def embed_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     for all nine argmins at once — cell + 4 codes come out of ONE
     groupBy, not five windows.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     losers = (
@@ -1760,7 +1773,7 @@ def embed_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k). Cost: two corpus-linear top-k scans
     + a k-row join — the cheaper truncated scan is the one a rollout
     would keep."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _load_vectors(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_DIM).alias("qv")
     )
@@ -1835,7 +1848,7 @@ def embed_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K pool, and an O(K) exact rerank. Same plan family as
     embed_knn but with the full-width arithmetic confined to K rows.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _load_vectors(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     codes = emb.select(
         "vec_id",
@@ -2156,7 +2169,7 @@ def _mmr_iteration_ctes(k: int) -> str:
 _MMR_SQL = (
     f"""
         WITH e AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
         ),
         q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
         pool AS (
@@ -2212,7 +2225,7 @@ def _kc_iteration_ctes(k: int) -> str:
 _KC_SQL = (
     """
         WITH e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
         ),
         c1 AS (
             SELECT vec_id, v, CAST(NULL AS DOUBLE) AS sel
@@ -2245,7 +2258,7 @@ ORACLE_SQL = {
             SELECT d.lang, e.label, d.n_chars,
                    sqrt(list_sum(list_transform(e.embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            FROM documents d JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e ON d.doc_id = e.vec_id
         )
         GROUP BY lang, label
     """,
@@ -2266,7 +2279,7 @@ ORACLE_SQL = {
                 SELECT vec_id, label, embedding,
                        list_max(list_transform(embedding,
                            x -> abs(CAST(x AS DOUBLE)))) AS max_abs
-                FROM embeddings
+                FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
             )
         )
     """,
@@ -2279,7 +2292,7 @@ ORACLE_SQL = {
             SELECT label,
                    sqrt(list_sum(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-            FROM embeddings
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
         )
         GROUP BY label
     """,
@@ -2287,29 +2300,29 @@ ORACLE_SQL = {
         SELECT a.vec_id, a.label,
                round(list_cosine_similarity(
                    a.embedding::DOUBLE[],
-                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+                   (SELECT embedding::DOUBLE[] FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) WHERE vec_id = {_QUERY_VEC_ID})
                ), 6) AS cosine_sim
-        FROM embeddings a
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
         WHERE a.vec_id <> {_QUERY_VEC_ID}
         ORDER BY cosine_sim DESC, a.vec_id ASC
         LIMIT {_TOP_K}
     """,
     "embed_ann_lsh": f"""
         WITH q AS (
-            SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+            SELECT embedding FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) WHERE vec_id = {_QUERY_VEC_ID}
         ),
         cand AS (
             SELECT DISTINCT c.vec_id
-            FROM embeddings c, q
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c, q
             WHERE c.vec_id <> {_QUERY_VEC_ID} AND ({_LSH_CAND_SQL})
         )
         SELECT a.vec_id, a.label,
                round(list_cosine_similarity(
                    a.embedding::DOUBLE[],
-                   (SELECT embedding::DOUBLE[] FROM embeddings
+                   (SELECT embedding::DOUBLE[] FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
                     WHERE vec_id = {_QUERY_VEC_ID})
                ), 6) AS cosine_sim
-        FROM embeddings a JOIN cand USING (vec_id)
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a JOIN cand USING (vec_id)
         ORDER BY cosine_sim DESC, a.vec_id ASC
         LIMIT {_TOP_K}
     """,
@@ -2319,7 +2332,7 @@ ORACLE_SQL = {
             SELECT label,
                    unnest(embedding::DOUBLE[]) AS component,
                    unnest(range(1, len(embedding) + 1)) AS i
-            FROM embeddings
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
         )
         GROUP BY label, i
     """,
@@ -2328,7 +2341,7 @@ ORACLE_SQL = {
 {_cent_cte_sql("embeddings")}
         ),
         q AS (
-            SELECT embedding::DOUBLE[] AS qv FROM embeddings
+            SELECT embedding::DOUBLE[] AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
             WHERE vec_id = {_QUERY_VEC_ID}
         ),
         best AS (
@@ -2338,7 +2351,7 @@ ORACLE_SQL = {
         )
         SELECT e.vec_id, e.label,
                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine_sim
-        FROM embeddings e, q, best b
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, q, best b
         WHERE e.label = b.label AND e.vec_id <> {_QUERY_VEC_ID}
         ORDER BY cosine_sim DESC, e.vec_id ASC
         LIMIT {_TOP_K}
@@ -2350,7 +2363,7 @@ ORACLE_SQL = {
         dist AS (
             SELECT e.vec_id, e.label, c.cell,
                    {_PQ_DIST_SQL}
-            FROM embeddings e CROSS JOIN cent c
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN cent c
         )
         SELECT vec_id, label,
                {_PQ_CODE_SQL},
@@ -2363,14 +2376,14 @@ ORACLE_SQL = {
 {_cent_cte_sql("embeddings")}
         ),
         q AS (
-            SELECT embedding::DOUBLE[] AS qv FROM embeddings
+            SELECT embedding::DOUBLE[] AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
             WHERE vec_id = {_QUERY_VEC_ID}
         ),
         dist AS (
             SELECT e.vec_id, e.label, c.cell,
                    {_SQDIST_SQL} AS fd,
                    {_PQ_DIST_SQL}
-            FROM embeddings e CROSS JOIN cent c
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN cent c
         ),
         idx AS (
             SELECT vec_id, label,
@@ -2407,10 +2420,10 @@ ORACLE_SQL = {
     "embed_pipeline_e2e": f"""
         WITH kept AS (
             SELECT e.vec_id, e.label, e.embedding
-            FROM embeddings e
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
             WHERE NOT EXISTS (
                 SELECT 1
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b ON a.vec_id < b.vec_id
                 WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
                   AND b.vec_id = e.vec_id
             )
@@ -2436,7 +2449,7 @@ ORACLE_SQL = {
     """,
     "embed_kmeans": f"""
         WITH emb2 AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
         ),
         c0 AS (
             SELECT vec_id AS cell, v AS cv FROM emb2 ORDER BY vec_id LIMIT {_KM_K}
@@ -2473,7 +2486,7 @@ ORACLE_SQL = {
     """,
     "embed_pca_power": f"""
         WITH emb2 AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
         ),
         m AS (
             SELECT list(mx ORDER BY dim) AS mv FROM (
@@ -2530,7 +2543,7 @@ ORACLE_SQL = {
     """,
     "embed_silhouette": f"""
         WITH emb2 AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
         ),
         c0 AS (
             SELECT vec_id AS cell, v AS cv FROM emb2 ORDER BY vec_id LIMIT {_KM_K}
@@ -2592,7 +2605,7 @@ ORACLE_SQL = {
             SELECT e.vec_id, c.cell,
                    {_SQDIST_SQL}
                        AS sq_dist
-            FROM embeddings e CROSS JOIN cent c
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN cent c
         ),
         assigned AS (
             SELECT vec_id, cell
@@ -2624,7 +2637,7 @@ ORACLE_SQL = {
             SELECT e.vec_id, e.label, c.cell,
                    {_SQDIST_SQL}
                        AS sq_dist
-            FROM embeddings e CROSS JOIN cent c
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN cent c
         )
         SELECT vec_id, label, cell, sq_dist
         FROM (
@@ -2637,14 +2650,14 @@ ORACLE_SQL = {
     "embed_neardup_pairs": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round({_COS_SQL}, 6) AS cosine_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b ON a.vec_id < b.vec_id
         WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
     """,
     "embed_neardup_dedup": f"""
         SELECT e.vec_id, e.label
-        FROM embeddings e
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
         WHERE NOT EXISTS (
-            SELECT 1 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            SELECT 1 FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b ON a.vec_id < b.vec_id
             WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
               AND b.vec_id = e.vec_id
         )
@@ -2657,7 +2670,7 @@ ORACLE_SQL = {
             SELECT e.vec_id, e.label, c.cell,
                    {_SQDIST_SQL}
                        AS sq_dist
-            FROM embeddings e CROSS JOIN cent c
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN cent c
         ),
         assign AS (
             SELECT vec_id, label,
@@ -2671,7 +2684,7 @@ ORACLE_SQL = {
             -- list_sum, divided) so the doubles match Spark's
             -- zip_with/aggregate fold bit-for-bit pre-rounding
             SELECT DISTINCT b.vec_id AS vec_id
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b ON a.vec_id < b.vec_id
             JOIN assign sa ON sa.vec_id = a.vec_id
             JOIN assign sb ON sb.vec_id = b.vec_id AND sb.cell = sa.cell
             WHERE round(
@@ -2710,7 +2723,7 @@ ORACLE_SQL["embed_ivf_tuning"] = f"""
 {_cent_cte_sql("embeddings")}
     ),
     q AS (
-        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        SELECT embedding::DOUBLE[] AS qv FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
         WHERE vec_id = {_QUERY_VEC_ID}
     ),
     ranked AS (
@@ -2725,7 +2738,7 @@ ORACLE_SQL["embed_ivf_tuning"] = f"""
         SELECT g.nprobe, e.vec_id,
                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
                    AS cosine_sim
-        FROM embeddings e
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
         JOIN ranked r ON e.label = r.label
         JOIN grid g ON r.cell_rank <= g.nprobe, q
         WHERE e.vec_id <> {_QUERY_VEC_ID}
@@ -2779,7 +2792,7 @@ ORACLE_SQL["embed_bq_search"] = f"""
                    i -> CASE WHEN embedding[i + 33] > 0
                              THEN CAST(pow(2, i) AS BIGINT)
                              ELSE 0 END)) AS BIGINT) AS code_hi
-        FROM embeddings
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
     ),
     q AS (SELECT * FROM codes WHERE vec_id = {_QUERY_VEC_ID}),
     pool AS (
@@ -2829,12 +2842,12 @@ ORACLE_SQL["embed_matryoshka_audit"] = f"""
     WITH exact AS (SELECT vec_id FROM ({ORACLE_SQL["embed_knn"]})),
     trunc AS (
         SELECT a.vec_id
-        FROM embeddings a
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
         WHERE a.vec_id <> {_QUERY_VEC_ID}
         ORDER BY round(list_cosine_similarity(
                      (a.embedding::DOUBLE[])[1:{_MRL_DIM}],
                      (SELECT (embedding::DOUBLE[])[1:{_MRL_DIM}]
-                      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+                      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) WHERE vec_id = {_QUERY_VEC_ID})
                  ), 6) DESC, a.vec_id ASC
         LIMIT {_TOP_K}
     )
@@ -2919,7 +2932,7 @@ FAMILY_BUILDS = {
     # embed_pipeline_e2e
     "ivf_centroids": lambda spark, sf_dir: [
         _centroid_vecs(
-            load(spark, sf_dir, "embeddings").select(
+            _load_vectors(spark, sf_dir).select(
                 "vec_id",
                 "label",
                 F.col("embedding").cast("array<double>").alias("v"),
@@ -2930,7 +2943,7 @@ FAMILY_BUILDS = {
     # embed_kmeans, embed_silhouette, embed_prototypicality,
     # embed_cluster_purity (r11)
     "km_fit": lambda spark, sf_dir: list(
-        _km_fit(load(spark, sf_dir, "embeddings"))
+        _km_fit(_load_vectors(spark, sf_dir))
     ),
 }
 
@@ -2946,7 +2959,7 @@ ORACLE_SQL["docs_dedup_modality_agreement"] = f"""
     ep AS (
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                round({_COS_SQL}, 6) AS cosine_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b ON a.vec_id < b.vec_id
         WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
     )
     SELECT coalesce(tp.doc_a, ep.doc_a) AS doc_a,
@@ -3008,7 +3021,7 @@ ORACLE_SQL["embed_cluster_purity"] = f"""
 # same round-6 squared distances, same usable/degenerate policy.
 ORACLE_SQL["embed_intrinsic_dim"] = """
     WITH e AS (
-        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
     ),
     p AS (
         SELECT a.vec_id AS vid,
