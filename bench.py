@@ -194,7 +194,16 @@ def main() -> int:
     query_timings = {
         k: v for k, v in timings.items() if not k.startswith("family_build:")
     }
-    total = round(sum(timings.values()), 3)
+    total_median = round(sum(timings.values()), 3)
+    total_min = round(sum(timings_min.values()), 3)
+    # Headline `value` is the MIN-based surface total (r11 verdict ask
+    # #3): the 3 cold passes carry a monotone JVM warm-up trend plus
+    # one-sided ambient VM noise, so the median systematically
+    # overstates steady-state (~15% in r11: 245.8 s median vs 214.2 s
+    # min vs the builder's 193.9 s quiet-run median). Noise only ever
+    # ADDS time, so per-row min is the comparable round-over-round
+    # figure; the median stays as `value_median` for continuity.
+    total = total_min
 
     # Warm-kernel attribution pass (r4 verdict ask #4): one extra pass
     # with all session caches left warm from the final cold pass, so
@@ -231,6 +240,7 @@ def main() -> int:
     detail = {
         "metric": "query_surface_wall_clock",
         "value": total,
+        "value_median": total_median,
         "unit": "sec",
         "queries": query_timings,
         "queries_min": {
@@ -243,13 +253,15 @@ def main() -> int:
             for k, v in timings_min.items()
             if k.startswith("family_build:")
         },
-        "value_min": round(sum(timings_min.values()), 3),
+        "value_min": total_min,
         "min_note": (
-            "per-row MIN across the cold passes (r10 verdict ask #2): "
-            "ambient VM noise only ever adds time, so the min is the "
-            "noise-robust drift metric — adjudicate carried-query "
-            "ratios and >1.5x flags on queries_min, keep the median as "
-            "the headline"
+            "headline `value` IS the per-row-MIN surface total since "
+            "r12 (r11 verdict ask #3): ambient VM noise only ever adds "
+            "time, so the min is the noise-robust round-over-round "
+            "figure; `queries` stays the per-query MEDIAN map and "
+            "`value_median` the median total for continuity — "
+            "adjudicate carried-query ratios and >1.5x flags on "
+            "queries_min"
         ),
         "family_builds": build_timings,
         "family_builds_total": round(sum(build_timings.values()), 3),
@@ -284,6 +296,7 @@ def main() -> int:
     out = {
         "metric": "query_surface_wall_clock",
         "value": total,
+        "value_median": total_median,
         "unit": "sec",
         "sf": _sf_of(sf_dir),
         "n_queries": len(query_timings),
@@ -291,7 +304,7 @@ def main() -> int:
         "n_errors": len(errors),
         "runs": n_runs,
         "per_run_totals": [round(sum(t.values()), 3) for t in per_run],
-        "value_min": round(sum(timings_min.values()), 3),
+        "value_min": total_min,
         "queries": slowest,
         "detail": os.path.basename(detail_path),
     }

