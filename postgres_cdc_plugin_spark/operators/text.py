@@ -3475,6 +3475,112 @@ def ingest_chain_nd_from(docs: DataFrame) -> DataFrame:
     )
 
 
+def docs_ingest_chain_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIVE-stage ingest chain (r12, r11 verdict ask #5 — the
+    perplexity filter run as a real pipeline stage, not just the
+    standalone docs_kn_band audit): Gopher gate → Kneser-Ney
+    middle-band keep → near-dup CLUSTER dedup → corpus-wide C4
+    keep-first line dedup → temperature-mixture admission.
+
+    The one semantic subtlety this chain exists to state: the KN model
+    is trained on the GATED corpus — stage order changes the model
+    (CCNet trains its LM on cleaned text; a gated-out document's
+    bigrams must not shape p_kn), and the chained-CTE oracle states
+    this explicitly (the KN scores CTE joins the gate's keep set
+    before counting a single bigram). Band policy: only band = 'keep'
+    passes — 'below' (templated/duplicated), 'above' (noise), and
+    'unscored' (no bigram positions) all stop here; the drops are
+    never silent because docs_kn_band IS this stage's audit relation
+    (same scorer, same band expression, same literals).
+
+    Every stage reuses the standalone kernel VERBATIM — gopher_rules_df,
+    _bigram_counts/kn_surprisal_from/_kn_band_col (docs_kn_band's exact
+    scorer and verdict expression), the PERSISTED corpus-wide SimHash
+    pair relation (restricted to KN-kept endpoints: block agreement is
+    pairwise, so pairs among a subset ARE the corpus pairs with both
+    endpoints in the subset), dup_clusters_from, _C4_LINES_EXPR/
+    c4_lines_of/c4_kept_lines, mixture_sample_from — so the composite
+    is fully oracle-checkable (the DuckDB side chains the same CTEs,
+    built MECHANICALLY from the four-stage oracle) and the streaming
+    IngestPipeline's sample_kn() is pinned bit-equal to THIS query.
+
+    Scale shape on top of docs_ingest_chain_nd: the KN stage adds the
+    docs_kn_surprisal cost restricted to the gated corpus (model
+    Zipf-bounded by distinct bigrams, scoring one g-key join + doc
+    rollup) + one doc_id semi-join — and every later stage (pair
+    labeling, line explode) then runs on the SMALLER KN-kept corpus:
+    the cheap-before-expensive ordering, one stage deeper.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_doc_full, _ = _bigram_counts(docs)  # the PERSISTED family kernel
+    return ingest_chain_kn_from(
+        docs.select("doc_id", "text", "lang"), per_doc=per_doc_full
+    )
+
+
+def ingest_chain_kn_from(
+    docs: DataFrame, per_doc: DataFrame | None = None
+) -> DataFrame:
+    """The five-stage chain over an arbitrary (doc_id, text, lang)
+    relation — what docs_ingest_chain_kn runs on the documents table
+    and what the streaming bit-equality tests run on per-wave
+    subsets. `per_doc` optionally supplies a pre-built per-(doc,
+    bigram) count relation of `docs` (the bigram_counts FAMILY kernel
+    for the full table): counts are per-document, so the GATED model's
+    relations are exactly this relation filtered to gate-kept ids plus
+    its rollup — no bigram recompute, the same subset-restriction
+    argument as the SimHash pair reuse."""
+    from .dedup import _simhash_pairs_df, c4_lines_of, dup_clusters_from
+
+    kept_ids = gopher_rules_df(docs).filter("keep").select("doc_id")
+    gated = docs.join(kept_ids, "doc_id").select("doc_id", "text", "lang")
+    # KN model trained on the GATED corpus (stage order changes the
+    # model); scorer + band verdict are docs_kn_band's expression trees.
+    # kn_ids is consumed THREE times downstream (both pair endpoints +
+    # the survivor semi-join) — persisted so the scoring subtree runs
+    # once, not three times (the relation is one narrow doc_id column)
+    if per_doc is None:
+        per_doc = bigram_per_doc(docs.select("doc_id", "text"))
+    per_doc_gated = per_doc.join(kept_ids, "doc_id")
+    kn_ids = (
+        gated.select("doc_id")
+        .join(
+            kn_surprisal_from(
+                per_doc_gated, bigram_corpus_from(per_doc_gated)
+            ),
+            "doc_id",
+            "left",
+        )
+        .filter(_kn_band_col() == "keep")
+        .select("doc_id")
+        .persist()
+    )
+    kn = gated.join(kn_ids, "doc_id")
+    # pairs among KN-kept docs = the persisted corpus pair relation
+    # with both endpoints KN-kept (hamming between fixed signatures
+    # does not depend on other documents)
+    pairs = (
+        _simhash_pairs_df(docs)
+        .join(kn_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(kn_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    losers = (
+        dup_clusters_from(docs.sparkSession, pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    nd = kn.join(losers, "doc_id", "left_anti")
+    lined = nd.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+    ).select("doc_id", "lang", F.expr(_C4_LINES_EXPR).alias("lines"))
+    return ingest_sample_from(
+        lined.select("doc_id", "lang"), c4_lines_of(lined)
+    )
+
+
 def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language — the audit run before freezing
     a vocabulary to catch under-served languages (a language whose
@@ -3858,6 +3964,7 @@ FAMILY_CONSUMERS = {
         "docs_kn_surprisal",
         "docs_kn_band",
         "docs_quality_kn_interaction",
+        "docs_ingest_chain_kn",
     ),
 }
 
@@ -3884,6 +3991,7 @@ QUERIES = {
     "docs_mixture_realized_mix": docs_mixture_realized_mix,
     "docs_ingest_chain": docs_ingest_chain,
     "docs_ingest_chain_nd": docs_ingest_chain_nd,
+    "docs_ingest_chain_kn": docs_ingest_chain_kn,
     "docs_unimax_mix": docs_unimax_mix,
     "docs_unimax_sample": docs_unimax_sample,
     "docs_unimax_realized_mix": docs_unimax_realized_mix,
@@ -5308,7 +5416,7 @@ from .dedup import _SIMHASH_PAIRS_SQL as _ND_PAIRS_SQL  # noqa: E402
 _ND_CTES = f"""gated_docs AS (
         SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)
     ),
-    p AS ({_ND_PAIRS_SQL.replace("FROM documents", "FROM gated_docs")}),
+    p AS MATERIALIZED ({_ND_PAIRS_SQL.replace("FROM documents", "FROM gated_docs")}),
     edges AS (
         SELECT doc_a AS s, doc_b AS t FROM p
         UNION ALL
@@ -5691,6 +5799,50 @@ _KN_BAND_CASE_SQL = f"""
                 WHEN s.kn_surprisal > {_KN_BAND_HI} THEN 'above'
                 ELSE 'keep' END
 """
+
+# Five-stage chain (r12, r11 verdict ask #5): the four-stage oracle
+# with the KN band stage interposed between the gate and the near-dup
+# leg — built MECHANICALLY (the KN CTEs insert before `gated_docs`,
+# whose source re-roots on `kn`, and the ND keep set re-roots on `kn`),
+# with the score relation reused from _KN_DOC_SCORES_SQL VERBATIM
+# modulo one source-relation join (the model trains on the GATED
+# corpus — the chain's one semantic subtlety, stated in SQL: the
+# grams CTE joins the gate's keep set before counting a single
+# bigram) as a NESTED WITH (local CTE names, no outer-name clash),
+# and the band verdict from _KN_BAND_CASE_SQL verbatim.
+_KN_GATED_SCORES_SQL = _KN_DOC_SCORES_SQL.replace(
+    "FROM documents)", "FROM documents JOIN g USING (doc_id))", 1
+)
+assert "JOIN g USING (doc_id))" in _KN_GATED_SCORES_SQL
+
+_KN_GATE_CTES = f"""kn_scores AS (
+{_KN_GATED_SCORES_SQL}
+    ),
+    kn AS MATERIALIZED (
+        SELECT g.doc_id
+        FROM g LEFT JOIN kn_scores s USING (doc_id)
+        WHERE ({_KN_BAND_CASE_SQL}) = 'keep'
+    ),
+    """
+
+ORACLE_SQL["docs_ingest_chain_kn"] = (
+    ORACLE_SQL["docs_ingest_chain_nd"]
+    .replace("    gated_docs AS (", "    " + _KN_GATE_CTES + "gated_docs AS (", 1)
+    .replace(
+        "SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)",
+        "SELECT d.doc_id, d.text FROM documents d JOIN kn USING (doc_id)",
+        1,
+    )
+    .replace(
+        "SELECT g.doc_id FROM g\n        WHERE NOT EXISTS",
+        "SELECT kn.doc_id FROM kn\n        WHERE NOT EXISTS",
+        1,
+    )
+    .replace("WHERE lab.doc_id = g.doc_id", "WHERE lab.doc_id = kn.doc_id", 1)
+)
+assert "JOIN kn USING (doc_id)" in ORACLE_SQL["docs_ingest_chain_kn"]
+assert "kn_scores" in ORACLE_SQL["docs_ingest_chain_kn"]
+assert "FROM kn\n" in ORACLE_SQL["docs_ingest_chain_kn"]
 
 # the Gopher keep verdict as a chainable (doc_id, gopher_keep) CTE
 # body — the SAME rule arithmetic as the docs_gopher_rules oracle and

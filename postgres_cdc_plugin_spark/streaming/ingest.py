@@ -20,6 +20,15 @@ per batch:
                            documents (r11 — operators/dedup.
                            _simhash_blocks_df VERBATIM; feeds the
                            read-time near-dup stage of sample_nd());
+  grams/batch=<id>       — per-(doc, bigram) counts of the kept
+                           documents (r12 — operators/text.
+                           bigram_per_doc VERBATIM, the ST21 storage
+                           grain: counts over GATE-KEPT docs are
+                           exactly the KN model trained on the gated
+                           corpus, since corpus counts are the
+                           SUM-mergeable rollup of per-doc counts;
+                           feeds the read-time KN band stage of
+                           sample_kn());
   lines/batch=<id>/{docs,lines} — the C4 line relation of the kept
                            documents (delegated to C4LineLedger —
                            _C4_LINES_EXPR/c4_lines_of VERBATIM).
@@ -35,10 +44,10 @@ the gated corpus — bit-equality is by construction, and pinned in
 tests/test_streaming.py together with replay idempotence and
 cross-ledger checkpoint resume.
 
-Atomic visibility across the FOUR roots: a batch is readable only
-when gate, langs, sigs, AND both line relations committed (`_SUCCESS`
-witnesses intersected — streaming/ledger.py, including the loud
-marker-disabled failure). A crash between any two sub-writes leaves
+Atomic visibility across the FIVE roots: a batch is readable only
+when gate, langs, sigs, grams, AND both line relations committed
+(`_SUCCESS` witnesses intersected — streaming/ledger.py, including the
+loud marker-disabled failure). A crash between any two sub-writes leaves
 the batch invisible to every composed surface; the checkpoint replays
 it and the overwrites complete it all-or-nothing.
 
@@ -76,8 +85,10 @@ class IngestPipeline:
         self.lines = C4LineLedger(os.path.join(out_dir, "lines"))
         self.langs_dir = os.path.join(out_dir, "langs")
         self.sigs_dir = os.path.join(out_dir, "sigs")
+        self.grams_dir = os.path.join(out_dir, "grams")
         os.makedirs(self.langs_dir, exist_ok=True)
         os.makedirs(self.sigs_dir, exist_ok=True)
+        os.makedirs(self.grams_dir, exist_ok=True)
 
     # -- composed visibility ------------------------------------------
     def _ready(self) -> list[str]:
@@ -87,6 +98,7 @@ class IngestPipeline:
             committed_batch_ids(self.gate.out_dir)
             & committed_batch_ids(self.langs_dir)
             & committed_batch_ids(self.sigs_dir)
+            & committed_batch_ids(self.grams_dir)
             & committed_nested_batch_ids(
                 self.lines.out_dir, ("docs", "lines")
             )
@@ -165,6 +177,67 @@ class IngestPipeline:
         ).join(nd_langs.select("doc_id"), "doc_id")
         return ingest_sample_from(nd_langs, ln)
 
+    def sample_kn(self, spark) -> DataFrame | None:
+        """The FIVE-stage composed admission ledger (r12, r11 verdict
+        ask #5): gate → KN band → near-dup cluster dedup → line dedup
+        → admission — bit-equal to the batch docs_ingest_chain_kn over
+        the documents seen so far. The KN model is a GLOBAL decision
+        trained on the GATED corpus-so-far (one late document moves
+        every p_kn and therefore every band verdict), so the scorer
+        runs at READ time over the maintained gate-kept per-doc bigram
+        counts (SUM-mergeable: their rollup IS the gated corpus
+        counts), exactly the ST21 pattern; then KN losers mask the
+        signature relation BEFORE pairing (pairs among a subset are
+        the subset's pairs), and cluster losers mask the admission
+        inputs and the line relation as in sample_nd()."""
+        from ..operators.dedup import (
+            _SIMHASH_BLOCKS,
+            dup_clusters_from,
+            simhash_block_pairs,
+        )
+        from ..operators.text import (
+            _kn_band_col,
+            bigram_corpus_from,
+            ingest_sample_from,
+            kn_surprisal_from,
+        )
+
+        ids = self._ready()
+        if not ids:
+            return None
+        langs = self._read(spark, self.langs_dir, ids)
+        per_doc = self._read(spark, self.grams_dir, ids)
+        scores = kn_surprisal_from(per_doc, bigram_corpus_from(per_doc))
+        # consumed three times downstream (both pair endpoints + the
+        # survivor semi-join) — persisted like the batch chain's
+        kn_ids = (
+            langs.select("doc_id")
+            .join(scores, "doc_id", "left")
+            .filter(_kn_band_col() == "keep")
+            .select("doc_id")
+            .persist()
+        )
+        sigs = (
+            self._read(spark, self.sigs_dir, ids)
+            .select(
+                "doc_id",
+                *[f"blk{k}" for k in range(1, _SIMHASH_BLOCKS + 1)],
+            )
+            .join(kn_ids, "doc_id")
+        )
+        losers = (
+            dup_clusters_from(spark, simhash_block_pairs(sigs))
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        kn_langs = langs.join(kn_ids, "doc_id").join(
+            losers, "doc_id", "left_anti"
+        )
+        ln = self._read(
+            spark, self.lines.out_dir, [f"{d}/lines" for d in ids]
+        ).join(kn_langs.select("doc_id"), "doc_id")
+        return ingest_sample_from(kn_langs, ln)
+
     def dedup(self, spark) -> DataFrame | None:
         """Line-dedup rollup of the gated corpus —
         operators/dedup.c4_line_dedup_from verbatim (the ST17 surface,
@@ -206,6 +279,14 @@ class IngestPipeline:
         _simhash_blocks_df(kept.select("doc_id", "text")).write.mode(
             "overwrite"
         ).parquet(os.path.join(self.sigs_dir, f"batch={batch_id}"))
+        # gate-kept per-doc bigram counts (r12, the KN band stage's
+        # input — operators/text.bigram_per_doc VERBATIM, the ST21
+        # storage grain; the model stays a read-time decision)
+        from ..operators.text import bigram_per_doc
+
+        bigram_per_doc(kept.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.grams_dir, f"batch={batch_id}"))
         # lines land LAST: until they commit the batch is invisible to
         # every composed surface (the intersection rule above)
         self.lines.process_batch(kept.select("doc_id", "text"), batch_id)
