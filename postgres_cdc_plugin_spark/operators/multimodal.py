@@ -541,9 +541,19 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload, modality in zip(
             pdf["doc_id"], pdf["payload"], pdf["modality"]
         ):
-            data = bytes(payload) if payload is not None else b""
             out["doc_id"].append(doc_id)
             out["modality"].append(modality)
+            if payload is None:
+                # missing media is NOT an empty clip: NULL end-to-end
+                # (the meta/features convention, r12 NULL-payload sweep)
+                # — a zero row would claim a decoded zero-length asset
+                out["container"].append(None)
+                out["n_in_units"].append(None)
+                out["n_out_units"].append(None)
+                out["resized_checksum"].append(None)
+                out["resized_mean"].append(None)
+                continue
+            data = bytes(payload)
             try:
                 if modality == "audio":
                     samples, _rate = decode_payload(
@@ -655,7 +665,17 @@ def _silence_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in _SILENCE_SCHEMA.fieldNames()}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(payload) if payload is not None else b""
+            if payload is None:
+                # missing media is NOT a zero-length clip: NULL
+                # end-to-end (the meta/features convention, r12
+                # NULL-payload sweep) — zeros would claim a decoded
+                # silent asset
+                out["doc_id"].append(doc_id)
+                for k in _SILENCE_SCHEMA.fieldNames():
+                    if k != "doc_id":
+                        out[k].append(None)
+                continue
+            data = bytes(payload)
             samples, _rate = decode_payload(synth_wav_payload(data), "audio")
             a = np.abs(samples.astype(np.int64))
             n = int(a.size)
@@ -1022,13 +1042,28 @@ ORACLE_SQL = {
         )
         SELECT a.doc_id,
                CAST(length(a.text) AS BIGINT) AS n_samples,
-               CAST(COALESCE(g.n_windows, 0) AS BIGINT) AS n_windows,
-               CAST(COALESCE(g.n_silent, 0) AS BIGINT) AS n_silent,
-               CAST(COALESCE(g.first_loud, 0) AS BIGINT) AS lead_trim,
-               CAST(COALESCE(g.n_windows - 1 - g.last_loud, 0) AS BIGINT)
-                   AS trail_trim,
-               CAST(COALESCE(greatest(0, g.last_loud - g.first_loud + 1), 0)
-                    AS BIGINT) AS kept_windows
+               -- missing media is NOT a zero-length clip: NULL
+               -- end-to-end (the meta/features convention, r12
+               -- NULL-payload sweep); the COALESCE zeros are the
+               -- EMPTY-clip case only
+               CASE WHEN a.text IS NULL THEN NULL
+                    ELSE CAST(COALESCE(g.n_windows, 0) AS BIGINT)
+               END AS n_windows,
+               CASE WHEN a.text IS NULL THEN NULL
+                    ELSE CAST(COALESCE(g.n_silent, 0) AS BIGINT)
+               END AS n_silent,
+               CASE WHEN a.text IS NULL THEN NULL
+                    ELSE CAST(COALESCE(g.first_loud, 0) AS BIGINT)
+               END AS lead_trim,
+               CASE WHEN a.text IS NULL THEN NULL
+                    ELSE CAST(COALESCE(g.n_windows - 1 - g.last_loud, 0)
+                              AS BIGINT)
+               END AS trail_trim,
+               CASE WHEN a.text IS NULL THEN NULL
+                    ELSE CAST(COALESCE(
+                             greatest(0, g.last_loud - g.first_loud + 1), 0)
+                             AS BIGINT)
+               END AS kept_windows
         FROM audio a LEFT JOIN agg g USING (doc_id)
     """,
     "multimodal_resize": f"""
@@ -1040,7 +1075,7 @@ ORACLE_SQL = {
         img AS (
             SELECT doc_id, text, n,
                    CAST(ceil(sqrt(greatest((n + 2) // 3, 1))) AS BIGINT) AS w
-            FROM base WHERE modality = 'image'
+            FROM base WHERE modality = 'image' AND text IS NOT NULL
         ),
         img2 AS (
             SELECT doc_id, text, n, w,
@@ -1070,7 +1105,8 @@ ORACLE_SQL = {
                        / {float(_RESIZE_DIM * _RESIZE_DIM * 3)} AS resized_mean
             FROM img_vals GROUP BY doc_id
         ),
-        aud AS (SELECT doc_id, text, n FROM base WHERE modality = 'audio'),
+        aud AS (SELECT doc_id, text, n FROM base
+                WHERE modality = 'audio' AND text IS NOT NULL),
         aud_vals AS (
             SELECT doc_id, n,
                    (unicode(substr(text,
@@ -1100,7 +1136,7 @@ ORACLE_SQL = {
             SELECT doc_id, text, n,
                    greatest(CAST(ceil(n / {_VID_FRAME_UNITS}.0) AS BIGINT), 1)
                        AS nf
-            FROM base WHERE modality = 'video'
+            FROM base WHERE modality = 'video' AND text IS NOT NULL
         ),
         vid_vals AS (
             -- temporal floor-sample to {_VID_OUT_FRAMES} frames, then
@@ -1130,11 +1166,22 @@ ORACLE_SQL = {
                        / {float(_VID_OUT_FRAMES * _RESIZE_DIM * _RESIZE_DIM)}
                        AS resized_mean
             FROM vid_vals GROUP BY doc_id
+        ),
+        null_rows AS (
+            -- missing media is NOT an empty clip: NULL end-to-end
+            -- (the meta/features convention, r12 NULL-payload sweep)
+            SELECT doc_id, modality, CAST(NULL AS VARCHAR) AS container,
+                   CAST(NULL AS BIGINT) AS n_in_units,
+                   CAST(NULL AS BIGINT) AS n_out_units,
+                   CAST(NULL AS BIGINT) AS resized_checksum,
+                   CAST(NULL AS DOUBLE) AS resized_mean
+            FROM base WHERE text IS NULL
         )
         SELECT * FROM img_rows
         UNION ALL SELECT * FROM aud_rows
         UNION ALL SELECT * FROM aud_empty
         UNION ALL SELECT * FROM vid_rows
+        UNION ALL SELECT * FROM null_rows
     """,
     "multimodal_neardup": f"""
         WITH blocks AS ({_PHASH_BLOCKS_SQL}),
