@@ -2612,7 +2612,9 @@ _URL_CANON_SQL = f"""
     FROM s6
 """
 
-from .text import _C4_LINES_SQL as _C4L  # noqa: E402  (shared C4 line kernel)
+from .text.base import (  # noqa: E402  (shared C4 line kernel; the
+    _C4_LINES_SQL as _C4L,  # submodule import keeps the text<->dedup
+)  # circularity one-directional per module: base never imports dedup
 
 ORACLE_SQL = {
     "docs_quality_dup_interaction": f"""

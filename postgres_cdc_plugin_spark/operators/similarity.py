@@ -3202,7 +3202,12 @@ ORACLE_SQL["embed_intrinsic_dim_ann"] = f"""
                    range(1, len(a.v) + 1),
                    i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6) AS d
         FROM e a JOIN asg sa ON sa.vec_id = a.vec_id
-        JOIN asg sb ON sb.cell = sa.cell
+        -- null-safe cell match: a NULL-label centroid is a REAL cell
+        -- (the Spark side's groupBy(cell) groups its members), so its
+        -- within-cell 2-NN must exist here too — a plain = join
+        -- silently orphaned NULL-cell vectors (caught by the
+        -- embeddings NULL sweep, r12)
+        JOIN asg sb ON sb.cell IS NOT DISTINCT FROM sa.cell
         JOIN e b ON b.vec_id = sb.vec_id AND a.vec_id <> b.vec_id
     ),
     twoa AS (

@@ -1,0 +1,108 @@
+"""Text-analysis operators (r12: the former 5,968-line operators/
+text.py split into mechanical submodules — base / mixture / kn /
+chains / oracles — with this package re-exporting the ENTIRE monolith
+namespace: `from ..operators import text` and every `text.<name>`
+attribute, public or underscore-private, behaves exactly as before;
+registry keys, QUERIES / ORACLE_SQL / FAMILY_* contents, and oracle
+evaluation order are unchanged. Submodule layering: base (core
+families) <- mixture <- kn <- chains <- oracles, matching the
+monolith's definition order.)
+"""
+
+from __future__ import annotations
+
+from ...session import load  # noqa: F401 — part of the monolith namespace
+
+from . import base as _base, mixture as _mixture, kn as _kn, chains as _chains, oracles as _oracles
+
+for _m in (_base, _mixture, _kn, _chains, _oracles,):
+    globals().update(
+        {k: v for k, v in vars(_m).items() if not k.startswith("__")}
+    )
+
+# Shared persisted kernels charged to explicit bench rows (see
+# operators/dedup.py FAMILY_BUILDS / FAMILY_CONSUMERS for the
+# convention).
+FAMILY_CONSUMERS = {
+    "bigram_counts": (
+        "token_bigram_stats",
+        "token_kneser_ney",
+        "docs_kn_surprisal",
+        "docs_kn_band",
+        "docs_quality_kn_interaction",
+        "docs_ingest_chain_kn",
+    ),
+}
+
+FAMILY_BUILDS = {
+    # per-(doc, bigram) counts + corpus bigram frequencies: consumed by
+    # token_bigram_stats (single consumer — the intra-query persist the
+    # r7 verdict asked to attribute explicitly, ask #2)
+    "bigram_counts": lambda spark, sf_dir: list(
+        _bigram_counts(load(spark, sf_dir, "documents"))
+    ),
+}
+
+QUERIES = {
+    "docs_winnowing": docs_winnowing,
+    "token_heavy_hitters": token_heavy_hitters,
+    "docs_linear_classifier": docs_linear_classifier,
+    "token_count_min": token_count_min,
+    "docs_token_entropy": docs_token_entropy,
+    "token_bpe_merges": token_bpe_merges,
+    "token_bpe_encode": token_bpe_encode,
+    "token_fertility_by_lang": token_fertility_by_lang,
+    "docs_lang_temperature_mix": docs_lang_temperature_mix,
+    "docs_mixture_sample": docs_mixture_sample,
+    "docs_mixture_realized_mix": docs_mixture_realized_mix,
+    "docs_ingest_chain": docs_ingest_chain,
+    "docs_ingest_chain_nd": docs_ingest_chain_nd,
+    "docs_ingest_chain_kn": docs_ingest_chain_kn,
+    "docs_ingest_chain_audit": docs_ingest_chain_audit,
+    "docs_unimax_mix": docs_unimax_mix,
+    "docs_unimax_sample": docs_unimax_sample,
+    "docs_unimax_realized_mix": docs_unimax_realized_mix,
+    "docs_classifier_pr_curve": docs_classifier_pr_curve,
+    "docs_classifier_calibration": docs_classifier_calibration,
+    "docs_pii_scan": docs_pii_scan,
+    "docs_unigram_surprisal": docs_unigram_surprisal,
+    "docs_ccnet_buckets": docs_ccnet_buckets,
+    "docs_quality_psi_drift": docs_quality_psi_drift,
+    "token_bigram_surprisal": token_bigram_surprisal,
+    "docs_word_pmi": docs_word_pmi,
+    "docs_lang_confusion": docs_lang_confusion,
+    "docs_dsir_weights": docs_dsir_weights,
+    "docs_text_stats": docs_text_stats,
+    "token_bigram_stats": token_bigram_stats,
+    "token_kneser_ney": token_kneser_ney,
+    "docs_kn_surprisal": docs_kn_surprisal,
+    "docs_kn_band": docs_kn_band,
+    "docs_quality_kn_interaction": docs_quality_kn_interaction,
+    "token_zipf_audit": token_zipf_audit,
+    "docs_lang_id": docs_lang_id,
+    "docs_quality_score": docs_quality_score,
+    "docs_content_fingerprint": docs_content_fingerprint,
+    "docs_token_counts": docs_token_counts,
+    "token_frequencies": token_frequencies,
+    "docs_rolling_fingerprint": docs_rolling_fingerprint,
+    "docs_train_split": docs_train_split,
+    "docs_stratified_sample": docs_stratified_sample,
+    "docs_weighted_sample": docs_weighted_sample,
+    "docs_bm25_search": docs_bm25_search,
+    "docs_repetition_filter": docs_repetition_filter,
+    "docs_gopher_rules": docs_gopher_rules,
+    "docs_c4_line_filter": docs_c4_line_filter,
+    "docs_c4_punct_gate": docs_c4_punct_gate,
+    "docs_contamination": docs_contamination,
+    "token_tfidf": token_tfidf,
+    "docs_chunks": docs_chunks,
+    "docs_pack_bins": docs_pack_bins,
+    "docs_pack_tuning": docs_pack_tuning,
+    "docs_source_mix": docs_source_mix,
+    "docs_boilerplate_ngrams": docs_boilerplate_ngrams,
+    "docs_common_spans": docs_common_spans,
+    "docs_pipeline_e2e": docs_pipeline_e2e,
+    "docs_unicode_normalize": docs_unicode_normalize,
+    "token_vocab_coverage": token_vocab_coverage,
+}
+

@@ -1,0 +1,338 @@
+"""Composed ingest chains (r12 split, verbatim): the three/four/five
+stage batch anchors (gate -> [KN band ->] [near-dup cluster dedup ->]
+line dedup -> admission) that ST19's streaming pipeline surfaces are
+pinned bit-equal to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ...session import load
+
+from . import base as _base, mixture as _mixture, kn as _kn
+
+for _m in (_base, _mixture, _kn,):
+    globals().update(
+        {k: v for k, v in vars(_m).items() if not k.startswith("__")}
+    )
+
+def docs_ingest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest pipeline's three data-admitting stages composed in
+    one logical plan (r9 verdict ask #3's batch anchor): Gopher quality
+    gate (ST16's kernel) → corpus-wide C4 keep-first line dedup (ST17's
+    kernel) → temperature-mixture admission (ST18's kernel). Emits the
+    admission ledger over the gated, line-deduped corpus — the document
+    set and token budget a training run would actually draw, where each
+    stage's verdict feeds the next (a gated-out document contributes no
+    lines to keep-first, and dedup losses shrink a language's token
+    mass and therefore every language's quota).
+
+    Every stage reuses the standalone kernel VERBATIM — gopher_rules_df,
+    _C4_LINES_EXPR/c4_lines_of/c4_kept_lines, mixture_sample_from — so
+    the composite is fully oracle-checkable (the DuckDB side chains the
+    same CTEs) and the streaming IngestPipeline (streaming/ingest.py)
+    is pinned bit-equal to THIS query.
+
+    Scale shape: gate = zero-shuffle lambda projection; gated semi-join
+    keys on doc_id; line dedup = one map-side-combinable min-struct agg
+    (the docs_c4_line_dedup cost); token rollup + left join key on
+    doc_id; admission = languages-sized quota rollup + per-language
+    windows (bucketed fill available at 100 TB). Nothing quadratic, no
+    stage re-reads the corpus.
+    """
+    return ingest_chain_from(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+
+
+def ingest_chain_from(docs: DataFrame) -> DataFrame:
+    """The full chain over an arbitrary (doc_id, text, lang) relation —
+    what docs_ingest_chain runs on the documents table and what the
+    ST19 bit-equality tests run on per-wave subsets."""
+    from ..dedup import c4_lines_of
+
+    kept_ids = gopher_rules_df(docs).filter("keep").select("doc_id")
+    gated = docs.join(kept_ids, "doc_id").select("doc_id", "text", "lang")
+    lined = gated.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+    ).select("doc_id", "lang", F.expr(_C4_LINES_EXPR).alias("lines"))
+    return ingest_sample_from(
+        lined.select("doc_id", "lang"), c4_lines_of(lined)
+    )
+
+
+def docs_ingest_chain_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOUR-stage ingest chain (r11 — the ST19 composition plus the
+    document-level near-dup stage every modern pipeline runs between
+    the rule gate and line hygiene): Gopher gate → near-dup CLUSTER
+    dedup (ST20's global keep-one-per-component policy) → corpus-wide
+    C4 keep-first line dedup → temperature-mixture admission. Each
+    stage's verdict feeds the next: a gated-out document contributes no
+    near-dup pairs, a cluster loser contributes no lines to keep-first,
+    and dedup losses shrink a language's token mass and therefore every
+    language's quota.
+
+    Every stage reuses the standalone kernel VERBATIM — gopher_rules_df,
+    the PERSISTED corpus-wide SimHash pair relation (restricted to
+    gate-kept endpoints: block agreement is pairwise, so pairs among a
+    subset ARE the corpus pairs with both endpoints in the subset — no
+    signature recompute), dup_clusters_from, _C4_LINES_EXPR/c4_lines_of/
+    c4_kept_lines, mixture_sample_from — so the composite is fully
+    oracle-checkable (the DuckDB side chains the same CTEs with the
+    recursive-CC leg interposed) and the streaming IngestPipeline's
+    sample_nd() is pinned bit-equal to THIS query.
+
+    Scale shape on top of docs_ingest_chain: two doc_id semi-joins of
+    the pair-bounded family relation against the kept set + the
+    diameter-bounded component labeling + one doc_id anti-join — the
+    docs_cluster_dedup cost, and the line explode then runs on the
+    SMALLER deduped corpus (the cheap-before-expensive stage ordering
+    this chain exists to prove out).
+    """
+    return ingest_chain_nd_from(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+
+
+def ingest_chain_nd_from(docs: DataFrame) -> DataFrame:
+    """The four-stage chain over an arbitrary (doc_id, text, lang)
+    relation — what docs_ingest_chain_nd runs on the documents table
+    and what the streaming bit-equality tests run on per-wave
+    subsets."""
+    from ..dedup import _simhash_pairs_df, c4_lines_of, dup_clusters_from
+
+    kept_ids = gopher_rules_df(docs).filter("keep").select("doc_id")
+    gated = docs.join(kept_ids, "doc_id").select("doc_id", "text", "lang")
+    # pairs among gated docs = the persisted corpus pair relation with
+    # both endpoints gate-kept (hamming between fixed signatures does
+    # not depend on other documents)
+    pairs = (
+        _simhash_pairs_df(docs)
+        .join(kept_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(kept_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    losers = (
+        dup_clusters_from(docs.sparkSession, pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    nd = gated.join(losers, "doc_id", "left_anti")
+    lined = nd.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+    ).select("doc_id", "lang", F.expr(_C4_LINES_EXPR).alias("lines"))
+    return ingest_sample_from(
+        lined.select("doc_id", "lang"), c4_lines_of(lined)
+    )
+
+
+def docs_ingest_chain_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIVE-stage ingest chain (r12, r11 verdict ask #5 — the
+    perplexity filter run as a real pipeline stage, not just the
+    standalone docs_kn_band audit): Gopher gate → Kneser-Ney
+    middle-band keep → near-dup CLUSTER dedup → corpus-wide C4
+    keep-first line dedup → temperature-mixture admission.
+
+    The one semantic subtlety this chain exists to state: the KN model
+    is trained on the GATED corpus — stage order changes the model
+    (CCNet trains its LM on cleaned text; a gated-out document's
+    bigrams must not shape p_kn), and the chained-CTE oracle states
+    this explicitly (the KN scores CTE joins the gate's keep set
+    before counting a single bigram). Band policy: only band = 'keep'
+    passes — 'below' (templated/duplicated), 'above' (noise), and
+    'unscored' (no bigram positions) all stop here; the drops are
+    never silent because docs_kn_band IS this stage's audit relation
+    (same scorer, same band expression, same literals).
+
+    Every stage reuses the standalone kernel VERBATIM — gopher_rules_df,
+    _bigram_counts/kn_surprisal_from/_kn_band_col (docs_kn_band's exact
+    scorer and verdict expression), the PERSISTED corpus-wide SimHash
+    pair relation (restricted to KN-kept endpoints: block agreement is
+    pairwise, so pairs among a subset ARE the corpus pairs with both
+    endpoints in the subset), dup_clusters_from, _C4_LINES_EXPR/
+    c4_lines_of/c4_kept_lines, mixture_sample_from — so the composite
+    is fully oracle-checkable (the DuckDB side chains the same CTEs,
+    built MECHANICALLY from the four-stage oracle) and the streaming
+    IngestPipeline's sample_kn() is pinned bit-equal to THIS query.
+
+    Scale shape on top of docs_ingest_chain_nd: the KN stage adds the
+    docs_kn_surprisal cost restricted to the gated corpus (model
+    Zipf-bounded by distinct bigrams, scoring one g-key join + doc
+    rollup) + one doc_id semi-join — and every later stage (pair
+    labeling, line explode) then runs on the SMALLER KN-kept corpus:
+    the cheap-before-expensive ordering, one stage deeper.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_doc_full, _ = _bigram_counts(docs)  # the PERSISTED family kernel
+    return ingest_chain_kn_from(
+        docs.select("doc_id", "text", "lang"), per_doc=per_doc_full
+    )
+
+
+def ingest_chain_kn_from(
+    docs: DataFrame, per_doc: DataFrame | None = None
+) -> DataFrame:
+    """The five-stage chain over an arbitrary (doc_id, text, lang)
+    relation — what docs_ingest_chain_kn runs on the documents table
+    and what the streaming bit-equality tests run on per-wave
+    subsets. `per_doc` optionally supplies a pre-built per-(doc,
+    bigram) count relation of `docs` (the bigram_counts FAMILY kernel
+    for the full table): counts are per-document, so the GATED model's
+    relations are exactly this relation filtered to gate-kept ids plus
+    its rollup — no bigram recompute, the same subset-restriction
+    argument as the SimHash pair reuse."""
+    _gated, _kn, nd, sample = ingest_chain_kn_stages(docs, per_doc=per_doc)
+    return sample
+
+
+def ingest_chain_kn_stages(
+    docs: DataFrame, per_doc: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The five-stage chain's intermediate relations, factored out of
+    ingest_chain_kn_from (r12) so the stage-attrition audit
+    (docs_ingest_chain_audit) consumes the IDENTICAL expression trees
+    as the chain it observes — the audit and the pipeline can never
+    disagree about who survived a stage. Returns (gated_ids, kn_ids,
+    nd_docs, sample): the gate's keep set, the KN band's keep set, the
+    near-dup survivor (doc_id, text, lang) relation, and the admission
+    ledger."""
+    from ..dedup import _simhash_pairs_df, c4_lines_of, dup_clusters_from
+
+    kept_ids = gopher_rules_df(docs).filter("keep").select("doc_id")
+    gated = docs.join(kept_ids, "doc_id").select("doc_id", "text", "lang")
+    # KN model trained on the GATED corpus (stage order changes the
+    # model); scorer + band verdict are docs_kn_band's expression trees.
+    # kn_ids is consumed THREE times downstream (both pair endpoints +
+    # the survivor semi-join) — persisted so the scoring subtree runs
+    # once, not three times (the relation is one narrow doc_id column)
+    if per_doc is None:
+        per_doc = bigram_per_doc(docs.select("doc_id", "text"))
+    per_doc_gated = per_doc.join(kept_ids, "doc_id")
+    kn_ids = (
+        gated.select("doc_id")
+        .join(
+            kn_surprisal_from(
+                per_doc_gated, bigram_corpus_from(per_doc_gated)
+            ),
+            "doc_id",
+            "left",
+        )
+        .filter(_kn_band_col() == "keep")
+        .select("doc_id")
+        .persist()
+    )
+    kn = gated.join(kn_ids, "doc_id")
+    # pairs among KN-kept docs = the persisted corpus pair relation
+    # with both endpoints KN-kept (hamming between fixed signatures
+    # does not depend on other documents)
+    pairs = (
+        _simhash_pairs_df(docs)
+        .join(kn_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(kn_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    losers = (
+        dup_clusters_from(docs.sparkSession, pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    nd = kn.join(losers, "doc_id", "left_anti")
+    lined = nd.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("ws"),
+    ).select("doc_id", "lang", F.expr(_C4_LINES_EXPR).alias("lines"))
+    sample = ingest_sample_from(
+        lined.select("doc_id", "lang"), c4_lines_of(lined)
+    )
+    return kept_ids, kn_ids, nd, sample
+
+
+def docs_ingest_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attrition audit of the five-stage ingest chain (r12): per
+    stage (raw → Gopher gate → KN band → near-dup cluster dedup →
+    admission) the surviving document count, their RAW whitespace-token
+    mass, and the kept fraction vs the previous stage — the
+    observability relation a pipeline owner reads BEFORE committing a
+    filter cascade to a 100 TB run (a stage that silently drops 60% of
+    a corpus is a configuration bug the per-stage table surfaces in one
+    glance; Gopher/C4/CCNet papers all publish exactly this table for
+    their pipelines).
+
+    Composition-proven: every stage set comes from
+    ingest_chain_kn_stages — the IDENTICAL expression trees
+    docs_ingest_chain_kn runs (same gate, same gated-corpus KN model,
+    same pair restriction, same admission), so the audit can never
+    disagree with the chain it observes; the oracle is derived
+    MECHANICALLY from the chain oracle by swapping only the final
+    SELECT for the stage rollup over the same CTEs.
+
+    Determinism: counts and token sums are exact int64 (NULL text
+    counts 0 tokens by explicit policy — a document with no text still
+    attrits visibly); kept_frac is one exact int64/int64 IEEE division
+    (NULL for the raw row). 5 rows out; the lag window is a 5-row
+    driver-side triviality.
+
+    Scale: the chain's own cost (every relation here is one of its
+    stage outputs) + five count/sum rollups with map-side partials —
+    the audit is FREE beside the pipeline it audits at any corpus
+    size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_doc_full, _ = _bigram_counts(docs)  # the PERSISTED family kernel
+    d = docs.select("doc_id", "text", "lang")
+    gated_ids, kn_ids, nd, sample = ingest_chain_kn_stages(
+        d, per_doc=per_doc_full
+    )
+    tok = d.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.expr("filter(split(text, ' '), x -> x != '')")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("nt"),
+    )
+    stages = [
+        (0, "raw", tok),
+        (1, "gopher_gate", tok.join(gated_ids, "doc_id")),
+        (2, "kn_band", tok.join(kn_ids, "doc_id")),
+        (3, "neardup_dedup", tok.join(nd.select("doc_id"), "doc_id")),
+        (4, "admission", tok.join(
+            sample.filter("selected").select("doc_id"), "doc_id"
+        )),
+    ]
+    rows = None
+    for no, name, rel in stages:
+        agg = rel.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+        rows = agg if rows is None else rows.unionByName(agg)
+    return rows.select(
+        "stage_no",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_docs")
+            / F.expr("nullif(lag(n_docs) over (order by stage_no), 0)").cast(
+                "double"
+            )
+        ).alias("kept_frac"),
+    )
+
+

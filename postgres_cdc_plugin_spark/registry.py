@@ -72,6 +72,9 @@ PRIORITY_ORDER = [
     # window carries 48 rotation slots:
     "docs_ingest_chain_kn",
     "embed_intrinsic_dim_ann",
+    "docs_ingest_chain_audit",  # stage-attrition table of the kn chain
+    # (3rd new registration — displaces the slowest r8 tail anchor,
+    # docs_dedup_modality_agreement, to the spill front at 51)
     # (2) The 17 r7-vintage anchors — the oldest driver evidence in
     # the registry (four rounds), queued first exactly as the r11
     # verdict staged it (ask #1), alphabetical:

@@ -76,6 +76,9 @@ _DOC_QUERIES = [
     (text, "docs_ingest_chain_nd"),
     (text, "docs_classifier_calibration"),
     (dedup, "docs_softdedup_effective_mass"),
+    # round-12 operators
+    (text, "docs_ingest_chain_kn"),
+    (text, "docs_ingest_chain_audit"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -108,6 +111,17 @@ def test_empty_corpus_returns_empty(mod, name, spark, empty_dir):
         r = rows[0]
         assert r.n_build == 0 and r.n_probe == 0 and r.bits_set == 0
         assert r.fp_rate is None and r.fill_ratio == 0.0
+        return
+    if name == "docs_ingest_chain_audit":
+        # stage-attrition table: always exactly 5 stage rows; an empty
+        # corpus reads as zero docs at every stage (token mass and
+        # kept_frac are NULL — sum/ratio over nothing, not fake zeros)
+        rows = sorted(df.collect(), key=lambda r: r.stage_no)
+        assert [r.stage for r in rows] == [
+            "raw", "gopher_gate", "kn_band", "neardup_dedup", "admission"
+        ]
+        assert all(r.n_docs == 0 for r in rows)
+        assert all(r.n_tokens is None and r.kept_frac is None for r in rows)
         return
     assert df.count() == 0
     assert len(df.schema.fields) > 0

@@ -102,6 +102,14 @@ _SENSITIVE = [
     "docs_ingest_chain_nd",
     # r11: tiled-block 2-NN candidates + bounded collect_list prefix
     "embed_intrinsic_dim",
+    # r12: five order-sensitive stages chained (the KN gate's scored
+    # left join feeds keep-first, CC labeling, admission windows) and
+    # its per-stage attrition rollup (a 5-row ordered lag window)
+    "docs_ingest_chain_kn",
+    "docs_ingest_chain_audit",
+    # r12: the within-cell tiled 2-NN leg + the exact leg joined per
+    # label (two bounded collect_list prefixes through one audit)
+    "embed_intrinsic_dim_ann",
 ]
 
 
