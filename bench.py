@@ -209,12 +209,10 @@ def main() -> int:
     # with all session caches left warm from the final cold pass, so
     # each query's time is its MARGINAL cost with every shared
     # persisted kernel (pair graphs, signature blocks, codebooks,
-    # span relations) already built. Alphabetical first consumers —
-    # docs_dedup_method_agreement, docs_dup_span_filter,
-    # orders_market_basket — absorb their family's one-time build in
-    # the cold median; `queries_marginal` separates the two:
-    # shared build cost ~= cold median - marginal for those queries.
-    # The headline value stays the cold median-of-N total.
+    # span relations) already built. Family builds are explicit rows,
+    # so cold ~= marginal for every query and this pass is a pure
+    # verification sample. (The headline `value` is the min-based
+    # cold total since r12 — see the note at total_min above.)
     warm_timings: dict[str, float] = {}
     for name in names:
         if name in errors:

@@ -2338,6 +2338,8 @@ FAMILY_CONSUMERS = {
         "docs_softdedup_weights",
         "docs_softdedup_effective_mass",
         "docs_ingest_chain_nd",
+        "docs_ingest_chain_kn",
+        "docs_ingest_chain_audit",
     ),
     "dup_spans": (
         "docs_suffix_dup_spans",

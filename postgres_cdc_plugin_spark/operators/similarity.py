@@ -423,11 +423,18 @@ def embed_intrinsic_dim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = intrinsic_dim_from(
         emb, _two_nn_candidates(emb_cell, cell_col="cell")
     ).select(
-        "label",
+        F.col("label").alias("ann_label"),
         F.col("n_used").alias("n_used_ann"),
         F.col("intrinsic_dim").alias("dim_ann"),
     )
-    return exact.join(ann, "label").select(
+    # null-safe label join: the NULL-label stratum is a real group in
+    # BOTH legs' rollups (groupBy keeps it), so the audit must report
+    # it — a plain equi-join silently dropped the row the exact query
+    # emits (r12 review finding; the oracle mirrors with
+    # IS NOT DISTINCT FROM)
+    return exact.join(
+        ann, F.col("label").eqNullSafe(F.col("ann_label"))
+    ).select(
         "label",
         "n_vecs",
         "n_used_exact",
@@ -3233,5 +3240,5 @@ ORACLE_SQL["embed_intrinsic_dim_ann"] = f"""
     SELECT x.label, x.n_vecs, x.n_used_exact, a.n_used_ann,
            x.dim_exact, a.dim_ann,
            abs(a.dim_ann - x.dim_exact) AS abs_gap
-    FROM x JOIN a ON x.label = a.label
+    FROM x JOIN a ON x.label IS NOT DISTINCT FROM a.label
 """

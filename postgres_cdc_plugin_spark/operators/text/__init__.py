@@ -31,6 +31,7 @@ FAMILY_CONSUMERS = {
         "docs_kn_band",
         "docs_quality_kn_interaction",
         "docs_ingest_chain_kn",
+        "docs_ingest_chain_audit",
     ),
 }
 

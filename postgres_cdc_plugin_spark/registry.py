@@ -10,22 +10,25 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
     most-recently-green family to the tail. Round-12 window, exactly
-    as the r11 verdict staged it (asks #1 and #2): (1) the TWO new r12
-    queries only — docs_ingest_chain_kn (the five-stage KN-gated
-    chain, ask #5) and embed_intrinsic_dim_ann (the TwoNN-over-ANN
-    gap audit, ask #4) — new registrations deliberately capped so 48
-    of 50 slots rotate stale evidence (ask #2: at +9/round the
-    full-surface re-proof cycle was growing past 4.3 rounds);
+    as the r11 verdict staged it (asks #1 and #2): (1) the THREE new
+    r12 queries — docs_ingest_chain_kn (the five-stage KN-gated
+    chain, ask #5), embed_intrinsic_dim_ann (the TwoNN-over-ANN gap
+    audit, ask #4), and docs_ingest_chain_audit (the chain's
+    stage-attrition table) — new registrations deliberately capped
+    (ask #2: at +9/round the full-surface re-proof cycle was growing
+    past 4.3 rounds) so 47 of 50 slots rotate stale evidence;
     (2) the 17 r7-vintage anchors (evidence four rounds old, the
-    oldest in the registry), alphabetical; (3) 31 of the 49
-    r8-vintage anchors (alphabetical, the 3 slowest oracles at the
-    window tail; every r8 oracle re-timed <=0.46 s in DuckDB at
-    sf0.01 this round). The 18 spilled r8 anchors sit at positions
-    51+ for the r13 front — after r12 the oldest evidence is r8, and
-    r13's window absorbs the remaining r8 block entirely; the
-    r9/r10-green blocks follow in their existing order, and the
-    r11-green window block sits at the tail (most-recently-proven,
-    tail by convention).
+    oldest in the registry), alphabetical; (3) 30 of the 49
+    r8-vintage anchors (alphabetical, the 2 slowest in-window oracles
+    at the tail; every r8 oracle re-timed <=0.46 s in DuckDB at
+    sf0.01 this round — the slowest of all, docs_dedup_modality_
+    agreement, was displaced to position 51 by the third new
+    registration and leads the r13 spill). The 19 spilled r8 anchors
+    sit at positions 51+ for the r13 front — after r12 the oldest
+    evidence is r8, and r13's window absorbs the remaining r8 block
+    entirely; the r9/r10-green blocks follow in their existing order,
+    and the r11-green window block sits at the tail
+    (most-recently-proven, tail by convention).
 """
 
 from __future__ import annotations

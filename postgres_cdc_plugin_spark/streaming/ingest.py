@@ -209,7 +209,14 @@ class IngestPipeline:
         per_doc = self._read(spark, self.grams_dir, ids)
         scores = kn_surprisal_from(per_doc, bigram_corpus_from(per_doc))
         # consumed three times downstream (both pair endpoints + the
-        # survivor semi-join) — persisted like the batch chain's
+        # survivor semi-join) — persisted like the batch chain's, but
+        # BOUNDED: each call covers a different batch-id set, so the
+        # previous call's cache entry can never be plan-matched again;
+        # unpersist it or a polling consumer leaks one entry per wave
+        # until the family kernels get evicted (r12 review finding)
+        prev = getattr(self, "_kn_ids_cache", None)
+        if prev is not None:
+            prev.unpersist()
         kn_ids = (
             langs.select("doc_id")
             .join(scores, "doc_id", "left")
@@ -217,6 +224,7 @@ class IngestPipeline:
             .select("doc_id")
             .persist()
         )
+        self._kn_ids_cache = kn_ids
         sigs = (
             self._read(spark, self.sigs_dir, ids)
             .select(

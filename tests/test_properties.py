@@ -327,7 +327,10 @@ def test_word_pmi_known_associations(spark):
     words score log2(N/df) exactly, a word pair where one member is in
     every document is exactly independent (pmi = 0), and disjoint
     word pairs never appear (no zero-count smoothing artifacts)."""
-    import postgres_cdc_plugin_spark.operators.text as T
+    # patch the DEFINING submodule: docs_word_pmi resolves `load` from
+    # text.base's globals since the r12 package split — patching the
+    # package attribute would never fire
+    import postgres_cdc_plugin_spark.operators.text.base as T
 
     rows = [(i, ("x y c" if i < 5 else "z c"), "en", "web", 5) for i in range(10)]
     docs = spark.createDataFrame(
