@@ -355,3 +355,43 @@ def test_word_pmi_known_associations(spark):
     assert ("x", "z") not in got
     # pairs are canonically ordered (w_a < w_b), each reported once
     assert all(a < b for a, b in got)
+
+
+def test_ingest_chain_audit_agrees_with_the_chain(spark, sf_dir):
+    """The stage-attrition audit and the five-stage chain must never
+    disagree about who survived (they share ingest_chain_kn_stages —
+    this pins the contract against a refactor that forks them): the
+    admission row's n_docs equals the chain's selected count, the
+    gate row equals gopher_rules_df's keep count, stages are monotone
+    non-increasing in both docs and token mass, and the raw row covers
+    the whole corpus."""
+    from postgres_cdc_plugin_spark.operators.text import (
+        docs_ingest_chain_audit,
+        docs_ingest_chain_kn,
+        gopher_rules_df,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    rows = sorted(
+        docs_ingest_chain_audit(spark, sf_dir).collect(),
+        key=lambda r: r.stage_no,
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "gopher_gate", "kn_band", "neardup_dedup", "admission"
+    ]
+    docs = load(spark, sf_dir, "documents")
+    assert rows[0].n_docs == docs.count()
+    assert (
+        rows[1].n_docs
+        == gopher_rules_df(docs.select("doc_id", "text")).filter("keep").count()
+    )
+    chain = docs_ingest_chain_kn(spark, sf_dir)
+    assert rows[4].n_docs == chain.filter("selected").count()
+    # neardup survivors = every doc the chain's ledger carries (the
+    # ledger is built over the post-dedup corpus, selected or not)
+    assert rows[3].n_docs == chain.count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_tokens <= prev.n_tokens
+        if prev.n_docs:
+            assert cur.kept_frac == cur.n_docs / prev.n_docs
