@@ -701,6 +701,17 @@ def ingest_sample_from(doc_langs: DataFrame, ln: DataFrame) -> DataFrame:
     doc-grain left join key on doc_id; admission adds the per-language
     windows (or the bucketed fill at 100 TB over the same relation).
     """
+    return mixture_sample_from(admission_docs_from(doc_langs, ln))
+
+
+def admission_docs_from(doc_langs: DataFrame, ln: DataFrame) -> DataFrame:
+    """The admission INPUT relation of the composed ingest chain —
+    (doc_id, lang, n_tokens, priority) where n_tokens is the KEPT-line
+    token mass after corpus-wide keep-first line dedup (r13 factoring
+    of ingest_sample_from's first half, so the stage-attrition audit's
+    line_dedup row and the admission ledger consume the IDENTICAL
+    post-dedup mass relation — the audit can never disagree with the
+    ledger about how many tokens line dedup kept)."""
     from ..dedup import c4_kept_lines
 
     kept_tok = (
@@ -712,12 +723,11 @@ def ingest_sample_from(doc_langs: DataFrame, ln: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("t").alias("kept_tokens"))
     )
-    d = doc_langs.join(kept_tok, "doc_id", "left").select(
+    return doc_langs.join(kept_tok, "doc_id", "left").select(
         "doc_id",
         "lang",
         F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("priority"),
     )
-    return mixture_sample_from(d)
 
 

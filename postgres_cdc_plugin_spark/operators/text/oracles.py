@@ -1966,14 +1966,17 @@ ORACLE_SQL["docs_ingest_chain_audit"] = (
     ORACLE_SQL["docs_ingest_chain_kn"].removesuffix(_CHAIN_KN_FINAL)
     + """,
     sel AS (
-        SELECT c.doc_id FROM c JOIN quota q USING (lang)
+        SELECT c.doc_id, c.n_tokens FROM c JOIN quota q USING (lang)
         WHERE c.cum_tokens <= q.quota_tokens
     ),
     atok AS (
+        -- raw mass in the GATE's own unit (gm.n_words: split tokens,
+        -- NULL text counts 0 by policy) — the r13 mass convention the
+        -- streaming audit shares, since the gate verdict relation is
+        -- the one maintained for every document incl. gate-dropped
         SELECT doc_id,
                CASE WHEN text IS NULL THEN 0
-                    ELSE len(list_filter(string_split(text, ' '),
-                                         x -> x <> '')) END AS nt
+                    ELSE len(string_split(text, ' ')) END AS nt
         FROM documents
     ),
     stg AS (
@@ -1989,14 +1992,20 @@ ORACLE_SQL["docs_ingest_chain_audit"] = (
         SELECT 3, 'neardup_dedup', count(*), sum(nt)
         FROM atok JOIN nd USING (doc_id)
         UNION ALL
-        SELECT 4, 'admission', count(*), sum(nt)
-        FROM atok JOIN sel USING (doc_id)
+        -- line dedup drops lines, never documents: same doc set as
+        -- neardup_dedup, mass re-measured as KEPT-line tokens (the
+        -- admission input d's n_tokens)
+        SELECT 4, 'line_dedup', count(*), sum(n_tokens) FROM d
+        UNION ALL
+        SELECT 5, 'admission', count(*), sum(n_tokens) FROM sel
     )
     SELECT CAST(stage_no AS INT) AS stage_no, stage,
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            n_docs / CAST(nullif(lag(n_docs) OVER (ORDER BY stage_no), 0)
-                         AS DOUBLE) AS kept_frac
+                         AS DOUBLE) AS kept_frac,
+           n_tokens / CAST(nullif(lag(n_tokens) OVER (ORDER BY stage_no),
+                                  0) AS DOUBLE) AS mass_frac
     FROM stg
 """
 )

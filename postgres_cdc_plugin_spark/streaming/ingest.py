@@ -75,9 +75,12 @@ INGEST_STREAM_SCHEMA = "doc_id bigint, text string, lang string"
 class IngestPipeline:
     """Gate → line-dedup → mixture-admission over a streaming document
     feed. `sample()` is the docs_ingest_chain relation over every
-    document seen so far; `selected_docs()` the admitted ids;
-    `dedup()` the line-dedup rollup of the gated corpus; `verdicts()`
-    the gate relation (all restricted to fully-committed batches)."""
+    document seen so far; `sample_nd()`/`sample_kn()` the four-/five-
+    stage chains; `audit()` the five-stage stage-attrition table
+    (bit-equal to docs_ingest_chain_audit); `selected_docs()` the
+    admitted ids; `dedup()` the line-dedup rollup of the gated corpus;
+    `verdicts()` the gate relation (all restricted to fully-committed
+    batches)."""
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -89,6 +92,25 @@ class IngestPipeline:
         os.makedirs(self.langs_dir, exist_ok=True)
         os.makedirs(self.sigs_dir, exist_ok=True)
         os.makedirs(self.grams_dir, exist_ok=True)
+        # per-key bounded persist cache for read-time intermediates
+        # consumed several times within one wave (kn keep set, CC
+        # losers, admission input): keyed by the committed batch-id
+        # set, so a SAME-wave second consumer (audit() after
+        # sample_kn()) reuses the materialization, while a NEW wave
+        # unpersists the stale entry first — a polling consumer never
+        # leaks cache entries (the r12 sample_kn review finding,
+        # generalized)
+        self._wave_cache: dict[str, tuple[tuple[str, ...], DataFrame]] = {}
+
+    def _cached(self, key: str, ids: list[str], build) -> DataFrame:
+        prev = self._wave_cache.get(key)
+        if prev is not None and prev[0] == tuple(ids):
+            return prev[1]
+        if prev is not None:
+            prev[1].unpersist()
+        df = build().persist()
+        self._wave_cache[key] = (tuple(ids), df)
+        return df
 
     # -- composed visibility ------------------------------------------
     def _ready(self) -> list[str]:
@@ -190,6 +212,28 @@ class IngestPipeline:
         signature relation BEFORE pairing (pairs among a subset are
         the subset's pairs), and cluster losers mask the admission
         inputs and the line relation as in sample_nd()."""
+        from ..operators.text import mixture_sample_from
+
+        ids = self._ready()
+        if not ids:
+            return None
+        _kn_ids, _nd_ids, admit_docs = self._kn_stages(spark, ids)
+        return mixture_sample_from(admit_docs)
+
+    def _kn_stages(
+        self, spark, ids: list[str]
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """The five-stage chain's read-time stage relations over the
+        committed batch set — (kn_ids, nd_ids, admit_docs), shared by
+        sample_kn() and audit() so the admission ledger and the
+        attrition audit consume IDENTICAL stage sets. The three
+        multiply-consumed intermediates (the KN keep set: both pair
+        endpoints + the survivor semi-join; the CC loser set: the
+        expensive pair-join + component-labeling output; the admission
+        input: the post-line-dedup mass relation) go through the
+        bounded wave cache — persisted like the batch chain's
+        persist_stages mode, unpersisted when the committed set
+        moves."""
         from ..operators.dedup import (
             _SIMHASH_BLOCKS,
             dup_clusters_from,
@@ -197,54 +241,98 @@ class IngestPipeline:
         )
         from ..operators.text import (
             _kn_band_col,
+            admission_docs_from,
             bigram_corpus_from,
-            ingest_sample_from,
             kn_surprisal_from,
+        )
+
+        langs = self._read(spark, self.langs_dir, ids)
+
+        def build_kn_ids() -> DataFrame:
+            # the KN model is a GLOBAL decision trained on the GATED
+            # corpus-so-far (one late document moves every p_kn and
+            # therefore every band verdict): score at read time over
+            # the maintained gate-kept per-doc bigram counts
+            # (SUM-mergeable: their rollup IS the gated corpus counts)
+            per_doc = self._read(spark, self.grams_dir, ids)
+            scores = kn_surprisal_from(per_doc, bigram_corpus_from(per_doc))
+            return (
+                langs.select("doc_id")
+                .join(scores, "doc_id", "left")
+                .filter(_kn_band_col() == "keep")
+                .select("doc_id")
+            )
+
+        kn_ids = self._cached("kn_ids", ids, build_kn_ids)
+
+        def build_losers() -> DataFrame:
+            # KN losers mask the signature relation BEFORE pairing
+            # (pairs among a subset are the subset's pairs), then
+            # cluster labels are a read-time global decision
+            sigs = (
+                self._read(spark, self.sigs_dir, ids)
+                .select(
+                    "doc_id",
+                    *[f"blk{k}" for k in range(1, _SIMHASH_BLOCKS + 1)],
+                )
+                .join(kn_ids, "doc_id")
+            )
+            return (
+                dup_clusters_from(spark, simhash_block_pairs(sigs))
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select("doc_id")
+            )
+
+        losers = self._cached("kn_losers", ids, build_losers)
+        kn_langs = langs.join(kn_ids, "doc_id").join(
+            losers, "doc_id", "left_anti"
+        )
+
+        def build_admit() -> DataFrame:
+            ln = self._read(
+                spark, self.lines.out_dir, [f"{d}/lines" for d in ids]
+            ).join(kn_langs.select("doc_id"), "doc_id")
+            return admission_docs_from(kn_langs, ln)
+
+        admit_docs = self._cached("kn_admit", ids, build_admit)
+        return kn_ids, kn_langs.select("doc_id"), admit_docs
+
+    def audit(self, spark) -> DataFrame | None:
+        """The five-stage chain's stage-attrition table over the
+        documents seen so far (r13, r12 verdict ask #4) — bit-equal to
+        the batch docs_ingest_chain_audit by construction: the stage
+        sets come from the SAME read-time relations sample_kn() admits
+        from (shared through _kn_stages and the wave cache), and the
+        six-row rollup is operators/text.ingest_audit_from VERBATIM.
+        Raw mass comes from the maintained gate verdict relation's own
+        n_words (the one relation kept for every document including
+        gate-dropped ones — why the audit needs no new ledger), and
+        the line_dedup/admission rows report the admission input's
+        kept-line mass, exactly as in batch."""
+        from ..operators.text import (
+            audit_verdicts_from,
+            ingest_audit_from,
+            mixture_sample_from,
         )
 
         ids = self._ready()
         if not ids:
             return None
-        langs = self._read(spark, self.langs_dir, ids)
-        per_doc = self._read(spark, self.grams_dir, ids)
-        scores = kn_surprisal_from(per_doc, bigram_corpus_from(per_doc))
-        # consumed three times downstream (both pair endpoints + the
-        # survivor semi-join) — persisted like the batch chain's, but
-        # BOUNDED: each call covers a different batch-id set, so the
-        # previous call's cache entry can never be plan-matched again;
-        # unpersist it or a polling consumer leaks one entry per wave
-        # until the family kernels get evicted (r12 review finding)
-        prev = getattr(self, "_kn_ids_cache", None)
-        if prev is not None:
-            prev.unpersist()
-        kn_ids = (
-            langs.select("doc_id")
-            .join(scores, "doc_id", "left")
-            .filter(_kn_band_col() == "keep")
-            .select("doc_id")
-            .persist()
+        verdicts = self._cached(
+            "audit_verdicts",
+            ids,
+            lambda: audit_verdicts_from(
+                self._read(spark, self.gate.out_dir, ids)
+            ),
         )
-        self._kn_ids_cache = kn_ids
-        sigs = (
-            self._read(spark, self.sigs_dir, ids)
-            .select(
-                "doc_id",
-                *[f"blk{k}" for k in range(1, _SIMHASH_BLOCKS + 1)],
-            )
-            .join(kn_ids, "doc_id")
+        kn_ids, nd_ids, admit_docs = self._kn_stages(spark, ids)
+        return ingest_audit_from(
+            verdicts,
+            kn_ids,
+            nd_ids,
+            admit_docs,
+            mixture_sample_from(admit_docs),
         )
-        losers = (
-            dup_clusters_from(spark, simhash_block_pairs(sigs))
-            .filter(F.col("doc_id") != F.col("cluster_id"))
-            .select("doc_id")
-        )
-        kn_langs = langs.join(kn_ids, "doc_id").join(
-            losers, "doc_id", "left_anti"
-        )
-        ln = self._read(
-            spark, self.lines.out_dir, [f"{d}/lines" for d in ids]
-        ).join(kn_langs.select("doc_id"), "doc_id")
-        return ingest_sample_from(kn_langs, ln)
 
     def dedup(self, spark) -> DataFrame | None:
         """Line-dedup rollup of the gated corpus —

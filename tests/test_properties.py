@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from postgres_cdc_plugin_spark.config import SubscriptionConfig
 
@@ -377,7 +378,8 @@ def test_ingest_chain_audit_agrees_with_the_chain(spark, sf_dir):
         key=lambda r: r.stage_no,
     )
     assert [r.stage for r in rows] == [
-        "raw", "gopher_gate", "kn_band", "neardup_dedup", "admission"
+        "raw", "gopher_gate", "kn_band", "neardup_dedup",
+        "line_dedup", "admission",
     ]
     docs = load(spark, sf_dir, "documents")
     assert rows[0].n_docs == docs.count()
@@ -386,12 +388,27 @@ def test_ingest_chain_audit_agrees_with_the_chain(spark, sf_dir):
         == gopher_rules_df(docs.select("doc_id", "text")).filter("keep").count()
     )
     chain = docs_ingest_chain_kn(spark, sf_dir)
-    assert rows[4].n_docs == chain.filter("selected").count()
+    assert rows[5].n_docs == chain.filter("selected").count()
     # neardup survivors = every doc the chain's ledger carries (the
-    # ledger is built over the post-dedup corpus, selected or not)
+    # ledger is built over the post-dedup corpus, selected or not);
+    # line dedup drops lines, never documents (r13): same doc set,
+    # mass re-measured in kept-line tokens
     assert rows[3].n_docs == chain.count()
+    assert rows[4].n_docs == rows[3].n_docs
+    assert rows[4].kept_frac == 1.0
+    # the line_dedup/admission masses ARE the ledger's own n_tokens —
+    # the audit and the admission ledger can never disagree about the
+    # mass a training run draws
+    ledger_mass = chain.agg(F.sum("n_tokens")).collect()[0][0]
+    assert rows[4].n_tokens == ledger_mass
+    admitted_mass = (
+        chain.filter("selected").agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert rows[5].n_tokens == (admitted_mass or 0)
     for prev, cur in zip(rows, rows[1:]):
         assert cur.n_docs <= prev.n_docs
         assert cur.n_tokens <= prev.n_tokens
         if prev.n_docs:
             assert cur.kept_frac == cur.n_docs / prev.n_docs
+        if prev.n_tokens:
+            assert cur.mass_frac == cur.n_tokens / prev.n_tokens

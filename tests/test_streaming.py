@@ -3080,3 +3080,68 @@ def test_ingest_pipeline_kn_bit_equal_with_resume(spark, tmp_path, sf_dir):
 
     pipe.process_batch(docs, 999)  # redelivery collapses via distinct
     assert snap(pipe.sample_kn(spark)) == want
+
+
+def test_ingest_pipeline_audit_bit_equal_with_resume(spark, tmp_path, sf_dir):
+    """The streaming stage-attrition audit (r13, r12 verdict ask #4):
+    audit() must be bit-equal to the batch docs_ingest_chain_audit
+    over the documents seen so far — after wave 1, after a
+    checkpoint-resumed wave 2 (every stage row moves: the KN model,
+    cluster labels, keep-first verdicts and quotas are all global
+    decisions), and after redelivering the full corpus as an extra
+    batch. Also pins agreement with the admission ledger itself: the
+    admission row counts exactly sample_kn()'s selected set (the two
+    consumers share the wave-cached stage relations)."""
+    from postgres_cdc_plugin_spark.operators.text import (
+        audit_verdicts_from,
+        docs_ingest_chain_audit,
+        ingest_audit_from,
+        ingest_chain_kn_stages,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.ingest import (
+        INGEST_STREAM_SCHEMA,
+        IngestPipeline,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    feed = str(tmp_path / "audit_ingest_feed")
+    wave1.coalesce(1).write.parquet(feed)
+
+    pipe = IngestPipeline(str(tmp_path / "audit_ingest"))
+    ck = str(tmp_path / "audit_ingest_ck")
+
+    def drain():
+        stream = spark.readStream.schema(INGEST_STREAM_SCHEMA).parquet(feed)
+        pipe.attach(stream, ck, available_now=True).awaitTermination(120)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    drain()
+    gate, kn_ids, nd_ids, admit, sample = ingest_chain_kn_stages(wave1)
+    w1 = snap(
+        ingest_audit_from(
+            audit_verdicts_from(gate), kn_ids, nd_ids, admit, sample
+        )
+    )
+    assert snap(pipe.audit(spark)) == w1
+
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        feed
+    )
+    drain()
+    want = snap(docs_ingest_chain_audit(spark, sf_dir))
+    assert snap(pipe.audit(spark)) == want
+    assert want != w1  # every stage row really moved with wave 2
+
+    # the audit's admission row IS the admission ledger's selected set
+    adm = next(
+        r for r in pipe.audit(spark).collect() if r.stage == "admission"
+    )
+    sel = pipe.sample_kn(spark).filter("selected")
+    assert adm.n_docs == sel.count()
+
+    pipe.process_batch(docs, 999)  # redelivery collapses via distinct
+    assert snap(pipe.audit(spark)) == want
