@@ -9,25 +9,27 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-12 window, exactly
-    as the r11 verdict staged it (asks #1 and #2): (1) the THREE new
-    r12 queries — docs_ingest_chain_kn (the five-stage KN-gated
-    chain, ask #5), embed_intrinsic_dim_ann (the TwoNN-over-ANN gap
-    audit, ask #4), and docs_ingest_chain_audit (the chain's
-    stage-attrition table) — new registrations deliberately capped
-    (ask #2: at +9/round the full-surface re-proof cycle was growing
-    past 4.3 rounds) so 47 of 50 slots rotate stale evidence;
-    (2) the 17 r7-vintage anchors (evidence four rounds old, the
-    oldest in the registry), alphabetical; (3) 30 of the 49
-    r8-vintage anchors (alphabetical, the 2 slowest in-window oracles
-    at the tail; every r8 oracle re-timed <=0.46 s in DuckDB at
-    sf0.01 this round — the slowest of all, docs_dedup_modality_
-    agreement, was displaced to position 51 by the third new
-    registration and leads the r13 spill). The 19 spilled r8 anchors
-    sit at positions 51+ for the r13 front — after r12 the oldest
-    evidence is r8, and r13's window absorbs the remaining r8 block
-    entirely; the r9/r10-green blocks follow in their existing order,
-    and the r11-green window block sits at the tail
+    most-recently-green family to the tail. Round-13 window, exactly
+    as the r12 verdict staged it (asks #1 and #8), with ZERO new
+    registrations (the cap is <=3; every slot spent on rotation debt):
+    (1) docs_ingest_chain_audit — REWORKED this round (six stage rows:
+    the line_dedup stage made visible with per-stage mass_frac, mass
+    units restated, the chain-tail recompute fixed), so its r12
+    evidence no longer describes the current query and it re-proves
+    first; (2) all 19 r8-vintage anchors (the oldest evidence in the
+    registry, queued at position 51+ since r12), alphabetical;
+    (3) 30 of the 49 r9-vintage anchors, alphabetical. Within the
+    window the 3 oracles costing >=0.1 s in DuckDB at sf0.01 sit at
+    the tail ascending (token_bpe_merges 0.14 s, token_fertility_by_
+    lang 0.14 s, docs_dedup_modality_agreement 0.32 s — re-timed this
+    round; the reworked audit's 0.42 s oracle stays at the front
+    because proving the rework outranks timeout protection), so a
+    driver timeout leaves rows for everything before them. The 19
+    spilled r9 anchors sit at positions 51+ for the r14 front — after
+    r13 the oldest driver evidence is r9, and r14's window absorbs the
+    remaining r9 block entirely (the full-surface re-proof cycle's
+    arithmetic); the r10/r11-green blocks follow in their existing
+    order, and the r12-green window block sits at the tail
     (most-recently-proven, tail by convention).
 """
 
@@ -67,76 +69,16 @@ ROWS_ONLY: set[str] = set()
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # ---- round-12 window (first 50) ----
-    # (1) The two genuinely new r12 queries (the late-addition
-    # convention: never driver-checked, local parity only). r12
-    # deliberately caps new registrations at 2 (r11 verdict ask #2:
-    # rotation debt outweighs novelty at this surface size), so the
-    # window carries 48 rotation slots:
-    "docs_ingest_chain_kn",
-    "embed_intrinsic_dim_ann",
-    "docs_ingest_chain_audit",  # stage-attrition table of the kn chain
-    # (3rd new registration — displaces the slowest r8 tail anchor,
-    # docs_dedup_modality_agreement, to the spill front at 51)
-    # (2) The 17 r7-vintage anchors — the oldest driver evidence in
-    # the registry (four rounds), queued first exactly as the r11
-    # verdict staged it (ask #1), alphabetical:
-    "embed_matryoshka_audit",
-    "embed_ndcg_audit",
-    "embed_neardup_dedup",
-    "embed_neardup_pairs",
-    "embed_norm_stats",
-    "embed_pq_codes",
-    "embed_quantize",
-    "events_cusum_changepoint",
-    "events_dau_wau_mau",
-    "events_seasonal_anomaly",
-    "lineitem_column_profile",
-    "multimodal_dedup",
-    "multimodal_meta",
-    "multimodal_scene_cuts",
-    "orders_join_cardinality_audit",
-    "part_skyline",
-    "token_tfidf",
-    # (3) 31 of the 49 r8-vintage anchors (alphabetical; every r8
-    # oracle re-timed at sf0.01 this round — all <=0.46 s in DuckDB —
-    # and the 3 costing >=0.1 s sit at the window tail ascending, so a
-    # driver timeout leaves rows for everything before them). The 18
-    # alphabetically-last anchors spill to the r13 front, eliminating
-    # the r8-vintage block by r13 (ask #2's arithmetic):
-    "cdc_column_diff",
-    "cdc_delta_agg",
-    "cdc_envelope",
-    "cdc_envelope_json",
-    "cdc_latest_state",
-    "cdc_op_filter",
-    "cdc_scd2_history",
-    "creds_display_format",
-    "creds_lookup_join",
-    "customer_balance_outliers",
-    "customer_pii_anonymize",
-    "docs_c4_line_dedup",
-    "docs_c4_line_filter",
-    "docs_lang_temperature_mix",
-    "docs_linear_classifier",
-    "docs_pii_scan",
-    "docs_token_entropy",
-    "docs_unigram_surprisal",
-    "embed_kmeans",
-    "embed_recall_audit",
-    "events_anomaly_mad",
-    "events_retention_cohorts",
-    "events_session_window",
-    "events_user_ewma",
-    "events_user_paths",
-    "lineitem_approx_percentiles",
-    "lineitem_discount_regression",
-    "lineitem_percentiles",
-    "embed_ann_ivfpq",
-    "embed_semdedup",
-    "docs_dedup_modality_agreement",
-    # ---- position 51+ ----
-    # The spilled r8-vintage anchors — next in line for the r13 front:
+    # ---- round-13 window (first 50) ----
+    # (1) The one REWORKED query (r13: line_dedup stage row +
+    # mass_frac + persisted stage sets — its r12 evidence describes
+    # the old 5-row schema, so it re-proves first; zero NEW
+    # registrations this round, per the <=3 cap and r12 ask #8):
+    "docs_ingest_chain_audit",
+    # (2) The 19 r8-vintage anchors — the oldest driver evidence in
+    # the registry, queued at 51+ since r12 (ask #1), alphabetical
+    # (the two >=0.1 s oracles and the modality-agreement cross query
+    # sit at the window tail, below):
     "lineitem_pricing_agg",
     "lineitem_small_qty_parts",
     "lineitem_zorder_layout",
@@ -151,24 +93,27 @@ PRIORITY_ORDER = [
     "part_abc_pareto",
     "receiver_replay_dedup",
     "supplier_part_volume",
-    "token_bpe_merges",
     "token_count_min",
-    "token_fertility_by_lang",
     "token_vocab_coverage",
-    # The r9-green block, in its existing order:
-    "docs_c4_span_dedup",
-    "docs_mixture_sample",
-    "embed_ann_ivf",
-    "docs_quality_dup_interaction",
-    "docs_c4_punct_gate",
+    # (3) 30 of the 49 r9-vintage anchors, alphabetical:
     "approx_distinct_users",
-    "embed_ivf_tuning",
     "attempt_history_agg",
     "creds_last_wins",
+    "customer_fuzzy_match",
     "customer_set_ops",
     "customer_value_deciles",
+    "docs_c4_punct_gate",
+    "docs_c4_span_dedup",
     "docs_dsir_weights",
+    "docs_dup_span_filter",
+    "docs_mixture_sample",
+    "docs_quality_dup_interaction",
+    "docs_strip_dup_spans",
+    "docs_suffix_dup_spans",
+    "docs_winnowing",
     "docs_word_pmi",
+    "embed_ann_ivf",
+    "embed_ivf_tuning",
     "embed_pca_power",
     "embed_silhouette",
     "events_ab_test",
@@ -181,6 +126,15 @@ PRIORITY_ORDER = [
     "events_sliding",
     "events_tumbling",
     "fanout_union",
+    # (4) The window tail: the 3 oracles costing >=0.1 s in DuckDB at
+    # sf0.01 (re-timed this round), ascending, so a driver timeout
+    # leaves rows for everything before them:
+    "token_bpe_merges",
+    "token_fertility_by_lang",
+    "docs_dedup_modality_agreement",
+    # ---- position 51+ ----
+    # The 19 spilled r9-vintage anchors — next in line for the r14
+    # front (alphabetical); r14 absorbs the whole remaining r9 block:
     "lineitem_metrics_unpivot",
     "lineitem_ship_delays",
     "multimodal_decoded_stats",
@@ -200,12 +154,7 @@ PRIORITY_ORDER = [
     "token_bpe_encode",
     "top_customers_per_nation",
     "user_activity_window",
-    "customer_fuzzy_match",
-    "docs_dup_span_filter",
-    "docs_strip_dup_spans",
-    "docs_suffix_dup_spans",
-    "docs_winnowing",
-    # The r10-green block, in its existing order:
+    # The r10/r11-green blocks, in their existing order:
     "docs_mixture_realized_mix",
     "docs_pack_tuning",
     "token_heavy_hitters",
@@ -256,8 +205,6 @@ PRIORITY_ORDER = [
     "multimodal_silence_trim",
     "orders_bucketed_join",
     "docs_dedup_method_agreement",
-    # The r11-green window block (most-recently-proven, tail by
-    # convention), in its r11 order:
     "docs_unimax_realized_mix",
     "docs_kn_surprisal",
     "docs_kn_band",
@@ -308,6 +255,57 @@ PRIORITY_ORDER = [
     "docs_boilerplate_ngrams",
     "events_holt_forecast",
     "docs_minhash_calibration",
+    # The r12-green window block (most-recently-proven, tail by
+    # convention), in its r12 order:
+    "docs_ingest_chain_kn",
+    "embed_intrinsic_dim_ann",
+    "embed_matryoshka_audit",
+    "embed_ndcg_audit",
+    "embed_neardup_dedup",
+    "embed_neardup_pairs",
+    "embed_norm_stats",
+    "embed_pq_codes",
+    "embed_quantize",
+    "events_cusum_changepoint",
+    "events_dau_wau_mau",
+    "events_seasonal_anomaly",
+    "lineitem_column_profile",
+    "multimodal_dedup",
+    "multimodal_meta",
+    "multimodal_scene_cuts",
+    "orders_join_cardinality_audit",
+    "part_skyline",
+    "token_tfidf",
+    "cdc_column_diff",
+    "cdc_delta_agg",
+    "cdc_envelope",
+    "cdc_envelope_json",
+    "cdc_latest_state",
+    "cdc_op_filter",
+    "cdc_scd2_history",
+    "creds_display_format",
+    "creds_lookup_join",
+    "customer_balance_outliers",
+    "customer_pii_anonymize",
+    "docs_c4_line_dedup",
+    "docs_c4_line_filter",
+    "docs_lang_temperature_mix",
+    "docs_linear_classifier",
+    "docs_pii_scan",
+    "docs_token_entropy",
+    "docs_unigram_surprisal",
+    "embed_kmeans",
+    "embed_recall_audit",
+    "events_anomaly_mad",
+    "events_retention_cohorts",
+    "events_session_window",
+    "events_user_ewma",
+    "events_user_paths",
+    "lineitem_approx_percentiles",
+    "lineitem_discount_regression",
+    "lineitem_percentiles",
+    "embed_ann_ivfpq",
+    "embed_semdedup",
 ]
 
 
