@@ -660,11 +660,24 @@ def lineitem_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"approx_percentile(l_quantity, 0.5, {_GK_ACCURACY})"
         ).alias("qty_p50"),
     )
+    # eqNullSafe join + drop the duplicate key: a NULL l_returnflag is
+    # a real group on both engines, and a plain equi-join would
+    # silently orphan it (the r12 TwoNN finding's class, re-caught by
+    # the r13 TPC-H NULL sweep)
     ranks = (
-        li.join(F.broadcast(est), "l_returnflag")
+        li.join(
+            F.broadcast(est),
+            li["l_returnflag"].eqNullSafe(est["l_returnflag"]),
+        )
+        .drop(est["l_returnflag"])
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            # the GK guarantee is over the population the sketch SAW —
+            # NULL measures are skipped by approx_percentile, so each
+            # bound checks against its own non-NULL count, not count(*)
+            F.count("l_extendedprice").cast("bigint").alias("n_price"),
+            F.count("l_quantity").cast("bigint").alias("n_qty"),
             *[
                 F.sum((F.col(c) < F.col(e)).cast("long")).alias(f"lt_{e}")
                 for c, e in (
@@ -685,17 +698,21 @@ def lineitem_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eps = 1.0 / _GK_ACCURACY
 
-    def _ok(e: str, q: float):
-        lo = F.floor(F.lit(q - eps) * F.col("n_rows"))
-        hi = F.ceil(F.lit(q + eps) * F.col("n_rows"))
-        return (F.col(f"lt_{e}") + 1 <= hi) & (F.col(f"le_{e}") >= lo)
+    def _ok(e: str, q: float, n: str):
+        lo = F.floor(F.lit(q - eps) * F.col(n))
+        hi = F.ceil(F.lit(q + eps) * F.col(n))
+        # an empty non-NULL population has no estimate and vacuously
+        # satisfies the contract (the oracle states TRUE)
+        return (F.col(n) == 0) | (
+            (F.col(f"lt_{e}") + 1 <= hi) & (F.col(f"le_{e}") >= lo)
+        )
 
     return ranks.select(
         "l_returnflag",
         "n_rows",
-        _ok("price_p50", 0.5).alias("price_p50_bound_ok"),
-        _ok("price_p95", 0.95).alias("price_p95_bound_ok"),
-        _ok("qty_p50", 0.5).alias("qty_p50_bound_ok"),
+        _ok("price_p50", 0.5, "n_price").alias("price_p50_bound_ok"),
+        _ok("price_p95", 0.95, "n_price").alias("price_p95_bound_ok"),
+        _ok("qty_p50", 0.5, "n_qty").alias("qty_p50_bound_ok"),
     )
 
 
@@ -1185,8 +1202,13 @@ def orders_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ntile.
     """
     orders = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wp = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # NULL dates/prices sort FIRST — explicit on both engines (r13)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_first(), "o_orderkey"
+    )
     return orders.select(
         "o_orderkey",
         "o_custkey",
@@ -1207,10 +1229,12 @@ def lineitem_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     association order — the moving-average analog over decimal prices
     would need DECIMAL types for bit-exact cross-engine parity. One
     shuffle on l_suppkey shared by both frames (same window spec).
+    NULL ship dates sort FIRST — explicit on both engines (r13 TPC-H
+    NULL sweep: Spark's asc default vs DuckDB's NULLS-LAST default).
     """
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        F.col("l_shipdate").asc_nulls_first(), "l_orderkey", "l_linenumber"
     )
     mov = w.rowsBetween(-4, Window.currentRow)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1231,9 +1255,14 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for dimension-sized inputs like a credential store; the fact-table
     scale path is approxQuantile to compute decile boundaries, then a
     broadcast range join (same shape as orders_price_band_join).
+
+    NULL policy (r13 TPC-H NULL sweep): an unknown balance sorts below
+    every known balance — NULLS FIRST, stated EXPLICITLY on both
+    engines (Spark's asc default vs DuckDB's NULLS-LAST default is
+    exactly the latent ordering divergence the sweep exists to catch).
     """
     cust = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    w = Window.orderBy(F.col("c_acctbal").asc_nulls_first(), "c_custkey")
     return (
         cust.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
         .groupBy("decile")
@@ -1966,6 +1995,13 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical inputs is bit-identical). First year per nation has NULL
     growth. Fact-sized work is one broadcast-joined aggregation; the
     lag window runs over the tiny (nation, year) series.
+
+    NULL policy (r13 TPC-H NULL sweep): a NULL order year is OUTSIDE
+    the time series — it reports NULL growth and never feeds a real
+    year's lag (stated on both engines by partitioning the lag window
+    on `order_year IS NULL`; inheriting either engine's NULL-ordering
+    default would instead make the unknown-year bucket some real
+    year's phantom predecessor).
     """
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1976,12 +2012,17 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
-    w = Window.partitionBy("n_name").orderBy("order_year")
+    w = Window.partitionBy(
+        "n_name", F.col("order_year").isNull()
+    ).orderBy("order_year")
     return rev.select(
         "n_name",
         "order_year",
         "revenue",
-        F.round(F.col("revenue") / F.lag("revenue").over(w), 6).alias("yoy_growth"),
+        F.when(
+            F.col("order_year").isNotNull(),
+            F.round(F.col("revenue") / F.lag("revenue").over(w), 6),
+        ).alias("yoy_growth"),
     )
 
 
@@ -2065,9 +2106,21 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the brute-force NOT EXISTS dominance predicate — an
     algorithmically independent quadratic check, so the decomposition
     and the definition cannot both be wrong the same way.
+
+    NULL dimensions (r13 TPC-H NULL sweep): a NULL is INCOMPARABLE —
+    under the oracle's three-valued NOT EXISTS a row with a NULL
+    dimension is never dominated (q <= NULL is unknown) and never
+    dominates, so such rows are trivially skyline and the dominance
+    computation runs over the fully-valued rows only. The grouped
+    decomposition must state this explicitly: min() skipping NULLs and
+    the NULL-hostile equi-join back would otherwise silently drop
+    them.
     """
     part = load(spark, sf_dir, "part")
-    pairs = part.groupBy("p_retailprice").agg(
+    valued = part.filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
+    pairs = valued.groupBy("p_retailprice").agg(
         F.min("p_size").alias("p_size")
     )
     prev_best = F.min("p_size").over(
@@ -2083,9 +2136,14 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_retailprice", "p_size")
     )
-    return part.join(
+    cols = ["p_partkey", "p_name", "p_brand", "p_retailprice", "p_size"]
+    survivors = valued.join(
         F.broadcast(frontier), ["p_retailprice", "p_size"]
-    ).select("p_partkey", "p_name", "p_brand", "p_retailprice", "p_size")
+    ).select(*cols)
+    incomparable = part.filter(
+        F.col("p_retailprice").isNull() | F.col("p_size").isNull()
+    ).select(*cols)
+    return survivors.unionByName(incomparable)
 
 
 def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2473,12 +2531,16 @@ def lineitem_rle_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     out: DataFrame | None = None
     for name, cols in orderings.items():
+        # NULLS FIRST made explicit everywhere the ordering appears
+        # (range partitioner, within-partition sort, lag window) so
+        # all three agree with each other AND with the oracle (r13)
+        ocols = [F.col(c).asc_nulls_first() for c in cols]
         s = (
-            li.repartitionByRange(32, *[F.col(c) for c in cols])
-            .sortWithinPartitions(*cols)
+            li.repartitionByRange(32, *ocols)
+            .sortWithinPartitions(*ocols)
             .withColumn("pid", F.spark_partition_id())
         )
-        wp = Window.partitionBy("pid").orderBy(*cols)
+        wp = Window.partitionBy("pid").orderBy(*ocols)
         key = F.struct(*[F.col(c) for c in cols])
         flags = s.select(
             "pid",
@@ -3002,14 +3064,32 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+    # NULL policy (r13 TPC-H NULL sweep, the orders_yoy_growth rule):
+    # an order with an unknown date is OUTSIDE the month axis — its
+    # (cohort, NULL-offset) cell stays visible with its revenue, but
+    # it neither accumulates into the LTV curve nor feeds a real
+    # month's running sum (own lag partition + explicit NULL curve
+    # values on both engines); a NULL cohort (customer whose orders
+    # are all undated) stays visible through the null-safe size join.
     w = (
-        Window.partitionBy("cohort_month")
+        Window.partitionBy(
+            "cohort_month", F.col("month_offset").isNull()
+        )
         .orderBy("month_offset")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cum = cells.withColumn(
+        "cum_revenue",
+        F.when(
+            F.col("month_offset").isNotNull(), F.sum("revenue").over(w)
+        ),
+    )
     return (
-        cells.withColumn("cum_revenue", F.sum("revenue").over(w))
-        .join(F.broadcast(sizes), "cohort_month")
+        cum.join(
+            F.broadcast(sizes),
+            cum["cohort_month"].eqNullSafe(sizes["cohort_month"]),
+        )
+        .drop(sizes["cohort_month"])
         .select(
             "cohort_month",
             "month_offset",
@@ -3239,17 +3319,22 @@ ORACLE_SQL = {
             GROUP BY 1, 2
         ),
         cum AS (
+            -- NULL month_offset = outside the LTV curve (r13): own
+            -- window partition + explicit NULL, mirroring the engine
             SELECT cohort_month, month_offset, n_active, revenue,
-                   sum(revenue) OVER (
-                       PARTITION BY cohort_month ORDER BY month_offset
+                   CASE WHEN month_offset IS NULL THEN NULL
+                        ELSE sum(revenue) OVER (
+                       PARTITION BY cohort_month, month_offset IS NULL
+                       ORDER BY month_offset
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum_revenue
+                   ) END AS cum_revenue
             FROM cells
         )
         SELECT c.cohort_month, c.month_offset, c.n_active, c.revenue,
                CAST(s.cohort_size AS BIGINT) AS cohort_size,
                round(c.cum_revenue / s.cohort_size, 6) AS ltv_per_member
-        FROM cum c JOIN sizes s ON c.cohort_month = s.cohort_month
+        FROM cum c
+        JOIN sizes s ON c.cohort_month IS NOT DISTINCT FROM s.cohort_month
     """,
     "lineitem_discount_regression": """
         SELECT l_returnflag,
@@ -3530,8 +3615,12 @@ ORACLE_SQL = {
             GROUP BY n_name, year(o_orderdate)
         )
         SELECT n_name, order_year, revenue,
-               round(revenue / lag(revenue) OVER (
-                   PARTITION BY n_name ORDER BY order_year), 6) AS yoy_growth
+               -- NULL year = outside the series (r13): own lag
+               -- partition + explicit NULL growth on both engines
+               CASE WHEN order_year IS NULL THEN NULL
+                    ELSE round(revenue / lag(revenue) OVER (
+                        PARTITION BY n_name, order_year IS NULL
+                        ORDER BY order_year), 6) END AS yoy_growth
         FROM rev
     """,
     "events_funnel": """
@@ -4217,18 +4306,20 @@ ORACLE_SQL = {
                round(percent_rank() OVER wp, 6) AS price_pct_rank,
                round(cume_dist() OVER wp, 6) AS price_cume_dist
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-               wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey),
+               wp AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
     "lineitem_moving_avg": """
         SELECT l_orderkey, l_linenumber, l_suppkey,
                round(avg(l_quantity) OVER (
                    PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS qty_ma5,
                round(sum(l_quantity) OVER (
                    PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS qty_running
         FROM lineitem
     """,
@@ -4238,7 +4329,11 @@ ORACLE_SQL = {
                round(max(c_acctbal), 2) AS max_bal
         FROM (
             SELECT c_acctbal,
-                   ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+                   -- NULLS FIRST: DuckDB defaults NULLS LAST on ASC;
+                   -- the engine's policy (unknown balance = lowest)
+                   -- is stated explicitly on both sides (r13)
+                   ntile(10) OVER (ORDER BY c_acctbal NULLS FIRST,
+                                   c_custkey) AS decile
             FROM customer
         )
         GROUP BY decile
@@ -4330,7 +4425,11 @@ def _rle_oracle_sql() -> str:
     }
     ctes, selects = [], []
     for name, cols in orderings.items():
-        order = ", ".join(f"{c} ASC" for c in cols)
+        # NULLS FIRST: explicit on both engines (r13 TPC-H NULL sweep
+        # — the Spark side sorts asc_nulls_first; DuckDB's ASC default
+        # is NULLS LAST, which moves the NULL block to the other seam
+        # and shifts the run count by one)
+        order = ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
         flags = ", ".join(
             f"CASE WHEN {t} IS DISTINCT FROM lag({t}) OVER w "
             f"THEN 1 ELSE 0 END AS start_{t}"
