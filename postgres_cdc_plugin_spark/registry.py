@@ -31,6 +31,16 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
     arithmetic); the r10/r11-green blocks follow in their existing
     order, and the r12-green window block sits at the tail
     (most-recently-proven, tail by convention).
+
+    Note on the r13 TPC-H NULL sweep fixes (part_skyline,
+    customer_value_deciles, lineitem_moving_avg, orders_window_funcs,
+    orders_yoy_growth, orders_cohort_ltv, lineitem_rle_layout_audit,
+    lineitem_approx_percentiles): these declare explicit NULL policies
+    on both engines. On the NULL-free driver corpora their results are
+    byte-identical to before (the policies only bind when a swept
+    column is NULL), so existing driver evidence remains valid and
+    none of them forces a window slot beyond those already rotated;
+    the NULL behavior itself is gated by tests/test_tpch_null_parity.py.
 """
 
 from __future__ import annotations
