@@ -54,12 +54,16 @@ fabricates phantom collapse/work); within-copy pair counts are
 reported per copy for the record. Run it before citing any exponent
 from a new construction.
 
-Protocol: one quiet session; the family builds CONSUMED by the probed
-rows are materialized first at each scale (so per-query times are
-marginal, the bench convention — at 9x only the consumed kernels are
-built: burning the unconsumed families there adds nothing but wall
-time); each row timed N passes, clearCache before each pass; per-row
-MIN taken (the one-sided-noise convention).
+Protocol: one quiet session; ONE UNTIMED WARMUP PASS at sf0.1 first
+(JIT/codegen compilation is session-global and front-loaded — without
+it the first timed scale absorbs compilation CPU and the fit produces
+physically impossible NEGATIVE exponents, which is exactly what the
+first r13 run measured); then the family builds CONSUMED by the
+probed rows are materialized first at each scale (so per-query times
+are marginal, the bench convention — at 9x only the consumed kernels
+are built: burning the unconsumed families there adds nothing but
+wall time); each row timed N passes, clearCache before each pass;
+per-row MIN taken (the one-sided-noise convention).
 
 The scaling metric is process-tree CPU SECONDS (JVM + pyspark daemon
 workers, /proc utime+stime deltas), not wall-clock: at local[32] on
@@ -343,6 +347,8 @@ def main() -> int:
         spark.stop()
         return 0
     wide = [r for r in PROBE_ROWS if r in WIDE_ROWS]
+    time_rows(spark, SF1, 1, PROBE_ROWS)  # untimed JIT warmup pass
+    spark.catalog.clearCache()
     t1 = time_rows(spark, SF1, args.runs, PROBE_ROWS)
     spark.catalog.clearCache()
     t3 = time_rows(spark, d3, args.runs, PROBE_ROWS)
