@@ -224,9 +224,13 @@ def ingest_chain_kn_stages(
     from ..dedup import _simhash_pairs_df, c4_lines_of, dup_clusters_from
 
     gate = gopher_rules_df(docs)
+    # kept_ids stays UNCUT even in audit mode: it sits inside kn_ids'
+    # lineage, and kn_ids' analyzed plan must stay byte-identical to
+    # the chain's so the session-persisted entry is SHARED between the
+    # audit and the chain (the bench runs them back to back; cutting
+    # here forked the plans and cost the chain its cache hit — a real
+    # +2.6s bench drift before this comment existed)
     kept_ids = gate.filter("keep").select("doc_id")
-    if persist_stages:
-        kept_ids = kept_ids.localCheckpoint()
     gated = docs.join(kept_ids, "doc_id").select("doc_id", "text", "lang")
     # KN model trained on the GATED corpus (stage order changes the
     # model); scorer + band verdict are docs_kn_band's expression trees.
@@ -250,6 +254,13 @@ def ingest_chain_kn_stages(
         .persist()
     )
     if persist_stages:
+        # the checkpoint MATERIALIZES through the persisted plan, so
+        # the chain-compatible cache entry is populated as a side
+        # effect; everything downstream in the audit then carries the
+        # tiny checkpointed plan instead of six copies of the scoring
+        # tree (losers/admit below can be cut freely — their lineages
+        # embed dup_clusters_from's own eager localCheckpoint and are
+        # never cross-query shareable anyway)
         kn_ids = kn_ids.localCheckpoint()
     kn = gated.join(kn_ids, "doc_id")
     # pairs among KN-kept docs = the persisted corpus pair relation
