@@ -858,6 +858,40 @@ def test_family_builds_feed_their_consumers(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_audit_and_chain_share_the_kn_keep_plan(spark, sf_dir):
+    """The bench-pair cache contract (r13): the attrition audit's
+    persisted kn_ids must stay PLAN-IDENTICAL to the chain's, or the
+    chain (which runs right after the audit in the bench's
+    alphabetical order) loses its session-cache hit and re-pays the
+    KN scoring pass — a +2.6s bench drift when an r13 refactor cut
+    kept_ids' lineage inside the audit and silently forked the plans.
+    sameSemantics is exactly the CacheManager matching criterion.
+    localCheckpoint is patched to a no-op so the audit-mode lineage
+    cuts don't replace the comparable plan with an opaque RDD scan."""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from postgres_cdc_plugin_spark.operators.text import (
+        ingest_chain_kn_stages,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    real_ckpt = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+    try:
+        _, kn_audit, _, _, _ = ingest_chain_kn_stages(
+            docs, persist_stages=True
+        )
+        _, kn_chain, _, _, _ = ingest_chain_kn_stages(docs)
+        assert kn_audit.sameSemantics(kn_chain), (
+            "audit-mode kn_ids plan forked from the chain's — the "
+            "bench pair no longer shares one KN scoring pass"
+        )
+    finally:
+        _DF.localCheckpoint = real_ckpt  # type: ignore[method-assign]
+        spark.catalog.clearCache()
+
+
 def test_c4_line_filter_is_zero_shuffle(spark, sf_dir):
     """docs_c4_line_filter must stay one narrow projection — split
     binds once, lines and rules are higher-order lambdas: zero
