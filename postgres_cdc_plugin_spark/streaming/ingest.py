@@ -172,7 +172,12 @@ class IngestPipeline:
         components and change which canonical survives), then the
         loser set masks BOTH the admission inputs and the line
         relation — a cluster loser contributes no lines to keep-first,
-        exactly as in the batch chain."""
+        exactly as in the batch chain. The loser set (the expensive
+        pair-join + component-labeling output) is consumed once per
+        downstream branch, so it goes through the bounded wave cache
+        (r13 — the sample_kn()/audit() discipline applied here too: a
+        polling consumer re-paid the CC lineage per read and leaked
+        nothing, but paid ~2x)."""
         from ..operators.dedup import (
             _SIMHASH_BLOCKS,
             dup_clusters_from,
@@ -183,14 +188,19 @@ class IngestPipeline:
         ids = self._ready()
         if not ids:
             return None
-        sigs = self._read(spark, self.sigs_dir, ids).select(
-            "doc_id", *[f"blk{k}" for k in range(1, _SIMHASH_BLOCKS + 1)]
-        )
-        losers = (
-            dup_clusters_from(spark, simhash_block_pairs(sigs))
-            .filter(F.col("doc_id") != F.col("cluster_id"))
-            .select("doc_id")
-        )
+
+        def build_losers() -> DataFrame:
+            sigs = self._read(spark, self.sigs_dir, ids).select(
+                "doc_id",
+                *[f"blk{k}" for k in range(1, _SIMHASH_BLOCKS + 1)],
+            )
+            return (
+                dup_clusters_from(spark, simhash_block_pairs(sigs))
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select("doc_id")
+            )
+
+        losers = self._cached("nd_losers", ids, build_losers)
         nd_langs = self._read(spark, self.langs_dir, ids).join(
             losers, "doc_id", "left_anti"
         )
