@@ -3082,6 +3082,43 @@ def test_ingest_pipeline_kn_bit_equal_with_resume(spark, tmp_path, sf_dir):
     assert snap(pipe.sample_kn(spark)) == want
 
 
+def test_ingest_wave_cache_is_bounded_and_shared(spark, tmp_path, sf_dir):
+    """The bounded per-wave cache discipline (r13 — the r12 sample_kn
+    leak finding generalized): within one wave, a second consumer
+    (audit after sample_kn) must REUSE the cached stage relations (same
+    DataFrame object back, no rebuild); when the committed batch set
+    moves, every stale entry must be UNPERSISTED before its key is
+    rebound — a polling consumer holds at most one cache entry per key,
+    never one per wave."""
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.ingest import IngestPipeline
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pipe = IngestPipeline(str(tmp_path / "wave_cache"))
+    pipe.process_batch(docs.filter("doc_id % 2 = 0"), 0)
+
+    pipe.sample_kn(spark).write.format("noop").mode("overwrite").save()
+    wave1 = dict(pipe._wave_cache)
+    assert set(wave1) >= {"kn_ids", "kn_losers", "kn_admit"}
+    # same wave, second consumer: every entry is handed back, not rebuilt
+    pipe.audit(spark).write.format("noop").mode("overwrite").save()
+    for key, (ids, df) in wave1.items():
+        assert pipe._wave_cache[key][1] is df, f"{key} rebuilt within a wave"
+        assert df.storageLevel.useMemory, f"{key} not persisted"
+
+    # new wave: stale entries unpersisted, keys rebound to fresh plans
+    pipe.process_batch(docs.filter("doc_id % 2 = 1"), 1)
+    pipe.sample_kn(spark).write.format("noop").mode("overwrite").save()
+    pipe.audit(spark).write.format("noop").mode("overwrite").save()
+    for key, (ids, df) in wave1.items():
+        if key in pipe._wave_cache:
+            assert pipe._wave_cache[key][1] is not df, f"{key} stale reuse"
+        assert not df.storageLevel.useMemory, f"{key} leaked across waves"
+    # sample_nd shares the discipline through its own key
+    pipe.sample_nd(spark).write.format("noop").mode("overwrite").save()
+    assert "nd_losers" in pipe._wave_cache
+
+
 def test_ingest_pipeline_audit_bit_equal_with_resume(spark, tmp_path, sf_dir):
     """The streaming stage-attrition audit (r13, r12 verdict ask #4):
     audit() must be bit-equal to the batch docs_ingest_chain_audit
