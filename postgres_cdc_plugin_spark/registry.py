@@ -9,28 +9,22 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-13 window, exactly
-    as the r12 verdict staged it (asks #1 and #8), with ZERO new
+    most-recently-green family to the tail. Round-14 window, exactly
+    as the r13 verdict staged it (asks #1 and #8), with ZERO new
     registrations (the cap is <=3; every slot spent on rotation debt):
-    (1) docs_ingest_chain_audit — REWORKED this round (six stage rows:
-    the line_dedup stage made visible with per-stage mass_frac, mass
-    units restated, the chain-tail recompute fixed), so its r12
-    evidence no longer describes the current query and it re-proves
-    first; (2) all 19 r8-vintage anchors (the oldest evidence in the
-    registry, queued at position 51+ since r12), alphabetical;
-    (3) 30 of the 49 r9-vintage anchors, alphabetical. Within the
-    window the 3 oracles costing >=0.1 s in DuckDB at sf0.01 sit at
-    the tail ascending (token_bpe_merges 0.14 s, token_fertility_by_
-    lang 0.14 s, docs_dedup_modality_agreement 0.32 s — re-timed this
-    round; the reworked audit's 0.42 s oracle stays at the front
-    because proving the rework outranks timeout protection), so a
+    (1) all 19 r9-vintage anchors (the oldest evidence in the
+    registry, queued at position 51+ since r13), alphabetical;
+    (2) 31 of the 50 r10-vintage anchors, alphabetical. Within the
+    window the 14 oracles costing >=0.1 s in DuckDB at sf0.01 sit at
+    the tail ascending (token_bpe_encode 0.25 s ... docs_lsh_tuning
+    2.25 s — re-timed this round, per-entry comments below), so a
     driver timeout leaves rows for everything before them. The 19
-    spilled r9 anchors sit at positions 51+ for the r14 front — after
-    r13 the oldest driver evidence is r9, and r14's window absorbs the
-    remaining r9 block entirely (the full-surface re-proof cycle's
-    arithmetic); the r10/r11-green blocks follow in their existing
-    order, and the r12-green window block sits at the tail
-    (most-recently-proven, tail by convention).
+    spilled r10 anchors sit at positions 51+ for the r15 front —
+    after r14 the oldest driver evidence is r10, and r15's window
+    absorbs the remaining r10 block entirely, stabilizing the
+    full-surface re-proof cycle at ~4.4 rounds; the r11/r12-green
+    blocks follow in their existing order, and the r13-green window
+    block sits at the tail (most-recently-proven, tail by convention).
 
     Note on the r13 TPC-H NULL sweep fixes (part_skyline,
     customer_value_deciles, lineitem_moving_avg, orders_window_funcs,
@@ -79,72 +73,11 @@ ROWS_ONLY: set[str] = set()
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # ---- round-13 window (first 50) ----
-    # (1) The one REWORKED query (r13: line_dedup stage row +
-    # mass_frac + persisted stage sets — its r12 evidence describes
-    # the old 5-row schema, so it re-proves first; zero NEW
-    # registrations this round, per the <=3 cap and r12 ask #8):
-    "docs_ingest_chain_audit",
-    # (2) The 19 r8-vintage anchors — the oldest driver evidence in
-    # the registry, queued at 51+ since r12 (ask #1), alphabetical
-    # (the two >=0.1 s oracles and the modality-agreement cross query
-    # sit at the window tail, below):
-    "lineitem_pricing_agg",
-    "lineitem_small_qty_parts",
-    "lineitem_zorder_layout",
-    "multimodal_features",
-    "multimodal_neardup",
-    "orders_cohort_ltv",
-    "orders_enrich_join",
-    "orders_market_basket",
-    "orders_rfm_segments",
-    "orders_shipping_priority",
-    "orders_yoy_growth",
-    "part_abc_pareto",
-    "receiver_replay_dedup",
-    "supplier_part_volume",
-    "token_count_min",
-    "token_vocab_coverage",
-    # (3) 30 of the 49 r9-vintage anchors, alphabetical:
-    "approx_distinct_users",
-    "attempt_history_agg",
-    "creds_last_wins",
-    "customer_fuzzy_match",
-    "customer_set_ops",
-    "customer_value_deciles",
-    "docs_c4_punct_gate",
-    "docs_c4_span_dedup",
-    "docs_dsir_weights",
-    "docs_dup_span_filter",
-    "docs_mixture_sample",
-    "docs_quality_dup_interaction",
-    "docs_strip_dup_spans",
-    "docs_suffix_dup_spans",
-    "docs_winnowing",
-    "docs_word_pmi",
-    "embed_ann_ivf",
-    "embed_ivf_tuning",
-    "embed_pca_power",
-    "embed_silhouette",
-    "events_ab_test",
-    "events_asof_join",
-    "events_cube",
-    "events_funnel",
-    "events_key_skew_audit",
-    "events_markov_transitions",
-    "events_rate_limit",
-    "events_sliding",
-    "events_tumbling",
-    "fanout_union",
-    # (4) The window tail: the 3 oracles costing >=0.1 s in DuckDB at
-    # sf0.01 (re-timed this round), ascending, so a driver timeout
-    # leaves rows for everything before them:
-    "token_bpe_merges",
-    "token_fertility_by_lang",
-    "docs_dedup_modality_agreement",
-    # ---- position 51+ ----
-    # The 19 spilled r9-vintage anchors — next in line for the r14
-    # front (alphabetical); r14 absorbs the whole remaining r9 block:
+    # ---- round-14 window (first 50) ----
+    # (1) All 19 r9-vintage anchors (the oldest driver evidence in
+    # the registry, staged at 51+ since r13 — r12/r13 ask #1),
+    # alphabetical; token_bpe_encode (0.25 s oracle) sits in the
+    # cost-sorted window tail below:
     "lineitem_metrics_unpivot",
     "lineitem_ship_delays",
     "multimodal_decoded_stats",
@@ -161,42 +94,49 @@ PRIORITY_ORDER = [
     "retry_schedule",
     "status_counts",
     "token_bigram_surprisal",
-    "token_bpe_encode",
     "top_customers_per_nation",
     "user_activity_window",
-    # The r10/r11-green blocks, in their existing order:
-    "docs_mixture_realized_mix",
-    "docs_pack_tuning",
-    "token_heavy_hitters",
-    "docs_ingest_chain",
-    "docs_unimax_mix",
-    "docs_unimax_sample",
-    "docs_classifier_pr_curve",
-    "docs_dedup_sensitivity",
-    "token_kneser_ney",
+    # (2) 31 of the 50 r10-vintage anchors, alphabetical; the 13
+    # with >=0.1 s DuckDB oracles at sf0.01 sit in the tail below:
     "docs_bm25_search",
-    "docs_cluster_dedup",
+    "docs_classifier_pr_curve",
     "docs_content_fingerprint",
     "docs_dedup_rate_by_source",
-    "docs_dup_clusters",
     "docs_exact_dedup",
     "docs_fingerprint_groups",
     "docs_lang_confusion",
     "docs_lang_id",
-    "docs_lsh_tuning",
-    "docs_minhash_dedup",
-    "docs_minhash_pairs",
     "docs_minhash_sigs",
-    "docs_ngram_containment",
-    "docs_ngram_jaccard",
+    "docs_mixture_realized_mix",
+    "docs_pack_tuning",
     "docs_quality_score",
     "docs_rolling_fingerprint",
-    "docs_simhash",
-    "docs_simhash_dedup",
-    "docs_simhash_pairs",
     "docs_text_stats",
     "docs_token_counts",
     "docs_train_split",
+    "docs_unimax_mix",
+    "docs_unimax_sample",
+    # (3) The window tail: every window oracle costing >=0.1 s in
+    # DuckDB at sf0.01 (re-timed this round), ascending, so a
+    # driver timeout leaves rows for everything before them:
+    "token_bpe_encode",  # 0.25 s
+    "docs_simhash_pairs",  # 0.28 s
+    "docs_simhash",  # 0.28 s
+    "docs_simhash_dedup",  # 0.32 s
+    "docs_dedup_sensitivity",  # 0.37 s
+    "docs_minhash_pairs",  # 0.40 s
+    "docs_ngram_containment",  # 0.42 s
+    "docs_ngram_jaccard",  # 0.45 s
+    "docs_ingest_chain",  # 0.56 s
+    "docs_minhash_dedup",  # 0.56 s
+    "docs_dedup_method_agreement",  # 0.89 s
+    "docs_dup_clusters",  # 0.98 s
+    "docs_cluster_dedup",  # 1.03 s
+    "docs_lsh_tuning",  # 2.25 s
+    # ---- position 51+ ----
+    # The 19 spilled r10-vintage anchors — next in line for the
+    # r15 front (alphabetical); r15 absorbs the whole remaining
+    # r10 block and the oldest evidence becomes r11:
     "docs_weighted_sample",
     "embed_ann_lsh",
     "embed_cell_balance_audit",
@@ -214,7 +154,9 @@ PRIORITY_ORDER = [
     "lineitem_stats_agg",
     "multimodal_silence_trim",
     "orders_bucketed_join",
-    "docs_dedup_method_agreement",
+    "token_heavy_hitters",
+    "token_kneser_ney",
+    # The r11/r12-green blocks, in their existing order:
     "docs_unimax_realized_mix",
     "docs_kn_surprisal",
     "docs_kn_band",
@@ -265,8 +207,6 @@ PRIORITY_ORDER = [
     "docs_boilerplate_ngrams",
     "events_holt_forecast",
     "docs_minhash_calibration",
-    # The r12-green window block (most-recently-proven, tail by
-    # convention), in its r12 order:
     "docs_ingest_chain_kn",
     "embed_intrinsic_dim_ann",
     "embed_matryoshka_audit",
@@ -316,6 +256,58 @@ PRIORITY_ORDER = [
     "lineitem_percentiles",
     "embed_ann_ivfpq",
     "embed_semdedup",
+    # The r13-green window block (most-recently-proven, tail by
+    # convention), in its r13 order:
+    "docs_ingest_chain_audit",
+    "lineitem_pricing_agg",
+    "lineitem_small_qty_parts",
+    "lineitem_zorder_layout",
+    "multimodal_features",
+    "multimodal_neardup",
+    "orders_cohort_ltv",
+    "orders_enrich_join",
+    "orders_market_basket",
+    "orders_rfm_segments",
+    "orders_shipping_priority",
+    "orders_yoy_growth",
+    "part_abc_pareto",
+    "receiver_replay_dedup",
+    "supplier_part_volume",
+    "token_count_min",
+    "token_vocab_coverage",
+    "approx_distinct_users",
+    "attempt_history_agg",
+    "creds_last_wins",
+    "customer_fuzzy_match",
+    "customer_set_ops",
+    "customer_value_deciles",
+    "docs_c4_punct_gate",
+    "docs_c4_span_dedup",
+    "docs_dsir_weights",
+    "docs_dup_span_filter",
+    "docs_mixture_sample",
+    "docs_quality_dup_interaction",
+    "docs_strip_dup_spans",
+    "docs_suffix_dup_spans",
+    "docs_winnowing",
+    "docs_word_pmi",
+    "embed_ann_ivf",
+    "embed_ivf_tuning",
+    "embed_pca_power",
+    "embed_silhouette",
+    "events_ab_test",
+    "events_asof_join",
+    "events_cube",
+    "events_funnel",
+    "events_key_skew_audit",
+    "events_markov_transitions",
+    "events_rate_limit",
+    "events_sliding",
+    "events_tumbling",
+    "fanout_union",
+    "token_bpe_merges",
+    "token_fertility_by_lang",
+    "docs_dedup_modality_agreement",
 ]
 
 
