@@ -321,6 +321,22 @@ def docs_ingest_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     attrition are now separately visible, which is exactly what the
     r12 table could not show.
 
+    Unit-switch caveat (r13 advice): the two units differ not only in
+    line membership but in EMPTY-token handling — n_words counts the
+    empty tokens a raw split(' ') yields for consecutive/leading/
+    trailing spaces, while the admission unit filters them before the
+    line grain is cut (_C4_LINES_EXPR). The line_dedup row's mass_frac
+    therefore folds the empty-token component of the unit change into
+    the dedup loss: on a corpus with many consecutive spaces it reads
+    < 1 even with zero duplicate lines. This is a reading note, not a
+    measurement bug — stage-3 mass cannot be restated in the non-empty
+    unit without widening the streaming gate ledger (the ONE relation
+    both surfaces maintain for gate-dropped docs carries only the
+    gate's own n_words), and the two surfaces must measure
+    identically. A reader separating the components re-derives raw
+    non-empty mass from the admission input pre-dedup (not maintained
+    here by design: it is the unit switch, not an attrition stage).
+
     Composition-proven: every stage set comes from
     ingest_chain_kn_stages — the IDENTICAL expression trees
     docs_ingest_chain_kn runs (same gate, same gated-corpus KN model,

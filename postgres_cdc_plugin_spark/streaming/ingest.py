@@ -94,22 +94,57 @@ class IngestPipeline:
         os.makedirs(self.grams_dir, exist_ok=True)
         # per-key bounded persist cache for read-time intermediates
         # consumed several times within one wave (kn keep set, CC
-        # losers, admission input): keyed by the committed batch-id
-        # set, so a SAME-wave second consumer (audit() after
-        # sample_kn()) reuses the materialization, while a NEW wave
-        # unpersists the stale entry first — a polling consumer never
-        # leaks cache entries (the r12 sample_kn review finding,
-        # generalized)
-        self._wave_cache: dict[str, tuple[tuple[str, ...], DataFrame]] = {}
+        # losers, admission input, line-dedup rollup): keyed by the
+        # committed batch-id set PLUS a file-mtime fingerprint
+        # (_wave_token), so a SAME-wave second consumer (audit() after
+        # sample_kn()) reuses the materialization, while a NEW wave or
+        # a replayed in-place overwrite unpersists the stale entry
+        # first — a polling consumer never leaks cache entries and
+        # never serves a plan over replaced files (the r12 sample_kn
+        # review finding generalized + the r13 replay advice)
+        self._wave_cache: dict[
+            str, tuple[tuple[tuple[str, ...], int], DataFrame]
+        ] = {}
 
-    def _cached(self, key: str, ids: list[str], build) -> DataFrame:
+    def _wave_token(self, ids: list[str]) -> tuple[tuple[str, ...], int]:
+        """Cache key for the committed wave: the batch-id set PLUS the
+        max file mtime_ns across those batches' dirs in every root. The
+        id set alone is not enough (r13 advice): a REPLAYED batch
+        overwrites an already-committed dir in place with byte-identical
+        rows, and a cached plan still references the pre-overwrite
+        parquet files — correct while the persisted partitions live, but
+        a recompute after cache eviction would hit FileNotFoundException.
+        The overwrite bumps mtimes, so folding them into the key re-reads
+        (and re-persists) after any replay. Cost: one shallow scandir per
+        batch dir per poll — metadata the `_SUCCESS` intersection in
+        _ready() already touches."""
+        stamp = 0
+        roots = (
+            self.gate.out_dir,
+            self.langs_dir,
+            self.sigs_dir,
+            self.grams_dir,
+            self.lines.out_dir,
+        )
+        for root in roots:
+            for d in ids:
+                for dirpath, _dirs, files in os.walk(os.path.join(root, d)):
+                    for f in files:
+                        try:
+                            st = os.stat(os.path.join(dirpath, f))
+                        except OSError:
+                            continue
+                        stamp = max(stamp, st.st_mtime_ns)
+        return tuple(ids), stamp
+
+    def _cached(self, key: str, token, build) -> DataFrame:
         prev = self._wave_cache.get(key)
-        if prev is not None and prev[0] == tuple(ids):
+        if prev is not None and prev[0] == token:
             return prev[1]
         if prev is not None:
             prev[1].unpersist()
         df = build().persist()
-        self._wave_cache[key] = (tuple(ids), df)
+        self._wave_cache[key] = (token, df)
         return df
 
     # -- composed visibility ------------------------------------------
@@ -200,7 +235,7 @@ class IngestPipeline:
                 .select("doc_id")
             )
 
-        losers = self._cached("nd_losers", ids, build_losers)
+        losers = self._cached("nd_losers", self._wave_token(ids), build_losers)
         nd_langs = self._read(spark, self.langs_dir, ids).join(
             losers, "doc_id", "left_anti"
         )
@@ -256,6 +291,7 @@ class IngestPipeline:
             kn_surprisal_from,
         )
 
+        token = self._wave_token(ids)
         langs = self._read(spark, self.langs_dir, ids)
 
         def build_kn_ids() -> DataFrame:
@@ -273,7 +309,7 @@ class IngestPipeline:
                 .select("doc_id")
             )
 
-        kn_ids = self._cached("kn_ids", ids, build_kn_ids)
+        kn_ids = self._cached("kn_ids", token, build_kn_ids)
 
         def build_losers() -> DataFrame:
             # KN losers mask the signature relation BEFORE pairing
@@ -293,7 +329,7 @@ class IngestPipeline:
                 .select("doc_id")
             )
 
-        losers = self._cached("kn_losers", ids, build_losers)
+        losers = self._cached("kn_losers", token, build_losers)
         kn_langs = langs.join(kn_ids, "doc_id").join(
             losers, "doc_id", "left_anti"
         )
@@ -304,7 +340,7 @@ class IngestPipeline:
             ).join(kn_langs.select("doc_id"), "doc_id")
             return admission_docs_from(kn_langs, ln)
 
-        admit_docs = self._cached("kn_admit", ids, build_admit)
+        admit_docs = self._cached("kn_admit", token, build_admit)
         return kn_ids, kn_langs.select("doc_id"), admit_docs
 
     def audit(self, spark) -> DataFrame | None:
@@ -330,7 +366,7 @@ class IngestPipeline:
             return None
         verdicts = self._cached(
             "audit_verdicts",
-            ids,
+            self._wave_token(ids),
             lambda: audit_verdicts_from(
                 self._read(spark, self.gate.out_dir, ids)
             ),
@@ -347,19 +383,30 @@ class IngestPipeline:
     def dedup(self, spark) -> DataFrame | None:
         """Line-dedup rollup of the gated corpus —
         operators/dedup.c4_line_dedup_from verbatim (the ST17 surface,
-        restricted to the composed ready set)."""
+        restricted to the composed ready set). The rollup is the
+        polling consumer's whole read (keep-first min-struct agg +
+        join-back over every committed line), so it goes through the
+        bounded wave cache (r13 verdict ask #5 — the same rebuild
+        class the cache eliminated for sample_nd()/sample_kn()/
+        audit(): a second dedup() in the same wave reuses the
+        materialization; a new wave or a replayed overwrite bumps the
+        token and unpersists the stale entry)."""
         from ..operators.dedup import c4_line_dedup_from
 
         ids = self._ready()
         if not ids:
             return None
-        docs = self._read(
-            spark, self.lines.out_dir, [f"{d}/docs" for d in ids]
-        )
-        ln = self._read(
-            spark, self.lines.out_dir, [f"{d}/lines" for d in ids]
-        )
-        return c4_line_dedup_from(docs, ln)
+
+        def build() -> DataFrame:
+            docs = self._read(
+                spark, self.lines.out_dir, [f"{d}/docs" for d in ids]
+            )
+            ln = self._read(
+                spark, self.lines.out_dir, [f"{d}/lines" for d in ids]
+            )
+            return c4_line_dedup_from(docs, ln)
+
+        return self._cached("line_dedup", self._wave_token(ids), build)
 
     # -- the per-batch step -------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:

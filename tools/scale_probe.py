@@ -133,7 +133,12 @@ def _caesar_word_expr(k: int, stop_sql: str) -> str:
     copy ever gains or loses a stopword and per-copy gate statistics
     stay byte-identical). Shift amounts: normal 0..8, escape 9..17 —
     pairwise distinct and non-overlapping, so no lettered word is ever
-    shared between two copies."""
+    shared between two copies. The escape is SINGLE-level: a word
+    whose k-shift AND (k+9)-shift both land on stopwords would still
+    gain one — chaining further would exhaust the 26 disjoint shifts
+    at 9 copies, so instead audit_slice counts double landings on the
+    base corpus for every shift in use and hard-fails on nonzero
+    (escape_double_stop, r13 advice)."""
     lo, up = string.ascii_lowercase, string.ascii_uppercase
 
     def tr(kk: int) -> str:
@@ -206,7 +211,10 @@ def audit_slice(spark, dn: str, n: int) -> dict:
     REPORTS per-copy pair counts — the redraw effect no renaming can
     avoid, see module docstring)."""
     from postgres_cdc_plugin_spark.operators.dedup import _simhash_pairs_df
-    from postgres_cdc_plugin_spark.operators.text import gopher_rules_df
+    from postgres_cdc_plugin_spark.operators.text import (
+        _GOPHER_STOPWORDS,
+        gopher_rules_df,
+    )
 
     base = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
     max_doc = base.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -219,6 +227,38 @@ def audit_slice(spark, dn: str, n: int) -> dict:
         .collect()
     )
     per_copy = sorted((r["copy"], r["count"]) for r in gate)
+    # escape soundness (r13 advice): _caesar_word_expr's stopword
+    # escape re-shifts by k+9 when tr(k) lands on a stopword, but does
+    # NOT chain further — if tr(k+9) ALSO landed on a stopword, that
+    # copy would gain a stopword and its gate stats would drift. Count
+    # the double-landing words on the base corpus for every shift used
+    # by this slice and gate on zero (one pass, one filter-lambda per
+    # copy).
+    import string as _string
+
+    lo, up = _string.ascii_lowercase, _string.ascii_uppercase
+    stop_sql = "(" + ",".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + ")"
+
+    def _tr(kk: int) -> str:
+        s = kk % 26
+        return (
+            f"translate(w, '{lo + up}', "
+            f"'{lo[s:] + lo[:s] + up[s:] + up[:s]}')"
+        )
+
+    esc_cols = [
+        F.expr(
+            "sum(size(filter(split(text, ' '), w -> "
+            f"w != '' AND w NOT IN {stop_sql} "
+            f"AND {_tr(k)} IN {stop_sql} AND {_tr(k + 9)} IN {stop_sql})))"
+        ).alias(f"k{k}")
+        for k in range(1, n)
+    ]
+    esc_double = (
+        sum(v or 0 for v in base.select(esc_cols).collect()[0])
+        if esc_cols
+        else 0
+    )
     pairs = _simhash_pairs_df(docs.select("doc_id", "text")).select(
         (F.col("doc_a") / max_doc).cast("int").alias("ca"),
         (F.col("doc_b") / max_doc).cast("int").alias("cb"),
@@ -242,11 +282,16 @@ def audit_slice(spark, dn: str, n: int) -> dict:
         "pair_growth_vs_base": round(within / base_pairs, 2),
         "pairs_cross": cross,
         "edges_per_doc": round(within / n_docs, 4),
+        "escape_double_stop": esc_double,
         # hard criteria: identical per-copy gate stats + zero
-        # cross-copy pairs; within-copy counts are a hash redraw no
-        # renaming can pin to base (module docstring) and are
-        # reported, not gated
-        "ok": len({c for _, c in per_copy}) == 1 and cross == 0,
+        # cross-copy pairs + zero double-stopword escape landings
+        # (the escape is single-level; a double landing would change a
+        # copy's stopword census); within-copy counts are a hash
+        # redraw no renaming can pin to base (module docstring) and
+        # are reported, not gated
+        "ok": len({c for _, c in per_copy}) == 1
+        and cross == 0
+        and esc_double == 0,
     }
 
 
