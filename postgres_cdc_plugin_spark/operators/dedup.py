@@ -2339,6 +2339,7 @@ FAMILY_CONSUMERS = {
         "docs_softdedup_effective_mass",
         "docs_ingest_chain_nd",
         "docs_ingest_chain_kn",
+        "docs_ingest_chain_contam",
         "docs_ingest_chain_audit",
     ),
     "dup_spans": (

@@ -31,6 +31,7 @@ FAMILY_CONSUMERS = {
         "docs_kn_band",
         "docs_quality_kn_interaction",
         "docs_ingest_chain_kn",
+        "docs_ingest_chain_contam",
         "docs_ingest_chain_audit",
     ),
 }
@@ -59,6 +60,7 @@ QUERIES = {
     "docs_ingest_chain": docs_ingest_chain,
     "docs_ingest_chain_nd": docs_ingest_chain_nd,
     "docs_ingest_chain_kn": docs_ingest_chain_kn,
+    "docs_ingest_chain_contam": docs_ingest_chain_contam,
     "docs_ingest_chain_audit": docs_ingest_chain_audit,
     "docs_unimax_mix": docs_unimax_mix,
     "docs_unimax_sample": docs_unimax_sample,

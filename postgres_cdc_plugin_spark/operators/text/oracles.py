@@ -1949,25 +1949,76 @@ ORACLE_SQL["docs_kn_band"] = f"""
 """
 
 
-# Stage-attrition audit (r12): derived MECHANICALLY from the five-stage
-# chain oracle — the WITH chain (gate g, KN keep set kn, near-dup
-# survivor set nd, admission c/quota) is reused byte-for-byte and only
-# the final SELECT is swapped for the per-stage count/token rollup, so
-# the audit's oracle observes the EXACT stage relations the chain
-# oracle admits from (mirroring ingest_chain_kn_stages on the Spark
-# side). NULL text counts 0 tokens by explicit policy.
+# Six-stage chain (r14, r13 verdict ask #4): the five-stage oracle
+# with the terminal decontamination CTEs appended MECHANICALLY — the
+# WITH chain is reused byte-for-byte, the gram CTEs mirror
+# doc_grams_of/bench_grams_of (the _GRAM_UNNEST_SQL kernel shared
+# with the docs_contamination oracle: one gram definition), dgrams is
+# restricted to the gate keep set `g` exactly as the engine probes
+# gate-kept documents, and only the final SELECT widens by
+# (n_contam_grams, train).
 _CHAIN_KN_FINAL = (
     "    SELECT c.doc_id, c.lang, c.n_tokens, c.priority, c.cum_tokens,\n"
     "           q.quota_tokens, c.cum_tokens <= q.quota_tokens AS selected\n"
     "    FROM c JOIN quota q USING (lang)\n"
 )
 assert ORACLE_SQL["docs_ingest_chain_kn"].endswith(_CHAIN_KN_FINAL)
-ORACLE_SQL["docs_ingest_chain_audit"] = (
+_CONTAM_CTES = f""",
+    bgrams AS (
+        SELECT DISTINCT gram FROM (
+            SELECT doc_id, {_GRAM_UNNEST_SQL}
+            FROM documents WHERE source = '{_BENCH_SOURCE}')
+        WHERE gram IS NOT NULL
+    ),
+    dgrams AS (
+        SELECT doc_id, gram FROM (
+            SELECT doc_id, {_GRAM_UNNEST_SQL}
+            FROM documents JOIN g USING (doc_id))
+        WHERE gram IS NOT NULL
+    ),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_grams
+        FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+    )
+"""
+_CHAIN_CONTAM_FINAL = (
+    "    SELECT c.doc_id, c.lang, c.n_tokens, c.priority, c.cum_tokens,\n"
+    "           q.quota_tokens, c.cum_tokens <= q.quota_tokens AS selected,\n"
+    "           CAST(coalesce(h.n_contam_grams, 0) AS BIGINT)\n"
+    "               AS n_contam_grams,\n"
+    "           (c.cum_tokens <= q.quota_tokens)\n"
+    "               AND coalesce(h.n_contam_grams, 0) = 0 AS train\n"
+    "    FROM c JOIN quota q USING (lang)\n"
+    "         LEFT JOIN hits h USING (doc_id)\n"
+)
+ORACLE_SQL["docs_ingest_chain_contam"] = (
     ORACLE_SQL["docs_ingest_chain_kn"].removesuffix(_CHAIN_KN_FINAL)
+    + _CONTAM_CTES
+    + _CHAIN_CONTAM_FINAL
+)
+assert "bgrams" in ORACLE_SQL["docs_ingest_chain_contam"]
+
+# Stage-attrition audit (r12; r14: decontam row): derived MECHANICALLY
+# from the SIX-stage chain oracle — the WITH chain (gate g, KN keep
+# set kn, near-dup survivor set nd, admission c/quota, decontam
+# bgrams/dgrams/hits) is reused byte-for-byte and only the final
+# SELECT is swapped for the per-stage count/token rollup, so the
+# audit's oracle observes the EXACT stage relations the chain oracle
+# admits from (mirroring ingest_chain_kn_stages + contam_sample_from
+# on the Spark side). NULL text counts 0 tokens by explicit policy.
+ORACLE_SQL["docs_ingest_chain_audit"] = (
+    ORACLE_SQL["docs_ingest_chain_contam"].removesuffix(_CHAIN_CONTAM_FINAL)
     + """,
     sel AS (
         SELECT c.doc_id, c.n_tokens FROM c JOIN quota q USING (lang)
         WHERE c.cum_tokens <= q.quota_tokens
+    ),
+    fin AS (
+        -- the train set: admitted AND benchmark-clean (decontam is
+        -- terminal: quotas do not refill around a contaminated doc)
+        SELECT s.doc_id, s.n_tokens
+        FROM sel s LEFT JOIN hits h USING (doc_id)
+        WHERE coalesce(h.n_contam_grams, 0) = 0
     ),
     atok AS (
         -- raw mass in the GATE's own unit (gm.n_words: split tokens,
@@ -1998,6 +2049,8 @@ ORACLE_SQL["docs_ingest_chain_audit"] = (
         SELECT 4, 'line_dedup', count(*), sum(n_tokens) FROM d
         UNION ALL
         SELECT 5, 'admission', count(*), sum(n_tokens) FROM sel
+        UNION ALL
+        SELECT 6, 'decontam', count(*), sum(n_tokens) FROM fin
     )
     SELECT CAST(stage_no AS INT) AS stage_no, stage,
            CAST(n_docs AS BIGINT) AS n_docs,

@@ -9,22 +9,27 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-14 window, exactly
-    as the r13 verdict staged it (asks #1 and #8), with ZERO new
-    registrations (the cap is <=3; every slot spent on rotation debt):
-    (1) all 19 r9-vintage anchors (the oldest evidence in the
-    registry, queued at position 51+ since r13), alphabetical;
-    (2) 31 of the 50 r10-vintage anchors, alphabetical. Within the
-    window the 14 oracles costing >=0.1 s in DuckDB at sf0.01 sit at
-    the tail ascending (token_bpe_encode 0.25 s ... docs_lsh_tuning
-    2.25 s — re-timed this round, per-entry comments below), so a
-    driver timeout leaves rows for everything before them. The 19
-    spilled r10 anchors sit at positions 51+ for the r15 front —
-    after r14 the oldest driver evidence is r10, and r15's window
-    absorbs the remaining r10 block entirely, stabilizing the
-    full-surface re-proof cycle at ~4.4 rounds; the r11/r12-green
-    blocks follow in their existing order, and the r13-green window
-    block sits at the tail (most-recently-proven, tail by convention).
+    most-recently-green family to the tail. Round-14 window, per the
+    r13 verdict's staging (asks #1, #4 and #8), with ONE new
+    registration (cap <=3): (0) docs_ingest_chain_contam — the
+    six-stage chain, NEW this round (ask #4's terminal
+    decontamination stage) — and docs_ingest_chain_audit, REWORKED to
+    add the decontam row (its r13 evidence describes the old 6-row
+    schema, so it re-proves first; proving new/reworked semantics
+    outranks timeout cost-sorting, the r13 convention); (1) all 19
+    r9-vintage anchors (the oldest evidence in the registry, queued
+    at position 51+ since r13), alphabetical; (2) 29 of the 50
+    r10-vintage anchors, alphabetical. Within the window the 14
+    oracles costing >=0.1 s in DuckDB at sf0.01 sit at the tail
+    ascending (token_bpe_encode 0.25 s ... docs_lsh_tuning 2.25 s —
+    re-timed this round, per-entry comments below), so a driver
+    timeout leaves rows for everything before them. The 21 spilled
+    r10 anchors sit at positions 51+ for the r15 front — after r14
+    the oldest driver evidence is r10, and r15's window absorbs the
+    remaining r10 block entirely, stabilizing the full-surface
+    re-proof cycle at ~4.4 rounds; the r11/r12-green blocks follow in
+    their existing order, and the r13-green window block sits at the
+    tail (most-recently-proven, tail by convention).
 
     Note on the r13 TPC-H NULL sweep fixes (part_skyline,
     customer_value_deciles, lineitem_moving_avg, orders_window_funcs,
@@ -74,6 +79,14 @@ ROWS_ONLY: set[str] = set()
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
     # ---- round-14 window (first 50) ----
+    # (0) The round's ONE new registration (the six-stage chain —
+    # r13 verdict ask #4; cap <=3) and the query it REWORKED
+    # (docs_ingest_chain_audit gained the decontam row, so its r13
+    # evidence describes the old 6-row schema and it re-proves
+    # first). Proving new/reworked semantics outranks the cost-sorted
+    # timeout protection, the r13 audit-rework convention:
+    "docs_ingest_chain_contam",
+    "docs_ingest_chain_audit",
     # (1) All 19 r9-vintage anchors (the oldest driver evidence in
     # the registry, staged at 51+ since r13 — r12/r13 ask #1),
     # alphabetical; token_bpe_encode (0.25 s oracle) sits in the
@@ -96,7 +109,7 @@ PRIORITY_ORDER = [
     "token_bigram_surprisal",
     "top_customers_per_nation",
     "user_activity_window",
-    # (2) 31 of the 50 r10-vintage anchors, alphabetical; the 13
+    # (2) 29 of the 50 r10-vintage anchors, alphabetical; the 13
     # with >=0.1 s DuckDB oracles at sf0.01 sit in the tail below:
     "docs_bm25_search",
     "docs_classifier_pr_curve",
@@ -114,8 +127,6 @@ PRIORITY_ORDER = [
     "docs_text_stats",
     "docs_token_counts",
     "docs_train_split",
-    "docs_unimax_mix",
-    "docs_unimax_sample",
     # (3) The window tail: every window oracle costing >=0.1 s in
     # DuckDB at sf0.01 (re-timed this round), ascending, so a
     # driver timeout leaves rows for everything before them:
@@ -134,9 +145,13 @@ PRIORITY_ORDER = [
     "docs_cluster_dedup",  # 1.03 s
     "docs_lsh_tuning",  # 2.25 s
     # ---- position 51+ ----
-    # The 19 spilled r10-vintage anchors — next in line for the
+    # The 21 spilled r10-vintage anchors — next in line for the
     # r15 front (alphabetical); r15 absorbs the whole remaining
-    # r10 block and the oldest evidence becomes r11:
+    # r10 block and the oldest evidence becomes r11 (two extra spills
+    # vs the r13 staging: the window's first two slots went to the
+    # new six-stage chain and the reworked audit):
+    "docs_unimax_mix",
+    "docs_unimax_sample",
     "docs_weighted_sample",
     "embed_ann_lsh",
     "embed_cell_balance_audit",
@@ -257,8 +272,8 @@ PRIORITY_ORDER = [
     "embed_ann_ivfpq",
     "embed_semdedup",
     # The r13-green window block (most-recently-proven, tail by
-    # convention), in its r13 order:
-    "docs_ingest_chain_audit",
+    # convention), in its r13 order (docs_ingest_chain_audit moved
+    # back to the window front — reworked this round):
     "lineitem_pricing_agg",
     "lineitem_small_qty_parts",
     "lineitem_zorder_layout",

@@ -29,6 +29,16 @@ per batch:
                            SUM-mergeable rollup of per-doc counts;
                            feeds the read-time KN band stage of
                            sample_kn());
+  cgrams/batch=<id>      — distinct contamination 5-grams of the kept
+                           documents (r14 — operators/text.
+                           doc_grams_of VERBATIM; feeds the read-time
+                           decontamination stage of sample_contam()
+                           and the audit's decontam row: gram sets
+                           are per-document deterministic, so the
+                           arrival-time shingle is exact, while the
+                           benchmark set stays an EXTERNAL relation
+                           passed at read time — an eval suite is a
+                           fixed corpus, not part of the stream);
   lines/batch=<id>/{docs,lines} — the C4 line relation of the kept
                            documents (delegated to C4LineLedger —
                            _C4_LINES_EXPR/c4_lines_of VERBATIM).
@@ -44,8 +54,8 @@ the gated corpus — bit-equality is by construction, and pinned in
 tests/test_streaming.py together with replay idempotence and
 cross-ledger checkpoint resume.
 
-Atomic visibility across the FIVE roots: a batch is readable only
-when gate, langs, sigs, grams, AND both line relations committed
+Atomic visibility across the SIX roots: a batch is readable only
+when gate, langs, sigs, grams, cgrams, AND both line relations committed
 (`_SUCCESS` witnesses intersected — streaming/ledger.py, including the
 loud marker-disabled failure). A crash between any two sub-writes leaves
 the batch invisible to every composed surface; the checkpoint replays
@@ -75,8 +85,9 @@ INGEST_STREAM_SCHEMA = "doc_id bigint, text string, lang string"
 class IngestPipeline:
     """Gate → line-dedup → mixture-admission over a streaming document
     feed. `sample()` is the docs_ingest_chain relation over every
-    document seen so far; `sample_nd()`/`sample_kn()` the four-/five-
-    stage chains; `audit()` the five-stage stage-attrition table
+    document seen so far; `sample_nd()`/`sample_kn()`/
+    `sample_contam()` the four-/five-/six-stage chains; `audit()` the
+    six-stage stage-attrition table
     (bit-equal to docs_ingest_chain_audit); `selected_docs()` the
     admitted ids; `dedup()` the line-dedup rollup of the gated corpus;
     `verdicts()` the gate relation (all restricted to fully-committed
@@ -89,9 +100,11 @@ class IngestPipeline:
         self.langs_dir = os.path.join(out_dir, "langs")
         self.sigs_dir = os.path.join(out_dir, "sigs")
         self.grams_dir = os.path.join(out_dir, "grams")
+        self.cgrams_dir = os.path.join(out_dir, "cgrams")
         os.makedirs(self.langs_dir, exist_ok=True)
         os.makedirs(self.sigs_dir, exist_ok=True)
         os.makedirs(self.grams_dir, exist_ok=True)
+        os.makedirs(self.cgrams_dir, exist_ok=True)
         # per-key bounded persist cache for read-time intermediates
         # consumed several times within one wave (kn keep set, CC
         # losers, admission input, line-dedup rollup): keyed by the
@@ -124,6 +137,7 @@ class IngestPipeline:
             self.langs_dir,
             self.sigs_dir,
             self.grams_dir,
+            self.cgrams_dir,
             self.lines.out_dir,
         )
         for root in roots:
@@ -156,6 +170,7 @@ class IngestPipeline:
             & committed_batch_ids(self.langs_dir)
             & committed_batch_ids(self.sigs_dir)
             & committed_batch_ids(self.grams_dir)
+            & committed_batch_ids(self.cgrams_dir)
             & committed_nested_batch_ids(
                 self.lines.out_dir, ("docs", "lines")
             )
@@ -343,18 +358,61 @@ class IngestPipeline:
         admit_docs = self._cached("kn_admit", token, build_admit)
         return kn_ids, kn_langs.select("doc_id"), admit_docs
 
-    def audit(self, spark) -> DataFrame | None:
-        """The five-stage chain's stage-attrition table over the
-        documents seen so far (r13, r12 verdict ask #4) — bit-equal to
-        the batch docs_ingest_chain_audit by construction: the stage
-        sets come from the SAME read-time relations sample_kn() admits
-        from (shared through _kn_stages and the wave cache), and the
-        six-row rollup is operators/text.ingest_audit_from VERBATIM.
-        Raw mass comes from the maintained gate verdict relation's own
-        n_words (the one relation kept for every document including
-        gate-dropped ones — why the audit needs no new ledger), and
-        the line_dedup/admission rows report the admission input's
-        kept-line mass, exactly as in batch."""
+    def sample_contam(self, spark, bench_docs: DataFrame) -> DataFrame | None:
+        """The SIX-stage composed admission ledger (r14, r13 verdict
+        ask #4): gate → KN band → near-dup cluster dedup → line dedup
+        → admission → DECONTAMINATION — bit-equal to the batch
+        docs_ingest_chain_contam over the documents seen so far.
+        `bench_docs` is the benchmark (doc_id, text) relation — an
+        EXTERNAL fixed corpus supplied at read time, never part of the
+        stream (the batch anchor derives it from the corpus's src0
+        split; the bit-equality test feeds the same relation here).
+        Per-doc gram sets come from the maintained cgrams ledger
+        (arrival-time shingle is exact: grams are per-document
+        deterministic), the probe is contam_sample_from VERBATIM over
+        the same admission ledger sample_kn() emits, and the hits
+        relation goes through the bounded wave cache (the audit
+        consumes it too). The wave cache keys on the committed batch
+        set — a pipeline's benchmark is fixed for its lifetime, so
+        passing a DIFFERENT bench relation within one wave is
+        unsupported by the cache contract."""
+        from ..operators.text import (
+            bench_grams_of,
+            contam_hits_from,
+            contam_sample_from,
+            mixture_sample_from,
+        )
+
+        ids = self._ready()
+        if not ids:
+            return None
+        _kn_ids, _nd_ids, admit_docs = self._kn_stages(spark, ids)
+        hits = self._cached(
+            "contam_hits",
+            self._wave_token(ids),
+            lambda: contam_hits_from(
+                self._read(spark, self.cgrams_dir, ids),
+                bench_grams_of(bench_docs),
+            ),
+        )
+        return contam_sample_from(mixture_sample_from(admit_docs), hits)
+
+    def audit(self, spark, bench_docs: DataFrame) -> DataFrame | None:
+        """The six-stage chain's stage-attrition table over the
+        documents seen so far (r13, r12 verdict ask #4; r14: the
+        decontam row — r13 ask #4) — bit-equal to the batch
+        docs_ingest_chain_audit by construction: the stage sets come
+        from the SAME read-time relations sample_kn()/sample_contam()
+        admit from (shared through _kn_stages, the contam hits cache
+        key, and the wave cache), and the seven-row rollup is
+        operators/text.ingest_audit_from VERBATIM. Raw mass comes
+        from the maintained gate verdict relation's own n_words (the
+        one relation kept for every document including gate-dropped
+        ones — why the audit needs no new ledger), the line_dedup/
+        admission rows report the admission input's kept-line mass,
+        and the decontam row the train set's mass, exactly as in
+        batch. `bench_docs` is the same external benchmark relation
+        sample_contam() takes."""
         from ..operators.text import (
             audit_verdicts_from,
             ingest_audit_from,
@@ -378,6 +436,7 @@ class IngestPipeline:
             nd_ids,
             admit_docs,
             mixture_sample_from(admit_docs),
+            self.sample_contam(spark, bench_docs),
         )
 
     def dedup(self, spark) -> DataFrame | None:
@@ -440,6 +499,15 @@ class IngestPipeline:
         bigram_per_doc(kept.select("doc_id", "text")).write.mode(
             "overwrite"
         ).parquet(os.path.join(self.grams_dir, f"batch={batch_id}"))
+        # gate-kept distinct contamination 5-grams (r14, the
+        # decontamination stage's input — operators/text.doc_grams_of
+        # VERBATIM; the hit verdicts stay read-time because the
+        # benchmark set is an external relation supplied at read)
+        from ..operators.text import doc_grams_of
+
+        doc_grams_of(kept.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.cgrams_dir, f"batch={batch_id}"))
         # lines land LAST: until they commit the batch is invisible to
         # every composed surface (the intersection rule above)
         self.lines.process_batch(kept.select("doc_id", "text"), batch_id)

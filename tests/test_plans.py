@@ -871,21 +871,35 @@ def test_audit_and_chain_share_the_kn_keep_plan(spark, sf_dir):
     from pyspark.sql.classic.dataframe import DataFrame as _DF
 
     from postgres_cdc_plugin_spark.operators.text import (
+        _contam_hits_gated,
         ingest_chain_kn_stages,
     )
     from postgres_cdc_plugin_spark.session import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    full = load(spark, sf_dir, "documents")
+    docs = full.select("doc_id", "text", "lang")
+    bench = full.filter("source = 'src0'").select("doc_id", "text")
     real_ckpt = _DF.localCheckpoint
     _DF.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
     try:
-        _, kn_audit, _, _, _ = ingest_chain_kn_stages(
+        gate_audit, kn_audit, _, _, _ = ingest_chain_kn_stages(
             docs, persist_stages=True
         )
-        _, kn_chain, _, _, _ = ingest_chain_kn_stages(docs)
+        gate_chain, kn_chain, _, _, _ = ingest_chain_kn_stages(docs)
         assert kn_audit.sameSemantics(kn_chain), (
             "audit-mode kn_ids plan forked from the chain's — the "
             "bench pair no longer shares one KN scoring pass"
+        )
+        # the same contract one stage later (r14): the decontam hits
+        # relation must be plan-identical between the six-stage chain
+        # and the audit, or the bench pair pays the gram-explode +
+        # broadcast probe twice (_contam_hits_gated builds from the
+        # UNCUT gate plan in both modes for exactly this reason)
+        hits_audit = _contam_hits_gated(docs, gate_audit, bench)
+        hits_chain = _contam_hits_gated(docs, gate_chain, bench)
+        assert hits_audit.sameSemantics(hits_chain), (
+            "audit-mode contam hits plan forked from the chain's — "
+            "the bench pair no longer shares one decontamination pass"
         )
     finally:
         _DF.localCheckpoint = real_ckpt  # type: ignore[method-assign]

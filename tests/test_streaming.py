@@ -3082,6 +3082,69 @@ def test_ingest_pipeline_kn_bit_equal_with_resume(spark, tmp_path, sf_dir):
     assert snap(pipe.sample_kn(spark)) == want
 
 
+def test_ingest_pipeline_contam_bit_equal_to_batch_chain(
+    spark, tmp_path, sf_dir
+):
+    """The six-stage composed surface (r14, r13 verdict ask #4):
+    sample_contam() must be bit-equal to the batch
+    docs_ingest_chain_contam over the documents seen so far — after
+    wave 1 (against the chain kernel over the wave-1 subset with the
+    SAME external benchmark), after a checkpoint-resumed wave 2 (the
+    full corpus: the batch anchor's own src0-derived benchmark), and
+    after redelivering the full corpus as an extra batch. Also pins
+    the terminal-stage contract: train ⊆ selected with the subset
+    strict (decontam has teeth), and no benchmark-split document is
+    ever in train (its grams ARE benchmark grams — uniform probe)."""
+    from postgres_cdc_plugin_spark.operators.text import (
+        docs_ingest_chain_contam,
+        ingest_chain_contam_from,
+    )
+    from postgres_cdc_plugin_spark.session import load
+    from postgres_cdc_plugin_spark.streaming.ingest import (
+        INGEST_STREAM_SCHEMA,
+        IngestPipeline,
+    )
+
+    full = load(spark, sf_dir, "documents")
+    docs = full.select("doc_id", "text", "lang")
+    bench = full.filter("source = 'src0'").select("doc_id", "text")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    feed = str(tmp_path / "contam_ingest_feed")
+    wave1.coalesce(1).write.parquet(feed)
+
+    pipe = IngestPipeline(str(tmp_path / "contam_ingest"))
+    ck = str(tmp_path / "contam_ingest_ck")
+
+    def drain():
+        stream = spark.readStream.schema(INGEST_STREAM_SCHEMA).parquet(feed)
+        pipe.attach(stream, ck, available_now=True).awaitTermination(120)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    drain()
+    w1 = snap(ingest_chain_contam_from(wave1, bench))
+    assert snap(pipe.sample_contam(spark, bench)) == w1
+
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        feed
+    )
+    drain()
+    want = snap(docs_ingest_chain_contam(spark, sf_dir))
+    assert snap(pipe.sample_contam(spark, bench)) == want
+    assert want != w1  # quotas/verdicts really moved with wave 2
+
+    rows = pipe.sample_contam(spark, bench).collect()
+    train_ids = {r.doc_id for r in rows if r.train}
+    sel_ids = {r.doc_id for r in rows if r.selected}
+    assert train_ids < sel_ids  # terminal stage: strict subset
+    bench_ids = {r.doc_id for r in bench.collect()}
+    assert not (train_ids & bench_ids)  # the eval split never trains
+
+    pipe.process_batch(docs, 999)  # redelivery collapses via distinct
+    assert snap(pipe.sample_contam(spark, bench)) == want
+
+
 def test_ingest_wave_cache_is_bounded_and_shared(spark, tmp_path, sf_dir):
     """The bounded per-wave cache discipline (r13 — the r12 sample_kn
     leak finding generalized): within one wave, a second consumer
@@ -3094,6 +3157,11 @@ def test_ingest_wave_cache_is_bounded_and_shared(spark, tmp_path, sf_dir):
     from postgres_cdc_plugin_spark.streaming.ingest import IngestPipeline
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    bench = (
+        load(spark, sf_dir, "documents")
+        .filter("source = 'src0'")
+        .select("doc_id", "text")
+    )
     pipe = IngestPipeline(str(tmp_path / "wave_cache"))
     pipe.process_batch(docs.filter("doc_id % 2 = 0"), 0)
 
@@ -3101,15 +3169,16 @@ def test_ingest_wave_cache_is_bounded_and_shared(spark, tmp_path, sf_dir):
     wave1 = dict(pipe._wave_cache)
     assert set(wave1) >= {"kn_ids", "kn_losers", "kn_admit"}
     # same wave, second consumer: every entry is handed back, not rebuilt
-    pipe.audit(spark).write.format("noop").mode("overwrite").save()
+    pipe.audit(spark, bench).write.format("noop").mode("overwrite").save()
     for key, (ids, df) in wave1.items():
         assert pipe._wave_cache[key][1] is df, f"{key} rebuilt within a wave"
         assert df.storageLevel.useMemory, f"{key} not persisted"
+    assert "contam_hits" in pipe._wave_cache  # the audit's 7th-row input
 
     # new wave: stale entries unpersisted, keys rebound to fresh plans
     pipe.process_batch(docs.filter("doc_id % 2 = 1"), 1)
     pipe.sample_kn(spark).write.format("noop").mode("overwrite").save()
-    pipe.audit(spark).write.format("noop").mode("overwrite").save()
+    pipe.audit(spark, bench).write.format("noop").mode("overwrite").save()
     for key, (ids, df) in wave1.items():
         if key in pipe._wave_cache:
             assert pipe._wave_cache[key][1] is not df, f"{key} stale reuse"
@@ -3154,7 +3223,9 @@ def test_ingest_pipeline_audit_bit_equal_with_resume(spark, tmp_path, sf_dir):
     admission row counts exactly sample_kn()'s selected set (the two
     consumers share the wave-cached stage relations)."""
     from postgres_cdc_plugin_spark.operators.text import (
+        _contam_hits_gated,
         audit_verdicts_from,
+        contam_sample_from,
         docs_ingest_chain_audit,
         ingest_audit_from,
         ingest_chain_kn_stages,
@@ -3180,29 +3251,42 @@ def test_ingest_pipeline_audit_bit_equal_with_resume(spark, tmp_path, sf_dir):
     def snap(df):
         return sorted(map(tuple, df.collect()))
 
+    # the benchmark is an EXTERNAL fixed relation (the full corpus's
+    # src0 split) — the same set both waves and both surfaces probe
+    bench = (
+        load(spark, sf_dir, "documents")
+        .filter("source = 'src0'")
+        .select("doc_id", "text")
+    )
+
     drain()
     gate, kn_ids, nd_ids, admit, sample = ingest_chain_kn_stages(wave1)
+    final = contam_sample_from(
+        sample, _contam_hits_gated(wave1, gate, bench)
+    )
     w1 = snap(
         ingest_audit_from(
-            audit_verdicts_from(gate), kn_ids, nd_ids, admit, sample
+            audit_verdicts_from(gate), kn_ids, nd_ids, admit, sample, final
         )
     )
-    assert snap(pipe.audit(spark)) == w1
+    assert snap(pipe.audit(spark, bench)) == w1
 
     docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
         feed
     )
     drain()
     want = snap(docs_ingest_chain_audit(spark, sf_dir))
-    assert snap(pipe.audit(spark)) == want
+    assert snap(pipe.audit(spark, bench)) == want
     assert want != w1  # every stage row really moved with wave 2
 
-    # the audit's admission row IS the admission ledger's selected set
-    adm = next(
-        r for r in pipe.audit(spark).collect() if r.stage == "admission"
-    )
+    # the audit's admission row IS the admission ledger's selected
+    # set, and its decontam row IS the six-stage ledger's train set
+    rows = {r.stage: r for r in pipe.audit(spark, bench).collect()}
     sel = pipe.sample_kn(spark).filter("selected")
-    assert adm.n_docs == sel.count()
+    assert rows["admission"].n_docs == sel.count()
+    trn = pipe.sample_contam(spark, bench).filter("train")
+    assert rows["decontam"].n_docs == trn.count()
+    assert rows["decontam"].n_docs < rows["admission"].n_docs  # teeth
 
     pipe.process_batch(docs, 999)  # redelivery collapses via distinct
-    assert snap(pipe.audit(spark)) == want
+    assert snap(pipe.audit(spark, bench)) == want
