@@ -79,6 +79,8 @@ _DOC_QUERIES = [
     # round-12 operators
     (text, "docs_ingest_chain_kn"),
     (text, "docs_ingest_chain_audit"),
+    # round-14 operators
+    (text, "docs_ingest_chain_contam"),
 ]
 
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -113,14 +115,14 @@ def test_empty_corpus_returns_empty(mod, name, spark, empty_dir):
         assert r.fp_rate is None and r.fill_ratio == 0.0
         return
     if name == "docs_ingest_chain_audit":
-        # stage-attrition table: always exactly 6 stage rows (r13 adds
-        # line_dedup); an empty corpus reads as zero docs at every
-        # stage (token mass and the two ratio columns are NULL —
-        # sum/ratio over nothing, not fake zeros)
+        # stage-attrition table: always exactly 7 stage rows (r13 adds
+        # line_dedup, r14 decontam); an empty corpus reads as zero
+        # docs at every stage (token mass and the two ratio columns
+        # are NULL — sum/ratio over nothing, not fake zeros)
         rows = sorted(df.collect(), key=lambda r: r.stage_no)
         assert [r.stage for r in rows] == [
             "raw", "gopher_gate", "kn_band", "neardup_dedup",
-            "line_dedup", "admission",
+            "line_dedup", "admission", "decontam",
         ]
         assert all(r.n_docs == 0 for r in rows)
         assert all(r.n_tokens is None and r.kept_frac is None for r in rows)

@@ -559,6 +559,7 @@ _BNLJ_ALLOWED = {
     "embed_cluster_purity",  # k-row codebook via _km_fit + 1-row n_total crossJoin (r11)
     "docs_ingest_chain_kn",  # inherited mixture 1-row budget/total + _kn_probs type-total crossJoins (r12)
     "docs_ingest_chain_audit",  # the same inherited chain crossJoins (r12)
+    "docs_ingest_chain_contam",  # the same inherited chain crossJoins (r14)
     "embed_intrinsic_dim_ann",  # k-row codebook crossJoin via embed_ivf_assign's argmin (r12)
 }
 

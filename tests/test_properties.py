@@ -359,15 +359,17 @@ def test_word_pmi_known_associations(spark):
 
 
 def test_ingest_chain_audit_agrees_with_the_chain(spark, sf_dir):
-    """The stage-attrition audit and the five-stage chain must never
-    disagree about who survived (they share ingest_chain_kn_stages —
-    this pins the contract against a refactor that forks them): the
-    admission row's n_docs equals the chain's selected count, the
-    gate row equals gopher_rules_df's keep count, stages are monotone
-    non-increasing in both docs and token mass, and the raw row covers
-    the whole corpus."""
+    """The stage-attrition audit and the six-stage chain must never
+    disagree about who survived (they share ingest_chain_kn_stages +
+    contam_sample_from — this pins the contract against a refactor
+    that forks them): the admission row's n_docs equals the chain's
+    selected count, the decontam row equals the six-stage ledger's
+    train count and mass, the gate row equals gopher_rules_df's keep
+    count, stages are monotone non-increasing in both docs and token
+    mass, and the raw row covers the whole corpus."""
     from postgres_cdc_plugin_spark.operators.text import (
         docs_ingest_chain_audit,
+        docs_ingest_chain_contam,
         docs_ingest_chain_kn,
         gopher_rules_df,
     )
@@ -379,7 +381,7 @@ def test_ingest_chain_audit_agrees_with_the_chain(spark, sf_dir):
     )
     assert [r.stage for r in rows] == [
         "raw", "gopher_gate", "kn_band", "neardup_dedup",
-        "line_dedup", "admission",
+        "line_dedup", "admission", "decontam",
     ]
     docs = load(spark, sf_dir, "documents")
     assert rows[0].n_docs == docs.count()
@@ -389,6 +391,11 @@ def test_ingest_chain_audit_agrees_with_the_chain(spark, sf_dir):
     )
     chain = docs_ingest_chain_kn(spark, sf_dir)
     assert rows[5].n_docs == chain.filter("selected").count()
+    # decontam row = the six-stage ledger's train set, count AND mass
+    final = docs_ingest_chain_contam(spark, sf_dir).filter("train")
+    assert rows[6].n_docs == final.count()
+    train_mass = final.agg(F.sum("n_tokens")).collect()[0][0]
+    assert rows[6].n_tokens == (train_mass or 0)
     # neardup survivors = every doc the chain's ledger carries (the
     # ledger is built over the post-dedup corpus, selected or not);
     # line dedup drops lines, never documents (r13): same doc set,

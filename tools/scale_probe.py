@@ -106,14 +106,32 @@ PROBE_ROWS = [
     # r13 (r12 verdict ask #5): the two most expensive bench rows now
     "docs_ingest_chain_kn",
     "docs_ingest_chain_audit",
+    # r14: the new six-stage chain (the decontamination stage's gram
+    # explode + broadcast probe rides the same document-proportional
+    # shape claim as the chain rows — measure it, don't assert it).
+    # Cipher validity for contamination: grams containing a
+    # non-stopword only match within a copy (no lettered word is
+    # shared between copies), and all-stopword grams pass through the
+    # cipher unshifted in EVERY copy, so a doc's distinct-gram hit
+    # count against the union bench set equals its base count — the
+    # per-copy contamination verdicts mirror sf0.1 exactly.
+    "docs_ingest_chain_contam",
 ]
 # rows additionally probed at 9x (the overhead-dominated pair r12
-# flagged + the two new chain rows, which share their cost shape)
+# flagged + the two new chain rows, which share their cost shape;
+# r14, r13 verdict ask #2: docs_winnowing — e13 = 0.98, the
+# closest-to-linear row on the board — and the lsh_sweep build, the
+# most expensive family build; the lsh_sweep e39 is PAIR-DRIVEN and
+# carries the renamed-slice pair-redraw caveat from the module
+# docstring, quantified by the audit's pair_growth_vs_base)
 WIDE_ROWS = {
     "docs_ingest_chain_nd",
     "lineitem_rle_layout_audit",
     "docs_ingest_chain_kn",
     "docs_ingest_chain_audit",
+    "docs_winnowing",
+    "family_build:dedup.lsh_sweep",
+    "docs_ingest_chain_contam",
 }
 # family kernels the probed rows actually consume (marginal-cost
 # discipline): dedup.simhash_pairs feeds the nd/kn chains + audit,
