@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..session import load
+from ..session import load, spread, spread_scan
 
 _N_BANDS = 3
 _ROWS_PER_BAND = 3
@@ -142,7 +142,7 @@ def _shingles(docs: DataFrame, distinct: bool) -> DataFrame:
     # rows to unlock full parallelism
     sh = (
         docs.select("doc_id", F.col("text").cast("binary").alias("b"))
-        .repartition("doc_id")
+        .transform(spread, "doc_id")
         .select("doc_id", "b", idx)
         .select(
             "doc_id",
@@ -636,7 +636,7 @@ def _simhash_blocks_df(docs: DataFrame) -> DataFrame:
     import uuid as _uuid
 
     counts = (
-        docs.repartition("doc_id")
+        docs.transform(spread, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1270,7 +1270,7 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
     n_grams = F.length("text") - (_SPAN_K - 1)
     grams = (
         docs.filter(n_grams >= 1)
-        .repartition("doc_id")
+        .transform(spread, "doc_id")
         .select(
             "doc_id",
             "n_chars",
@@ -1924,7 +1924,10 @@ def docs_strip_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite-every-document transform.
     """
     k = _SELF_REP_K
-    docs = load(spark, sf_dir, "documents")
+    # r14 starved-scan guard: the O(n_words * n_covered) per-doc lambda
+    # work otherwise runs in ONE task on a one-split scan (measured
+    # 2.6 s -> 0.5 s at sf0.1/local[32]); no-op on a many-split input
+    docs = spread_scan(load(spark, sf_dir, "documents"), "doc_id")
     words = F.split("text", " ")
     n = F.size(words)
     # grams must be guarded: Spark's sequence(0, n-k) DESCENDS when

@@ -37,7 +37,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..session import load
+from ..session import load, spread
 
 _MODALITIES = ("image", "audio", "video")
 _WAV_RATE = 8000
@@ -279,7 +279,7 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # single-file source -> one input split; repartition so the Python
     # feature extraction parallelizes across cores
-    return with_payload(docs).repartition("doc_id").mapInPandas(
+    return with_payload(docs).transform(spread, "doc_id").mapInPandas(
         _extract_batches, _FEATURE_SCHEMA
     )
 
@@ -384,7 +384,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the binary column never leaves the executor and only the
     small per-frame feature rows flow on."""
     docs = load(spark, sf_dir, "documents")
-    return with_payload(docs).repartition("doc_id").mapInPandas(
+    return with_payload(docs).transform(spread, "doc_id").mapInPandas(
         _sample_frames, _FRAME_SCHEMA
     )
 
@@ -507,7 +507,7 @@ def multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     image -> PPM pixels, video -> y4m C444 plane bytes (real stats
     since r4 — the former NULL-row decoder seam is closed)."""
     docs = load(spark, sf_dir, "documents")
-    return with_payload(docs).repartition("doc_id").mapInPandas(
+    return with_payload(docs).transform(spread, "doc_id").mapInPandas(
         _decoded_stats_batches, _DECODED_SCHEMA
     )
 
@@ -633,7 +633,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample/pixel — integer checksums make the audit exact. Arrow-batched
     mapInPandas, narrow, no shuffle; only small per-doc rows flow on."""
     docs = load(spark, sf_dir, "documents")
-    return with_payload(docs).repartition("doc_id").mapInPandas(
+    return with_payload(docs).transform(spread, "doc_id").mapInPandas(
         _resize_batches, _RESIZE_SCHEMA
     )
 
@@ -712,7 +712,7 @@ def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the executor, one small stat row per doc flows downstream."""
     docs = load(spark, sf_dir, "documents")
     audio = with_payload(docs).filter(F.col("modality") == "audio")
-    return audio.repartition("doc_id").mapInPandas(
+    return audio.transform(spread, "doc_id").mapInPandas(
         _silence_batches, _SILENCE_SCHEMA
     )
 
@@ -780,7 +780,7 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc perceptual-hash signature relation (internal API +
     building block for multimodal_neardup)."""
     docs = load(spark, sf_dir, "documents")
-    return with_payload(docs).repartition("doc_id").mapInPandas(
+    return with_payload(docs).transform(spread, "doc_id").mapInPandas(
         _phash_batches, _PHASH_SCHEMA
     )
 
@@ -876,7 +876,7 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     vids = with_payload(docs).filter(F.col("modality") == "video")
-    return vids.repartition("doc_id").mapInPandas(
+    return vids.transform(spread, "doc_id").mapInPandas(
         _scene_cut_rows, _SCENE_SCHEMA
     )
 

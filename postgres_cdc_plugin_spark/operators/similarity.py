@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..session import load
+from ..session import load, spread
 
 _DIM = 64
 _N_TABLES = 8  # LSH hash tables (probes); recall grows with L
@@ -547,7 +547,7 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qbuckets = _with_buckets_pandas(qrow).select(F.col("bucket").alias("qbucket"))
     cand_ids = (
         _with_buckets_pandas(
-            emb.filter(F.col("vec_id") != _QUERY_VEC_ID).repartition("vec_id")
+            emb.filter(F.col("vec_id") != _QUERY_VEC_ID).transform(spread, "vec_id")
         )
         .join(F.broadcast(qbuckets), F.col("bucket") == F.col("qbucket"))
         .select("vec_id")

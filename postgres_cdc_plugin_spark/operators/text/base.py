@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ...session import load
+from ...session import load, spread, spread_scan
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "is", "in")
 
@@ -269,7 +269,7 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # single small parquet file -> one input split; spread rows so the
     # regex tokenization + explode run on all cores
-    tok = docs.repartition("doc_id").select(
+    tok = docs.transform(spread, "doc_id").select(
         F.explode(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias("token")
     )
     return (
@@ -296,7 +296,7 @@ def docs_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # single small parquet file -> one input split; the per-char fold is
     # the expensive part, so spread rows across cores first
-    docs = load(spark, sf_dir, "documents").repartition("doc_id")
+    docs = load(spark, sf_dir, "documents").transform(spread, "doc_id")
     roll = F.expr(
         "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, "
         f"(acc, c) -> (acc * {_ROLL_BASE} + c) % {_ROLL_MOD})"
@@ -1041,7 +1041,7 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join co-locates; nothing global is computed.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    tok = docs.transform(spread, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     top = (
@@ -1116,7 +1116,7 @@ def _token_grams(docs: DataFrame) -> DataFrame:
     explode; docs shorter than the gram width contribute none — they
     surface as one NULL-gram row via explode_outer so per-doc
     re-aggregation still sees them)."""
-    return docs.repartition("doc_id").select(
+    return docs.transform(spread, "doc_id").select(
         "doc_id",
         "source",
         F.explode_outer(F.expr(_gram_array_expr())).alias("gram"),
@@ -1222,7 +1222,7 @@ def token_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    tok = docs.transform(spread, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1561,7 +1561,7 @@ def bigram_per_doc(docs: DataFrame) -> DataFrame:
         " (x, y) -> concat(x, ' ', y))"
     )
     return (
-        docs.repartition("doc_id")
+        docs.transform(spread, "doc_id")
         .select("doc_id", F.explode(bi).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1649,7 +1649,7 @@ def token_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    tok = docs.transform(spread, "doc_id").select(
         F.explode(F.split("text", " ")).alias("token")
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
@@ -1745,7 +1745,7 @@ def _doc_surprisal(docs: DataFrame) -> DataFrame:
     between libm and the JVM, and partial-sum order is
     nondeterministic — the hop washes both.
     """
-    tok = docs.repartition("doc_id").select(
+    tok = docs.transform(spread, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -1857,7 +1857,7 @@ def token_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than two tokens have no bigram positions and drop out.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    tok = docs.transform(spread, "doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -1927,7 +1927,7 @@ def docs_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = (
-        docs.repartition("doc_id")
+        docs.transform(spread, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
     )
@@ -1998,7 +1998,7 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 ulp + partial-sum order as everywhere else.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    tok = docs.transform(spread, "doc_id").select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     )
     is_target = F.col("source") == _BENCH_SOURCE
@@ -2054,7 +2054,7 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     counts = (
-        docs.repartition("doc_id")
+        docs.transform(spread, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
@@ -2100,7 +2100,7 @@ def token_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes CMS the streaming/distributed frequency workhorse.
     """
     docs = load(spark, sf_dir, "documents")
-    counts = docs.repartition("doc_id").select(
+    counts = docs.transform(spread, "doc_id").select(
         F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "").groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -2174,7 +2174,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
     audits (the gopher_rules_df / mixture_sample_from shared-kernel
     convention: an audit must not re-derive the stage it grades)."""
     tok = (
-        docs.repartition("doc_id")
+        docs.transform(spread, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
@@ -2412,7 +2412,7 @@ def mg_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"token": list(counters), "est_count": list(counters.values())}
             )
 
-    docs = load(spark, sf_dir, "documents").select("text").repartition("text")
+    docs = load(spark, sf_dir, "documents").select("text").transform(spread, "text")
     sketches = docs.mapInPandas(_mg, "token string, est_count long")
     return sketches.groupBy("token").agg(F.sum("est_count").alias("est_count"))
 
@@ -2447,7 +2447,7 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _MG_COUNTERS
     exact = (
         load(spark, sf_dir, "documents")
-        .repartition("doc_id")
+        .transform(spread, "doc_id")
         .select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
@@ -2513,7 +2513,7 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     n_grams = F.length("text") - (_WINNOW_K - 1)
     g = (
-        docs.repartition("doc_id")
+        docs.transform(spread, "doc_id")
         .select(
             "doc_id",
             "text",
@@ -2704,7 +2704,7 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     dw = (
-        docs.repartition("doc_id")
+        docs.transform(spread, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ...session import load
+from ...session import load, spread_scan
 
 from . import base as _base, mixture as _mixture, kn as _kn
 
@@ -54,6 +54,11 @@ def ingest_chain_from(docs: DataFrame) -> DataFrame:
     ST19 bit-equality tests run on per-wave subsets."""
     from ..dedup import c4_lines_of
 
+    # r14: guard against the starved one-split scan — the gate lambdas
+    # and the line explode downstream otherwise run in ONE task (the
+    # kept_ids broadcast join preserves the scan's partitioning);
+    # no-op on an input that already carries >= parallelism splits
+    docs = spread_scan(docs, "doc_id")
     kept_ids = gopher_rules_df(docs).filter("keep").select("doc_id")
     gated = docs.join(kept_ids, "doc_id").select("doc_id", "text", "lang")
     lined = gated.select(
@@ -106,13 +111,18 @@ def ingest_chain_nd_from(docs: DataFrame) -> DataFrame:
     subsets."""
     from ..dedup import _simhash_pairs_df, c4_lines_of, dup_clusters_from
 
+    # raw docs feed the PERSISTED simhash family kernel (its plan must
+    # stay byte-identical to the family build's); the spread relation
+    # feeds the gate/explode path — the r14 starved-scan guard
+    raw = docs
+    docs = spread_scan(docs, "doc_id")
     kept_ids = gopher_rules_df(docs).filter("keep").select("doc_id")
     gated = docs.join(kept_ids, "doc_id").select("doc_id", "text", "lang")
     # pairs among gated docs = the persisted corpus pair relation with
     # both endpoints gate-kept (hamming between fixed signatures does
     # not depend on other documents)
     pairs = (
-        _simhash_pairs_df(docs)
+        _simhash_pairs_df(raw)
         .join(kept_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(kept_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select("doc_a", "doc_b")
@@ -223,6 +233,13 @@ def ingest_chain_kn_stages(
     the default and pays zero materialization it doesn't use."""
     from ..dedup import _simhash_pairs_df, c4_lines_of, dup_clusters_from
 
+    # raw docs feed the PERSISTED family kernels (simhash pairs /
+    # bigram per-doc — their plans must stay byte-identical to the
+    # family builds'); the spread relation feeds the gate and the
+    # line-explode path — the r14 starved-scan guard (no-op on a
+    # many-split input)
+    raw = docs
+    docs = spread_scan(docs, "doc_id")
     gate = gopher_rules_df(docs)
     # kept_ids stays UNCUT even in audit mode: it sits inside kn_ids'
     # lineage, and kn_ids' analyzed plan must stay byte-identical to
@@ -238,7 +255,7 @@ def ingest_chain_kn_stages(
     # the survivor semi-join) — persisted so the scoring subtree runs
     # once, not three times (the relation is one narrow doc_id column)
     if per_doc is None:
-        per_doc = bigram_per_doc(docs.select("doc_id", "text"))
+        per_doc = bigram_per_doc(raw.select("doc_id", "text"))
     per_doc_gated = per_doc.join(kept_ids, "doc_id")
     kn_ids = (
         gated.select("doc_id")
@@ -267,7 +284,7 @@ def ingest_chain_kn_stages(
     # with both endpoints KN-kept (hamming between fixed signatures
     # does not depend on other documents)
     pairs = (
-        _simhash_pairs_df(docs)
+        _simhash_pairs_df(raw)
         .join(kn_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(kn_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select("doc_a", "doc_b")
@@ -378,7 +395,7 @@ def _contam_hits_gated(
     SAME analyzed plan and the bench pair shares ONE gram-explode +
     probe pass through the session cache — pinned by sameSemantics in
     tests/test_plans.py alongside the kn_ids pin."""
-    kept = docs.join(
+    kept = spread_scan(docs, "doc_id").join(
         gate.filter("keep").select("doc_id"), "doc_id"
     ).select("doc_id", "text")
     return contam_hits_from(

@@ -84,3 +84,53 @@ def load(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def spread(df, *cols):
+    """Hash-repartition pinned at the scheduler's default parallelism,
+    immune to AQE's size-based partition coalescing.
+
+    Used upstream of operators whose per-row work is orders of
+    magnitude larger than their input bytes — gram/shingle/token
+    explodes, per-document higher-order lambdas, media decode. AQE
+    sizes post-shuffle partitions by pre-shuffle BYTES
+    (advisoryPartitionSizeInBytes / minPartitionSize), which is the
+    wrong proxy when a ~1 KB text row explodes into ~1000 hashed grams
+    downstream: at sf0.1 the ~5 MB pre-explode document relation
+    coalesces to a handful of partitions and the gram pass runs 4-8x
+    slower than the pinned form (measured on docs_winnowing,
+    OPTIMIZATION_r14.md). An explicit numPartitions makes the exchange
+    REPARTITION_BY_NUM, which AQE's coalescer leaves alone.
+
+    Scale posture: the pin is a starvation guard, not cluster tuning —
+    the value is the scheduler's own defaultParallelism (total executor
+    cores), so it scales with the cluster; on a 100 TB input the
+    pre-shuffle relation is big enough that AQE would never coalesce
+    below it anyway, and hash-partitioning thousands of documents per
+    core keeps the pinned layout balanced.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
+def spread_scan(df, *cols):
+    """Conditional `spread`: repartition only when the relation's
+    current partitioning is starved below the scheduler's default
+    parallelism — i.e. when the source is a one-file/one-rowgroup scan
+    (every sfN testdata table) that would otherwise run its entire
+    downstream zero-shuffle compute in ONE task.
+
+    Scale posture: on a real (100 TB) input the scan already carries
+    thousands of splits, the predicate is false, and NO shuffle is
+    added — which is exactly why this is not an unconditional
+    `spread`: paying a full-corpus exchange in front of a projection
+    that the scan could have parallelized for free is the regression
+    this guard exists to avoid. Apply to scan-rooted relations only
+    (the partition probe walks the pre-AQE plan; joins/aggregates
+    upstream would make it meaningless).
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *cols)
