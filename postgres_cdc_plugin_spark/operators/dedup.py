@@ -132,24 +132,33 @@ def _shingles(docs: DataFrame, distinct: bool) -> DataFrame:
     (tests/test_nonascii_parity.py; this gate caught the raw-byte form
     diverging). hex() is a narrow codegen expression; the 2x shingle
     width only affects the pre-aggregation stream.
+
+    distinct=True dedup happens PER DOCUMENT via array_distinct before
+    the explode (r14): (doc_id, g) set semantics never needed the
+    corpus-wide exchange a .distinct() pays — doc_id is in the key, so
+    the dedup is per-doc by definition — and the array form keeps the
+    relation hash-partitioned by doc_id, which the signature rollup
+    (groupBy doc_id) and the per-doc size count then reuse exchange-
+    free. Two exchanges removed from every Jaccard-family plan vs the
+    r13 formulation, identical rows out.
     """
-    idx = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.octet_length("b") - (_SHINGLE - 1), F.lit(1)))
-    ).alias("i")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(octet_length(b) - {_SHINGLE - 1},"
+        f" 1)), i -> hex(substr(b, CAST(i AS INT), {_SHINGLE})))"
+    )
     # the source is a single small parquet file (one input split); without
     # an explicit repartition the ~100x explode amplification and per-
     # shingle hashing all run in ONE task — shuffle the cheap pre-explode
     # rows to unlock full parallelism
-    sh = (
+    return (
         docs.select("doc_id", F.col("text").cast("binary").alias("b"))
         .transform(spread, "doc_id")
-        .select("doc_id", "b", idx)
         .select(
             "doc_id",
-            F.hex(F.expr(f"substr(b, CAST(i AS INT), {_SHINGLE})")).alias("g"),
+            (F.array_distinct(grams) if distinct else grams).alias("gs"),
         )
+        .select("doc_id", F.explode("gs").alias("g"))
     )
-    return sh.distinct() if distinct else sh
 
 
 def _minhash_sigs(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:

@@ -436,7 +436,12 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. The scoring kernel (_bm25_rank) is shared verbatim with
     streaming/lexical.py's LexicalPostingsIndex.search, so the live
     index and this batch query can never drift."""
-    return bm25_search(load(spark, sf_dir, "documents"), _BM25_TERMS)
+    # session-persisted (r14): docs_hybrid_search's lexical leg
+    # constructs this identical plan, so the corpus scan behind the
+    # top-k runs once per session via cache-manager plan matching (the
+    # _verified_pairs precedent); the relation is k rows and repeat
+    # persist() calls on the identical plan are no-ops
+    return bm25_search(load(spark, sf_dir, "documents"), _BM25_TERMS).persist()
 
 
 def bm25_search(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
