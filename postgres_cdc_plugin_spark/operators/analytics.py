@@ -2203,22 +2203,32 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise each pay the intra-order self-join + pair aggregation;
     the relation itself is pair-set sized (basket-bounded explosion),
     cheap to cache. Cache-manager plan matching shares one build."""
-    lp = (
+    # r14 rework: one order-keyed aggregation into a sorted distinct
+    # basket array, pairs generated per order by a higher-order
+    # expression, then the pair rollup — 2 map-side-combinable
+    # shuffles total. The r13 formulation paid 3 shuffles of the
+    # lineitem projection (the distinct, then BOTH self-join sides
+    # re-keyed on l_orderkey) for the identical pair multiset
+    # (measured 2.00 -> 1.67 s at sf0.1; identical rows). The
+    # per-order pair expansion is basket-bounded exactly like the
+    # join's output was — sort_array makes part_a < part_b by
+    # construction.
+    return (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = lp.alias("a"), lp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _BASKET_MIN_PAIR)
         .persist()
@@ -2535,8 +2545,14 @@ def lineitem_rle_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (range partitioner, within-partition sort, lag window) so
         # all three agree with each other AND with the oracle (r13)
         ocols = [F.col(c).asc_nulls_first() for c in cols]
+        # range-partition width = the scheduler's parallelism (r14; was
+        # a hard-coded 32, which under- or over-splits any session not
+        # running exactly 32 cores — the driver benches at lower core
+        # counts and a cluster runs more); the seam correction is exact
+        # for ANY partition count, so only balance changes
+        npart = spark.sparkContext.defaultParallelism
         s = (
-            li.repartitionByRange(32, *ocols)
+            li.repartitionByRange(npart, *ocols)
             .sortWithinPartitions(*ocols)
             .withColumn("pid", F.spark_partition_id())
         )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..session import load
+from ..session import load, spread_scan
 
 # event_type -> CDC op mapping used throughout: signup is the row's birth,
 # error its deletion, everything else an update. (Function, not a module
@@ -376,6 +376,11 @@ def _queue_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode/fold."""
     from ..streaming.queue import queue_state_fold
 
+    # r14 examined, left alone: a spread_scan starvation guard here
+    # measured SLOWER (2.55 -> 3.1 s min at sf0.1, twice) — the
+    # fixture's attempt explode pipelines into the dedup shuffle's map
+    # side, so the guard's extra exchange buys no parallelism the
+    # shuffle didn't already provide. OPTIMIZATION_r14.md has the A/B.
     ev = load(spark, sf_dir, "events")
     return queue_state_fold(*_queue_fixture(ev)).persist()
 
