@@ -269,7 +269,7 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # single small parquet file -> one input split; spread rows so the
     # regex tokenization + explode run on all cores
-    tok = docs.transform(spread, "doc_id").select(
+    tok = docs.repartition("doc_id").select(
         F.explode(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias("token")
     )
     return (
@@ -1121,7 +1121,7 @@ def _token_grams(docs: DataFrame) -> DataFrame:
     explode; docs shorter than the gram width contribute none — they
     surface as one NULL-gram row via explode_outer so per-doc
     re-aggregation still sees them)."""
-    return docs.transform(spread, "doc_id").select(
+    return docs.repartition("doc_id").select(
         "doc_id",
         "source",
         F.explode_outer(F.expr(_gram_array_expr())).alias("gram"),
@@ -1227,7 +1227,7 @@ def token_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.transform(spread, "doc_id").select(
+    tok = docs.repartition("doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1566,7 +1566,7 @@ def bigram_per_doc(docs: DataFrame) -> DataFrame:
         " (x, y) -> concat(x, ' ', y))"
     )
     return (
-        docs.transform(spread, "doc_id")
+        docs.repartition("doc_id")
         .select("doc_id", F.explode(bi).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1654,7 +1654,7 @@ def token_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.transform(spread, "doc_id").select(
+    tok = docs.repartition("doc_id").select(
         F.explode(F.split("text", " ")).alias("token")
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
@@ -1750,7 +1750,7 @@ def _doc_surprisal(docs: DataFrame) -> DataFrame:
     between libm and the JVM, and partial-sum order is
     nondeterministic — the hop washes both.
     """
-    tok = docs.transform(spread, "doc_id").select(
+    tok = docs.repartition("doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -1862,7 +1862,7 @@ def token_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than two tokens have no bigram positions and drop out.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.transform(spread, "doc_id").select(
+    tok = docs.repartition("doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -1932,7 +1932,7 @@ def docs_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = (
-        docs.transform(spread, "doc_id")
+        docs.repartition("doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
     )
@@ -2003,7 +2003,7 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 ulp + partial-sum order as everywhere else.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.transform(spread, "doc_id").select(
+    tok = docs.repartition("doc_id").select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     )
     is_target = F.col("source") == _BENCH_SOURCE
@@ -2059,7 +2059,7 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     counts = (
-        docs.transform(spread, "doc_id")
+        docs.repartition("doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
@@ -2105,7 +2105,7 @@ def token_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes CMS the streaming/distributed frequency workhorse.
     """
     docs = load(spark, sf_dir, "documents")
-    counts = docs.transform(spread, "doc_id").select(
+    counts = docs.repartition("doc_id").select(
         F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "").groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -2179,7 +2179,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
     audits (the gopher_rules_df / mixture_sample_from shared-kernel
     convention: an audit must not re-derive the stage it grades)."""
     tok = (
-        docs.transform(spread, "doc_id")
+        docs.repartition("doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
@@ -2417,7 +2417,7 @@ def mg_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"token": list(counters), "est_count": list(counters.values())}
             )
 
-    docs = load(spark, sf_dir, "documents").select("text").transform(spread, "text")
+    docs = load(spark, sf_dir, "documents").select("text").repartition("text")
     sketches = docs.mapInPandas(_mg, "token string, est_count long")
     return sketches.groupBy("token").agg(F.sum("est_count").alias("est_count"))
 
@@ -2452,7 +2452,7 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _MG_COUNTERS
     exact = (
         load(spark, sf_dir, "documents")
-        .transform(spread, "doc_id")
+        .repartition("doc_id")
         .select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
@@ -2709,7 +2709,7 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     dw = (
-        docs.transform(spread, "doc_id")
+        docs.repartition("doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
