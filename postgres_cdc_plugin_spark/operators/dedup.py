@@ -487,17 +487,69 @@ def _lsh_sweep_kernels(
     relations over ONE shared signature build, plus the exact-verified
     truth set of the finest banding (the sweep's recall denominator).
     Extracted from docs_lsh_tuning so the bench can charge the build to
-    an explicit family_build row (FAMILY_BUILDS below)."""
+    an explicit family_build row (FAMILY_BUILDS below).
+
+    r14: only the FINEST banding pays a band self-join. The swept
+    configs form a nested refinement chain (docs_lsh_tuning's
+    docstring proof: cand9 ⊆ cand3 ⊆ cand2), so the coarser bandings
+    re-derive from the finest candidate set by re-checking band-key
+    agreement against the signature relation — two signature joins of
+    the PAIR relation instead of a second and third corpus-wide band
+    self-join (band keys are the identical _band_key md5s, so the
+    derived (doc_a, doc_b, bands_matched) rows are byte-equal to the
+    self-join's). Scale: the pair relation is orders of magnitude
+    smaller than the bands explode; the signature side broadcasts
+    while it fits and falls back to an equi-join on doc id."""
     sh = _shingles(docs, distinct=True).persist()
     sigs = _minhash_sigs(docs, shingles=sh).persist()
-    cands = {r: _candidate_pairs(sigs, r).persist() for r in _LSH_SWEEP_ROWS}
+    finest = _LSH_SWEEP_ROWS[0]
+    cands = {finest: _candidate_pairs(sigs, finest).persist()}
+    base = cands[finest].select("doc_a", "doc_b")
+    for r in _LSH_SWEEP_ROWS[1:]:
+        cands[r] = _rebanded_pairs(base, sigs, r).persist()
     truth = (
-        _exact_jaccard(cands[_LSH_SWEEP_ROWS[0]].select("doc_a", "doc_b"), sh)
+        _exact_jaccard(base, sh)
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
         .persist()
     )
     return cands, truth
+
+
+def _rebanded_pairs(
+    pairs: DataFrame, sigs: DataFrame, rows_per_band: int
+) -> DataFrame:
+    """Candidate pairs for a COARSER banding derived from a superset
+    pair relation: join both endpoints' signatures back and count the
+    bands whose md5 band keys agree — exactly _candidate_pairs'
+    count(*) over the band equi-join, provided every pair of the
+    coarser banding is present in `pairs` (the nested-refinement
+    property the sweep's configs guarantee)."""
+    n_bands = _N_HASHES // rows_per_band
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{h}").alias(f"amh{h}") for h in range(1, _N_HASHES + 1)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{h}").alias(f"bmh{h}") for h in range(1, _N_HASHES + 1)],
+    )
+    matched = sum(
+        (
+            _band_key("a", band, rows_per_band)
+            == _band_key("b", band, rows_per_band)
+        ).cast("int")
+        for band in range(1, n_bands + 1)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", matched.alias("m"))
+        .filter(F.col("m") >= 1)
+        .select(
+            "doc_a", "doc_b", F.col("m").cast("int").alias("bands_matched")
+        )
+    )
 
 
 def docs_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:

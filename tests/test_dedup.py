@@ -567,3 +567,38 @@ def test_softdedup_effective_mass_composes_weights_and_tokens(spark, sf_dir):
     assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-9
     assert abs(sum(r.eff_share for r in rows) - 1.0) < 1e-9
     assert abs(sum(r.share_shift for r in rows)) < 1e-9
+
+
+def test_lsh_sweep_rebanding_matches_self_join(spark, sf_dir):
+    """r14 optimization pin: the sweep's coarser bandings derive from
+    the finest candidate set via _rebanded_pairs (signature join-back +
+    band-key recount) instead of per-config band self-joins. The
+    derived relation must be ROW-IDENTICAL to the self-join form for
+    every swept config — including bands_matched — and the nested
+    refinement (cand9 ⊆ cand3 ⊆ cand2) the derivation relies on must
+    hold on this corpus."""
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        _LSH_SWEEP_ROWS,
+        _candidate_pairs,
+        _minhash_sigs,
+        _rebanded_pairs,
+        _shingles,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs, distinct=True)
+    sigs = _minhash_sigs(docs, shingles=sh).persist()
+    finest = _LSH_SWEEP_ROWS[0]
+    base = _candidate_pairs(sigs, finest).select("doc_a", "doc_b").persist()
+    prev_pairs = {tuple(r) for r in base.collect()}
+    assert prev_pairs, "sweep fixture produced no candidates"
+    for r in _LSH_SWEEP_ROWS[1:]:
+        want = sorted(map(tuple, _candidate_pairs(sigs, r).collect()))
+        got = sorted(map(tuple, _rebanded_pairs(base, sigs, r).collect()))
+        assert got == want, f"rebanded r={r} diverged from the self-join"
+        pairs_r = {(a, b) for a, b, _ in want}
+        assert pairs_r <= prev_pairs, f"nested refinement broken at r={r}"
+        prev_pairs = pairs_r
+    sigs.unpersist()
+    base.unpersist()
