@@ -3174,7 +3174,19 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
             F.min(c).cast("string").alias(f"{c}__mn"),
             F.max(c).cast("string").alias(f"{c}__mx"),
         ]
-    nd = df.agg(*[F.count_distinct(c).alias(f"{c}__nd") for c in cols])
+    # starved-scan guard on the Expand pass only (r14): the
+    # multi-distinct plan evaluates n_cols expanded copies of every
+    # row in the PARTIAL aggregate, which a one-split scan runs in one
+    # task (measured 2.24 -> 1.10 s at sf0.1 once spread); keyed by
+    # the full profiled tuple so the hash spreads regardless of any
+    # single column's cardinality. No-op on a many-split input. The
+    # cheap count/min/max pass stays on the bare scan — its partials
+    # are one row per task and the guard measured a wash there.
+    from ..session import spread_scan
+
+    nd = spread_scan(df, *cols).agg(
+        *[F.count_distinct(c).alias(f"{c}__nd") for c in cols]
+    )
     stack = ", ".join(
         f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
     )

@@ -33,6 +33,17 @@ def write_bucketed(
     warehouse — callers that may run under an arbitrary cwd pass an
     absolute path instead)."""
     keys = [key] if isinstance(key, str) else list(key)
+    # align the write's partitioning with the bucket function (r14):
+    # Spark buckets rows per TASK, so an unaligned input has every
+    # task write into every bucket — a one-split scan serializes the
+    # whole sort+write into one task (measured 2.65 -> 1.43 s for the
+    # orders_bucketed_join pair at sf0.1), and a many-split input
+    # writes n_tasks x n_buckets small files. Hash-repartitioning by
+    # the bucket key into n_buckets tasks (same murmur3 pmod the
+    # bucketing applies) writes exactly ONE well-sized file per bucket
+    # at any scale — the write-distribution alignment table formats
+    # call hash distribution mode.
+    df = df.repartition(n_buckets, *keys)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
