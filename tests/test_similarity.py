@@ -364,7 +364,12 @@ def test_hybrid_search_overlap_sums_both_legs(spark, monkeypatch):
     def fake_load(sp, sf_dir, table):
         return {"documents": docs, "embeddings": emb}[table]
 
+    # the lexical leg routes through text.docs_bm25_search (r14 kernel
+    # sharing), which resolves load from text.base — patch both bindings
+    from postgres_cdc_plugin_spark.operators.text import base as TB
+
     monkeypatch.setattr(S, "load", fake_load)
+    monkeypatch.setattr(TB, "load", fake_load)
     rows = {r.doc_id: r for r in S.docs_hybrid_search(spark, "ignored").collect()}
     assert set(rows) == {1, 2, 3}
     for d in (1, 2, 3):  # every doc is in both legs on this corpus
