@@ -290,6 +290,16 @@ def main() -> int:
         detail["errors"] = errors
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-core-count copy (r14 verdict ask #2, additive): the driver's
+    # lower-core scaling run previously OVERWROTE the 32-core
+    # BENCH_DETAIL.json, destroying the per-query record behind the
+    # round's headline number. The canonical path above is unchanged;
+    # this extra file just keeps each core count's detail diffable.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if cpus and detail_path == os.path.join(here, default_name):
+        stem, ext = os.path.splitext(detail_path)
+        with open(f"{stem}_c{cpus}{ext}", "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     out = {
         "metric": "query_surface_wall_clock",

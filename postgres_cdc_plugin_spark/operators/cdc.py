@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..session import load, spread_scan
+from ..session import load
 
 # event_type -> CDC op mapping used throughout: signup is the row's birth,
 # error its deletion, everything else an update. (Function, not a module

@@ -283,11 +283,85 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _exact_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+def _exact_jaccard(
+    pairs: DataFrame, sh: DataFrame, min_jaccard: float | None = None
+) -> DataFrame:
     """Exact shingle-set Jaccard for a (doc_a, doc_b) pair relation over
     the DISTINCT shingle relation sh — the verify kernel shared by
-    _verified_pairs and docs_lsh_tuning (one formula, zero drift)."""
+    _verified_pairs and docs_lsh_tuning (one formula, zero drift).
+
+    min_jaccard (r15, r14 verdict ask #3): when the CALLER keeps only
+    pairs with jaccard >= t (the sweep's truth set), pairs whose
+    size-ratio CEILING is already below t can skip the gram-expansion
+    join entirely: n_inter <= min(sz_a, sz_b) and the union
+    >= max(sz_a, sz_b), so J <= min/max — a per-pair upper bound from
+    the per-doc sizes alone. The prune is EXACT for such callers
+    (every dropped pair's true J < t, so the caller's filter would
+    drop it anyway; a 1e-9 slack absorbs IEEE division rounding at the
+    boundary so no J == t pair is ever lost), and it cuts the
+    dominant cost — each surviving pair streams ~|doc| gram rows
+    through two joins — by the pruned fraction. Callers that need
+    EVERY pair's jaccard (_verified_pairs) leave it None.
+    """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    if min_jaccard is not None:
+        # sizes is a doc-count-sized relation and broadcasts; the pair
+        # relation never shuffles. Strictly a pre-filter — the kept
+        # pairs flow through the identical exact pipeline below, with
+        # sz_a/sz_b carried through the aggregation keys (functionally
+        # dependent on the pair) so the pruned path never re-joins the
+        # size relation. sizes is session-persisted here: it feeds both
+        # endpoint joins, and the unpruned path's za/zb below read the
+        # same cached relation for free (same canonical plan).
+        sizes = sizes.persist()
+        pa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+        )
+        pb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+        )
+        pruned = (
+            pairs.join(F.broadcast(pa), "doc_a")
+            .join(F.broadcast(pb), "doc_b")
+            .filter(
+                F.least("sz_a", "sz_b")
+                / F.greatest("sz_a", "sz_b").cast("double")
+                >= F.lit(float(min_jaccard) - 1e-9)
+            )
+        )
+        sa = sh.alias("sa")
+        sb = sh.join(
+            F.broadcast(
+                pruned.select(F.col("doc_b").alias("doc_id")).distinct()
+            ),
+            "doc_id",
+            "semi",
+        ).alias("sb")
+        return (
+            pruned.join(sa, pruned.doc_a == F.col("sa.doc_id"))
+            .join(
+                sb,
+                (pruned.doc_b == F.col("sb.doc_id"))
+                & (F.col("sa.g") == F.col("sb.g")),
+            )
+            .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_inter",
+                "sz_a",
+                "sz_b",
+                # same unrounded int/int IEEE division as below
+                (
+                    F.col("n_inter")
+                    / (
+                        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+                    ).cast("double")
+                ).alias("jaccard"),
+            )
+        )
 
     # Candidate docs are a tiny fraction of the corpus, but the
     # (doc_id, g) intersection join would shuffle EVERY doc's shingles
@@ -508,7 +582,10 @@ def _lsh_sweep_kernels(
     for r in _LSH_SWEEP_ROWS[1:]:
         cands[r] = _rebanded_pairs(base, sigs, r).persist()
     truth = (
-        _exact_jaccard(base, sh)
+        # min_jaccard prunes pairs whose size-ratio ceiling is below
+        # the threshold BEFORE the gram-expansion join (r15 — exact,
+        # see _exact_jaccard; the filter below would drop them anyway)
+        _exact_jaccard(base, sh, min_jaccard=_JACCARD_THRESHOLD)
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
         .persist()

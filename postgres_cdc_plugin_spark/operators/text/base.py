@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ...session import load, spread, spread_scan
+from ...session import load, spread, spread_scan, spread_scan_by
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "is", "in")
 
@@ -269,7 +269,7 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # single small parquet file -> one input split; spread rows so the
     # regex tokenization + explode run on all cores
-    tok = docs.repartition("doc_id").select(
+    tok = spread_scan_by(docs, "doc_id").select(
         F.explode(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias("token")
     )
     return (
@@ -1121,7 +1121,7 @@ def _token_grams(docs: DataFrame) -> DataFrame:
     explode; docs shorter than the gram width contribute none — they
     surface as one NULL-gram row via explode_outer so per-doc
     re-aggregation still sees them)."""
-    return docs.repartition("doc_id").select(
+    return spread_scan_by(docs, "doc_id").select(
         "doc_id",
         "source",
         F.explode_outer(F.expr(_gram_array_expr())).alias("gram"),
@@ -1227,7 +1227,7 @@ def token_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    tok = spread_scan_by(docs, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1566,7 +1566,7 @@ def bigram_per_doc(docs: DataFrame) -> DataFrame:
         " (x, y) -> concat(x, ' ', y))"
     )
     return (
-        docs.repartition("doc_id")
+        spread_scan_by(docs, "doc_id")
         .select("doc_id", F.explode(bi).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1654,7 +1654,7 @@ def token_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    tok = spread_scan_by(docs, "doc_id").select(
         F.explode(F.split("text", " ")).alias("token")
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
@@ -1750,7 +1750,7 @@ def _doc_surprisal(docs: DataFrame) -> DataFrame:
     between libm and the JVM, and partial-sum order is
     nondeterministic — the hop washes both.
     """
-    tok = docs.repartition("doc_id").select(
+    tok = spread_scan_by(docs, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -1862,7 +1862,7 @@ def token_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than two tokens have no bigram positions and drop out.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    tok = spread_scan_by(docs, "doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -1932,7 +1932,7 @@ def docs_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = (
-        docs.repartition("doc_id")
+        spread_scan_by(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
     )
@@ -2003,7 +2003,7 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 ulp + partial-sum order as everywhere else.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    tok = spread_scan_by(docs, "doc_id").select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     )
     is_target = F.col("source") == _BENCH_SOURCE
@@ -2059,7 +2059,7 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     counts = (
-        docs.repartition("doc_id")
+        spread_scan_by(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
@@ -2105,7 +2105,7 @@ def token_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes CMS the streaming/distributed frequency workhorse.
     """
     docs = load(spark, sf_dir, "documents")
-    counts = docs.repartition("doc_id").select(
+    counts = spread_scan_by(docs, "doc_id").select(
         F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "").groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -2179,7 +2179,7 @@ def classifier_scores(docs: DataFrame) -> DataFrame:
     audits (the gopher_rules_df / mixture_sample_from shared-kernel
     convention: an audit must not re-derive the stage it grades)."""
     tok = (
-        docs.repartition("doc_id")
+        spread_scan_by(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
@@ -2417,7 +2417,7 @@ def mg_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"token": list(counters), "est_count": list(counters.values())}
             )
 
-    docs = load(spark, sf_dir, "documents").select("text").repartition("text")
+    docs = spread_scan_by(load(spark, sf_dir, "documents").select("text"), "text")
     sketches = docs.mapInPandas(_mg, "token string, est_count long")
     return sketches.groupBy("token").agg(F.sum("est_count").alias("est_count"))
 
@@ -2451,8 +2451,7 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k = _MG_COUNTERS
     exact = (
-        load(spark, sf_dir, "documents")
-        .repartition("doc_id")
+        spread_scan_by(load(spark, sf_dir, "documents"), "doc_id")
         .select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
@@ -2622,7 +2621,20 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     word vocabulary with ALL learned merges applied). token_bpe_merges
     consumes the rules; token_bpe_encode consumes the rewritten vocab
     (tokenizer inference = one join of the token stream against this
-    Zipf-small relation — the corpus itself is never rewritten)."""
+    Zipf-small relation — the corpus itself is never rewritten).
+
+    r15 examined, REJECTED: a persist-only-lineage variant (to make
+    the trained kernels plan-matchable so the three trainer consumers
+    — token_bpe_merges / token_bpe_encode / token_fertility_by_lang —
+    stop each re-running the 6-iteration training, ~2.5 s x3 per
+    bench pass) measured 10.5 s (merges) + 17.3 s (vocab) to
+    MATERIALIZE at sf0.001: vocab_i references vocab_{i-1} twice
+    (directly and through the argmax), so the un-cut logical tree has
+    2^_BPE_MERGES leaves and plan analysis/canonicalization dominates
+    by an order of magnitude over the retraining it would save. The
+    eager localCheckpoints (fresh RDD roots, linear plans) stay; the
+    sharing would need driver-side literalization of the 1-row
+    argmaxes, which the no-collect-in-query-paths rule excludes."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -2709,7 +2721,7 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     dw = (
-        docs.repartition("doc_id")
+        spread_scan_by(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")

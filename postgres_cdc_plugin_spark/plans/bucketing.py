@@ -40,10 +40,21 @@ def write_bucketed(
     # orders_bucketed_join pair at sf0.1), and a many-split input
     # writes n_tasks x n_buckets small files. Hash-repartitioning by
     # the bucket key into n_buckets tasks (same murmur3 pmod the
-    # bucketing applies) writes exactly ONE well-sized file per bucket
-    # at any scale — the write-distribution alignment table formats
-    # call hash distribution mode.
-    df = df.repartition(n_buckets, *keys)
+    # bucketing applies) writes exactly ONE file per bucket per task —
+    # the write-distribution alignment table formats call hash
+    # distribution mode. r15 (advice): exactly n_buckets tasks capped
+    # write parallelism at n_buckets regardless of cluster width and
+    # made each bucket's single file grow unbounded with data size;
+    # rounding the task count UP to the nearest multiple of n_buckets
+    # >= defaultParallelism keeps every task writing whole buckets
+    # (partition p of k*n_buckets satisfies pmod(h, n_buckets) ==
+    # pmod(p, n_buckets) — murmur3 pmod alignment holds for any
+    # multiple), so a bucket is split across k well-sized files
+    # instead of one giant one. k == 1 on local[n_buckets] — the bench
+    # plan is unchanged.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    k = max(1, -(-par // n_buckets))  # ceil division
+    df = df.repartition(k * n_buckets, *keys)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)

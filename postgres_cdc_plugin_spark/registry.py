@@ -9,27 +9,20 @@ Aggregates QUERIES / ORACLE_SQL from every operator module. Invariants
   * registration order follows PRIORITY_ORDER (below) — the driver's
     CORRECTNESS run covers only the FIRST 50 registered queries, so
     each round rotates unproven/reworked queries to the front and the
-    most-recently-green family to the tail. Round-14 window, per the
-    r13 verdict's staging (asks #1, #4 and #8), with ONE new
-    registration (cap <=3): (0) docs_ingest_chain_contam — the
-    six-stage chain, NEW this round (ask #4's terminal
-    decontamination stage) — and docs_ingest_chain_audit, REWORKED to
-    add the decontam row (its r13 evidence describes the old 6-row
-    schema, so it re-proves first; proving new/reworked semantics
-    outranks timeout cost-sorting, the r13 convention); (1) all 19
-    r9-vintage anchors (the oldest evidence in the registry, queued
-    at position 51+ since r13), alphabetical; (2) 29 of the 50
-    r10-vintage anchors, alphabetical. Within the window the 14
-    oracles costing >=0.1 s in DuckDB at sf0.01 sit at the tail
-    ascending (token_bpe_encode 0.25 s ... docs_lsh_tuning 2.25 s —
-    re-timed this round, per-entry comments below), so a driver
-    timeout leaves rows for everything before them. The 21 spilled
-    r10 anchors sit at positions 51+ for the r15 front — after r14
-    the oldest driver evidence is r10, and r15's window absorbs the
-    remaining r10 block entirely, stabilizing the full-surface
-    re-proof cycle at ~4.4 rounds; the r11/r12-green blocks follow in
-    their existing order, and the r13-green window block sits at the
-    tail (most-recently-proven, tail by convention).
+    most-recently-green family to the tail. Round-15 window, per the
+    r14 staging (executed verbatim — an OPTIMIZATION round, so ZERO
+    new registrations and zero semantic rework): (1) the 21
+    r10-vintage anchors spilled at r14 (the oldest driver evidence in
+    the registry), alphabetical; (2) the next 29 slots drain the
+    r11/r12-green blocks in their existing order. Within the window
+    the 22 oracles costing >=0.1 s in DuckDB at sf0.01 sit at the
+    tail ascending (events_touch_attribution 0.10 s ...
+    embed_mmr_rerank 3.51 s — re-timed this round, per-entry comments
+    below), so a driver timeout leaves rows for everything before
+    them. After r15 the oldest driver evidence is r11; the remaining
+    r11/r12-green entries sit at positions 51+ for the r16 front, the
+    r13-green block follows, and the r14-green window block sits at
+    the tail (most-recently-proven, tail by convention).
 
     Note on the r13 TPC-H NULL sweep fixes (part_skyline,
     customer_value_deciles, lineitem_moving_avg, orders_window_funcs,
@@ -78,129 +71,73 @@ ROWS_ONLY: set[str] = set()
 # in module order (so new queries are never silently dropped —
 # test_registry_consistency asserts the full set matches).
 PRIORITY_ORDER = [
-    # ---- round-14 window (first 50) ----
-    # (0) The round's ONE new registration (the six-stage chain —
-    # r13 verdict ask #4; cap <=3) and the query it REWORKED
-    # (docs_ingest_chain_audit gained the decontam row, so its r13
-    # evidence describes the old 6-row schema and it re-proves
-    # first). Proving new/reworked semantics outranks the cost-sorted
-    # timeout protection, the r13 audit-rework convention:
-    "docs_ingest_chain_contam",
-    "docs_ingest_chain_audit",
-    # (1) All 19 r9-vintage anchors (the oldest driver evidence in
-    # the registry, staged at 51+ since r13 — r12/r13 ask #1),
-    # alphabetical; token_bpe_encode (0.25 s oracle) sits in the
-    # cost-sorted window tail below:
-    "lineitem_metrics_unpivot",
-    "lineitem_ship_delays",
-    "multimodal_decoded_stats",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "nation_priority_pivot",
-    "orders_daily_gapfill",
-    "orders_grouping_sets",
-    "orders_price_band_join",
-    "orders_quarterly",
-    "orders_semi_anti",
-    "orders_window_funcs",
-    "queue_ready_topk",
-    "retry_schedule",
-    "status_counts",
-    "token_bigram_surprisal",
-    "top_customers_per_nation",
-    "user_activity_window",
-    # (2) 29 of the 50 r10-vintage anchors, alphabetical; the 13
-    # with >=0.1 s DuckDB oracles at sf0.01 sit in the tail below:
-    "docs_bm25_search",
-    "docs_classifier_pr_curve",
-    "docs_content_fingerprint",
-    "docs_dedup_rate_by_source",
-    "docs_exact_dedup",
-    "docs_fingerprint_groups",
-    "docs_lang_confusion",
-    "docs_lang_id",
-    "docs_minhash_sigs",
-    "docs_mixture_realized_mix",
-    "docs_pack_tuning",
-    "docs_quality_score",
-    "docs_rolling_fingerprint",
-    "docs_text_stats",
-    "docs_token_counts",
-    "docs_train_split",
-    # (3) The window tail: every window oracle costing >=0.1 s in
-    # DuckDB at sf0.01 (re-timed this round), ascending, so a
-    # driver timeout leaves rows for everything before them:
-    "token_bpe_encode",  # 0.25 s
-    "docs_simhash_pairs",  # 0.28 s
-    "docs_simhash",  # 0.28 s
-    "docs_simhash_dedup",  # 0.32 s
-    "docs_dedup_sensitivity",  # 0.37 s
-    "docs_minhash_pairs",  # 0.40 s
-    "docs_ngram_containment",  # 0.42 s
-    "docs_ngram_jaccard",  # 0.45 s
-    "docs_ingest_chain",  # 0.56 s
-    "docs_minhash_dedup",  # 0.56 s
-    "docs_dedup_method_agreement",  # 0.89 s
-    "docs_dup_clusters",  # 0.98 s
-    "docs_cluster_dedup",  # 1.03 s
-    "docs_lsh_tuning",  # 2.25 s
-    # ---- position 51+ ----
-    # The 21 spilled r10-vintage anchors — next in line for the
-    # r15 front (alphabetical); r15 absorbs the whole remaining
-    # r10 block and the oldest evidence becomes r11 (two extra spills
-    # vs the r13 staging: the window's first two slots went to the
-    # new six-stage chain and the reworked audit):
+    # ---- round-15 window (first 50) ----
+    # OPTIMIZATION round: ZERO new registrations (the surface is
+    # frozen; the r14 plan executed verbatim). The window absorbs the
+    # whole remaining r10-vintage block — the oldest driver evidence
+    # becomes r11 — per the r13/r14 staging:
+    # (1) the 21 r10-vintage anchors spilled at r14 (alphabetical;
+    # the 7 with >=0.1 s DuckDB oracles at sf0.01 sit in the
+    # cost-sorted window tail below):
     "docs_unimax_mix",
     "docs_unimax_sample",
     "docs_weighted_sample",
-    "embed_ann_lsh",
     "embed_cell_balance_audit",
-    "embed_kcenter_coreset",
-    "embed_mmr_rerank",
     "events_interval_join",
     "events_salted_enrich",
     "events_sessionize",
-    "events_touch_attribution",
     "events_value_histogram",
     "grouping_rollup",
-    "headers_explode",
     "lineitem_conditional_agg",
-    "lineitem_moving_avg",
     "lineitem_stats_agg",
     "multimodal_silence_trim",
     "orders_bucketed_join",
     "token_heavy_hitters",
-    "token_kneser_ney",
-    # The r11/r12-green blocks, in their existing order:
+    # (2) the next 29 slots drain the r11/r12-green blocks in their
+    # existing order (oldest remaining evidence); the 15 with >=0.1 s
+    # oracles sit in the tail below:
     "docs_unimax_realized_mix",
-    "docs_kn_surprisal",
-    "docs_kn_band",
-    "docs_softdedup_weights",
-    "embed_prototypicality",
-    "embed_cluster_purity",
-    "docs_quality_kn_interaction",
-    "docs_ingest_chain_nd",
-    "docs_classifier_calibration",
-    "embed_intrinsic_dim",
-    "docs_softdedup_effective_mass",
-    "part_copurchase_pagerank",
-    "part_triangle_counts",
     "props_json_extract",
     "queue_latency_profile",
     "queue_state_machine",
     "token_bigram_stats",
     "token_frequencies",
     "token_zipf_audit",
-    "cdc_time_travel_agg",
     "docs_bloom_dedup_audit",
     "docs_ccnet_buckets",
     "docs_chunks",
-    "docs_common_spans",
     "docs_embed_join",
     "docs_gopher_rules",
-    "docs_gram_novelty",
     "docs_hybrid_search",
     "docs_pack_bins",
+    # (3) the window tail: every window oracle costing >=0.1 s in
+    # DuckDB at sf0.01 (re-timed this round, min-of-2), ascending, so
+    # a driver timeout leaves rows for everything before them:
+    "events_touch_attribution",  # 0.10 s
+    "cdc_time_travel_agg",  # 0.11 s
+    "docs_classifier_calibration",  # 0.12 s
+    "embed_ann_lsh",  # 0.12 s
+    "token_kneser_ney",  # 0.14 s
+    "embed_prototypicality",  # 0.15 s
+    "docs_common_spans",  # 0.17 s
+    "docs_kn_surprisal",  # 0.17 s
+    "docs_kn_band",  # 0.17 s
+    "lineitem_moving_avg",  # 0.18 s
+    "part_triangle_counts",  # 0.20 s
+    "headers_explode",  # 0.23 s
+    "embed_cluster_purity",  # 0.25 s
+    "docs_quality_kn_interaction",  # 0.26 s
+    "docs_gram_novelty",  # 0.38 s
+    "part_copurchase_pagerank",  # 0.93 s
+    "embed_intrinsic_dim",  # 1.06 s
+    "embed_kcenter_coreset",  # 1.32 s
+    "docs_softdedup_weights",  # 1.62 s
+    "docs_softdedup_effective_mass",  # 2.35 s
+    "docs_ingest_chain_nd",  # 2.71 s
+    "embed_mmr_rerank",  # 3.51 s
+    # ---- position 51+ ----
+    # The remainder of the r11/r12-green blocks, in their existing
+    # order (next in line for the r16 front):
     "docs_pipeline_e2e",
     "docs_quality_psi_drift",
     "docs_repetition_filter",
@@ -271,9 +208,6 @@ PRIORITY_ORDER = [
     "lineitem_percentiles",
     "embed_ann_ivfpq",
     "embed_semdedup",
-    # The r13-green window block (most-recently-proven, tail by
-    # convention), in its r13 order (docs_ingest_chain_audit moved
-    # back to the window front — reworked this round):
     "lineitem_pricing_agg",
     "lineitem_small_qty_parts",
     "lineitem_zorder_layout",
@@ -323,6 +257,58 @@ PRIORITY_ORDER = [
     "token_bpe_merges",
     "token_fertility_by_lang",
     "docs_dedup_modality_agreement",
+    # The r14-green window block (most-recently-proven, tail by
+    # convention), in its r14 order:
+    "docs_ingest_chain_contam",
+    "docs_ingest_chain_audit",
+    "lineitem_metrics_unpivot",
+    "lineitem_ship_delays",
+    "multimodal_decoded_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "nation_priority_pivot",
+    "orders_daily_gapfill",
+    "orders_grouping_sets",
+    "orders_price_band_join",
+    "orders_quarterly",
+    "orders_semi_anti",
+    "orders_window_funcs",
+    "queue_ready_topk",
+    "retry_schedule",
+    "status_counts",
+    "token_bigram_surprisal",
+    "top_customers_per_nation",
+    "user_activity_window",
+    "docs_bm25_search",
+    "docs_classifier_pr_curve",
+    "docs_content_fingerprint",
+    "docs_dedup_rate_by_source",
+    "docs_exact_dedup",
+    "docs_fingerprint_groups",
+    "docs_lang_confusion",
+    "docs_lang_id",
+    "docs_minhash_sigs",
+    "docs_mixture_realized_mix",
+    "docs_pack_tuning",
+    "docs_quality_score",
+    "docs_rolling_fingerprint",
+    "docs_text_stats",
+    "docs_token_counts",
+    "docs_train_split",
+    "token_bpe_encode",
+    "docs_simhash_pairs",
+    "docs_simhash",
+    "docs_simhash_dedup",
+    "docs_dedup_sensitivity",
+    "docs_minhash_pairs",
+    "docs_ngram_containment",
+    "docs_ngram_jaccard",
+    "docs_ingest_chain",
+    "docs_minhash_dedup",
+    "docs_dedup_method_agreement",
+    "docs_dup_clusters",
+    "docs_cluster_dedup",
+    "docs_lsh_tuning",
 ]
 
 

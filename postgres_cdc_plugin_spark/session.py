@@ -113,6 +113,31 @@ def spread(df, *cols):
     return df.repartition(n, *cols)
 
 
+def _is_scan_rooted(df) -> bool:
+    """True when the analyzed logical plan is a pure scan pipeline
+    (project/filter over a file relation) — the precondition for
+    probing df.rdd.getNumPartitions() cheaply. Under AQE, .rdd on a
+    plan containing exchanges EXECUTES the upstream query stages
+    (hidden jobs at plan-construction time — r14 advice); a plan with
+    any join/aggregate/window/repartition upstream is therefore never
+    probed, and the guards below fall back to the identity arm (their
+    scale-side behavior). Every internal caller passes a scan-rooted
+    relation, so this changes nothing for registered queries."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    blocked = (
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Repartition",
+        "Exchange",
+        "GlobalLimit",
+        "Generate",
+        "Union",
+    )
+    return not any(tok in plan for tok in blocked)
+
+
 def spread_scan(df, *cols):
     """Conditional `spread`: repartition only when the relation's
     current partitioning is starved below the scheduler's default
@@ -125,12 +150,39 @@ def spread_scan(df, *cols):
     added — which is exactly why this is not an unconditional
     `spread`: paying a full-corpus exchange in front of a projection
     that the scan could have parallelized for free is the regression
-    this guard exists to avoid. Apply to scan-rooted relations only
-    (the partition probe walks the pre-AQE plan; joins/aggregates
-    upstream would make it meaningless).
+    this guard exists to avoid. Apply to scan-rooted relations only;
+    a non-scan-rooted input (public entry points accept arbitrary
+    DataFrames) skips the partition probe — probing .rdd under AQE
+    would eagerly execute upstream shuffle stages — and takes the
+    identity arm, its at-scale behavior.
     """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
+    if not _is_scan_rooted(df):
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *cols)
+
+
+def spread_scan_by(df, *cols):
+    """Conditional KEY repartition, AQE-sized: shuffle by `cols` only
+    when the scan is starved below the scheduler's default parallelism
+    (the one-split local testdata file); IDENTITY on a many-split
+    input, so at 100 TB no exchange exists at all.
+
+    The unpinned sibling of spread_scan for the cheap-explode →
+    map-side-combinable-aggregation family (token statistics): the r14
+    calibration measured the defaultParallelism pin ~2x SLOWER there
+    (32-way partial-agg state where AQE's byte-sizing was right), so
+    the starved arm keeps the bare repartition(cols) form those sites
+    always had — the LOCAL plan is byte-identical to r13/r14 — while
+    the scale arm removes what would be a full corpus exchange in
+    front of an aggregation that re-keys anyway (r14 verdict ask #7).
+    """
+    sc = df.sparkSession.sparkContext
+    if not _is_scan_rooted(df):
+        return df
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(*cols)

@@ -602,3 +602,46 @@ def test_lsh_sweep_rebanding_matches_self_join(spark, sf_dir):
         prev_pairs = pairs_r
     sigs.unpersist()
     base.unpersist()
+
+
+def test_exact_jaccard_size_prune_is_exact(spark, sf_dir):
+    """r15 (r14 verdict ask #3): _exact_jaccard's min_jaccard size-ratio
+    prune (J <= min(sz)/max(sz), so a pair whose ceiling is below the
+    threshold can skip the gram-expansion join) must keep EXACTLY the
+    rows the unpruned kernel keeps after the caller's >= threshold
+    filter — same pairs, same n_inter/sizes/jaccard values — and must
+    actually prune on this corpus (the sweep's r=2 candidate set
+    carries size-dissimilar random collisions)."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _LSH_SWEEP_ROWS,
+        _candidate_pairs,
+        _exact_jaccard,
+        _minhash_sigs,
+        _shingles,
+    )
+    from postgres_cdc_plugin_spark.session import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs, distinct=True).persist()
+    base = (
+        _candidate_pairs(_minhash_sigs(docs, shingles=sh), _LSH_SWEEP_ROWS[0])
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    t = _JACCARD_THRESHOLD
+    want = sorted(
+        map(tuple, _exact_jaccard(base, sh)
+            .filter(F.col("jaccard") >= t).collect())
+    )
+    pruned = _exact_jaccard(base, sh, min_jaccard=t)
+    got = sorted(map(tuple, pruned.filter(F.col("jaccard") >= t).collect()))
+    assert got == want, "size-ratio prune changed the thresholded rows"
+    # the prune must bite: fewer pairs enter the gram joins than exist
+    n_base = base.count()
+    n_kept = pruned.select("doc_a", "doc_b").count()
+    assert n_kept < n_base, (n_kept, n_base)
+    sh.unpersist()
+    base.unpersist()

@@ -1001,3 +1001,50 @@ def test_inspection_memo_keeps_live_foreign_entries(spark, sf_dir):
     finally:
         I._INSPECT_SESSIONS.pop("app-live", None)
         I._INSPECT_SESSIONS.pop("app-dead", None)
+
+
+def test_spread_scan_by_arms(spark, sf_dir):
+    """session.spread_scan_by (r15, r14 verdict ask #7): the token
+    family's conditional UNPINNED guard. Starved one-split scan ->
+    exactly the bare repartition(cols) plan those sites always had
+    (hashpartitioning exchange, NOT the REPARTITION_BY_NUM pin the
+    r14 calibration measured 2x slower there); already-parallel input
+    -> identity (the at-scale arm: no exchange at all); non-scan-rooted
+    input -> identity without probing .rdd (probing under AQE would
+    eagerly execute upstream stages)."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.session import load, spread_scan_by
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out = spread_scan_by(docs, "doc_id")
+    plan = inspect.physical_plan(out)
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "REPARTITION_BY_NUM" not in plan, plan
+    # identity on an already-parallel relation
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, par + 1).withColumnRenamed(
+        "id", "doc_id"
+    )
+    assert spread_scan_by(wide, "doc_id") is wide
+    # identity (no probe, no shuffle added) on a non-scan-rooted input
+    agg = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    assert spread_scan_by(agg, "doc_id") is agg
+
+
+def test_spread_scan_skips_non_scan_rooted(spark, sf_dir):
+    """session.spread_scan (r15 advice fix): a joined/aggregated input
+    must take the identity arm WITHOUT probing df.rdd — under AQE the
+    probe would eagerly execute the upstream shuffle stages at
+    plan-construction time. Scan-rooted behavior is unchanged (the
+    both-arms pin in test_self_repetition_strip_is_shuffle_free)."""
+    from pyspark.sql import functions as F
+
+    from postgres_cdc_plugin_spark.session import load, spread_scan
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    agg = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    assert spread_scan(agg, "doc_id") is agg
+    joined = docs.join(docs.withColumnRenamed("doc_id", "d2"),
+                       docs.doc_id == F.col("d2"))
+    assert spread_scan(joined, "doc_id") is joined
