@@ -51,6 +51,33 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         )
     )
+    # Cluster profile (r15, guide §9), OFF by default so the local
+    # bench keeps the settings the driver's record was measured under.
+    # SPARK_GRAFT_PROFILE=cluster layers the large-deployment knobs:
+    #   * zstd shuffle/spill + parquet codec — markedly better ratio
+    #     than lz4/snappy for a little CPU; at 100 TB shuffle and
+    #     storage bytes dominate (§2.3/§6). Measured locally on the
+    #     shuffle-heaviest rows: a wash (see OPTIMIZATION_r15.md) —
+    #     local shuffles are MBs, so the ratio never pays here, which
+    #     is exactly why it is profile-gated instead of default.
+    #   * 1 GiB scan splits + 256 MiB AQE advisory partitions — fewer,
+    #     larger map tasks and reduce partitions (§2.2/§6); the local
+    #     testdata is single-split either way.
+    #   * preferSortMergeJoin=false — lets the planner pick shuffled
+    #     hash join when its size conditions hold (§3.1).
+    # Arrow-for-pandas is already on unconditionally above; no scalar
+    # Python UDFs exist in query paths, so pythonUDF.arrow stays out.
+    if os.environ.get("SPARK_GRAFT_PROFILE", "") == "cluster":
+        builder = (
+            builder.config("spark.io.compression.codec", "zstd")
+            .config("spark.sql.parquet.compression.codec", "zstd")
+            .config("spark.sql.files.maxPartitionBytes", str(1024**3))
+            .config(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(256 * 1024**2),
+            )
+            .config("spark.sql.join.preferSortMergeJoin", "false")
+        )
     return builder.getOrCreate()
 
 

@@ -3,6 +3,8 @@ per-query oracle parity cannot express (cross-query relationships)."""
 
 from __future__ import annotations
 
+import pytest
+
 from postgres_cdc_plugin_spark.operators import dedup as D
 
 
@@ -53,6 +55,7 @@ def test_cc_paths_bit_equal(spark, sf_dir):
     assert single == dist
 
 
+@pytest.mark.slow  # long-chain convergence drain; CC path bit-equality stays always-on via test_cc_paths_bit_equal (r15 verify-gate tier)
 def test_cc_distributed_on_long_chain(spark):
     """Min-label propagation on a path graph (worst-case diameter for
     its size): a 40-vertex chain needs many hop-rounds — validates the

@@ -213,7 +213,21 @@ def nulltext_duck(nulltext_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", NONASCII_NAMES)
+@pytest.mark.parametrize(
+    "name",
+    [
+        # docs_ingest_chain_kn is the sweep's one slow-tier member
+        # (87 s — the five-stage composite's plan overhead, r15
+        # verify-gate tier): its NULL behavior is a strict projection
+        # of docs_ingest_chain_contam's (the six-stage sample IS the
+        # kn sample widened by two columns), which stays always-on,
+        # as do the audit's per-stage counts over the same stage sets.
+        pytest.param(n, marks=pytest.mark.slow)
+        if n == "docs_ingest_chain_kn"
+        else n
+        for n in NONASCII_NAMES
+    ],
+)
 def test_nulltext_parity(name, spark, nulltext_dir, nulltext_duck):
     """Every documents-derived oracle query must degrade IDENTICALLY on
     NULL and empty text on both engines (promoted in r9 from the

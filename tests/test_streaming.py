@@ -1729,6 +1729,7 @@ def test_scd2_history_materializer(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.slow  # split-invariance drain over every materializer; the per-ledger bit-equal-to-batch tests stay always-on (r15 verify-gate tier)
 def test_materializers_are_batch_split_invariant(spark, tmp_path):
     """Micro-batch boundaries are an accident of arrival timing; the
     materialized latest-state and SCD2 tables must depend only on the
@@ -2493,6 +2494,7 @@ def test_mixture_ledger_serves_unimax_bit_equal_with_resume(
     assert got(led.unimax_sample) == full_sample
 
 
+@pytest.mark.slow  # torn-batch replay drain; crash-recovery coverage stays via test_streaming_postings_index_crash_recovery and the url-host incremental resume (r15 verify-gate tier)
 def test_torn_batches_are_invisible_until_replay(spark, tmp_path, sf_dir):
     """Crash-window safety across the ledger family (r8-advice class,
     generalized in r9 via streaming/ledger.committed_batch_dirs): a
@@ -2703,6 +2705,7 @@ def test_ingest_pipeline_bit_equal_to_batch_chain(spark, tmp_path, sf_dir):
     assert snap(pipe.dedup(spark)) == want_dedup
 
 
+@pytest.mark.slow  # full-pipeline resume drain; gate semantics stay pinned by test_ingest_pipeline_bit_equal_to_batch_chain (r15 verify-gate tier)
 def test_ingest_pipeline_checkpoint_resume_respects_gate(
     spark, tmp_path, sf_dir
 ):
@@ -2773,6 +2776,7 @@ def test_ingest_pipeline_checkpoint_resume_respects_gate(
     assert langs_docs <= kept
 
 
+@pytest.mark.slow  # torn-substage drain; the atomic-commit contract stays via test_torn_batches' cheap siblings (r15 verify-gate tier)
 def test_ingest_pipeline_torn_substage_is_invisible(spark, tmp_path, sf_dir):
     """ST19 atomicity: a crash between the pipeline's three sub-writes
     (gate landed, langs landed, lines NOT) must leave the batch
@@ -2806,6 +2810,7 @@ def test_ingest_pipeline_torn_substage_is_invisible(spark, tmp_path, sf_dir):
     assert len(snap(pipe.verdicts(spark))) == docs.count()
 
 
+@pytest.mark.slow  # resume drain; the ledger's bit-equality stays via test_streaming_neardup_index (r15 verify-gate tier)
 def test_neardup_cluster_ledger_bit_equal_with_resume(spark, tmp_path, sf_dir):
     """ST20 (r11): the streaming near-dup CLUSTER ledger must be
     bit-equal to all three batch cluster policies over the documents
@@ -2964,6 +2969,7 @@ def test_lm_ledger_serves_kn_family_bit_equal_with_resume(
     assert snap(led.kn_surprisal(spark)) == surF
 
 
+@pytest.mark.slow  # resume drain; nd-chain equality stays via the sf-parity oracle + test_ingest_pipeline_bit_equal_to_batch_chain (r15 verify-gate tier)
 def test_ingest_pipeline_nd_bit_equal_with_resume(spark, tmp_path, sf_dir):
     """The four-stage composed surface (r11): sample_nd() must be
     bit-equal to the batch docs_ingest_chain_nd over the documents
@@ -3019,6 +3025,7 @@ def test_ingest_pipeline_nd_bit_equal_with_resume(spark, tmp_path, sf_dir):
     pipe.process_batch(docs, 999)  # redelivery collapses via distinct
     assert snap(pipe.sample_nd(spark)) == want
 
+@pytest.mark.slow  # resume drain; kn-chain equality stays via the sf-parity oracle + the audit agreement property (r15 verify-gate tier)
 def test_ingest_pipeline_kn_bit_equal_with_resume(spark, tmp_path, sf_dir):
     """The five-stage composed surface (r12, r11 ask #5): sample_kn()
     must be bit-equal to the batch docs_ingest_chain_kn over the
@@ -3082,6 +3089,7 @@ def test_ingest_pipeline_kn_bit_equal_with_resume(spark, tmp_path, sf_dir):
     assert snap(pipe.sample_kn(spark)) == want
 
 
+@pytest.mark.slow  # six-stage streaming drain; contam equality stays via the sf-parity oracle + test_ingest_pipeline_audit_bit_equal sibling stages (r15 verify-gate tier)
 def test_ingest_pipeline_contam_bit_equal_to_batch_chain(
     spark, tmp_path, sf_dir
 ):
@@ -3145,6 +3153,7 @@ def test_ingest_pipeline_contam_bit_equal_to_batch_chain(
     assert snap(pipe.sample_contam(spark, bench)) == want
 
 
+@pytest.mark.slow  # wave-cache eviction drain; cache keying stays exercised by every other pipeline test (r15 verify-gate tier)
 def test_ingest_wave_cache_is_bounded_and_shared(spark, tmp_path, sf_dir):
     """The bounded per-wave cache discipline (r13 — the r12 sample_kn
     leak finding generalized): within one wave, a second consumer
@@ -3212,6 +3221,7 @@ def test_ingest_wave_cache_is_bounded_and_shared(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, d2.collect())) == sorted(map(tuple, d1.collect()))
 
 
+@pytest.mark.slow  # resume drain; audit equality stays via test_ingest_chain_audit_agrees_with_the_chain + its oracle (r15 verify-gate tier)
 def test_ingest_pipeline_audit_bit_equal_with_resume(spark, tmp_path, sf_dir):
     """The streaming stage-attrition audit (r13, r12 verdict ask #4):
     audit() must be bit-equal to the batch docs_ingest_chain_audit
