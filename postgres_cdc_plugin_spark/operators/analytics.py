@@ -2390,7 +2390,11 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # eager=False (r15): the rank loop is statically bounded, so the
+    # first iteration materializes the cut edge relation inside its own
+    # job instead of a separate up-front one (2.9 -> 2.4 s min at
+    # sf0.1/32c, identical ranks — the embed_mmr_rerank note)
+    ).localCheckpoint(eager=False)
     # Shared persisted degree kernel (neighbor count == symmetrized
     # out-degree; see _copurchase_degrees) — also read by
     # part_triangle_counts.
@@ -2463,7 +2467,9 @@ def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hi_deg"
             ),
         )
-        .localCheckpoint()
+        # eager=False (r15): w1/w2 below read the same checkpointed RDD
+        # inside the one final job (computed once — RDD lineage is a DAG)
+        .localCheckpoint(eager=False)
     )
     w1 = o.select("lo", F.col("hi").alias("y"), F.col("hi_deg").alias("y_deg"))
     w2 = o.select("lo", F.col("hi").alias("z"), F.col("hi_deg").alias("z_deg"))
@@ -2992,7 +2998,9 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("custkey_a").alias("doc_a"),
             F.col("custkey_b").alias("doc_b"),
         )
-        .localCheckpoint()
+        # eager=False (r15): _cc_labels' edge-count action materializes
+        # the cut pair relation inside its own job (2.6 -> 2.4 s min)
+        .localCheckpoint(eager=False)
     )
     labels = _cc_labels(spark, pairs)
     cust = load(spark, sf_dir, "customer")

@@ -1147,7 +1147,7 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("simq"), F.asc("vec_id"))
         .limit(_MMR_POOL)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
     first = (
@@ -1161,7 +1161,7 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("max_sim_selected"),
             (F.lit(lam) * F.col("simq")).alias("mmr_score"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     picks = [first]
     cand = pool.join(
@@ -1180,6 +1180,14 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min at sf0.1) — the pool is _MMR_POOL rows rooted at a
     # localCheckpoint, so re-deriving the fold chain is cheaper than
     # building k InMemoryRelations. OPTIMIZATION_r14.md has the A/B.
+    # r15: the checkpoints are eager=False — the pick loop is
+    # statically bounded, so nothing reads them during construction
+    # and the k+1 per-pick materialization JOBS collapse into the
+    # consumer's single action (each checkpoint still computes exactly
+    # once: RDD lineage is a DAG); 2.7-3.2 -> 2.2-2.4 s warm at
+    # sf0.1/32c, identical picks. The chains/CC keep EAGER checkpoints
+    # — measured 1.5-3x WORSE lazy there (convergence loops and
+    # persisted-kernel side effects need the eagerness).
     for _ in range(_MMR_K - 1):
         score = F.lit(lam) * F.col("simq") - F.lit(mu) * F.col("maxsim")
         top = (
@@ -1196,7 +1204,7 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("maxsim").alias("max_sim_selected"),
                 F.col("mmr").alias("mmr_score"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         picks.append(top)
         cand = cand.join(
@@ -1260,7 +1268,7 @@ def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.orderBy("vec_id")
         .limit(1)
         .select("vec_id", "v", F.lit(None).cast("double").alias("sel_dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     picks = [seed]
     cand = emb.crossJoin(F.broadcast(seed.select(F.col("v").alias("cv")))).select(
@@ -1273,12 +1281,14 @@ def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold FLOPs are cheaper than building k InMemoryRelations; at
     # scale the persist alternative also holds a corpus-sized cache
     # entry per iteration. OPTIMIZATION_r14.md has the A/B.
+    # r15: eager=False checkpoints (the embed_mmr_rerank note):
+    # 1.7-2.1 -> 1.6 s warm, identical picks.
     for _ in range(_KC_K - 1):
         top = (
             cand.orderBy(F.desc("mind"), F.asc("vec_id"))
             .limit(1)
             .select("vec_id", "v", F.col("mind").alias("sel_dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         picks.append(top)
         cand = cand.crossJoin(F.broadcast(top.select(F.col("v").alias("cv")))).select(
@@ -1395,7 +1405,7 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             # _PCA_ITERS crossJoin chains (the token_bpe_merges pattern;
             # measured ~26% wall-clock at sf0.1, all of it plan
             # compilation)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     eig = (
         norm.crossJoin(F.broadcast(emb.agg(F.count(F.lit(1)).alias("n"))))

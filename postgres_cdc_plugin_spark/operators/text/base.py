@@ -2634,7 +2634,14 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     by an order of magnitude over the retraining it would save. The
     eager localCheckpoints (fresh RDD roots, linear plans) stay; the
     sharing would need driver-side literalization of the 1-row
-    argmaxes, which the no-collect-in-query-paths rule excludes."""
+    argmaxes, which the no-collect-in-query-paths rule excludes.
+    What DID land (r15): eager=False on all three checkpoints — the
+    loop is statically bounded, so nothing reads a checkpoint during
+    construction and the 13 per-iteration materialization JOBS
+    collapse into the consumer's single action (the RDD lineage is a
+    DAG, so each checkpoint still computes exactly once); measured
+    2.6-2.8 -> 1.9-2.1 s warm per training at sf0.1/32c, identical
+    merges and vocab rows."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -2647,7 +2654,7 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.expr(
             "concat(chr(1), regexp_replace(w, '(.)', concat('$1', chr(1))))"
         ).alias("s"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out: DataFrame | None = None
     for rank in range(1, _BPE_MERGES + 1):
         pairs = (
@@ -2670,7 +2677,7 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         top = (
             pairs.orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         row = top.select(
             F.lit(rank).alias("merge_rank"),
@@ -2693,7 +2700,7 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
                     " concat(chr(1), a, b, chr(1)))"
                 ).alias("s"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     assert out is not None
     return out, vocab
